@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators over `documents` and `embeddings`:
+ * exact dedup, MinHash-LSH near-dup, SimHash fingerprinting,
+ * sorted-neighborhood n-gram Jaccard, language id, quality scoring, token
+ * stats, document fingerprints, cosine similarity search and near-dup.
+ *
+ * Cross-engine design: every hash is md5 (identical hex in Spark and
+ * DuckDB), MinHash signatures are lexicographic minima of md5 strings (no
+ * engine-specific integer hashing), and cosine similarity is written as the
+ * same explicit double-precision expression on both sides so threshold
+ * predicates see bitwise-identical values. All per-document work uses
+ * codegen'd higher-order functions (transform/aggregate/filter) — zero
+ * UDFs, zero shuffles until the pair-building joins.
+ *
+ * Scale: candidate generation is always blocked (LSH bands, sign buckets,
+ * sorted neighborhood) — nothing here is O(n^2) in document count.
+ */
+object TextPipeline {
+
+  import Tables.t
+
+  // --- shared SQL fragments (Spark side) ---
+
+  private val toks = "split(text, ' ')"
+
+  /** Distinct word-3-gram shingles; empty array for docs under 3 tokens. */
+  private val shingles =
+    s"""CASE WHEN size($toks) >= 3 THEN
+       |  array_distinct(transform(sequence(1, size($toks) - 2),
+       |    i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1), ' ',
+       |                element_at($toks, i + 2))))
+       |ELSE cast(array() AS array<string>) END""".stripMargin
+
+  /** 12 MinHash values: min over shingles of md5(j || '|' || shingle). */
+  private val minhashSig =
+    """transform(sequence(0, 11),
+      |  j -> array_min(transform(sh, s -> md5(concat(cast(j AS string), '|', s)))))""".stripMargin
+
+  /** 4 LSH bands of 3 signature rows each. */
+  private val bandHashes =
+    """transform(sequence(0, 3),
+      |  b -> md5(concat(element_at(sig, 3*b + 1), element_at(sig, 3*b + 2),
+      |                  element_at(sig, 3*b + 3))))""".stripMargin
+
+  /** 32-bit SimHash over distinct tokens, md5-derived per-token hashes. */
+  private val simhashExpr =
+    """aggregate(sequence(0, 31), cast(0 AS bigint), (acc, j) ->
+      |  acc + IF(aggregate(hs, cast(0 AS bigint),
+      |             (a, h) -> a + (shiftright(h, j) & 1) * 2 - 1) > 0,
+      |           shiftleft(cast(1 AS bigint), j), cast(0 AS bigint)))""".stripMargin
+
+  private val tokenHashes =
+    """transform(array_distinct(split(text, ' ')),
+      |  tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) AS bigint))""".stripMargin
+
+  /** Explicit double cosine: identical operation order to the oracle SQL. */
+  private val cosineExpr =
+    """aggregate(zip_with(ae, be, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x)
+      | / (sqrt(aggregate(ae, cast(0 AS double), (a, x) -> a + x * x))
+      |    * sqrt(aggregate(be, cast(0 AS double), (a, x) -> a + x * x)))""".stripMargin
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").selectExpr("doc_id", s"$shingles AS sh").where("size(sh) > 0")
+
+  private def docSimhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .selectExpr("doc_id", s"$tokenHashes AS hs")
+      .selectExpr("doc_id", s"$simhashExpr AS simhash")
+
+  private def embDoubles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x AS double)) AS e",
+        "cast(embedding[0] > 0 AS int) * 4 + cast(embedding[1] > 0 AS int) * 2 " +
+          "+ cast(embedding[2] > 0 AS int) AS bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on content, keep the smallest doc_id.
+    // Map-side partial agg means only one (hash, min, count) row per
+    // partition per cluster crosses the wire at 100 TB.
+    "q20_exact_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .select(col("keeper"), col("n_copies"))
+        .orderBy(col("keeper"))
+    }),
+
+    // Token statistics per source (token counting over whitespace).
+    "q21_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("source", s"size($toks) AS n_tokens",
+          s"aggregate(transform($toks, x -> length(x)), 0, (a, x) -> a + x) AS token_chars")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          round(sum(col("token_chars")).cast("double") / sum(col("n_tokens")), 4)
+            .as("avg_token_len"))
+        .orderBy(col("source"))
+    }),
+
+    // Language id: marker-token counts with a deterministic priority chain.
+    // replace()-based counting has identical scan semantics in both engines.
+    "q22_lang_id" -> ((s, dir) => {
+      def cnt(w: String) =
+        s"(length(concat(' ', text, ' ')) - length(replace(concat(' ', text, ' '), ' $w ', ' '))) / ${w.length + 1}"
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          s"${cnt("the")} AS c_en", s"${cnt("le")} AS c_fr", s"${cnt("el")} AS c_es",
+          s"${cnt("der")} AS c_de", s"${cnt("的")} AS c_zh")
+        .selectExpr("doc_id", "lang",
+          """CASE WHEN c_en >= greatest(c_fr, c_es, c_de, c_zh) AND c_en > 0 THEN 'en'
+            |     WHEN c_fr >= greatest(c_es, c_de, c_zh) AND c_fr > 0 THEN 'fr'
+            |     WHEN c_es >= greatest(c_de, c_zh) AND c_es > 0 THEN 'es'
+            |     WHEN c_de >= c_zh AND c_de > 0 THEN 'de'
+            |     WHEN c_zh > 0 THEN 'zh'
+            |     ELSE 'und' END AS pred_lang""".stripMargin)
+        .selectExpr("doc_id", "pred_lang",
+          "CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS is_correct")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality score: uniqueness, stopword ratio, length prior.
+    "q23_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          s"size($toks) AS n_tokens",
+          s"cast(size(array_distinct($toks)) AS double) / size($toks) AS uniq_ratio",
+          s"cast(size(filter($toks, x -> x IN ('the', 'a'))) AS double) / size($toks) AS stop_ratio")
+        .selectExpr("doc_id", "n_tokens",
+          "round(uniq_ratio, 4) AS uniq_ratio",
+          "round(stop_ratio, 4) AS stop_ratio",
+          "round(0.4 * uniq_ratio + 0.3 * (1 - stop_ratio) " +
+            "+ 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Content fingerprint over normalized text (dedup key robust to
+    // whitespace/punctuation differences).
+    "q24_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "md5(regexp_replace(text, '[^a-z0-9]', '')) AS fingerprint",
+          "length(regexp_replace(text, '[^a-z0-9]', '')) AS n_chars_norm")
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash + LSH near-duplicate pairs, verified with exact shingle
+    // Jaccard >= 0.5. Candidate generation is the banded self-join (shuffle
+    // keyed on (band, hash)), never an all-pairs product.
+    "q25_minhash_neardup" -> ((s, dir) => {
+      val docs = docShingles(s, dir)
+      val bands = docs
+        .selectExpr("doc_id", s"$minhashSig AS sig")
+        .selectExpr("doc_id", s"$bandHashes AS bands")
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bh")))
+      val cand = bands.as("x").join(bands.as("y"),
+          expr("x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(docs.as("da"), col("a_id") === col("da.doc_id"))
+        .join(docs.as("db"), col("b_id") === col("db.doc_id"))
+        .select(col("a_id"), col("b_id"),
+          round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
+            " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash document fingerprints (32-bit, token-level).
+    "q26_simhash" -> ((s, dir) => {
+      docSimhash(s, dir).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
+    }),
+
+    // N-gram Jaccard via sorted-neighborhood blocking: order by simhash,
+    // compare each doc to its next 2 neighbors. O(n) pairs. (At cluster
+    // scale the global row_number becomes a range-partitioned sort; the
+    // window itself is the documented single-partition caveat here.)
+    "q27_ngram_jaccard" -> ((s, dir) => {
+      val ranked = docSimhash(s, dir)
+        .withColumn("rn", row_number().over(Window.orderBy(col("simhash"), col("doc_id"))))
+      val pairs = ranked.as("x").join(ranked.as("y"),
+          expr("y.rn - x.rn IN (1, 2)"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      val docs = docShingles(s, dir)
+      pairs
+        .join(docs.as("da"), col("a_id") === col("da.doc_id"))
+        .join(docs.as("db"), col("b_id") === col("db.doc_id"))
+        .select(col("a_id"), col("b_id"),
+          round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
+            " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Similarity search baseline: brute-force cosine top-10 for the 5
+    // probe vectors. One broadcast of 5 rows against a single scan.
+    "q28_cosine_topk" -> ((s, dir) => {
+      val emb = embDoubles(s, dir)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("e").as("ae"))
+      val scored = broadcast(probes).join(emb.select(col("vec_id"), col("e").as("be")),
+          expr("vec_id != q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", s"$cosineExpr AS cos")
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // Embedding near-dup: sign-bit blocking (8 buckets from the leading 3
+    // dims) then exact cosine >= 0.3 inside each bucket. The bucket join is
+    // the scale path — pairs only form within a bucket.
+    "q29_cosine_neardup" -> ((s, dir) => {
+      val emb = embDoubles(s, dir)
+      emb.select(col("vec_id").as("a_id"), col("e").as("ae"), col("bucket")).as("a")
+        .join(emb.select(col("vec_id").as("b_id"), col("e").as("be"), col("bucket")).as("b"),
+          expr("a.bucket = b.bucket AND a_id < b_id"))
+        .selectExpr("a_id", "b_id", s"$cosineExpr AS cos")
+        .filter(col("cos") >= 0.3)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+  )
+
+  // --- DuckDB oracles (same math, same operation order) ---
+
+  private val duckToks = "string_split(text, ' ')"
+  private val duckShingleDocs =
+    s"""SELECT doc_id, list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
+       |    i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) AS sh
+       |  FROM documents WHERE len($duckToks) >= 3""".stripMargin
+  private val duckSimhashDocs =
+    s"""SELECT doc_id, cast(list_sum(list_transform(generate_series(0, 31), j ->
+       |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+       |         THEN (cast(1 AS bigint) << j) ELSE 0 END)) AS bigint) AS simhash
+       |  FROM (SELECT doc_id, list_transform(list_distinct($duckToks),
+       |          tk -> cast('0x' || substr(md5(tk), 1, 8) AS bigint)) AS hs
+       |        FROM documents)""".stripMargin
+  /** Same double-precision cosine as the Spark side, aliases inlined. */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i]))
+       | / (sqrt(list_sum(list_transform($a.e, x -> x * x)))
+       |    * sqrt(list_sum(list_transform($b.e, x -> x * x))))""".stripMargin
+  private val duckEmb =
+    """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
+      |  (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
+      |    + (embedding[3] > 0)::INT AS bucket
+      |FROM embeddings""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q20_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+
+    "q21_token_stats" ->
+      s"""WITH d AS (SELECT source, len($duckToks) AS n_tokens,
+         |  cast(list_sum(list_transform($duckToks, x -> length(x))) AS bigint) AS token_chars
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  cast(sum(n_tokens) AS bigint) AS total_tokens,
+         |  round(avg(n_tokens), 4) AS avg_tokens,
+         |  max(n_tokens) AS max_tokens,
+         |  round(sum(token_chars)::DOUBLE / sum(n_tokens), 4) AS avg_token_len
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q22_lang_id" -> {
+      def cnt(w: String) =
+        s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ' '))) / ${w.length + 1}"
+      s"""WITH c AS (SELECT doc_id, lang,
+         |  ${cnt("the")} AS c_en, ${cnt("le")} AS c_fr, ${cnt("el")} AS c_es,
+         |  ${cnt("der")} AS c_de, ${cnt("的")} AS c_zh
+         |  FROM documents),
+         |p AS (SELECT doc_id, lang,
+         |  CASE WHEN c_en >= greatest(c_fr, c_es, c_de, c_zh) AND c_en > 0 THEN 'en'
+         |       WHEN c_fr >= greatest(c_es, c_de, c_zh) AND c_fr > 0 THEN 'fr'
+         |       WHEN c_es >= greatest(c_de, c_zh) AND c_es > 0 THEN 'es'
+         |       WHEN c_de >= c_zh AND c_de > 0 THEN 'de'
+         |       WHEN c_zh > 0 THEN 'zh'
+         |       ELSE 'und' END AS pred_lang
+         |  FROM c)
+         |SELECT doc_id, pred_lang,
+         |  CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS is_correct
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q23_quality_score" ->
+      s"""WITH d AS (SELECT doc_id, len($duckToks) AS n_tokens,
+         |  len(list_distinct($duckToks))::DOUBLE / len($duckToks) AS uniq_ratio,
+         |  len(list_filter($duckToks, x -> x IN ('the', 'a')))::DOUBLE / len($duckToks) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  round(uniq_ratio, 4) AS uniq_ratio,
+         |  round(stop_ratio, 4) AS stop_ratio,
+         |  round(0.4 * uniq_ratio + 0.3 * (1 - stop_ratio)
+         |    + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS fingerprint,
+        |  length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_minhash_neardup" ->
+      s"""WITH docs AS ($duckShingleDocs),
+         |sigs AS (SELECT doc_id, list_transform(generate_series(0, 11),
+         |    j -> list_min(list_transform(sh, sg -> md5(j::VARCHAR || '|' || sg)))) AS sig
+         |  FROM docs),
+         |bands AS (SELECT doc_id, b,
+         |    md5(sig[3*b + 1] || sig[3*b + 2] || sig[3*b + 3]) AS bh
+         |  FROM sigs, generate_series(0, 3) AS g(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT a_id, b_id,
+         |    round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
+         |  FROM cand JOIN docs da ON da.doc_id = a_id JOIN docs db ON db.doc_id = b_id)
+         |SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q26_simhash" ->
+      s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,
+
+    "q27_ngram_jaccard" ->
+      s"""WITH sh_docs AS ($duckShingleDocs),
+         |ranked AS (SELECT doc_id, simhash,
+         |    row_number() OVER (ORDER BY simhash, doc_id) AS rn
+         |  FROM ($duckSimhashDocs)),
+         |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM ranked x JOIN ranked y ON y.rn - x.rn IN (1, 2))
+         |SELECT a_id, b_id,
+         |  round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |    / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
+         |FROM pairs JOIN sh_docs da ON da.doc_id = a_id JOIN sh_docs db ON db.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q28_cosine_topk" ->
+      s"""WITH emb AS ($duckEmb),
+         |scored AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |    ${duckCos("q", "b")} AS cos
+         |  FROM emb q JOIN emb b ON b.vec_id != q.vec_id
+         |  WHERE q.vec_id < 5),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    "q29_cosine_neardup" ->
+      s"""WITH emb AS ($duckEmb),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${duckCos("a", "b")} AS cos
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, round(cos, 4) AS cosine
+         |FROM pairs WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+  )
+}
