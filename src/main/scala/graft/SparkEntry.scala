@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.iforest.IForest
-import graft.queries.{Relational, TextPipeline}
+import graft.multimodal.Multimodal
+import graft.queries.{Relational, Streaming, TextPipeline}
+import graft.similarity.AnnLsh
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -39,12 +41,26 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextPipeline.queries ++ Map(
+    Relational.queries ++ TextPipeline.queries ++ Streaming.queries ++ Map(
+      "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
+      "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
-    * the driver's rows-only check). */
-  def oracleSql: Map[String, String] = Relational.oracles ++ TextPipeline.oracles
+    * the driver's rows-only check: iforest_score is seeded-RNG model output,
+    * q31_ann_lsh buckets by gaussian hyperplanes — neither is expressible
+    * as deterministic cross-engine SQL; both are asserted in ScalaTest
+    * specs instead). */
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++ Map(
+      "q30_binary_meta" ->
+        """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+          |  round(list_avg(list_transform(generate_series(1, length(text)),
+          |    i -> ascii(substr(text, i, 1)))), 4) AS mean_byte,
+          |  round(list_max(list_transform(generate_series(1, length(text)),
+          |    i -> ascii(substr(text, i, 1))))::DOUBLE, 4) AS max_byte
+          |FROM documents ORDER BY doc_id""".stripMargin,
+    )
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Structured Streaming queries driven to completion with
+ * `Trigger.AvailableNow` over the events parquet, collected through a
+ * memory sink. Complete output mode makes the result independent of batch
+ * boundaries and arrival order, so the same DuckDB oracle that checks the
+ * batch queries checks these.
+ *
+ * At cluster scale the same plans run against a real source (Kafka/files)
+ * with `outputMode("append")` + the watermark dropping late state; the
+ * aggregation state itself is partitioned by group key across executors.
+ */
+object Streaming {
+
+  /** Raw streaming read of events with the nano-ts fixup applied. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet") // schema probe; not an action
+    // FileStreamSource needs a directory or glob, not a literal file path
+    val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events*.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else stream
+  }
+
+  /** Run a streaming aggregation to completion and return the result. */
+  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+    val table = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(table)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(table)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour event-time windows per event type.
+    "q40_stream_window" -> ((s, dir) => {
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      runToCompletion(s, agg, "stream_window")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Native session windows (30-minute gap) — the streaming counterpart
+    // of q15's batch sessionization, same grouping semantics.
+    "q41_stream_sessionize" -> ((s, dir) => {
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+      runToCompletion(s, agg, "stream_sessionize")
+        .select(col("user_id"), col("n_events"), col("session_value"),
+          col("session_start"), col("session_end"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Same gap-based sessions as q15 but at session_window's exact
+    // microsecond semantics: a new session starts when the gap is >= 30
+    // minutes (q15's second-truncated `> 1800` would disagree for gaps
+    // inside (1800s, 1801s)).
+    "q41_stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}
