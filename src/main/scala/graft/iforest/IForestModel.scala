@@ -117,8 +117,14 @@ object IForestModel extends MLReadable[IForestModel] {
       import org.json4s.jackson.JsonMethods._
       val spark = sparkSession
       import spark.implicits._
+      // field set mirrors Spark's DefaultParamsWriter metadata so stock
+      // loaders (e.g. PipelineModel.load re-dispatching by className) can
+      // parse it; the helper itself is private[ml], hence hand-rolled.
       val metadata =
         ("class" -> instance.getClass.getName) ~
+          ("timestamp" -> System.currentTimeMillis()) ~
+          ("sparkVersion" -> spark.version) ~
+          ("defaultParamMap" -> org.json4s.JObject()) ~
           ("uid" -> instance.uid) ~
           ("numTrees" -> instance.trees.length) ~
           ("paramMap" ->

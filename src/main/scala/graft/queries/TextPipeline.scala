@@ -37,17 +37,6 @@ object TextPipeline {
        |                element_at($toks, i + 2))))
        |ELSE cast(array() AS array<string>) END""".stripMargin
 
-  /** 12 MinHash values: min over shingles of md5(j || '|' || shingle). */
-  private val minhashSig =
-    """transform(sequence(0, 11),
-      |  j -> array_min(transform(sh, s -> md5(concat(cast(j AS string), '|', s)))))""".stripMargin
-
-  /** 4 LSH bands of 3 signature rows each. */
-  private val bandHashes =
-    """transform(sequence(0, 3),
-      |  b -> md5(concat(element_at(sig, 3*b + 1), element_at(sig, 3*b + 2),
-      |                  element_at(sig, 3*b + 3))))""".stripMargin
-
   /** 32-bit SimHash over distinct tokens, md5-derived per-token hashes. */
   private val simhashExpr =
     """aggregate(sequence(0, 31), cast(0 AS bigint), (acc, j) ->
@@ -158,13 +147,28 @@ object TextPipeline {
     // keyed on (band, hash)), never an all-pairs product.
     "q25_minhash_neardup" -> ((s, dir) => {
       val docs = docShingles(s, dir)
-      val bands = docs
-        .selectExpr("doc_id", s"$minhashSig AS sig")
-        .selectExpr("doc_id", s"$bandHashes AS bands")
-        .select(col("doc_id"), posexplode(col("bands")).as(Seq("b", "bh")))
-      val cand = bands.as("x").join(bands.as("y"),
-          expr("x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      // Signature via explode + 12 min-aggregations. The aggregate is a
+      // deliberate optimization barrier: a pure projection chain here gets
+      // CollapseProject'ed, inlining the shingle+md5 pipeline into every
+      // one of the 12 signature / 4 band reference sites (~144x
+      // re-evaluation — measured 105 s at sf0.01 vs ~2 s this way). Each
+      // shingle is hashed exactly once; the map-side partial min keeps the
+      // shuffle at 12 hex strings per doc.
+      val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .select(col("doc_id") +: (0 until 12).map(j =>
+          md5(concat(lit(j.toString), lit("|"), col("s"))).as(s"h$j")): _*)
+      val sigAggs = (0 until 12).map(j => min(col(s"h$j")).as(s"m$j"))
+      val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      val bands = sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+          md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"), col(s"m${3 * b + 2}")))): _*))
+          .as(Seq("b", "bh")))
+      // Seq-keyed equi-join: hashed on (b, bh). An expr()-based condition
+      // here planned as a nested-loop join re-evaluating expressions per
+      // candidate pair.
+      val cand = bands.withColumnRenamed("doc_id", "a_id")
+        .join(bands.withColumnRenamed("doc_id", "b_id"), Seq("b", "bh"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
         .distinct()
       cand
         .join(docs.as("da"), col("a_id") === col("da.doc_id"))
@@ -198,6 +202,23 @@ object TextPipeline {
         .select(col("a_id"), col("b_id"),
           round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
             " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // SimHash near-dup candidates: adjacent docs in simhash order whose
+    // fingerprints differ in <= 12 of 32 bits. Exercises the native
+    // codegen'd HammingDistance expression (graft.functions) inside
+    // whole-stage codegen — no UDF in the loop.
+    "q32_simhash_hamming" -> ((s, dir) => {
+      graft.functions.HammingDistance.register(s)
+      val ranked = docSimhash(s, dir)
+        .withColumn("rn", row_number().over(Window.orderBy(col("simhash"), col("doc_id"))))
+      val next = ranked.select(col("doc_id").as("b_id"), col("simhash").as("b_simhash"),
+        (col("rn") - 1).as("rn"))
+      ranked.join(next, Seq("rn"))
+        .selectExpr("doc_id AS a_id", "b_id",
+          "hamming_distance(simhash, b_simhash) AS hamming")
+        .filter(col("hamming") <= 12)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -343,6 +364,16 @@ object TextPipeline {
          |  round(len(list_intersect(da.sh, db.sh))::DOUBLE
          |    / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
          |FROM pairs JOIN sh_docs da ON da.doc_id = a_id JOIN sh_docs db ON db.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q32_simhash_hamming" ->
+      s"""WITH ranked AS (SELECT doc_id, simhash,
+         |    row_number() OVER (ORDER BY simhash, doc_id) AS rn
+         |  FROM ($duckSimhashDocs)),
+         |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+         |    cast(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |  FROM ranked x JOIN ranked y ON y.rn = x.rn + 1)
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 12
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q28_cosine_topk" ->
