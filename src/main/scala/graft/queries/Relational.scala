@@ -197,6 +197,42 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // JSON scalar functions over the events.props payload column.
+    "q17_json_funcs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // CUBE grouping sets: all 4 combinations of (returnflag, linestatus).
+    "q18_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_lines"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    }),
+
+    // Typed UDAF (Aggregator): geometric mean of order totals per priority.
+    "q19_geomean_udaf" -> ((s, dir) => {
+      val geomean = udaf(graft.functions.GeoMean)
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(geomean(col("o_totalprice")), 2).as("geo_total"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Sessionization: 30-minute inactivity gap splits sessions. One window
     // pass computes boundaries; the shuffle is partitioned by user_id so
     // every user's timeline stays executor-local.
@@ -219,21 +255,20 @@ object Relational {
     }),
 
     // As-of join: each click matched to the latest prior purchase of the
-    // same user. Equality on user_id bounds the range join; row_number
-    // keeps the single most recent match. (A dedicated merge-join as-of
-    // physical operator is the scale path if per-key fanout grows.)
+    // same user. Equality on user_id bounds the range join; the single
+    // most recent match is kept by max_by partial aggregation
+    // (graft.plans.TopOnePerKey) — no ranking window, no sort: the shuffle
+    // after the range join carries one candidate per click per partition.
     "q16_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-      val w = Window.partitionBy(col("click_id"))
-        .orderBy(col("p_ts").desc, col("purchase_id").desc)
-      clicks.join(purchases, Seq("user_id"))
+      val candidates = clicks.join(purchases, Seq("user_id"))
         .filter(col("p_ts") <= col("click_ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.plans.TopOnePerKey.latest(candidates,
+          Seq("click_id"), Seq(col("p_ts"), col("purchase_id")))
         .select(col("click_id"), col("user_id"), col("purchase_id"),
           (unix_timestamp(col("click_ts")) - unix_timestamp(col("p_ts"))).as("gap_seconds"))
         .orderBy(col("click_id"))
@@ -363,6 +398,33 @@ object Relational {
         |  round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
         |  round(quantile_cont(o_totalprice, 0.95), 2) AS p95
         |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  round(avg(cast(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  min(cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q18_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q19_geomean_udaf" ->
+      """SELECT o_orderpriority,
+        |  round(exp(avg(ln(o_totalprice))), 2) AS geo_total,
+        |  count(*) AS n_orders
+        |FROM orders
+        |WHERE o_totalprice > 0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
