@@ -28,8 +28,10 @@ object SparkEntry {
       .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .setOutputCol("features")
       .transform(li)
+    // numTrees/maxSamples match the reference's published benchmark config
+    // (BASELINE.md: numTrees=100, maxSamples=256)
     val model = new IForest()
-      .setNumTrees(50)
+      .setNumTrees(100)
       .setMaxSamples(256)
       .setMaxDepth(8)
       .setContamination(0.05)

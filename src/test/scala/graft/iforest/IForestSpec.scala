@@ -84,6 +84,27 @@ class IForestSpec extends AnyFunSuite {
     assert(top2.forall(s => s.contains("9.0")), s"top2 = ${top2.mkString(", ")}")
   }
 
+  test("4-point doctest set: the isolated corner is the single anomaly") {
+    // Mirrors the reference's python doctest fixture (FIXTURES.md #4):
+    // [0,0],[7,9],[9,8],[8,9] with contamination 0.3, maxDepth 2 -> the
+    // [0,0] row is the anomaly and carries the top score. (Golden score
+    // values are seed-dependent; the behavioral contract is what's stable.)
+    import spark.implicits._
+    val df = Seq(
+      Vectors.dense(0.0, 0.0), Vectors.dense(7.0, 9.0),
+      Vectors.dense(9.0, 8.0), Vectors.dense(8.0, 9.0),
+    ).map(Tuple1(_)).toDF("features")
+    val model = new IForest()
+      .setNumTrees(100).setMaxDepth(2).setContamination(0.3).setSeed(123L)
+      .fit(df)
+    val rows = model.summary.predictions
+      .select("features", "anomalyScore", "prediction").collect()
+    val byScore = rows.sortBy(-_.getDouble(1))
+    assert(byScore.head.get(0).toString == "[0.0,0.0]")
+    assert(byScore.head.getDouble(2) == 1.0)
+    assert(rows.map(_.getDouble(2)).sum == 1.0) // exactly one anomaly at 30% of 4
+  }
+
   test("scoring is deterministic for a fixed seed") {
     val df = outlierData()
     def scoresFor(seed: Long) = new IForest()
