@@ -146,7 +146,9 @@ object TextPipeline {
     // Jaccard >= 0.5. Candidate generation is the banded self-join (shuffle
     // keyed on (band, hash)), never an all-pairs product.
     "q25_minhash_neardup" -> ((s, dir) => {
-      val docs = docShingles(s, dir)
+      // persisted: referenced by both self-join sides and both jaccard
+      // sides; size is bounded (one shingle array per doc)
+      val docs = docShingles(s, dir).persist()
       // Signature via explode + 12 min-aggregations. The aggregate is a
       // deliberate optimization barrier: a pure projection chain here gets
       // CollapseProject'ed, inlining the shingle+md5 pipeline into every
@@ -162,6 +164,7 @@ object TextPipeline {
       val bands = sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
           md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"), col(s"m${3 * b + 2}")))): _*))
           .as(Seq("b", "bh")))
+        .persist() // both sides of the candidate self-join
       // Seq-keyed equi-join: hashed on (b, bh). An expr()-based condition
       // here planned as a nested-loop join re-evaluating expressions per
       // candidate pair.
@@ -192,10 +195,11 @@ object TextPipeline {
     "q27_ngram_jaccard" -> ((s, dir) => {
       val ranked = docSimhash(s, dir)
         .withColumn("rn", row_number().over(Window.orderBy(col("simhash"), col("doc_id"))))
+        .persist() // both sides of the neighbor self-join
       val pairs = ranked.as("x").join(ranked.as("y"),
           expr("y.rn - x.rn IN (1, 2)"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      val docs = docShingles(s, dir)
+      val docs = docShingles(s, dir).persist()
       pairs
         .join(docs.as("da"), col("a_id") === col("da.doc_id"))
         .join(docs.as("db"), col("b_id") === col("db.doc_id"))
