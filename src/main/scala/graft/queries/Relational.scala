@@ -273,6 +273,18 @@ object Relational {
           (unix_timestamp(col("click_ts")) - unix_timestamp(col("p_ts"))).as("gap_seconds"))
         .orderBy(col("click_id"))
     }),
+    // Skew-salted equi-join (graft.plans.SaltedJoin): lineitem x part with
+    // the fact side salted across 8 sub-keys. The oracle is the plain SQL
+    // join — identical results prove salting is purely a physical rewrite.
+    "q34_salted_join" -> ((s, dir) => {
+      graft.plans.SaltedJoin.join(
+          t(s, dir, "lineitem"), t(s, dir, "part"),
+          leftKey = "l_partkey", rightKey = "p_partkey", numSalts = 8)
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    }),
+
     // Same as-of semantics as q16 through the dedicated sort-merge as-of
     // operator (graft.plans.AsOfMergeJoin): co-partitioned merge in
     // O(n + m) per partition, no per-key candidate product. Shares q16's
@@ -463,6 +475,12 @@ object Relational {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q34_salted_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
 
     "q33_asof_merge" ->
       """SELECT click_id, user_id, purchase_id, gap_seconds FROM (
