@@ -273,6 +273,18 @@ object Relational {
           (unix_timestamp(col("click_ts")) - unix_timestamp(col("p_ts"))).as("gap_seconds"))
         .orderBy(col("click_id"))
     }),
+    // Supplier dimension: broadcast join + per-nation account stats.
+    "q35_supplier_stats" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("sum_acctbal"),
+          round(min(col("s_acctbal")), 2).as("min_acctbal"),
+          round(max(col("s_acctbal")), 2).as("max_acctbal"))
+        .orderBy(col("n_name"))
+    }),
+
     // Skew-salted equi-join (graft.plans.SaltedJoin): lineitem x part with
     // the fact side salted across 8 sub-keys. The oracle is the plain SQL
     // join — identical results prove salting is purely a physical rewrite.
@@ -475,6 +487,15 @@ object Relational {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q35_supplier_stats" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 2) AS sum_acctbal,
+        |  round(min(s_acctbal), 2) AS min_acctbal,
+        |  round(max(s_acctbal), 2) AS max_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
 
     "q34_salted_join" ->
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
