@@ -48,11 +48,10 @@ object TextPipeline {
     """transform(array_distinct(split(text, ' ')),
       |  tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) AS bigint))""".stripMargin
 
-  /** Explicit double cosine: identical operation order to the oracle SQL. */
-  private val cosineExpr =
-    """aggregate(zip_with(ae, be, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x)
-      | / (sqrt(aggregate(ae, cast(0 AS double), (a, x) -> a + x * x))
-      |    * sqrt(aggregate(be, cast(0 AS double), (a, x) -> a + x * x)))""".stripMargin
+  /** Native codegen'd cosine (graft.functions.CosineSimilarity) — same
+    * summation order as the HOF form and the DuckDB oracle, bit-identical
+    * results, but a fused compiled loop instead of interpreted lambdas. */
+  private val cosineExpr = "cosine_similarity(ae, be)"
 
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").selectExpr("doc_id", s"$shingles AS sh").where("size(sh) > 0")
@@ -229,6 +228,7 @@ object TextPipeline {
     // Similarity search baseline: brute-force cosine top-10 for the 5
     // probe vectors. One broadcast of 5 rows against a single scan.
     "q28_cosine_topk" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
       val emb = embDoubles(s, dir)
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("e").as("ae"))
@@ -247,6 +247,7 @@ object TextPipeline {
     // dims) then exact cosine >= 0.3 inside each bucket. The bucket join is
     // the scale path — pairs only form within a bucket.
     "q29_cosine_neardup" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
       val emb = embDoubles(s, dir)
       emb.select(col("vec_id").as("a_id"), col("e").as("ae"), col("bucket")).as("a")
         .join(emb.select(col("vec_id").as("b_id"), col("e").as("be"), col("bucket")).as("b"),

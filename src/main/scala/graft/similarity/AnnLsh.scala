@@ -63,13 +63,11 @@ object AnnLsh {
     val dim = emb.selectExpr("size(e)").first().getInt(0)
     val bc = s.sparkContext.broadcast(planes(numPlanes, dim, seed))
     val bucketUdf = udf { e: Seq[Double] => bucketOf(e, bc.value) }
+    graft.functions.CosineSimilarity.register(s)
     val bucketed = emb.withColumn("bucket", bucketUdf(col("e")))
     val probes = bucketed.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"), col("bucket"))
-    val cos =
-      """aggregate(zip_with(ae, be, (x, y) -> x * y), cast(0 AS double), (a, x) -> a + x)
-        | / (sqrt(aggregate(ae, cast(0 AS double), (a, x) -> a + x * x))
-        |    * sqrt(aggregate(be, cast(0 AS double), (a, x) -> a + x * x)))""".stripMargin
+    val cos = "cosine_similarity(ae, be)"
     broadcast(probes)
       .join(bucketed.select(col("vec_id"), col("e").as("be"), col("bucket")),
         Seq("bucket"))
