@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.iforest.IForest
 import graft.multimodal.Multimodal
-import graft.queries.{Relational, Streaming, TextPipeline}
+import graft.queries.{Advanced, Relational, Streaming, TextPipeline}
 import graft.similarity.AnnLsh
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -43,7 +43,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextPipeline.queries ++ Streaming.queries ++ Map(
+    Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++ Map(
       "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
       "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
@@ -56,7 +56,7 @@ object SparkEntry {
     * as deterministic cross-engine SQL; both are asserted in ScalaTest
     * specs instead). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++ Map(
+    Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++ Map(
       "q30_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  round(list_avg(list_transform(generate_series(1, length(text)),

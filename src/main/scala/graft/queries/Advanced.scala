@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Second relational pack: the join/aggregation/window shapes not covered by
+ * `Relational` — interval overlap via a generator (binned range join),
+ * full outer join, pivot, explicit GROUPING SETS, array higher-order
+ * functions, a correlated-subquery shape, theta (inequality) join, and a
+ * RANGE-framed window.
+ *
+ * Same contract as the other packs: deterministic ORDER BY, identical
+ * column aliases on the Spark and DuckDB sides, doubles rounded after the
+ * final aggregate.
+ */
+object Advanced {
+
+  import Tables.t
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Interval-overlap via generator: each order is active for 7 days;
+    // explode the covered days and count per day. This is the scale-path
+    // form of an interval join — O(rows x interval/bin) instead of an
+    // O(n^2) range predicate, and the per-day counts shuffle with map-side
+    // partial aggregation.
+    "q36_interval_overlap" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(explode(expr(
+          "sequence(date_trunc('day', o_orderdate), " +
+            "date_trunc('day', o_orderdate + INTERVAL 7 DAYS), INTERVAL 1 DAY)"))
+          .as("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("day"))
+    }),
+
+    // Full outer join with unmatched rows on both sides: nations'
+    // automobile-segment customers vs negative-balance suppliers. Both
+    // inputs are pre-aggregated (tiny), so the outer join itself is a
+    // broadcast-able 25-row reconciliation regardless of fact size.
+    "q37_full_outer" -> ((s, dir) => {
+      val cs = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .groupBy(col("c_nationkey").as("c_nk"))
+        .agg(count(lit(1)).as("n_auto_customers"))
+      val ss = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .groupBy(col("s_nationkey").as("s_nk"))
+        .agg(count(lit(1)).as("n_debt_suppliers"))
+      cs.join(ss, col("c_nk") === col("s_nk"), "full_outer")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+          coalesce(col("n_auto_customers"), lit(0L)).as("n_auto_customers"),
+          coalesce(col("n_debt_suppliers"), lit(0L)).as("n_debt_suppliers"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Pivot: event counts per (user_id mod 10) bucket x event type. The
+    // explicit value list keeps the output schema static — at scale you
+    // never let pivot run its implicit distinct-values job.
+    "q38_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_mod"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy(col("user_mod"))
+    }),
+
+    // Explicit GROUPING SETS (neither rollup nor cube): priority totals,
+    // status totals, and the grand total in one pass over orders.
+    "q39_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+          |  coalesce(o_orderstatus, 'ALL') AS status,
+          |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+          |FROM orders_v
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY priority, status""".stripMargin)
+    }),
+
+    // Array higher-order functions over embeddings: fold (aggregate),
+    // transform, array_max, comparator sort — all codegen'd, no UDF.
+    "q42_array_funcs" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .selectExpr(
+          "vec_id",
+          "size(embedding) AS dim",
+          "round(sqrt(aggregate(embedding, cast(0 AS double), " +
+            "(a, x) -> a + cast(x AS double) * cast(x AS double))), 4) AS l2_norm",
+          "round(cast(array_max(transform(embedding, x -> cast(x AS double))) AS double), 4) AS max_elem",
+          "round(element_at(array_sort(transform(embedding, x -> cast(x AS double)), " +
+            "(a, b) -> CASE WHEN a > b THEN -1 WHEN a < b THEN 1 ELSE 0 END), 2), 4) AS second_largest")
+        .orderBy(col("vec_id"))
+    }),
+
+    // Correlated-subquery shape: customers 1.5x above their nation's mean
+    // balance. Decorrelated into a broadcast join against the tiny
+    // per-nation aggregate — the plan a good optimizer produces for the
+    // correlated SQL the oracle runs.
+    "q43_above_nation_avg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val byNation = cust.groupBy(col("c_nationkey").as("nk"))
+        .agg(avg(col("c_acctbal")).as("nation_avg"))
+      cust.join(broadcast(byNation), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nation_avg") * 1.5)
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Theta join (pure inequality, no equi key): plans as a broadcast
+    // nested-loop join — fine exactly because both sides are dimensions.
+    "q44_theta_join" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), expr("n_regionkey != r_regionkey"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // RANGE-framed window: per customer, average order value over the
+    // trailing 30 days (value-based frame, not row-based). The mean is
+    // integer math end-to-end (exact cents, half-up via (2s+c) div 2c):
+    // round(double_quotient, 2) is NOT portable — Spark rounds the
+    // shortest decimal representation (BigDecimal.valueOf), DuckDB rounds
+    // the binary value, and quotients landing on .xx5 split between them.
+    "q45_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("day_n", datediff(col("o_orderdate"), lit("1992-01-01")))
+        .withColumn("s_cents",
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")).over(w))
+        .withColumn("c", count(lit(1)).over(w))
+        .withColumn("avg_30d_cents", expr("(2 * s_cents + c) div (2 * c)"))
+        .select(col("o_orderkey"), col("o_custkey"), col("day_n"), col("avg_30d_cents"))
+        .orderBy(col("o_orderkey"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q36_interval_overlap" ->
+      """SELECT g.day AS day, count(*) AS n_active
+        |FROM orders, unnest(generate_series(date_trunc('day', o_orderdate),
+        |  date_trunc('day', o_orderdate + INTERVAL 7 DAY), INTERVAL 1 DAY)) AS g(day)
+        |GROUP BY g.day
+        |ORDER BY g.day""".stripMargin,
+
+    "q37_full_outer" ->
+      """WITH cs AS (
+        |  SELECT c_nationkey AS c_nk, count(*) AS n_auto_customers
+        |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY c_nationkey),
+        |ss AS (
+        |  SELECT s_nationkey AS s_nk, count(*) AS n_debt_suppliers
+        |  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey)
+        |SELECT coalesce(c_nk, s_nk) AS nationkey,
+        |  coalesce(n_auto_customers, 0) AS n_auto_customers,
+        |  coalesce(n_debt_suppliers, 0) AS n_debt_suppliers
+        |FROM cs FULL OUTER JOIN ss ON c_nk = s_nk
+        |ORDER BY nationkey""".stripMargin,
+
+    "q38_pivot" ->
+      """SELECT user_id % 10 AS user_mod,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        |FROM events
+        |GROUP BY user_id % 10
+        |ORDER BY user_mod""".stripMargin,
+
+    "q39_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY priority, status""".stripMargin,
+
+    "q42_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> x::DOUBLE * x::DOUBLE))), 4) AS l2_norm,
+        |  round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4) AS max_elem,
+        |  round(list_sort(list_transform(embedding, x -> x::DOUBLE), 'DESC')[2], 4)
+        |    AS second_largest
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q43_above_nation_avg" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer c
+        |WHERE c_acctbal > 1.5 * (
+        |  SELECT avg(c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q44_theta_join" ->
+      """SELECT r_name, n_name
+        |FROM nation JOIN region ON n_regionkey != r_regionkey
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q45_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS day_n,
+        |  CAST((2 * sum((cast(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT) OVER w
+        |    + count(*) OVER w) // (2 * count(*) OVER w) AS BIGINT) AS avg_30d_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY
+        |  date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -69,6 +69,21 @@ object Streaming {
           col("session_start"), col("session_end"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+
+    // Stream-static join: the purchase stream enriched against the static
+    // customer dimension (broadcast on every micro-batch — the standard
+    // dimension-enrichment shape; the dim is re-readable so it can also be
+    // slowly changing).
+    "q46_stream_static_join" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val agg = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("sum_value"))
+      runToCompletion(s, agg, "stream_static_join")
+        .orderBy(col("c_mktsegment"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +115,12 @@ object Streaming {
         |FROM sess
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q46_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_purchases, round(sum(value), 2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -152,23 +152,29 @@ object TextPipeline {
       // deliberate optimization barrier: a pure projection chain here gets
       // CollapseProject'ed, inlining the shingle+md5 pipeline into every
       // one of the 12 signature / 4 band reference sites (~144x
-      // re-evaluation — measured 105 s at sf0.01 vs ~2 s this way). Each
-      // shingle is hashed exactly once; the map-side partial min keeps the
-      // shuffle at 12 hex strings per doc.
+      // re-evaluation — measured 105 s at sf0.01 vs ~2 s this way).
+      // Each shingle pays 3 md5 calls (not 12): one 128-bit digest yields
+      // four independent 32-bit minhash chunks, and the chunks shuffle as
+      // bigints, not 32-char hex strings — map-side partial min then keeps
+      // the shuffle at 12 longs per doc per partition.
       val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+        .withColumn("mx", concat(md5(col("s")),
+          md5(concat(lit("x"), col("s"))), md5(concat(lit("y"), col("s")))))
         .select(col("doc_id") +: (0 until 12).map(j =>
-          md5(concat(lit(j.toString), lit("|"), col("s"))).as(s"h$j")): _*)
+          expr(s"cast(conv(substring(mx, ${8 * j + 1}, 8), 16, 10) AS bigint)")
+            .as(s"h$j")): _*)
       val sigAggs = (0 until 12).map(j => min(col(s"h$j")).as(s"m$j"))
       val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      // Band key = the raw 3-minhash tuple — no re-hashing needed; the
+      // self-join is hash-partitioned on (band index, k0, k1, k2).
       val bands = sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
-          md5(concat(col(s"m${3 * b}"), col(s"m${3 * b + 1}"), col(s"m${3 * b + 2}")))): _*))
-          .as(Seq("b", "bh")))
+          struct(col(s"m${3 * b}").as("k0"), col(s"m${3 * b + 1}").as("k1"),
+            col(s"m${3 * b + 2}").as("k2"))): _*))
+          .as(Seq("b", "k")))
+        .select(col("doc_id"), col("b"), col("k.k0"), col("k.k1"), col("k.k2"))
         .persist() // both sides of the candidate self-join
-      // Seq-keyed equi-join: hashed on (b, bh). An expr()-based condition
-      // here planned as a nested-loop join re-evaluating expressions per
-      // candidate pair.
       val cand = bands.withColumnRenamed("doc_id", "a_id")
-        .join(bands.withColumnRenamed("doc_id", "b_id"), Seq("b", "bh"))
+        .join(bands.withColumnRenamed("doc_id", "b_id"), Seq("b", "k0", "k1", "k2"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
         .distinct()
@@ -191,13 +197,17 @@ object TextPipeline {
     // compare each doc to its next 2 neighbors. O(n) pairs. (At cluster
     // scale the global row_number becomes a range-partitioned sort; the
     // window itself is the documented single-partition caveat here.)
+    // The neighbor pairing is an equi-join on shifted rank — a non-equi
+    // `y.rn - x.rn IN (1,2)` condition would plan as an O(n^2)
+    // nested-loop join.
     "q27_ngram_jaccard" -> ((s, dir) => {
       val ranked = docSimhash(s, dir)
         .withColumn("rn", row_number().over(Window.orderBy(col("simhash"), col("doc_id"))))
-        .persist() // both sides of the neighbor self-join
-      val pairs = ranked.as("x").join(ranked.as("y"),
-          expr("y.rn - x.rn IN (1, 2)"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .persist() // probe side plus two shifted build sides
+      val shifted = ranked.select(col("doc_id").as("b_id"), (col("rn") - 1).as("rn"))
+        .union(ranked.select(col("doc_id").as("b_id"), (col("rn") - 2).as("rn")))
+      val pairs = ranked.join(shifted, Seq("rn"))
+        .select(col("doc_id").as("a_id"), col("b_id"))
       val docs = docShingles(s, dir).persist()
       pairs
         .join(docs.as("da"), col("a_id") === col("da.doc_id"))
@@ -278,6 +288,8 @@ object TextPipeline {
     s"""list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i]))
        | / (sqrt(list_sum(list_transform($a.e, x -> x * x)))
        |    * sqrt(list_sum(list_transform($b.e, x -> x * x))))""".stripMargin
+  private val duckSigList =
+    "list_value(" + (0 until 12).map(j => s"m$j").mkString(", ") + ")"
   private val duckEmb =
     """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
       |  (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
@@ -340,14 +352,19 @@ object TextPipeline {
 
     "q25_minhash_neardup" ->
       s"""WITH docs AS ($duckShingleDocs),
-         |sigs AS (SELECT doc_id, list_transform(generate_series(0, 11),
-         |    j -> list_min(list_transform(sh, sg -> md5(j::VARCHAR || '|' || sg)))) AS sig
-         |  FROM docs),
+         |hashed AS (SELECT doc_id, md5(sg) || md5('x' || sg) || md5('y' || sg) AS mx
+         |  FROM docs, unnest(sh) AS u(sg)),
+         |sigs AS (SELECT doc_id,
+         |  ${(0 until 12).map(j =>
+               s"min(('0x' || substr(mx, ${8 * j + 1}, 8))::BIGINT) AS m$j").mkString(",\n  ")}
+         |  FROM hashed GROUP BY doc_id),
          |bands AS (SELECT doc_id, b,
-         |    md5(sig[3*b + 1] || sig[3*b + 2] || sig[3*b + 3]) AS bh
+         |    $duckSigList[3*b + 1] AS k0, $duckSigList[3*b + 2] AS k1,
+         |    $duckSigList[3*b + 3] AS k2
          |  FROM sigs, generate_series(0, 3) AS g(b)),
          |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.k0 = y.k0 AND x.k1 = y.k1
+         |    AND x.k2 = y.k2 AND x.doc_id < y.doc_id),
          |pairs AS (SELECT a_id, b_id,
          |    round(len(list_intersect(da.sh, db.sh))::DOUBLE
          |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard

@@ -65,4 +65,33 @@ class CsvPipelineSpec extends AnyFunSuite {
       .select("label").limit(12).collect().map(_.getDouble(0))
     assert(topScores.count(_ == 1.0) >= 10)
   }
+
+  // BASELINE.md headline accuracy: the reference reports AUC 0.96 on
+  // breastw (683 rows, 9 int features, labels 2/4) at numTrees=100,
+  // maxSamples=256. Our RNG chain differs, so assert >= 0.93 — the
+  // algorithmic ballpark, not RNG equality.
+  test("real breastw.csv reaches the reference's published AUC ballpark") {
+    val path = "/root/reference/data/anomaly-detection/breastw.csv"
+    assume(new java.io.File(path).exists())
+    val raw = spark.read
+      .option("inferSchema", "true")
+      .option("nullValue", "?")
+      .csv(path)
+      .na.fill(1, Seq("_c6")) // breastw's missing-marker column
+    val indexer = new StringIndexer().setInputCol("_c10").setOutputCol("label")
+    val assembler = new VectorAssembler()
+      .setInputCols((1 to 9).map(i => s"_c$i").toArray)
+      .setOutputCol("features")
+    val iforest = new IForest()
+      .setNumTrees(100).setMaxSamples(256).setMaxDepth(10)
+      .setContamination(0.35).setSeed(42L)
+    val model = new Pipeline().setStages(Array(indexer, assembler, iforest))
+      .fit(raw)
+    val auc = new BinaryClassificationEvaluator()
+      .setRawPredictionCol("anomalyScore")
+      .setLabelCol("label")
+      .setMetricName("areaUnderROC")
+      .evaluate(model.transform(raw))
+    assert(auc >= 0.93, s"breastw AUC $auc vs published 0.96")
+  }
 }
