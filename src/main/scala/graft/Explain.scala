@@ -26,8 +26,9 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.explain("formatted")
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // noop sink: count() would let Catalyst skip projections entirely
+      df.write.format("noop").mode("overwrite").save()
+      println(f"time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

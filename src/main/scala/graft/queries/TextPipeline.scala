@@ -29,20 +29,18 @@ object TextPipeline {
 
   private val toks = "split(text, ' ')"
 
-  /** Distinct word-3-gram shingles; empty array for docs under 3 tokens. */
+  /** Distinct word-3-gram shingles over a PRE-MATERIALIZED token array
+    * column `tk`; empty array for docs under 3 tokens. The two-step
+    * projection matters: with `split(text)` inlined here, every
+    * `element_at` inside the per-shingle lambda re-runs the split — 3 x
+    * |shingles| regex splits per document, measured 4.5 s for 5k docs at
+    * sf0.1 vs ~0.3 s with the array materialized once per row. */
   private val shingles =
-    s"""CASE WHEN size($toks) >= 3 THEN
-       |  array_distinct(transform(sequence(1, size($toks) - 2),
-       |    i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1), ' ',
-       |                element_at($toks, i + 2))))
-       |ELSE cast(array() AS array<string>) END""".stripMargin
-
-  /** 32-bit SimHash over distinct tokens, md5-derived per-token hashes. */
-  private val simhashExpr =
-    """aggregate(sequence(0, 31), cast(0 AS bigint), (acc, j) ->
-      |  acc + IF(aggregate(hs, cast(0 AS bigint),
-      |             (a, h) -> a + (shiftright(h, j) & 1) * 2 - 1) > 0,
-      |           shiftleft(cast(1 AS bigint), j), cast(0 AS bigint)))""".stripMargin
+    """CASE WHEN size(tk) >= 3 THEN
+      |  array_distinct(transform(sequence(1, size(tk) - 2),
+      |    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
+      |                element_at(tk, i + 2))))
+      |ELSE cast(array() AS array<string>) END""".stripMargin
 
   private val tokenHashes =
     """transform(array_distinct(split(text, ' ')),
@@ -53,13 +51,26 @@ object TextPipeline {
     * results, but a fused compiled loop instead of interpreted lambdas. */
   private val cosineExpr = "cosine_similarity(ae, be)"
 
+  /** The "has shingles" condition is expressed on the token count BEFORE
+    * the shingle projection: a `where(size(sh) > 0)` after it gets
+    * predicate-pushed below the Project with the whole shingle expression
+    * inlined — recomputing `split()` per element inside the filter
+    * (measured 4.7 s -> 0.6 s for 5k docs at sf0.1). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").selectExpr("doc_id", s"$shingles AS sh").where("size(sh) > 0")
+    t(s, dir, "documents")
+      .selectExpr("doc_id", s"$toks AS tk")
+      .where("size(tk) >= 3")
+      .selectExpr("doc_id", s"$shingles AS sh")
 
-  private def docSimhash(s: SparkSession, dir: String): DataFrame =
+  /** Per-bit majority vote over md5-derived token hashes, computed by the
+    * native codegen'd graft.functions.SimHash (the HOF form is interpreted
+    * and ~30x slower; identical integer semantics, same DuckDB oracle). */
+  private def docSimhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHash.register(s)
     t(s, dir, "documents")
       .selectExpr("doc_id", s"$tokenHashes AS hs")
-      .selectExpr("doc_id", s"$simhashExpr AS simhash")
+      .selectExpr("doc_id", "simhash(hs) AS simhash")
+  }
 
   private def embDoubles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -153,16 +164,17 @@ object TextPipeline {
       // CollapseProject'ed, inlining the shingle+md5 pipeline into every
       // one of the 12 signature / 4 band reference sites (~144x
       // re-evaluation — measured 105 s at sf0.01 vs ~2 s this way).
-      // Each shingle pays 3 md5 calls (not 12): one 128-bit digest yields
-      // four independent 32-bit minhash chunks, and the chunks shuffle as
-      // bigints, not 32-char hex strings — map-side partial min then keeps
-      // the shuffle at 12 longs per doc per partition.
+      // Each shingle pays ONE md5 and two hex->int conversions; the 12
+      // hash functions are Kirsch-Mitzenmacher double hashing
+      // (h_j = h1 + j*h2 mod 2^32) — integer math both engines compute
+      // identically, and the signatures shuffle as bigints with map-side
+      // partial min.
       val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("mx", concat(md5(col("s")),
-          md5(concat(lit("x"), col("s"))), md5(concat(lit("y"), col("s")))))
+        .withColumn("m", md5(col("s")))
+        .withColumn("h1", expr("cast(conv(substring(m, 1, 8), 16, 10) AS bigint)"))
+        .withColumn("h2", expr("cast(conv(substring(m, 9, 8), 16, 10) AS bigint)"))
         .select(col("doc_id") +: (0 until 12).map(j =>
-          expr(s"cast(conv(substring(mx, ${8 * j + 1}, 8), 16, 10) AS bigint)")
-            .as(s"h$j")): _*)
+          expr(s"pmod(h1 + $j * h2, 4294967296)").as(s"h$j")): _*)
       val sigAggs = (0 until 12).map(j => min(col(s"h$j")).as(s"m$j"))
       val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
       // Band key = the raw 3-minhash tuple — no re-hashing needed; the
@@ -352,11 +364,13 @@ object TextPipeline {
 
     "q25_minhash_neardup" ->
       s"""WITH docs AS ($duckShingleDocs),
-         |hashed AS (SELECT doc_id, md5(sg) || md5('x' || sg) || md5('y' || sg) AS mx
+         |hashed AS (SELECT doc_id,
+         |    ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h1,
+         |    ('0x' || substr(md5(sg), 9, 8))::BIGINT AS h2
          |  FROM docs, unnest(sh) AS u(sg)),
          |sigs AS (SELECT doc_id,
          |  ${(0 until 12).map(j =>
-               s"min(('0x' || substr(mx, ${8 * j + 1}, 8))::BIGINT) AS m$j").mkString(",\n  ")}
+               s"min((h1 + $j * h2) % 4294967296) AS m$j").mkString(",\n  ")}
          |  FROM hashed GROUP BY doc_id),
          |bands AS (SELECT doc_id, b,
          |    $duckSigList[3*b + 1] AS k0, $duckSigList[3*b + 2] AS k1,

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan regression guards: the scale properties README.md claims
+ * are asserted here, so a refactor that silently loses a pushed filter, a
+ * broadcast, or a top-k operator fails CI rather than surfacing as a 100x
+ * slowdown on a real cluster.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45"), p)
+    // pruned read schema: only the 4 needed columns + filter columns
+    assert(!p.contains("l_partkey"), "scan reads columns the query never uses")
+  }
+
+  test("q03 dimension joins broadcast, fact join does not") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q06 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q06_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01 aggregation is two-phase (map-side partial)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q04 semi join stays a join, not a distinct+inner rewrite") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q25 and q27 candidate joins are hash/merge equi-joins, never nested-loop") {
+    for (q <- Seq("q25_minhash_neardup", "q27_ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested-loop join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product:\n$p")
+    }
+  }
+
+  test("q44 theta join is the one query allowed to nested-loop (dims only)") {
+    assert(plan("q44_theta_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project hot path") {
+    // codegen spans only exist on the finalized (executed) adaptive plan,
+    // and only an action on THIS QueryExecution finalizes it (df.write
+    // plans a separate command execution); `*(n)` marks codegen subtrees
+    val df = SparkEntry.queries("q02_filter_project")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("*("), p)
+  }
+}
