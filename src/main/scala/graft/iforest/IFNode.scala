@@ -107,11 +107,20 @@ final class FlatTree private (
     val leafAdjustment: Array[Double]) extends Serializable {
 
   /** Path length of one instance through this tree. */
-  def pathLength(features: org.apache.spark.ml.linalg.Vector): Double = {
+  def pathLength(features: org.apache.spark.ml.linalg.Vector): Double =
+    pathLength(features match {
+      case d: org.apache.spark.ml.linalg.DenseVector => d.values
+      case s => s.toArray
+    })
+
+  /** Array form: callers scoring a whole forest extract the backing array
+    * once per row instead of paying a virtual Vector.apply per node visit
+    * (numTrees x depth accesses per row). */
+  def pathLength(values: Array[Double]): Double = {
     var id = 0
     var depth = 0.0
     while (featureIndex(id) >= 0) {
-      id = if (features(featureIndex(id)) < featureValue(id)) left(id) else right(id)
+      id = if (values(featureIndex(id)) < featureValue(id)) left(id) else right(id)
       depth += 1.0
     }
     depth + leafAdjustment(id)

@@ -71,10 +71,14 @@ class IForestModel(
     val bcForest = spark.sparkContext.broadcast(trees.map(FlatTree.fromNodes))
     val scoreUDF = udf { features: Vector =>
       val forest = bcForest.value
+      val values = features match {
+        case d: org.apache.spark.ml.linalg.DenseVector => d.values
+        case s => s.toArray
+      }
       var sum = 0.0
       var i = 0
       while (i < forest.length) {
-        sum += forest(i).pathLength(features)
+        sum += forest(i).pathLength(values)
         i += 1
       }
       IsolationMath.score(sum / forest.length, normFactor)

@@ -76,5 +76,6 @@ object RewriteTopOnePerKey extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteTopOnePerKey)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

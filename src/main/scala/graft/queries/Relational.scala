@@ -315,6 +315,25 @@ object Relational {
           (unix_timestamp(col("click_ts")) - unix_timestamp(col("p_ts"))).as("gap_seconds"))
         .orderBy(col("click_id"))
     }),
+
+    // Same as-of semantics a third way: the native physical operator
+    // (graft.plans.AsOfMergeJoinExec) — a planner strategy + custom
+    // SparkPlan that declares ClusteredDistribution/sort requirements and
+    // merges co-partitioned sorted streams. Shares q16/q33's oracle.
+    "q47_asof_exec" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      graft.plans.AsOfJoinNative.joinAsOf(clicks, purchases,
+          leftKey = "user_id", rightKey = "p_user_id",
+          leftTime = "click_ts", rightTime = "p_ts", rightTieBreak = "purchase_id")
+        .select(col("click_id"), col("user_id"), col("purchase_id"),
+          (unix_timestamp(col("click_ts")) - unix_timestamp(col("p_ts"))).as("gap_seconds"))
+        .orderBy(col("click_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -504,6 +523,19 @@ object Relational {
         |ORDER BY p_brand""".stripMargin,
 
     "q33_asof_merge" ->
+      """SELECT click_id, user_id, purchase_id, gap_seconds FROM (
+        |  SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
+        |    date_diff('second', p.ts, c.ts) AS gap_seconds,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM events c
+        |  JOIN events p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |    AND p.event_type = 'purchase'
+        |  WHERE c.event_type = 'click')
+        |WHERE rn = 1
+        |ORDER BY click_id""".stripMargin,
+
+    "q47_asof_exec" ->
       """SELECT click_id, user_id, purchase_id, gap_seconds FROM (
         |  SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id,
         |    date_diff('second', p.ts, c.ts) AS gap_seconds,
