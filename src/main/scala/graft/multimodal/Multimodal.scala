@@ -16,6 +16,13 @@ final case class MediaFeatures(
     n_bytes: Int,
     features: Array[Double])
 
+/** One sampled frame of a media payload. */
+final case class MediaFrame(
+    doc_id: Long,
+    frame_id: Int,
+    n_samples: Int,
+    features: Array[Double])
+
 /**
  * Multimodal-column plumbing: image/audio/video travel as opaque `binary`
  * columns with typed metadata, and feature extraction runs as a
@@ -61,6 +68,55 @@ object Multimodal {
       records.map { r =>
         val signal = decodeStub(r.payload, r.meta)
         MediaFeatures(r.doc_id, r.meta.kind, r.payload.length, moments(signal))
+      }
+    }
+  }
+
+  /**
+   * "Resize": resample a decoded signal to a fixed target length by
+   * nearest-neighbor index mapping (the 1-D analog of image resize; a real
+   * build swaps in the codec's scaler without touching callers).
+   */
+  private[graft] def resize(signal: Array[Double], target: Int): Array[Double] = {
+    require(target > 0, "resize target must be positive")
+    if (signal.isEmpty) new Array[Double](target)
+    else Array.tabulate(target)(i => signal(((i.toLong * signal.length) / target).toInt))
+  }
+
+  /** Fixed-length resized feature vector per record (batch-friendly: every
+    * row leaves with the same dimensionality, ready for an embedding or
+    * training batch). */
+  def resizeFeatures(media: Dataset[MediaRecord], target: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val signal = resize(decodeStub(r.payload, r.meta), target)
+        MediaFeatures(r.doc_id, r.meta.kind, r.payload.length, signal)
+      }
+    }
+  }
+
+  /**
+   * Frame-sample: cut each payload's decoded signal into fixed-length
+   * frames at the given stride and emit one row per frame with its moment
+   * features — the video/audio "sample every Nth frame" shape as a
+   * flatMap-style generator inside the partition batch.
+   */
+  def frameSample(
+      media: Dataset[MediaRecord],
+      frameLen: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    require(frameLen > 0 && stride > 0, "frameLen and stride must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.flatMap { r =>
+        val signal = decodeStub(r.payload, r.meta)
+        Iterator.range(0, math.max(signal.length - frameLen + 1, 0), stride)
+          .zipWithIndex
+          .map { case (start, frameId) =>
+            val frame = java.util.Arrays.copyOfRange(signal, start, start + frameLen)
+            MediaFrame(r.doc_id, frameId, frame.length, moments(frame))
+          }
       }
     }
   }

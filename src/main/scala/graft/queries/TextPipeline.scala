@@ -127,18 +127,23 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
-    // Quality score: uniqueness, stopword ratio, length prior.
+    // Quality score: uniqueness, stopword ratio, length prior. The
+    // composite score is exact integer math scaled by 1e4 (half-up via
+    // (2a+b) div 2b): the double form `round(0.4*u + 0.3*(1-s) + ..., 4)`
+    // lands on .xxxx5 shortest-repr boundaries that Spark and DuckDB
+    // round in opposite directions (caught at sf0.1).
     "q23_quality_score" -> ((s, dir) => {
       t(s, dir, "documents")
         .selectExpr("doc_id",
-          s"size($toks) AS n_tokens",
-          s"cast(size(array_distinct($toks)) AS double) / size($toks) AS uniq_ratio",
-          s"cast(size(filter($toks, x -> x IN ('the', 'a'))) AS double) / size($toks) AS stop_ratio")
-        .selectExpr("doc_id", "n_tokens",
-          "round(uniq_ratio, 4) AS uniq_ratio",
-          "round(stop_ratio, 4) AS stop_ratio",
-          "round(0.4 * uniq_ratio + 0.3 * (1 - stop_ratio) " +
-            "+ 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality")
+          s"size($toks) AS n",
+          s"size(array_distinct($toks)) AS d",
+          s"size(filter($toks, x -> x IN ('the', 'a'))) AS st")
+        .selectExpr("doc_id", "n AS n_tokens",
+          "round(cast(d AS double) / n, 4) AS uniq_ratio",
+          "round(cast(st AS double) / n, 4) AS stop_ratio",
+          // quality*1e4 = (4000d + 3000(n-st))/n + 30*least(n,100), half-up
+          "(2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n) div (2 * n)" +
+            " AS quality_e4")
         .orderBy(col("doc_id"))
     }),
 
@@ -345,16 +350,16 @@ object TextPipeline {
     },
 
     "q23_quality_score" ->
-      s"""WITH d AS (SELECT doc_id, len($duckToks) AS n_tokens,
-         |  len(list_distinct($duckToks))::DOUBLE / len($duckToks) AS uniq_ratio,
-         |  len(list_filter($duckToks, x -> x IN ('the', 'a')))::DOUBLE / len($duckToks) AS stop_ratio
+      s"""WITH t AS (SELECT doc_id, len($duckToks) AS n,
+         |  len(list_distinct($duckToks)) AS d,
+         |  len(list_filter($duckToks, x -> x IN ('the', 'a'))) AS st
          |  FROM documents)
-         |SELECT doc_id, n_tokens,
-         |  round(uniq_ratio, 4) AS uniq_ratio,
-         |  round(stop_ratio, 4) AS stop_ratio,
-         |  round(0.4 * uniq_ratio + 0.3 * (1 - stop_ratio)
-         |    + 0.3 * least(n_tokens / 100.0, 1.0), 4) AS quality
-         |FROM d ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, n AS n_tokens,
+         |  round(d::DOUBLE / n, 4) AS uniq_ratio,
+         |  round(st::DOUBLE / n, 4) AS stop_ratio,
+         |  CAST((2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n)
+         |    // (2 * n) AS BIGINT) AS quality_e4
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q24_fingerprint" ->
       """SELECT doc_id,

@@ -68,6 +68,36 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("Multimodal: resize maps any payload to a fixed dimensionality") {
+    import spark.implicits._
+    // known signal: resize [0,10,20,30] to 8 -> nearest-neighbor repeats
+    assert(Multimodal.resize(Array(0.0, 10.0, 20.0, 30.0), 8).toSeq ==
+      Seq(0.0, 0.0, 10.0, 10.0, 20.0, 20.0, 30.0, 30.0))
+    assert(Multimodal.resize(Array(1.0, 2.0, 3.0), 2).toSeq == Seq(1.0, 2.0))
+    assert(Multimodal.resize(Array.empty[Double], 4).toSeq == Seq(0.0, 0.0, 0.0, 0.0))
+    val feats = Multimodal.resizeFeatures(Multimodal.documentMedia(spark, sf), 16).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(_.features.length == 16))
+  }
+
+  test("Multimodal: frame-sample emits one row per strided frame") {
+    import spark.implicits._
+    val media = Seq(
+      graft.multimodal.MediaRecord(1L, Array.tabulate[Byte](10)(_.toByte), MediaMeta("video", 0, 1)),
+      graft.multimodal.MediaRecord(2L, Array.tabulate[Byte](3)(_.toByte), MediaMeta("video", 0, 1)),
+      graft.multimodal.MediaRecord(3L, Array.tabulate[Byte](2)(_.toByte), MediaMeta("video", 0, 1))
+    ).toDS()
+    val frames = Multimodal.frameSample(media, frameLen = 4, stride = 3).collect()
+    // doc 1 (10 samples): frames at 0, 3, 6 -> 3 frames; doc 2 (3): none;
+    // doc 3 (2): none
+    assert(frames.count(_.doc_id == 1L) == 3)
+    assert(frames.count(_.doc_id == 2L) == 0)
+    assert(frames.count(_.doc_id == 3L) == 0)
+    val f0 = frames.filter(f => f.doc_id == 1L && f.frame_id == 0).head
+    assert(f0.n_samples == 4)
+    assert(f0.features(0) == 1.5) // mean of 0,1,2,3
+  }
+
   test("StatefulSessionize: handcrafted session boundaries (gap >= threshold splits)") {
     import spark.implicits._
     val M = 60L * 1000000L // one minute in micros
