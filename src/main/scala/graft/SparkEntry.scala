@@ -23,7 +23,14 @@ object SparkEntry {
     iforestScore(spark, "/root/testdata/sf0.001")
 
   private def iforestScore(spark: SparkSession, dir: String): DataFrame = {
+    // The testdata parquet is one row group per file — unsplittable, so
+    // without an explicit re-spread every scan-rooted stage (including the
+    // scoring passes) runs as ONE task. At cluster scale the input has
+    // thousands of row groups and this repartition is unnecessary; here it
+    // is what makes scoring data-parallel, exactly as the reference's
+    // benchmark relies on multi-core scoring (BASELINE.md scalability).
     val li = table(spark, dir, "lineitem")
+      .repartition(spark.sparkContext.defaultParallelism)
     val assembled = new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .setOutputCol("features")

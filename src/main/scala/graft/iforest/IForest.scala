@@ -61,6 +61,21 @@ class IForest(override val uid: String)
   override def fit(dataset: Dataset[_]): IForestModel = {
     transformSchema(dataset.schema)
     val spark = dataset.sparkSession
+    // Standard MLlib handlePersistence pattern: fit reads the data three
+    // times (count, sampling pass, summary/threshold scoring pass) — cache
+    // it for the duration of fit unless the caller already did.
+    val input = dataset.toDF()
+    val handlePersistence =
+      input.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (handlePersistence) {
+      input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    try fitImpl(input)
+    finally if (handlePersistence) { input.unpersist(); () }
+  }
+
+  private def fitImpl(dataset: Dataset[_]): IForestModel = {
+    val spark = dataset.sparkSession
     val numRows = dataset.count()
     require(numRows > 0, "cannot fit an isolation forest on an empty dataset")
     val possibleMaxSamples =
