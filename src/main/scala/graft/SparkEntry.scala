@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.iforest.IForest
 import graft.multimodal.Multimodal
 import graft.queries.{Advanced, Relational, Streaming, TextPipeline}
-import graft.similarity.AnnLsh
+import graft.similarity.{AnnIvf, AnnLsh}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -53,15 +53,16 @@ object SparkEntry {
     Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++ Map(
       "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
       "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
+      "q49_ann_ivf" -> ((s: SparkSession, dir: String) => AnnIvf.annTopK(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
     * the driver's rows-only check: iforest_score is seeded-RNG model output,
-    * q31_ann_lsh buckets by gaussian hyperplanes — neither is expressible
-    * as deterministic cross-engine SQL; both are asserted in ScalaTest
-    * specs instead). */
+    * q31_ann_lsh buckets by gaussian hyperplanes, q49_ann_ivf by a k-means
+    * quantizer — none are expressible as deterministic cross-engine SQL;
+    * all are asserted in ScalaTest specs instead). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++ Map(
       "q30_binary_meta" ->

@@ -91,6 +91,22 @@ object TextPipeline {
         .orderBy(col("keeper"))
     }),
 
+    // BPE-ish regex token counting: letter runs, digit runs, and single
+    // non-alphanumeric marks as separate tokens (the pre-tokenization
+    // shape real BPE tokenizers apply before merges). Same RE2/Java-safe
+    // character classes both engines match identically.
+    "q48_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("source",
+          "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("total_bpe_tokens"),
+          round(avg(col("n_bpe")), 4).as("avg_bpe_tokens"),
+          max(col("n_bpe")).as("max_bpe_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Token statistics per source (token counting over whitespace).
     "q21_token_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -317,6 +333,16 @@ object TextPipeline {
     "q20_exact_dedup" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+
+    "q48_bpe_tokens" ->
+      """WITH d AS (SELECT source,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+        |  round(avg(n_bpe), 4) AS avg_bpe_tokens,
+        |  max(n_bpe) AS max_bpe_tokens
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q21_token_stats" ->
       s"""WITH d AS (SELECT source, len($duckToks) AS n_tokens,

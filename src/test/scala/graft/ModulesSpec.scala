@@ -45,6 +45,32 @@ class ModulesSpec extends AnyFunSuite {
     assert(perProbe.forall(_ < total / 4), s"bucket sizes ${perProbe.mkString(",")} vs $total")
   }
 
+  test("AnnIvf: cosines correct, ranks ordered, candidates pruned") {
+    val result = graft.similarity.AnnIvf.annTopK(spark, sf).collect()
+    assert(result.nonEmpty)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    result.foreach { row =>
+      assert(row.getLong(1) != row.getLong(0)) // self excluded
+      assert(math.abs(cosine(emb(row.getLong(0)), emb(row.getLong(1))) - row.getDouble(2)) < 1e-3)
+    }
+    result.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    // pruning: with nprobe=2 of nlist=16 lists, a probe's candidate pool is
+    // a strict subset of the corpus
+    val poolSizes = graft.similarity.AnnIvf.annTopK(spark, sf, k = 1000)
+      .groupBy("q_id").count().collect().map(_.getLong(1))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(poolSizes.forall(_ < total), s"pools ${poolSizes.mkString(",")} vs $total")
+  }
+
   test("Multimodal: moment features of a known payload") {
     val payload = Array[Byte](0, 10, 20, 30)
     val f = Multimodal.moments(
