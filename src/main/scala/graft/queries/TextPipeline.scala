@@ -221,6 +221,19 @@ object TextPipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Custom Generator (UDTF): shingle_gen emits word-3-gram rows
+    // directly from GenerateExec — no intermediate array materialization.
+    // Distinct-shingle stats per source.
+    "q50_shingle_gen" -> ((s, dir) => {
+      graft.functions.ShingleGenerator.register(s)
+      t(s, dir, "documents")
+        .selectExpr("source", "shingle_gen(text, 3)")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("shingle")).as("n_distinct_shingles"),
+          count(lit(1)).as("n_shingles"))
+        .orderBy(col("source"))
+    }),
+
     // SimHash document fingerprints (32-bit, token-level).
     "q26_simhash" -> ((s, dir) => {
       docSimhash(s, dir).select(col("doc_id"), col("simhash")).orderBy(col("doc_id"))
@@ -419,6 +432,15 @@ object TextPipeline {
 
     "q26_simhash" ->
       s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,
+
+    "q50_shingle_gen" ->
+      s"""WITH sg AS (SELECT source,
+         |    unnest(list_transform(generate_series(1, len($duckToks) - 2),
+         |      i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) AS shingle
+         |  FROM documents)
+         |SELECT source, count(DISTINCT shingle) AS n_distinct_shingles,
+         |  count(*) AS n_shingles
+         |FROM sg GROUP BY source ORDER BY source""".stripMargin,
 
     "q27_ngram_jaccard" ->
       s"""WITH sh_docs AS ($duckShingleDocs),
