@@ -221,6 +221,28 @@ object TextPipeline {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Winnowing document fingerprints: character 8-gram Rabin-Karp
+    // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
+    // both engines), then min-in-window-of-4 selection. The filter is on
+    // length(t) (= size(rh) >= 4 rewritten) so predicate pushdown never
+    // inlines the hash pipeline into a Filter node.
+    "q51_rolling_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "lower(regexp_replace(text, '[^a-z0-9]', '')) AS t")
+        .where("length(t) >= 11")
+        .selectExpr("doc_id",
+          """transform(sequence(1, length(t) - 7), i ->
+            |  aggregate(sequence(0, 7), cast(0 AS bigint),
+            |    (acc, j) -> pmod(acc * 257 + ascii(substring(t, i + j, 1)), 1000000007)))
+            |AS rh""".stripMargin)
+        .selectExpr("doc_id",
+          "transform(sequence(1, size(rh) - 3), i -> array_min(slice(rh, i, 4))) AS wins")
+        .selectExpr("doc_id",
+          "size(array_distinct(wins)) AS n_fingerprints",
+          "array_min(wins) AS min_fp")
+        .orderBy(col("doc_id"))
+    }),
+
     // Custom Generator (UDTF): shingle_gen emits word-3-gram rows
     // directly from GenerateExec — no intermediate array materialization.
     // Distinct-shingle stats per source.
@@ -432,6 +454,22 @@ object TextPipeline {
 
     "q26_simhash" ->
       s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,
+
+    "q51_rolling_fingerprint" ->
+      """WITH n AS (SELECT doc_id,
+        |    lower(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, list_transform(generate_series(1, length(t) - 7), i ->
+        |    list_reduce(list_prepend(cast(0 AS BIGINT), list_transform(generate_series(0, 7),
+        |      j -> cast(ascii(substr(t, i + j, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007)) AS rh
+        |  FROM n WHERE length(t) >= 11),
+        |w AS (SELECT doc_id, list_transform(generate_series(1, len(rh) - 3),
+        |    i -> list_min(rh[i:i+3])) AS wins
+        |  FROM r)
+        |SELECT doc_id, len(list_distinct(wins)) AS n_fingerprints,
+        |  cast(list_min(wins) AS BIGINT) AS min_fp
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q50_shingle_gen" ->
       s"""WITH sg AS (SELECT source,
