@@ -223,20 +223,17 @@ object TextPipeline {
 
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
-    // both engines), then min-in-window-of-4 selection. The filter is on
-    // length(t) (= size(rh) >= 4 rewritten) so predicate pushdown never
-    // inlines the hash pipeline into a Filter node.
+    // both engines), then min-in-window-of-4 selection — fused into the
+    // native codegen'd winnow_fingerprints expression (the HOF form paid
+    // one interpreted substring per character per position: 22 s -> sub-
+    // second at sf0.1). Filter on length(t) (= enough hashes for one
+    // window) so pushdown stays cheap.
     "q51_rolling_fingerprint" -> ((s, dir) => {
+      graft.functions.WinnowFingerprints.register(s)
       t(s, dir, "documents")
         .selectExpr("doc_id", "lower(regexp_replace(text, '[^a-z0-9]', '')) AS t")
         .where("length(t) >= 11")
-        .selectExpr("doc_id",
-          """transform(sequence(1, length(t) - 7), i ->
-            |  aggregate(sequence(0, 7), cast(0 AS bigint),
-            |    (acc, j) -> pmod(acc * 257 + ascii(substring(t, i + j, 1)), 1000000007)))
-            |AS rh""".stripMargin)
-        .selectExpr("doc_id",
-          "transform(sequence(1, size(rh) - 3), i -> array_min(slice(rh, i, 4))) AS wins")
+        .selectExpr("doc_id", "winnow_fingerprints(t, 8, 4) AS wins")
         .selectExpr("doc_id",
           "size(array_distinct(wins)) AS n_fingerprints",
           "array_min(wins) AS min_fp")
