@@ -125,6 +125,19 @@ object Advanced {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // from_json with an explicit schema: JSON parsed ONCE into a typed
+    // struct column, then filtered and aggregated on the struct field —
+    // versus q17's per-path get_json_object string extraction.
+    "q53_from_json_struct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("p"))
+        .filter(col("p.k") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_even"), sum(col("p.k")).as("sum_even_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // RANGE-framed window: per customer, average order value over the
     // trailing 30 days (value-based frame, not row-based). The mean is
     // integer math end-to-end (exact cents, half-up via (2s+c) div 2c):
@@ -206,6 +219,14 @@ object Advanced {
       """SELECT r_name, n_name
         |FROM nation JOIN region ON n_regionkey != r_regionkey
         |ORDER BY r_name, n_name""".stripMargin,
+
+    "q53_from_json_struct" ->
+      """SELECT event_type, count(*) AS n_even,
+        |  sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_even_k
+        |FROM events
+        |WHERE cast(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q45_range_frame" ->
       """SELECT o_orderkey, o_custkey,

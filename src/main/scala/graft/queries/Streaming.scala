@@ -28,10 +28,11 @@ object Streaming {
   }
 
   /** Run a streaming aggregation to completion and return the result. */
-  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String): DataFrame = {
+  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val table = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(table)
       .trigger(Trigger.AvailableNow())
@@ -84,6 +85,30 @@ object Streaming {
       runToCompletion(s, agg, "stream_static_join")
         .orderBy(col("c_mktsegment"))
     }),
+
+    // Stream-stream interval join: each click joined to the same user's
+    // purchases within the following 10 minutes. Watermarks on BOTH sides
+    // bound the join state (a click can be dropped from state once the
+    // purchase watermark passes its upper time bound); inner join, append
+    // mode — results are emitted as matches form and are independent of
+    // micro-batch boundaries, so the batch oracle applies.
+    "q52_stream_stream_join" -> ((s, dir) => {
+      val clicks = eventStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTES"))
+      runToCompletion(s, joined, "stream_stream_join", mode = "append")
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +147,13 @@ object Streaming {
         |WHERE event_type = 'purchase'
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q52_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 }
