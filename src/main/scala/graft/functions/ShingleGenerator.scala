@@ -40,7 +40,10 @@ case class ShingleGenerator(child: Expression, n: Expression)
     val text = child.eval(input)
     if (text == null) Nil
     else {
-      val toks = text.asInstanceOf[UTF8String].toString.split(' ')
+      // limit -1 keeps trailing empty tokens — the same semantics as
+      // Spark's split(text, ' ') and DuckDB's string_split, so the three
+      // tokenizers agree on inputs with trailing spaces.
+      val toks = text.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (toks.length < size) Nil
       else (0 to toks.length - size).iterator.map { i =>
         InternalRow(UTF8String.fromString(

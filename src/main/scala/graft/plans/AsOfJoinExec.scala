@@ -71,6 +71,15 @@ case class AsOfMergeJoinExec(
   require(Seq(leftKey, rightKey, leftTime, rightTime, tieBreak)
     .forall(e => longBacked.contains(e.dataType)),
     "as-of join needs long-backed key/time/tie-break (bigint/int/timestamp/date)")
+  // Cross-side types must MATCH, not merely both be long-backed: an int
+  // key vs a bigint key hash-partitions differently (Murmur3 hashes Int
+  // and Long to different values, so equal keys land on different
+  // partitions), and a date vs timestamp pair compares days to
+  // microseconds — both silently produce wrong results.
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types must match: ${leftTime.dataType} vs ${rightTime.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 

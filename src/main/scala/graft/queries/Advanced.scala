@@ -181,11 +181,11 @@ object Advanced {
 
     "q38_pivot" ->
       """SELECT user_id % 10 AS user_mod,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+        |  cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events
         |GROUP BY user_id % 10
         |ORDER BY user_mod""".stripMargin,
@@ -222,7 +222,7 @@ object Advanced {
 
     "q53_from_json_struct" ->
       """SELECT event_type, count(*) AS n_even,
-        |  sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_even_k
+        |  cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_even_k
         |FROM events
         |WHERE cast(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
         |GROUP BY event_type

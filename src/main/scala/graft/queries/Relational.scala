@@ -464,7 +464,7 @@ object Relational {
 
     "q17_json_funcs" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  cast(sum(cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  round(avg(cast(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
         |  min(cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k

@@ -72,6 +72,32 @@ object TextPipeline {
       .selectExpr("doc_id", "simhash(hs) AS simhash")
   }
 
+  /** Scale-safe global row_number over a unique sort key: range-partition
+    * on the key, rank locally per partition (hash-shuffle by partition id,
+    * each task sorts only its slice), then add per-partition offsets
+    * computed from a bounded `#partitions`-row count collect — the same
+    * two-pass scheme as RDD.zipWithIndex, kept in the DataFrame layer so
+    * the ranking itself stays in whole-stage codegen. Replaces
+    * `Window.orderBy(...)` with no partitionBy, which moves the entire
+    * table through ONE task. Range partitioning guarantees every row in
+    * partition i sorts before every row in partition i+1, so
+    * `offset(pid) + local_rank` IS the global row_number. */
+  private def rankBy(s: SparkSession, df: DataFrame, ord: String*): DataFrame = {
+    val parts = math.max(s.sparkContext.defaultParallelism, 2)
+    val ordCols = ord.map(col)
+    val local = df.repartitionByRange(parts, ordCols: _*)
+      .withColumn("gr_pid", spark_partition_id())
+      .withColumn("gr_lrn",
+        row_number().over(Window.partitionBy(col("gr_pid")).orderBy(ordCols: _*)))
+      .persist()
+    val counts = local.groupBy(col("gr_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    local
+      .withColumn("rn", (col("gr_lrn") + element_at(typedLit(offsets), col("gr_pid"))).cast("int"))
+      .drop("gr_pid", "gr_lrn")
+  }
+
   private def embDoubles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x AS double)) AS e",
@@ -259,15 +285,15 @@ object TextPipeline {
     }),
 
     // N-gram Jaccard via sorted-neighborhood blocking: order by simhash,
-    // compare each doc to its next 2 neighbors. O(n) pairs. (At cluster
-    // scale the global row_number becomes a range-partitioned sort; the
-    // window itself is the documented single-partition caveat here.)
+    // compare each doc to its next 2 neighbors. O(n) pairs. The global
+    // rank is range-partitioned (rankBy) — no single-task sort — and
+    // cross-partition adjacency needs no special casing because the rank
+    // is globally dense and the pairing joins the full ranked table.
     // The neighbor pairing is an equi-join on shifted rank — a non-equi
     // `y.rn - x.rn IN (1,2)` condition would plan as an O(n^2)
     // nested-loop join.
     "q27_ngram_jaccard" -> ((s, dir) => {
-      val ranked = docSimhash(s, dir)
-        .withColumn("rn", row_number().over(Window.orderBy(col("simhash"), col("doc_id"))))
+      val ranked = rankBy(s, docSimhash(s, dir), "simhash", "doc_id")
         .persist() // probe side plus two shifted build sides
       val shifted = ranked.select(col("doc_id").as("b_id"), (col("rn") - 1).as("rn"))
         .union(ranked.select(col("doc_id").as("b_id"), (col("rn") - 2).as("rn")))
@@ -289,8 +315,7 @@ object TextPipeline {
     // whole-stage codegen — no UDF in the loop.
     "q32_simhash_hamming" -> ((s, dir) => {
       graft.functions.HammingDistance.register(s)
-      val ranked = docSimhash(s, dir)
-        .withColumn("rn", row_number().over(Window.orderBy(col("simhash"), col("doc_id"))))
+      val ranked = rankBy(s, docSimhash(s, dir), "simhash", "doc_id")
       val next = ranked.select(col("doc_id").as("b_id"), col("simhash").as("b_simhash"),
         (col("rn") - 1).as("rn"))
       ranked.join(next, Seq("rn"))

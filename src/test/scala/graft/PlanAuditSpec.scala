@@ -53,6 +53,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q27/q32 sorted-neighborhood rank has no single-partition exchange") {
+    // The global row_number used to be Window.orderBy with no partitionBy
+    // — Spark plans that as Exchange SinglePartition and one task sorts
+    // the entire table. rankBy replaces it with a range-partitioned
+    // two-level rank; this pins the fix.
+    for (q <- Seq("q27_ngram_jaccard", "q32_simhash_hamming")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q moves the table through one partition:\n$p")
+    }
+  }
+
   test("q44 theta join is the one query allowed to nested-loop (dims only)") {
     assert(plan("q44_theta_join").contains("BroadcastNestedLoopJoin"))
   }
