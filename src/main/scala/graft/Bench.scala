@@ -28,14 +28,23 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        finally graft.queries.Caches.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> (runs(runs.length / 2), runs.head)
+      // True median: mean of the two middle runs when repeats is even
+      // (runs(n/2) alone biases high).
+      val med =
+        if (runs.length % 2 == 1) runs(runs.length / 2)
+        else (runs(runs.length / 2 - 1) + runs(runs.length / 2)) / 2.0
+      name -> (med, runs.head)
     }
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, (_, mn)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    // `total` = sum of per-query MEDIANS since round 2 (round-1 artifacts
+    // were single-run sums — not like-for-like; the `repeats` field marks
+    // which semantics a given artifact used).
     val total = results.map(_._2._1).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,""" +
       s""""queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")

@@ -81,20 +81,29 @@ object TextPipeline {
     * `Window.orderBy(...)` with no partitionBy, which moves the entire
     * table through ONE task. Range partitioning guarantees every row in
     * partition i sorts before every row in partition i+1, so
-    * `offset(pid) + local_rank` IS the global row_number. */
+    * `offset(pid) + local_rank` IS the global row_number.
+    *
+    * NOTE: runs an eager job at DataFrame-construction time (the bounded
+    * #partitions-row count collect — the zipWithIndex trade), so callers
+    * execute the upstream once here and once at their terminal action; the
+    * persist (released via [[Caches.releaseAll]]) keeps that to one scan.
+    * `rn` is bigint: offsets are longs, and an int rank would overflow past
+    * ~2.1B rows — exactly the scale this function exists for. */
   private def rankBy(s: SparkSession, df: DataFrame, ord: String*): DataFrame = {
     val parts = math.max(s.sparkContext.defaultParallelism, 2)
     val ordCols = ord.map(col)
-    val local = df.repartitionByRange(parts, ordCols: _*)
+    val local = Caches.persist(df.repartitionByRange(parts, ordCols: _*)
       .withColumn("gr_pid", spark_partition_id())
       .withColumn("gr_lrn",
-        row_number().over(Window.partitionBy(col("gr_pid")).orderBy(ordCols: _*)))
-      .persist()
+        row_number().over(Window.partitionBy(col("gr_pid")).orderBy(ordCols: _*))))
     val counts = local.groupBy(col("gr_pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    // coalesce: on an empty input `offsets` is empty and element_at would
+    // yield a null rn; an empty-but-typed rank is the right degenerate case.
     local
-      .withColumn("rn", (col("gr_lrn") + element_at(typedLit(offsets), col("gr_pid"))).cast("int"))
+      .withColumn("rn", col("gr_lrn").cast("bigint") +
+        coalesce(element_at(typedLit(offsets), col("gr_pid")), lit(0L)))
       .drop("gr_pid", "gr_lrn")
   }
 
@@ -204,8 +213,9 @@ object TextPipeline {
     // keyed on (band, hash)), never an all-pairs product.
     "q25_minhash_neardup" -> ((s, dir) => {
       // persisted: referenced by both self-join sides and both jaccard
-      // sides; size is bounded (one shingle array per doc)
-      val docs = docShingles(s, dir).persist()
+      // sides; size is bounded (one shingle array per doc). Released by
+      // the consumer via Caches.releaseAll after the terminal action.
+      val docs = Caches.persist(docShingles(s, dir))
       // Signature via explode + 12 min-aggregations. The aggregate is a
       // deliberate optimization barrier: a pure projection chain here gets
       // CollapseProject'ed, inlining the shingle+md5 pipeline into every
@@ -231,9 +241,9 @@ object TextPipeline {
             col(s"m${3 * b + 2}").as("k2"))): _*))
           .as(Seq("b", "k")))
         .select(col("doc_id"), col("b"), col("k.k0"), col("k.k1"), col("k.k2"))
-        .persist() // both sides of the candidate self-join
-      val cand = bands.withColumnRenamed("doc_id", "a_id")
-        .join(bands.withColumnRenamed("doc_id", "b_id"), Seq("b", "k0", "k1", "k2"))
+      val bandsP = Caches.persist(bands) // both sides of the candidate self-join
+      val cand = bandsP.withColumnRenamed("doc_id", "a_id")
+        .join(bandsP.withColumnRenamed("doc_id", "b_id"), Seq("b", "k0", "k1", "k2"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"))
         .distinct()
@@ -293,13 +303,13 @@ object TextPipeline {
     // `y.rn - x.rn IN (1,2)` condition would plan as an O(n^2)
     // nested-loop join.
     "q27_ngram_jaccard" -> ((s, dir) => {
-      val ranked = rankBy(s, docSimhash(s, dir), "simhash", "doc_id")
-        .persist() // probe side plus two shifted build sides
+      // probe side plus two shifted build sides
+      val ranked = Caches.persist(rankBy(s, docSimhash(s, dir), "simhash", "doc_id"))
       val shifted = ranked.select(col("doc_id").as("b_id"), (col("rn") - 1).as("rn"))
         .union(ranked.select(col("doc_id").as("b_id"), (col("rn") - 2).as("rn")))
       val pairs = ranked.join(shifted, Seq("rn"))
         .select(col("doc_id").as("a_id"), col("b_id"))
-      val docs = docShingles(s, dir).persist()
+      val docs = Caches.persist(docShingles(s, dir))
       pairs
         .join(docs.as("da"), col("a_id") === col("da.doc_id"))
         .join(docs.as("db"), col("b_id") === col("db.doc_id"))
