@@ -336,7 +336,10 @@ object TextPipeline {
     }),
 
     // Similarity search baseline: brute-force cosine top-10 for the 5
-    // probe vectors. One broadcast of 5 rows against a single scan.
+    // probe vectors. One broadcast of 5 rows against a single scan; the
+    // ranking is a bounded top-k AGGREGATION (TopKPerKey), not a window —
+    // map-side partials keep <= k candidates per (partition, probe), so
+    // the exchange never funnels the full scored set into 5 sort tasks.
     "q28_cosine_topk" -> ((s, dir) => {
       graft.functions.CosineSimilarity.register(s)
       val emb = embDoubles(s, dir)
@@ -345,11 +348,7 @@ object TextPipeline {
       val scored = broadcast(probes).join(emb.select(col("vec_id"), col("e").as("be")),
           expr("vec_id != q_id"))
         .selectExpr("q_id", "vec_id AS neighbor_id", s"$cosineExpr AS cos")
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))))
-        .filter(col("rn") <= 10)
-        .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cosine"), col("rn"))
+      graft.plans.TopKPerKey.topK(scored, "q_id", "cos", "neighbor_id", 10, "cosine")
         .orderBy(col("q_id"), col("rn"))
     }),
 

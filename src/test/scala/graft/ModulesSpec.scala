@@ -71,6 +71,72 @@ class ModulesSpec extends AnyFunSuite {
     assert(poolSizes.forall(_ < total), s"pools ${poolSizes.mkString(",")} vs $total")
   }
 
+  // --- recall@k gates: ANN vs exhaustive brute force ---
+
+  private def embMap = spark.read.parquet(s"$sf/embeddings.parquet")
+    .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  private def cosineOf(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  /** Mean recall@k of `ann` (q_id -> neighbor ids) against driver-side
+    * exhaustive top-k over the full embeddings table. */
+  private def meanRecall(ann: Map[Long, Set[Long]], nProbes: Int, k: Int): Double = {
+    val emb = embMap
+    val recalls = (0 until nProbes).map { q =>
+      val qv = emb(q.toLong)
+      val brute = emb.view.filter(_._1 != q.toLong)
+        .map { case (id, v) => (cosineOf(qv, v), id) }
+        .toSeq.sortBy { case (c, id) => (-c, id) }.take(k).map(_._2).toSet
+      ann.getOrElse(q.toLong, Set.empty).intersect(brute).size.toDouble / k
+    }
+    recalls.sum / recalls.size
+  }
+
+  // The synthetic embeddings are ISOTROPIC RANDOM unit vectors (within-
+  // label mean cosine ~0.003 ~= cross-label ~0.000, measured) — the
+  // hardest case for ANN: true neighbors barely concentrate in any
+  // bucketing, so recall at a scan fraction f cannot get far above f.
+  // The gates below therefore pin (recall floor, scan-fraction ceiling)
+  // PAIRS at the default knobs; on real clustered embeddings the same
+  // knobs give far higher recall at the same scan cost.
+
+  /** Candidate-pool fraction actually scanned, via k large enough to
+    * return every candidate. */
+  private def scanFraction(df: org.apache.spark.sql.DataFrame, nProbes: Int): Double = {
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val scanned = df.groupBy("q_id").count().collect().map(_.getLong(1)).sum
+    scanned.toDouble / (nProbes * total)
+  }
+
+  test("AnnLsh: recall@5 floor at a bounded scan fraction (3 tables x 6 planes, multiprobe)") {
+    val nProbes = 25
+    val ann = AnnLsh.annTopK(spark, sf, numProbes = nProbes, k = 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = meanRecall(ann, nProbes, 5)
+    val frac = scanFraction(
+      AnnLsh.annTopK(spark, sf, numProbes = nProbes, k = 100000), nProbes)
+    info(f"AnnLsh recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f")
+    assert(recall >= 0.45, f"LSH recall@5 $recall%.3f below the 0.45 floor")
+    assert(frac <= 0.45, f"LSH scanned $frac%.3f of the corpus, above the 0.45 ceiling")
+  }
+
+  test("AnnIvf: recall@5 floor at a bounded scan fraction (nprobe=4 of nlist=16)") {
+    val nProbes = 25
+    val ann = graft.similarity.AnnIvf.annTopK(spark, sf, numProbes = nProbes, k = 5)
+      .collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = meanRecall(ann, nProbes, 5)
+    val frac = scanFraction(
+      graft.similarity.AnnIvf.annTopK(spark, sf, numProbes = nProbes, k = 100000), nProbes)
+    info(f"AnnIvf recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f")
+    assert(recall >= 0.55, f"IVF recall@5 $recall%.3f below the 0.55 floor")
+    assert(frac <= 0.35, f"IVF scanned $frac%.3f of the corpus, above the 0.35 ceiling")
+  }
+
   test("Multimodal: moment features of a known payload") {
     val payload = Array[Byte](0, 10, 20, 30)
     val f = Multimodal.moments(

@@ -65,6 +65,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q28/q31/q49 top-k is a bounded aggregation, not a rank window") {
+    // row_number().over(partitionBy(q_id)) funneled ALL scored pairs into
+    // #probes partitions, each task sorting its probe's full candidate set.
+    // TopKPerKey replaces it with an ObjectHashAggregate whose map-side
+    // partials are k-bounded; this pins that no Window sneaks back in.
+    for (q <- Seq("q28_cosine_topk", "q31_ann_lsh", "q49_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via a window again:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q top-k is not the bounded aggregation:\n$p")
+    }
+  }
+
   test("q44 theta join is the one query allowed to nested-loop (dims only)") {
     assert(plan("q44_theta_join").contains("BroadcastNestedLoopJoin"))
   }
