@@ -23,11 +23,19 @@ object Bench {
     // reports the MEDIAN (plus min, for reference) so round-over-round
     // comparisons distinguish regression from single-run noise.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
+    // A failing query must show up in the artifact, not bench as its
+    // time-to-throw: failures are counted per query and emitted in an
+    // "errors" map (first exception message kept for diagnosis).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = Seq.fill(repeats) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            val (n, first) = errors.getOrElse(name, (0, e.toString.take(200)))
+            errors(name) = (n + 1, first)
+        }
         finally graft.queries.Caches.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -46,8 +54,15 @@ object Bench {
     // were single-run sums — not like-for-like; the `repeats` field marks
     // which semantics a given artifact used).
     val total = results.map(_._2._1).sum
+    def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val errs = errors.map { case (k, (n, msg)) =>
+      jstr(k) + s""":{"failures":$n,"first":${jstr(msg)}}"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,""" +
-      s""""queries":$qs,"queries_min":$qsMin,"sf":"$sfDir"}""")
+      s""""queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) {
+      System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

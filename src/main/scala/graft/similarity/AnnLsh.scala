@@ -61,16 +61,18 @@ object AnnLsh {
   }
 
   /**
-   * Multi-table, multiprobe bucket-pruned top-k cosine neighbors for the
-   * probe vectors (vec_id < numProbes). Returns (q_id, neighbor_id,
-   * cosine, rn). The join key is `tb = table * 2^numPlanes + bucket`, so
-   * buckets from different tables never collide.
+   * Bucket-pruned, deduped, cosine-scored candidate pairs — the pool
+   * [[annTopK]] ranks, as (q_id, neighbor_id, cos). Exposed separately so
+   * tests can measure pool sizes / scan fraction by counting directly
+   * instead of ranking with a sentinel k (the top-k insert is O(k) per
+   * element, so an effectively unbounded k degrades to O(n^2) per group).
+   * The join key is `tb = table * 2^numPlanes + bucket`, so buckets from
+   * different tables never collide.
    */
-  def annTopK(
+  def candidates(
       s: SparkSession,
       dir: String,
       numProbes: Int = 5,
-      k: Int = 5,
       numPlanes: Int = 6,
       numTables: Int = 3,
       multiprobe: Boolean = true,
@@ -111,7 +113,24 @@ object AnnLsh {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("ae"), col("vec_id"), col("be"))
       .dropDuplicates("q_id", "vec_id")
-    val scored = cand.selectExpr("q_id", "vec_id AS neighbor_id", s"$cos AS cos")
+    cand.selectExpr("q_id", "vec_id AS neighbor_id", s"$cos AS cos")
+  }
+
+  /**
+   * Multi-table, multiprobe bucket-pruned top-k cosine neighbors for the
+   * probe vectors (vec_id < numProbes). Returns (q_id, neighbor_id,
+   * cosine, rn).
+   */
+  def annTopK(
+      s: SparkSession,
+      dir: String,
+      numProbes: Int = 5,
+      k: Int = 5,
+      numPlanes: Int = 6,
+      numTables: Int = 3,
+      multiprobe: Boolean = true,
+      seed: Long = 7919L): DataFrame = {
+    val scored = candidates(s, dir, numProbes, numPlanes, numTables, multiprobe, seed)
     // Bounded top-k aggregation (not a rank window): candidates are already
     // bucket-pruned, but the final rank must not funnel them into #probes
     // sort tasks either — TopKPerKey keeps <= k per (partition, probe).
