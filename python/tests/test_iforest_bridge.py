@@ -14,6 +14,7 @@ Exit code 0 = all assertions passed.
 """
 
 import os
+import re
 import sys
 
 
@@ -35,8 +36,12 @@ def main():
     driver_cp, fixture, expected, workdir = sys.argv[1:5]
     # Must be set before the gateway JVM launches: the graft Scala classes
     # ride on the driver classpath next to pyspark's own Spark jars.
+    # APPEND to any pre-set value (preserving its flags) rather than
+    # clobbering a caller's --packages/--conf.
+    prior = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    prior = re.sub(r"\s*pyspark-shell\s*$", "", prior).strip()
     os.environ["PYSPARK_SUBMIT_ARGS"] = \
-        f"--driver-class-path {driver_cp} pyspark-shell"
+        f"{prior} --driver-class-path {driver_cp} pyspark-shell".lstrip()
 
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder
@@ -46,6 +51,19 @@ def main():
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+
+    # Fail fast with a clear message if the gateway JVM cannot see the
+    # graft classes (e.g. a JVM was already up before we set the env var):
+    # the otherwise-confusing failure mode is a ClassNotFoundException
+    # deep inside fit().
+    try:
+        spark._jvm.java.lang.Class.forName("graft.iforest.IForest")
+    except Exception:
+        raise SystemExit(
+            "graft.iforest.IForest is not on the gateway JVM classpath; "
+            f"expected it via --driver-class-path {driver_cp}. If a JVM was "
+            "already running before this script set PYSPARK_SUBMIT_ARGS, "
+            "restart without a pre-existing gateway.")
 
     from graft_iforest import IForest, IForestModel
 

@@ -38,12 +38,18 @@ object AsOfMergeJoin {
     require(overlap.isEmpty, s"output columns must be disjoint, both sides have: $overlap")
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
+    // Inner as-of semantics: null keys/times never match — same contract as
+    // the equi-join + top-1 form (join condition is null) and the native
+    // exec (which skips them). The merge below reads key/time as primitive
+    // longs, so strip nulls BEFORE the shuffle rather than NPE on them.
     // epoch-micros shadow columns keep the merge comparison integral
     val ls = left
+      .filter(col(leftKey).isNotNull && col(leftTime).isNotNull)
       .withColumn("__t", unix_micros(col(leftTime)))
       .repartition(n, col(leftKey))
       .sortWithinPartitions(col(leftKey), col("__t"))
     val rs = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
       .withColumn("__t", unix_micros(col(rightTime)))
       .repartition(n, col(rightKey))
       .sortWithinPartitions(col(rightKey), col("__t"), col(rightTieBreak))

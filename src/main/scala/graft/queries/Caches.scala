@@ -12,19 +12,50 @@ import org.apache.spark.sql.DataFrame
  * action so cached partitions never accrue across queries in a long-lived
  * session (they previously leaked until LRU eviction; the bench logged
  * "Asked to cache already cached data" on every repeat).
+ *
+ * Two registration modes:
+ *  - the GLOBAL queue + [[releaseAll]], for the strictly sequential
+ *    single-consumer protocol above — build one query, run its terminal
+ *    action, release, repeat. Overlapping query lifecycles (parallel
+ *    benching, suites sharing the session) must not interleave
+ *    releaseAll calls, or one consumer frees another's caches;
+ *  - a [[scoped]] bracket, for builds whose persists are NOT needed past
+ *    construction (plan inspection): they release at bracket exit and
+ *    never touch the global queue.
  */
 object Caches {
 
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val scope = new ThreadLocal[java.util.ArrayDeque[DataFrame]]()
 
-  /** Persist `df` and remember it for the next [[releaseAll]]. */
+  /** Persist `df` and remember it: inside a [[scoped]] bracket it belongs
+    * to that bracket (released at exit); otherwise it joins the global
+    * queue for the next [[releaseAll]]. */
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist()
-    live.add(p)
+    val s = scope.get()
+    if (s != null) s.add(p) else live.add(p)
     p
   }
 
-  /** Unpersist every registered DataFrame (non-blocking). */
+  /** Bracket a query BUILD whose persisted intermediates are not needed
+    * after `f` returns (e.g. `.queryExecution` plan audits): everything
+    * this thread persists inside `f` is unpersisted on exit, leaving other
+    * consumers' registrations alone. Not for builds whose DataFrame is
+    * executed later — those need their caches alive until the terminal
+    * action, i.e. the global queue + releaseAll protocol. */
+  def scoped[A](f: => A): A = {
+    val prev = scope.get()
+    val mine = new java.util.ArrayDeque[DataFrame]()
+    scope.set(mine)
+    try f
+    finally {
+      scope.set(prev)
+      mine.forEach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Unpersist every globally-registered DataFrame (non-blocking). */
   def releaseAll(): Unit = {
     var df = live.poll()
     while (df != null) {

@@ -366,7 +366,37 @@ object TextPipeline {
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
         .orderBy(col("a_id"), col("b_id"))
     }),
+
+    // ANN with FIXED integer hyperplanes — the end-to-end ORACLED variant
+    // of AnnLsh: same bucket-then-rank shape (sign-LSH candidate prune,
+    // bucket-equality join, bounded top-k), but the four hyperplanes are
+    // small-integer literals instead of seeded gaussians, so bucketing and
+    // ranking are exactly expressible in cross-engine SQL and the DuckDB
+    // oracle hash-checks the whole pipeline (AnnLsh/AnnIvf stay rows-only
+    // because their planes/centroids are engine-seeded).
+    "q54_ann_fixed" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      val emb = embDoubles(s, dir).selectExpr("vec_id", "e", s"$fixedBucket AS b54")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("e").as("ae"), col("b54"))
+      val cands = broadcast(probes)
+        .join(emb.select(col("vec_id"), col("e").as("be"), col("b54")), Seq("b54"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", s"$cosineExpr AS cos")
+      graft.plans.TopKPerKey.topK(cands, "q_id", "cos", "neighbor_id", 10, "cosine")
+        .orderBy(col("q_id"), col("rn"))
+    }),
   )
+
+  /** 16-bucket sign-LSH from four FIXED small-integer hyperplanes (each a
+    * 3-sparse +-1/2 vector). Double arithmetic with the same association
+    * order as the DuckDB oracle, so bucket ids are bit-identical. Spark
+    * array indexing is 0-based (DuckDB's is 1-based — the oracle shifts). */
+  private val fixedBucket =
+    "cast(2*e[0] - e[4] + e[8] >= 0 AS int) * 8 + " +
+      "cast(e[1] + e[5] - 2*e[9] >= 0 AS int) * 4 + " +
+      "cast(e[2] - e[6] + e[10] >= 0 AS int) * 2 + " +
+      "cast(-e[3] + e[7] + 2*e[11] >= 0 AS int)"
 
   // --- DuckDB oracles (same math, same operation order) ---
 
@@ -553,5 +583,23 @@ object TextPipeline {
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(cos, 4) AS cosine
          |FROM pairs WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+
+    // 1-based list indexing: e[c+1] here mirrors Spark's e[c] above.
+    "q54_ann_fixed" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+         |    (2*e[1] - e[5] + e[9] >= 0)::INT * 8
+         |    + (e[2] + e[6] - 2*e[10] >= 0)::INT * 4
+         |    + (e[3] - e[7] + e[11] >= 0)::INT * 2
+         |    + (-e[4] + e[8] + 2*e[12] >= 0)::INT AS b54
+         |  FROM embeddings),
+         |scored AS (SELECT q.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |    ${duckCos("q", "b")} AS cos
+         |  FROM emb q JOIN emb b ON b.b54 = q.b54 AND b.vec_id != q.vec_id
+         |  WHERE q.vec_id < 5),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
   )
 }

@@ -13,8 +13,12 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  // scoped: construction-time persists (rankBy etc.) are released at
+  // bracket exit instead of accumulating for the life of the JVM — plan
+  // inspection never executes the DataFrame, so the caches die unused.
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    graft.queries.Caches.scoped(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString)
 
   test("q02 filter and projection reach the parquet scan") {
     val p = plan("q02_filter_project")
