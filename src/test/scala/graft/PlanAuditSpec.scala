@@ -82,6 +82,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
+    val p = plan("q54_ann_fixed")
+    // the candidate prune must be a broadcast HASH join on the bucket key —
+    // a nested-loop/cartesian here would be the brute-force all-pairs scan
+    // the LSH bucketing exists to avoid
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
   test("q44 theta join is the one query allowed to nested-loop (dims only)") {
     assert(plan("q44_theta_join").contains("BroadcastNestedLoopJoin"))
   }
