@@ -27,8 +27,18 @@ class TopKAggregator(k: Int)
 
   require(k > 0, s"k must be positive, got $k")
 
-  @transient private lazy val ord: Ordering[ScoredId] =
-    Ordering.by((s: ScoredId) => (-s.score, s.id))
+  // Matches Spark SQL's `ORDER BY score DESC, id` exactly — including the
+  // float edge cases where a naive Ordering.by(-score, id) diverges:
+  // Spark compares -0.0 == 0.0 (so ties fall through to the id) and sorts
+  // NaN as the LARGEST double (first under DESC), whereas negating the
+  // score puts NaN last and splits the zero tie. Found by TopKPropertySpec.
+  @transient private lazy val ord: Ordering[ScoredId] = new Ordering[ScoredId] {
+    private def norm(d: Double): Double = if (d == 0.0) 0.0 else d // -0.0 -> 0.0
+    override def compare(a: ScoredId, b: ScoredId): Int = {
+      val c = java.lang.Double.compare(norm(b.score), norm(a.score))
+      if (c != 0) c else java.lang.Long.compare(a.id, b.id)
+    }
+  }
 
   override def zero: List[ScoredId] = Nil
 

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{TopKPerKey, TopOnePerKey}
+
+/**
+ * Property tests for the bounded top-k/top-1 aggregations: TopKPerKey
+ * documents that its k-bounded insert keeps "the same total order as the
+ * window form, so results are identical row-for-row" — this spec asserts
+ * exactly that equivalence (`row_number() over (partition by key order by
+ * score desc, id)`) on arbitrary data, including score ties, duplicate
+ * (key, score, id) triples, negative/extreme scores, k larger than the
+ * group, and single-row groups. Every ANN/top-k query (q28/q31/q49/q54)
+ * rests on this claim; the covering oracles only check it on one dataset.
+ *
+ * Raw scalacheck generators from a fixed seed chain (the
+ * scalatest-scalacheck bridge isn't among the allowed deps).
+ */
+class TopKPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed))(_.next)
+      .map(s => g.apply(params, s))
+      .collect { case Some(a) => a }
+      .take(n).toSeq
+  }
+
+  // Few keys, a coarse score grid (ties common), ids from a small range so
+  // duplicate (key, score, id) rows occur too.
+  private val genRow: Gen[(Long, Double, Long)] = for {
+    key <- Gen.chooseNum(0L, 3L)
+    score <- Gen.oneOf(
+      Gen.chooseNum(-3, 3).map(_.toDouble / 2),
+      Gen.oneOf(-1e9, 0.0, 1e9, -0.0, Double.NaN))
+    id <- Gen.chooseNum(0L, 15L)
+  } yield (key, score, id)
+
+  private val genDataset: Gen[List[(Long, Double, Long)]] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, genRow))
+
+  private def df(rows: Seq[(Long, Double, Long)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 3), schema)
+  }
+
+  // NaN != NaN under primitive tuple equality, so canonicalize it to a
+  // sentinel for the set comparison (ranks still pin WHERE NaN sorted).
+  private def canon(d: Double): Double = if (d.isNaN) 9e99 else d
+
+  /** The window form TopKPerKey replaces — the executable spec. */
+  private def viaWindow(data: DataFrame, k: Int): Set[(Long, Long, Double, Int)] =
+    data.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= k)
+      .select(col("k"), col("id"), round(col("score"), 4), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), canon(r.getDouble(2)), r.getInt(3))).toSet
+
+  private def viaTopK(data: DataFrame, k: Int): Set[(Long, Long, Double, Int)] =
+    TopKPerKey.topK(data, "k", "score", "id", k, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), canon(r.getDouble(2)), r.getInt(3))).toSet
+
+  test("TopKPerKey equals the rank window row-for-row on random datasets") {
+    samples(genDataset, 10, seed = 7321L).zipWithIndex.foreach { case (rows, i) =>
+      val data = df(rows)
+      for (k <- Seq(1, 3, 100)) { // k=100 > any group: full ranked output
+        val got = viaTopK(data, k)
+        val want = viaWindow(data, k)
+        assert(got == want,
+          s"[case#$i k=$k] got ${got.toSeq.sorted} want ${want.toSeq.sorted} rows=$rows")
+      }
+    }
+  }
+
+  test("TopKPerKey on an empty input returns an empty, correctly-typed frame") {
+    val out = TopKPerKey.topK(df(Nil), "k", "score", "id", 5, "s")
+    assert(out.columns.toSeq == Seq("k", "id", "s", "rn"))
+    assert(out.count() == 0)
+  }
+
+  test("TopOnePerKey picks the same row as TopKPerKey at k=1") {
+    samples(genDataset, 6, seed = 991L).foreach { rows =>
+      val data = df(rows)
+      val viaOne = TopOnePerKey.latest(data, Seq("k"), Seq(col("score"), col("id")))
+        .select(col("k"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // k=1: highest score, ties to the GREATEST id under max_by(struct)
+      // ordering vs SMALLEST id under the window's ascending tie-break —
+      // the two operators expose different (both deterministic) tie rules,
+      // so compare against each one's own spec.
+      val wantOne = rows.groupBy(_._1).map { case (key, rs) =>
+        val best = rs.map(r => (r._2, r._3)).max
+        (key, best._2)
+      }.toSet
+      assert(viaOne == wantOne, s"TopOnePerKey diverged on $rows")
+    }
+  }
+}
