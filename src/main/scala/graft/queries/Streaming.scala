@@ -109,6 +109,23 @@ object Streaming {
         .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
         .orderBy(col("click_id"), col("purchase_id"))
     }),
+
+    // Streaming exact dedup: dropDuplicates keyed by (user, type, minute).
+    // The watermark column is PART of the dedup key, so per-key state
+    // expires once the watermark passes that minute — keyed dedup without
+    // the event-time column in the key never expires state (unbounded at
+    // 100 TB). The output is the key itself, so which physical duplicate
+    // survives cannot affect the result, and the batch DISTINCT oracle
+    // applies.
+    "q55_stream_dedup" -> ((s, dir) => {
+      val dedup = eventStream(s, dir)
+        .withColumn("m_ts", date_trunc("minute", col("ts")))
+        .withWatermark("m_ts", "1 hour")
+        .dropDuplicates("user_id", "event_type", "m_ts")
+        .select(col("user_id"), col("event_type"), col("m_ts"))
+      runToCompletion(s, dedup, "stream_dedup", mode = "append")
+        .orderBy(col("user_id"), col("event_type"), col("m_ts"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +172,10 @@ object Streaming {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q55_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m_ts
+        |FROM events
+        |ORDER BY user_id, event_type, m_ts""".stripMargin,
   )
 }
