@@ -30,21 +30,135 @@ final case class MediaFrame(
  * a batched Pandas UDF: per-partition setup amortized over all rows of the
  * batch, output schema declared by the `MediaFeatures` encoder).
  *
- * The actual media decode is STUBBED: this container has no image/audio
- * codecs, so [[decodeStub]] derives a deterministic fake "signal" from the
- * payload bytes. The Spark-side contract — binary column handling, typed
- * metadata struct, partition batching, feature schema — is real and tested;
- * swapping [[decodeStub]] for a JNI/ffmpeg decoder changes nothing else.
+ * Decode: container formats that are pure byte parses are decoded FOR
+ * REAL — RIFF/WAVE PCM audio (8/16-bit) and binary PPM/PGM images need no
+ * codec library. Compressed formats (JPEG/MP3/H.264) would need external
+ * codecs this container does not ship; payloads in no recognized format
+ * fall back to a deterministic unsigned-byte "signal" so the pipeline
+ * stays total. Swapping in a JNI/ffmpeg decoder for the compressed
+ * formats extends [[decode]]'s dispatch and changes nothing else.
  */
 object Multimodal {
 
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private[graft] def isWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
   /**
-   * STUB — stands in for the real codec. Deterministic: interprets payload
-   * bytes as an unsigned 8-bit "signal". A production build replaces this
-   * body with the actual decoder and keeps the signature.
+   * RIFF/WAVE PCM decode (real, no codec library: the container is a plain
+   * chunk walk and PCM samples are the bytes themselves). Returns the
+   * FIRST channel's samples normalized to [-1, 1]; 16-bit signed and
+   * 8-bit unsigned PCM supported. Missing/compressed fmt or truncated
+   * data yields an empty signal rather than throwing — one corrupt blob
+   * must not kill a 100 TB scan task.
    */
-  private[graft] def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Double] =
-    payload.map(b => (b & 0xff).toDouble)
+  private[graft] def decodeWavPcm(b: Array[Byte]): Array[Double] = {
+    var off = 12
+    var bits = -1
+    var channels = 1
+    var pcm = false
+    while (off + 8 <= b.length) {
+      val size = le32(b, off + 4)
+      val isFmt = b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' '
+      val isData = b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a'
+      val body = off + 8
+      if (isFmt && body + 16 <= b.length) {
+        pcm = le16(b, body) == 1 // audioFormat 1 = uncompressed PCM
+        channels = math.max(le16(b, body + 2), 1)
+        bits = le16(b, body + 14)
+      } else if (isData) {
+        if (!pcm || (bits != 8 && bits != 16)) return Array.empty
+        val avail = math.min(size, b.length - body)
+        val bytesPer = bits / 8
+        val stride = channels * bytesPer // one frame; we keep channel 0
+        val n = if (stride > 0) avail / stride else 0
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val p = body + i * stride
+          out(i) =
+            if (bits == 16) le16(b, p).toShort / 32768.0
+            else ((b(p) & 0xff) - 128) / 128.0
+          i += 1
+        }
+        return out
+      }
+      off = body + size + (size & 1) // chunks are padded to even length
+    }
+    Array.empty
+  }
+
+  // the real magic is "P5"/"P6" followed by whitespace (or a comment) —
+  // requiring it keeps ordinary text that merely starts with "P5..." from
+  // being sniffed as an image
+  private[graft] def isPnm(b: Array[Byte]): Boolean =
+    b.length > 3 && b(0) == 'P' && (b(1) == '5' || b(1) == '6') &&
+      (b(2) == ' ' || b(2) == '\n' || b(2) == '\t' || b(2) == '\r' || b(2) == '#')
+
+  /**
+   * Binary PPM (P6) / PGM (P5) decode (real: ASCII header + raw raster).
+   * Returns per-pixel intensity in [0, 1] — the raw gray value for PGM,
+   * BT.601 luma for PPM. Only 1-byte-per-channel rasters (maxval < 256);
+   * anything malformed yields an empty signal.
+   */
+  private[graft] def decodePnm(b: Array[Byte]): Array[Double] = {
+    val color = b(1) == '6'
+    var pos = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == ' ' || c == '\n' || c == '\t' || c == '\r') pos += 1
+        else if (c == '#') { while (pos < b.length && b(pos) != '\n') pos += 1 }
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    pos += 1 // the single whitespace byte before the raster
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return Array.empty
+    val n = w * h
+    val per = if (color) 3 else 1
+    if (pos + n.toLong * per > b.length) return Array.empty
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val p = pos + i * per
+      out(i) =
+        if (color)
+          (0.299 * (b(p) & 0xff) + 0.587 * (b(p + 1) & 0xff) +
+            0.114 * (b(p + 2) & 0xff)) / maxv
+        else (b(p) & 0xff).toDouble / maxv
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Format-sniffing decode: WAV PCM and PPM/PGM are decoded for real;
+   * unrecognized payloads fall back to the deterministic unsigned-byte
+   * signal (the former stub, kept so opaque/compressed blobs still flow
+   * through the pipeline).
+   */
+  private[graft] def decode(payload: Array[Byte], meta: MediaMeta): Array[Double] =
+    if (isWav(payload)) decodeWavPcm(payload)
+    else if (isPnm(payload)) decodePnm(payload)
+    else payload.map(b => (b & 0xff).toDouble)
 
   /** Moment features over the decoded signal (mean, std, min, max, energy). */
   private[graft] def moments(signal: Array[Double]): Array[Double] = {
@@ -66,7 +180,7 @@ object Multimodal {
     media.mapPartitions { records =>
       // per-partition setup would init the real codec here, once
       records.map { r =>
-        val signal = decodeStub(r.payload, r.meta)
+        val signal = decode(r.payload, r.meta)
         MediaFeatures(r.doc_id, r.meta.kind, r.payload.length, moments(signal))
       }
     }
@@ -90,7 +204,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       records.map { r =>
-        val signal = resize(decodeStub(r.payload, r.meta), target)
+        val signal = resize(decode(r.payload, r.meta), target)
         MediaFeatures(r.doc_id, r.meta.kind, r.payload.length, signal)
       }
     }
@@ -110,7 +224,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       records.flatMap { r =>
-        val signal = decodeStub(r.payload, r.meta)
+        val signal = decode(r.payload, r.meta)
         Iterator.range(0, math.max(signal.length - frameLen + 1, 0), stride)
           .zipWithIndex
           .map { case (start, frameId) =>
