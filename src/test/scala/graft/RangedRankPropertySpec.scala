@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RangedRank
+import graft.queries.Caches
+
+/**
+ * Property test for the range-partitioned global row_number: RangedRank
+ * must assign exactly the ranks `row_number() over (order by ...)` would —
+ * on arbitrary data, uneven partition sizes, multi-column keys, and the
+ * empty input. The window form funnels the whole table through one task,
+ * so production uses RangedRank; this spec is what licenses that swap.
+ * (Keys must be unique for the rank to be well-defined — both q26/q32's
+ * (simhash, doc_id) usage and the generator here guarantee that.)
+ */
+class RangedRankPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate(Seed(seed))(_.next)
+      .map(s => g.apply(params, s))
+      .collect { case Some(a) => a }
+      .take(n).toSeq
+  }
+
+  // (group, id) pairs: many duplicate groups force the second sort column
+  // to break ties; the pair itself is unique
+  private val genDataset: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 50).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 6L)).map(gs =>
+        gs.zipWithIndex.map { case (g, i) => (g, i.toLong) })
+    }
+
+  private def df(rows: Seq[(Long, Long)]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("g", LongType, nullable = false),
+      StructField("id", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 5), schema)
+  }
+
+  test("RangedRank equals row_number() over (order by ...) on random data") {
+    samples(genDataset, 8, seed = 314L).zipWithIndex.foreach { case (rows, i) =>
+      Caches.scoped {
+        val data = df(rows)
+        val got = RangedRank.rankBy(spark, data, "g", "id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val want = data.withColumn("rn",
+            row_number().over(Window.orderBy(col("g"), col("id"))).cast("bigint"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got == want, s"[case#$i] diverged on $rows")
+      }
+    }
+  }
+
+  test("RangedRank on empty input returns an empty bigint rn column") {
+    Caches.scoped {
+      val out = RangedRank.rankBy(spark, df(Nil), "g", "id")
+      assert(out.schema("rn").dataType == LongType)
+      assert(out.count() == 0)
+    }
+  }
+}
