@@ -31,6 +31,12 @@ class AsOfPropertySpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+
+  /** Sample count: CI default, multiplied by GRAFT_PROP_MULT for deeper
+    * local bug-hunt runs (e.g. GRAFT_PROP_MULT=10 sbt test). */
+  private def propN(base: Int): Int =
+    base * sys.env.getOrElse("GRAFT_PROP_MULT", "1").toInt
+
   private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] = {
     val params = Gen.Parameters.default
     Iterator.iterate(Seed(seed))(_.next)
@@ -136,7 +142,7 @@ class AsOfPropertySpec extends AnyFunSuite {
   }
 
   test("all three as-of implementations match brute force on random datasets") {
-    samples(genDataset, 12, seed = 20260812L).zipWithIndex.foreach {
+    samples(genDataset, propN(12), seed = 20260812L).zipWithIndex.foreach {
       case ((cs, ps), i) => checkAll(cs, ps, s"random#$i")
     }
   }

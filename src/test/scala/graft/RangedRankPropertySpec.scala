@@ -24,6 +24,12 @@ class RangedRankPropertySpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+
+  /** Sample count: CI default, multiplied by GRAFT_PROP_MULT for deeper
+    * local bug-hunt runs (e.g. GRAFT_PROP_MULT=10 sbt test). */
+  private def propN(base: Int): Int =
+    base * sys.env.getOrElse("GRAFT_PROP_MULT", "1").toInt
+
   private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] = {
     val params = Gen.Parameters.default
     Iterator.iterate(Seed(seed))(_.next)
@@ -49,7 +55,7 @@ class RangedRankPropertySpec extends AnyFunSuite {
   }
 
   test("RangedRank equals row_number() over (order by ...) on random data") {
-    samples(genDataset, 8, seed = 314L).zipWithIndex.foreach { case (rows, i) =>
+    samples(genDataset, propN(8), seed = 314L).zipWithIndex.foreach { case (rows, i) =>
       Caches.scoped {
         val data = df(rows)
         val got = RangedRank.rankBy(spark, data, "g", "id")

@@ -21,6 +21,12 @@ class SaltedJoinPropertySpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+
+  /** Sample count: CI default, multiplied by GRAFT_PROP_MULT for deeper
+    * local bug-hunt runs (e.g. GRAFT_PROP_MULT=10 sbt test). */
+  private def propN(base: Int): Int =
+    base * sys.env.getOrElse("GRAFT_PROP_MULT", "1").toInt
+
   private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] = {
     val params = Gen.Parameters.default
     Iterator.iterate(Seed(seed))(_.next)
@@ -54,7 +60,7 @@ class SaltedJoinPropertySpec extends AnyFunSuite {
     d.collect().map(_.toSeq).toSeq.groupBy(identity).map { case (k, v) => (k, v.size) }
 
   test("salted join equals the plain inner equi-join on skewed random data") {
-    samples(genDataset, 8, seed = 5501L).zipWithIndex.foreach { case ((ls, rs), i) =>
+    samples(genDataset, propN(8), seed = 5501L).zipWithIndex.foreach { case ((ls, rs), i) =>
       val l = df(ls, "lk", "lv")
       val r = df(rs, "rk", "rv")
       val plain = multiset(l.join(r, l("lk") === r("rk")))
