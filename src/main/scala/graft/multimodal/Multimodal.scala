@@ -66,6 +66,7 @@ object Multimodal {
     var pcm = false
     while (off + 8 <= b.length) {
       val size = le32(b, off + 4)
+      if (size < 0) return Array.empty // corrupt chunk length (fuzz-found)
       val isFmt = b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' '
       val isData = b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a'
       val body = off + 8
@@ -90,7 +91,9 @@ object Multimodal {
         }
         return out
       }
-      off = body + size + (size & 1) // chunks are padded to even length
+      val next = body + size + (size & 1) // chunks are padded to even length
+      if (next <= off) return Array.empty // int overflow / no forward progress
+      off = next
     }
     Array.empty
   }
@@ -132,9 +135,12 @@ object Multimodal {
     val w = readInt(); val h = readInt(); val maxv = readInt()
     pos += 1 // the single whitespace byte before the raster
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return Array.empty
-    val n = w * h
     val per = if (color) 3 else 1
-    if (pos + n.toLong * per > b.length) return Array.empty
+    // long arithmetic BEFORE narrowing: a huge claimed w*h overflows int
+    // (fuzz-found); the raster-fits check also bounds n to the payload size
+    val nL = w.toLong * h.toLong
+    if (pos + nL * per > b.length) return Array.empty
+    val n = nL.toInt
     val out = new Array[Double](n)
     var i = 0
     while (i < n) {

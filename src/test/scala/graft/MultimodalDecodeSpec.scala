@@ -83,6 +83,19 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decode(Array[Byte](0, 10, 20), meta).toSeq == Seq(0.0, 10.0, 20.0))
   }
 
+  test("decode never throws on arbitrary bytes, including magic-prefixed garbage") {
+    // the 100 TB contract: one corrupt blob must not kill a scan task
+    val rng = new scala.util.Random(0xD5C0DE)
+    val magics = Seq(Array.empty[Byte], "RIFF".getBytes, "RIFFxxxxWAVE".getBytes,
+      "P5 ".getBytes, "P6\n".getBytes, "P5 99999999 99999999 255\n".getBytes)
+    for (i <- 0 until 500) {
+      val garbage = Array.fill(rng.nextInt(200))(rng.nextInt(256).toByte)
+      val payload = magics(i % magics.length) ++ garbage
+      val out = Multimodal.decode(payload, meta) // must not throw
+      assert(out != null)
+    }
+  }
+
   test("end-to-end: WAV records flow through the partition-batched extractor") {
     import spark.implicits._
     val media = Seq(
