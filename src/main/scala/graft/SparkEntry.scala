@@ -22,15 +22,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     iforestScore(spark, "/root/testdata/sf0.001")
 
+  /**
+   * Re-spread only when the scan planned fewer partitions than cores. The
+   * testdata parquet is one row group per file — unsplittable, so without
+   * this every scan-rooted stage runs as ONE task; at cluster scale the
+   * input has thousands of row groups, the guard is false, and no shuffle
+   * is paid (an unconditional repartition here would full-shuffle 100 TB
+   * for nothing).
+   */
+  private[graft] def respread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   private def iforestScore(spark: SparkSession, dir: String): DataFrame = {
-    // The testdata parquet is one row group per file — unsplittable, so
-    // without an explicit re-spread every scan-rooted stage (including the
-    // scoring passes) runs as ONE task. At cluster scale the input has
-    // thousands of row groups and this repartition is unnecessary; here it
-    // is what makes scoring data-parallel, exactly as the reference's
-    // benchmark relies on multi-core scoring (BASELINE.md scalability).
-    val li = table(spark, dir, "lineitem")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val li = respread(table(spark, dir, "lineitem"))
     val assembled = new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .setOutputCol("features")

@@ -69,21 +69,13 @@ class IForestModel(
     val normFactor = IsolationMath.avgLength(possibleMaxSamples.toDouble)
     val spark = dataset.sparkSession
     val bcForest = spark.sparkContext.broadcast(trees.map(FlatTree.fromNodes))
-    val scoreUDF = udf { features: Vector =>
-      val forest = bcForest.value
-      val values = features match {
-        case d: org.apache.spark.ml.linalg.DenseVector => d.values
-        case s => s.toArray
-      }
-      var sum = 0.0
-      var i = 0
-      while (i < forest.length) {
-        sum += forest(i).pathLength(values)
-        i += 1
-      }
-      IsolationMath.score(sum / forest.length, normFactor)
-    }
-    val scored = dataset.withColumn($(anomalyScoreCol), scoreUDF(col($(featuresCol))))
+    // Native codegen'd expression instead of a scalar UDF: see
+    // IForestScoreExpression.scala for why (no Vector materialization, no
+    // codegen fence; the forest still ships by broadcast).
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val scoreCol = ColumnBridge.column(
+      IForestScore(ColumnBridge.expression(col($(featuresCol))), bcForest, normFactor))
+    val scored = dataset.withColumn($(anomalyScoreCol), scoreCol)
     if (!hasThreshold) {
       thresholdValue = scored.select($(anomalyScoreCol)).stat
         .approxQuantile($(anomalyScoreCol), Array(1 - $(contamination)),

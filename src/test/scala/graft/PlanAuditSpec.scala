@@ -94,6 +94,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("iforest scoring is a codegen'd native expression, not a ScalaUDF") {
+    // Round-5 upgrade (VERDICT r4 task 1): the scoring projection must show
+    // the native iforest_score expression inside a whole-stage-codegen span
+    // — a ScalaUDF here means per-row Vector materialization and a codegen
+    // fence on the flagship's hottest projection.
+    val df = SparkEntry.queries("iforest_score")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"scoring regressed to a ScalaUDF:\n$p")
+    assert("""\*\(\d+\) Project .*iforest_score""".r.findFirstIn(p).isDefined,
+      s"iforest_score projection is not inside a codegen span:\n$p")
+  }
+
+  test("iforest re-spread is conditional: already-parallel input adds no Exchange") {
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 10000, 1, cores).toDF("id")
+    // respread must be the identity (same plan, no RoundRobin shuffle) when
+    // the input already has >= cores partitions
+    val out = SparkEntry.respread(wide)
+    assert(out eq wide, "respread shuffled an already-parallel input")
+    val narrow = spark.range(0, 100, 1, 1).toDF("id")
+    assert(SparkEntry.respread(narrow).rdd.getNumPartitions == cores,
+      "respread did not spread a single-partition input")
+  }
+
   test("q44 theta join is the one query allowed to nested-loop (dims only)") {
     assert(plan("q44_theta_join").contains("BroadcastNestedLoopJoin"))
   }
