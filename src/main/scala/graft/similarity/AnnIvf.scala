@@ -60,8 +60,8 @@ object AnnIvf {
       s: SparkSession,
       dir: String,
       numProbes: Int = 5,
-      nlist: Int = 16,
-      nprobe: Int = 4,
+      nlist: Int = 64,
+      nprobe: Int = 16,
       seed: Long = 4099L): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -103,8 +103,8 @@ object AnnIvf {
       dir: String,
       numProbes: Int = 5,
       k: Int = 5,
-      nlist: Int = 16,
-      nprobe: Int = 4,
+      nlist: Int = 64,
+      nprobe: Int = 16,
       seed: Long = 4099L): DataFrame = {
     val scored = candidates(s, dir, numProbes, nlist, nprobe, seed)
     // Bounded top-k aggregation — see TopKPerKey: map-side partials keep

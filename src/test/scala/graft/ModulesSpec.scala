@@ -39,17 +39,18 @@ class ModulesSpec extends AnyFunSuite {
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
     // Single-probe invariant: each probe scans only its own bucket per
     // table, a small fraction of the corpus.
-    val single = AnnLsh.candidates(spark, sf, numProbes = 5, multiprobe = false)
+    val single = AnnLsh.candidates(spark, sf, numProbes = 5, probesPerTable = 1)
       .groupBy("q_id").count().collect().map(_.getLong(1))
     assert(single.forall(_ < total / 4), s"single-probe pools ${single.mkString(",")} vs $total")
-    // Multiprobe fans each probe out to (1+numPlanes) buckets per table;
-    // the documented ceiling (AnnLsh.scala:25) is
-    // numTables*(1+numPlanes)/2^numPlanes = 3*7/64 ~ 0.33 of the corpus in
-    // expectation. Assert half the corpus to leave room for bucket-size
-    // variance while still proving the scan never approaches brute force.
+    // Margin-ordered multiprobe fans each probe out to probesPerTable
+    // buckets per table; the documented ceiling (AnnLsh doc) is
+    // numTables*probesPerTable/2^numPlanes = 5*28/256 ~ 0.55 of the corpus
+    // in expectation, deduped well below that in practice. Assert 0.7 of
+    // the corpus to leave room for bucket-size variance while still
+    // proving the scan never approaches brute force.
     val multi = AnnLsh.candidates(spark, sf, numProbes = 5)
       .groupBy("q_id").count().collect().map(_.getLong(1))
-    assert(multi.forall(_ < total / 2), s"multiprobe pools ${multi.mkString(",")} vs $total")
+    assert(multi.forall(_ < total * 7 / 10), s"multiprobe pools ${multi.mkString(",")} vs $total")
   }
 
   test("AnnIvf: cosines correct, ranks ordered, candidates pruned") {
@@ -70,7 +71,7 @@ class ModulesSpec extends AnyFunSuite {
       val ordered = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
     }
-    // pruning: with nprobe=4 of nlist=16 lists, a probe's candidate pool is
+    // pruning: with nprobe=16 of nlist=64 lists, a probe's candidate pool is
     // a strict subset of the corpus
     val poolSizes = graft.similarity.AnnIvf.candidates(spark, sf)
       .groupBy("q_id").count().collect().map(_.getLong(1))
@@ -123,7 +124,8 @@ class ModulesSpec extends AnyFunSuite {
     * the driver/judge can trend recall and scan fraction round-over-round
     * (they previously lived only in test info() output). */
   private def logRecall(method: String, recall: Double, frac: Double, nProbes: Int, k: Int): Unit = {
-    val line = f"""{"method":"$method","recall_at_k":$recall%.4f,"scan_fraction":$frac%.4f,"n_probes":$nProbes,"k":$k,"sf":"$sf"}"""
+    val round = sys.env.getOrElse("GRAFT_ROUND", "r5")
+    val line = f"""{"round":"$round","method":"$method","recall_at_k":$recall%.4f,"scan_fraction":$frac%.4f,"n_probes":$nProbes,"k":$k,"sf":"$sf"}"""
     val p = java.nio.file.Paths.get("RECALL.jsonl")
     val opts =
       if (ModulesSpec.recallLogStarted) Seq(java.nio.file.StandardOpenOption.APPEND)
@@ -136,7 +138,7 @@ class ModulesSpec extends AnyFunSuite {
       (java.nio.file.StandardOpenOption.CREATE +: opts).distinct: _*)
   }
 
-  test("AnnLsh: recall@5 floor at a bounded scan fraction (3 tables x 6 planes, multiprobe)") {
+  test("AnnLsh: recall@5 floor at a bounded scan fraction (5 tables x 8 planes, margin multiprobe)") {
     val nProbes = 25
     val ann = AnnLsh.annTopK(spark, sf, numProbes = nProbes, k = 5).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
@@ -144,11 +146,11 @@ class ModulesSpec extends AnyFunSuite {
     val frac = scanFraction(AnnLsh.candidates(spark, sf, numProbes = nProbes), nProbes)
     info(f"AnnLsh recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f")
     logRecall("lsh", recall, frac, nProbes, 5)
-    assert(recall >= 0.45, f"LSH recall@5 $recall%.3f below the 0.45 floor")
-    assert(frac <= 0.45, f"LSH scanned $frac%.3f of the corpus, above the 0.45 ceiling")
+    assert(recall >= 0.75, f"LSH recall@5 $recall%.3f below the 0.75 floor")
+    assert(frac <= 0.50, f"LSH scanned $frac%.3f of the corpus, above the 0.50 ceiling")
   }
 
-  test("AnnIvf: recall@5 floor at a bounded scan fraction (nprobe=4 of nlist=16)") {
+  test("AnnIvf: recall@5 floor at a bounded scan fraction (nprobe=16 of nlist=64)") {
     val nProbes = 25
     val ann = graft.similarity.AnnIvf.annTopK(spark, sf, numProbes = nProbes, k = 5)
       .collect()
@@ -158,8 +160,8 @@ class ModulesSpec extends AnyFunSuite {
       graft.similarity.AnnIvf.candidates(spark, sf, numProbes = nProbes), nProbes)
     info(f"AnnIvf recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f")
     logRecall("ivf", recall, frac, nProbes, 5)
-    assert(recall >= 0.55, f"IVF recall@5 $recall%.3f below the 0.55 floor")
-    assert(frac <= 0.35, f"IVF scanned $frac%.3f of the corpus, above the 0.35 ceiling")
+    assert(recall >= 0.85, f"IVF recall@5 $recall%.3f below the 0.85 floor")
+    assert(frac <= 0.50, f"IVF scanned $frac%.3f of the corpus, above the 0.50 ceiling")
   }
 
   test("Multimodal: moment features of a known payload") {
