@@ -27,7 +27,13 @@ object Bench {
     // time-to-throw: failures are counted per query and emitted in an
     // "errors" map (first exception message kept for diagnosis).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for focused investigation runs
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=q40_stream_window,q52_stream_stream_join).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val runs = Seq.fill(repeats) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -37,10 +37,19 @@ object SparkEntry {
 
   private def iforestScore(spark: SparkSession, dir: String): DataFrame = {
     val li = respread(table(spark, dir, "lineitem"))
-    val assembled = new VectorAssembler()
+    // Caller-owned cache (released by the consumer's releaseAll, the repo's
+    // standard protocol): fit sees a persisted input so it skips its own
+    // fit-scoped persist/unpersist, and the final scoring pass below reads
+    // the cache instead of re-running scan+shuffle+assemble (measured at
+    // sf0.1: 1.2 s -> 0.35 s for the output pass).
+    // Project to the output + feature columns BEFORE caching: the cache
+    // write is the single most expensive step of the flagship at sf0.1,
+    // and lineitem's other 13 columns are dead weight in it.
+    val assembled = graft.queries.Caches.persist(new VectorAssembler()
       .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .setOutputCol("features")
       .transform(li)
+      .select("l_orderkey", "l_linenumber", "features"))
     // numTrees/maxSamples match the reference's published benchmark config
     // (BASELINE.md: numTrees=100, maxSamples=256)
     val model = new IForest()

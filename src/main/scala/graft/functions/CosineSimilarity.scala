@@ -78,8 +78,6 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object CosineSimilarity {
   /** Register `cosine_similarity` for SQL/expr use in the given session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+    Registration.ensure(spark, "cosine_similarity")(
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 }

@@ -44,10 +44,8 @@ object HammingDistance {
 
   /** Register `hamming_distance` for SQL/expr use in the given session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hamming_distance",
-      exprs => HammingDistance(exprs(0), exprs(1)),
-      "built-in")
+    Registration.ensure(spark, "hamming_distance")(
+      exprs => HammingDistance(exprs(0), exprs(1)))
 
   /** Column-API form (via the registered SQL function). */
   def hammingDistance(a: Column, b: Column): Column = {

@@ -60,8 +60,6 @@ case class ShingleGenerator(child: Expression, n: Expression)
 object ShingleGenerator {
   /** Register `shingle_gen` for SQL/expr use in the given session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_gen",
-      exprs => ShingleGenerator(exprs(0), exprs(1)),
-      "built-in")
+    Registration.ensure(spark, "shingle_gen")(
+      exprs => ShingleGenerator(exprs(0), exprs(1)))
 }

@@ -81,8 +81,5 @@ case class SimHash(child: Expression) extends UnaryExpression {
 object SimHash {
   /** Register `simhash` for SQL/expr use in the given session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash",
-      exprs => SimHash(exprs.head),
-      "built-in")
+    Registration.ensure(spark, "simhash")(exprs => SimHash(exprs.head))
 }

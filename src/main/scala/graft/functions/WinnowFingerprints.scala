@@ -96,8 +96,6 @@ object WinnowFingerprints {
 
   /** Register `winnow_fingerprints` for SQL/expr use in the given session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fingerprints",
-      exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)),
-      "built-in")
+    Registration.ensure(spark, "winnow_fingerprints")(
+      exprs => WinnowFingerprints(exprs(0), exprs(1), exprs(2)))
 }

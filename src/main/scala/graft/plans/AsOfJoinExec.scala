@@ -156,10 +156,8 @@ object AsOfJoinNative {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "asof_latest",
-      exprs => AsOfJoinCondition(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)),
-      "built-in")
+    graft.functions.Registration.ensure(spark, "asof_latest")(
+      exprs => AsOfJoinCondition(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4)))
   }
 
   /**

@@ -38,6 +38,10 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The memory sink holds the FULL result on the driver; register the
+    // view so the consumer's releaseAll() drops it after the terminal
+    // action instead of accreting one table per run for the JVM's life.
+    graft.queries.Caches.registerView(s, table)
     s.table(table)
   }
 

@@ -99,12 +99,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // the native iforest_score expression inside a whole-stage-codegen span
     // — a ScalaUDF here means per-row Vector materialization and a codegen
     // fence on the flagship's hottest projection.
-    val df = SparkEntry.queries("iforest_score")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("ScalaUDF"), s"scoring regressed to a ScalaUDF:\n$p")
-    assert("""\*\(\d+\) Project .*iforest_score""".r.findFirstIn(p).isDefined,
-      s"iforest_score projection is not inside a codegen span:\n$p")
+    graft.queries.Caches.scoped {
+      val df = SparkEntry.queries("iforest_score")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF"), s"scoring regressed to a ScalaUDF:\n$p")
+      assert("""\*\(\d+\) Project .*iforest_score""".r.findFirstIn(p).isDefined,
+        s"iforest_score projection is not inside a codegen span:\n$p")
+    }
   }
 
   test("iforest re-spread is conditional: already-parallel input adds no Exchange") {
