@@ -39,10 +39,26 @@ object AnnIvf {
 
   private[similarity] def clearQuantizerCache(): Unit = quantizers.clear()
 
+  /** Unit-normalize with the zero-guard floor, matching the fit-side SQL
+    * `transform(e, x -> x / greatest(sqrt(aggregate(e, 0D, (a,v) -> a+v*v)),
+    * 1e-30D))` operation-for-operation (index-order sum, sqrt, max-floor,
+    * divide) so UDF-side assignment is bit-identical to fit-side. */
+  private def unitNorm(e: Seq[Double]): Array[Double] = {
+    val arr = e.toArray
+    var ss = 0.0
+    var i = 0
+    while (i < arr.length) { ss += arr(i) * arr(i); i += 1 }
+    val nrm = math.max(math.sqrt(ss), 1e-30)
+    val out = new Array[Double](arr.length)
+    i = 0
+    while (i < arr.length) { out(i) = arr(i) / nrm; i += 1 }
+    out
+  }
+
   /** Indices of the `n` nearest centroids by euclidean distance — the same
     * assignment rule (and first-min tie-break) KMeansModel.transform uses,
     * so cached-centroid assignment matches a fresh model.transform. */
-  private def nearestLists(cs: Array[Array[Double]], en: Seq[Double], n: Int): Array[Int] =
+  private def nearestLists(cs: Array[Array[Double]], en: Array[Double], n: Int): Array[Int] =
     cs.zipWithIndex.map { case (c, i) =>
       var d = 0.0
       var j = 0
@@ -66,31 +82,42 @@ object AnnIvf {
     graft.functions.CosineSimilarity.register(s)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
-      // unit-normalize for the quantizer; the cosine ranking below is
+    val centroids = quantizers.computeIfAbsent((dir, nlist, seed), _ => {
+      // unit-normalize for the quantizer fit; the cosine ranking below is
       // scale-invariant so it keeps using the raw vectors. greatest(..,tiny)
       // keeps an all-zero embedding at the origin instead of NaN-poisoning
-      // the k-means fit and every distance computed from it.
-      .withColumn("en",
+      // the k-means fit and every distance computed from it. This SQL HOF
+      // runs interpreted with the aggregate() re-evaluated per element
+      // (CollapseProject inlines any hoisted norm column right back into
+      // the lambda) — acceptable ONLY here, on the one-time memoized
+      // index-build; the per-query path below normalizes inside the
+      // compiled UDF instead.
+      val fitInput = emb.withColumn("en",
         expr("transform(e, x -> x / greatest(sqrt(aggregate(e, 0D, (a, v) -> a + v * v)), 1e-30D))"))
-    val centroids = quantizers.computeIfAbsent((dir, nlist, seed), _ => {
       val km = new KMeans()
         .setK(nlist).setSeed(seed).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("list_id")
-      km.fit(emb.withColumn("fv", array_to_vector(col("en"))))
+      km.fit(fitInput.withColumn("fv", array_to_vector(col("en"))))
         .clusterCenters.map(_.toArray)
     })
     val bc = s.sparkContext.broadcast(centroids)
     // Corpus side: each vector lands in its single nearest list — identical
     // assignments to model.transform, but from the broadcast centroid array
-    // (nlist x dim doubles) with no ML fit on the query path.
-    val assignList = udf { en: Seq[Double] => nearestLists(bc.value, en, 1).head }
-    val assigned = emb.select(col("vec_id"), col("e"), assignList(col("en")).as("list_id"))
+    // (nlist x dim doubles) with no ML fit on the query path. The UDFs take
+    // the RAW vector and unit-normalize in compiled code (same index-order
+    // fold, sqrt, floor and division as the fit's SQL HOF, so assignments
+    // are bit-identical) — keeping the interpreted-lambda machinery off
+    // the per-query path entirely (it was ~1.5 s of q49's 2.0 s
+    // steady-state at sf0.1: the aggregate() in the lambda body re-runs
+    // for every element, dim x dim evals per row).
+    val assignList = udf { e: Seq[Double] => nearestLists(bc.value, unitNorm(e), 1).head }
+    val assigned = emb.select(col("vec_id"), col("e"), assignList(col("e")).as("list_id"))
 
-    // nprobe nearest centroids per NORMALIZED probe vector
-    val probeLists = udf { en: Seq[Double] => nearestLists(bc.value, en, nprobe) }
+    // nprobe nearest centroids per probe vector (normalized in the UDF)
+    val probeLists = udf { e: Seq[Double] => nearestLists(bc.value, unitNorm(e), nprobe) }
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"),
-        explode(probeLists(col("en"))).as("list_id"))
+        explode(probeLists(col("e"))).as("list_id"))
 
     broadcast(probes)
       .join(assigned.select(col("vec_id"), col("e").as("be"), col("list_id")), Seq("list_id"))

