@@ -27,17 +27,36 @@ object Streaming {
     } else stream
   }
 
-  /** Run a streaming aggregation to completion and return the result. */
+  /** Run a streaming aggregation to completion and return the result.
+    *
+    * State partitions are sized DOWN from the session's batch shuffle
+    * default before the query starts (`spark.sql.shuffle.partitions` is
+    * baked into a streaming query's state layout at first start): every
+    * micro-batch commits one state-store delta per partition per stateful
+    * operator, so partition count multiplies fixed commit I/O while state
+    * volume stays the same. Measured at sf0.1 local[32]: the stream-stream
+    * interval join ran 7-11 s (and swung 30% run-to-run) on 32 state
+    * partitions vs a stable 3.2 s on 8 — the r4/r5 "streaming variance"
+    * was exactly this. On a real cluster, size `graft.streaming
+    * .statePartitions` to state volume (results are partition-invariant).
+    */
   private def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val table = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(table)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val stateParts = s.conf.getOption("graft.streaming.statePartitions")
+      .getOrElse(math.min(8, prev.toInt).toString)
+    s.conf.set(key, stateParts)
+    try {
+      val q = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(table)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
     // The memory sink holds the FULL result on the driver; register the
     // view so the consumer's releaseAll() drops it after the terminal
     // action instead of accreting one table per run for the JVM's life.
