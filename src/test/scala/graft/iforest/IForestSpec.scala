@@ -153,6 +153,43 @@ class IForestSpec extends AnyFunSuite {
     assert(loaded.getNumTrees == 3 && loaded.getMaxDepth == 4 && loaded.getSeed == 17L)
   }
 
+  test("scoring expression: sparse vectors score identically to their dense form") {
+    import spark.implicits._
+    val model = new IForest().setNumTrees(8).setMaxDepth(5).setSeed(11L)
+      .fit(rampData(40, 4))
+    // same 40 vectors, one dataset dense, one sparse (with explicit zeros
+    // dropped) — IForestScore's two denseValues branches must agree
+    val dense = (0 until 40).map(i =>
+      (i.toLong, Vectors.dense(i.toDouble, 0.0, i.toDouble, 0.0))).toDF("id", "features")
+    val sparse = (0 until 40).map(i =>
+      (i.toLong, Vectors.sparse(4, Array(0, 2), Array(i.toDouble, i.toDouble))))
+      .toDF("id", "features")
+    val d = model.transform(dense).select("id", "anomalyScore")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sp = model.transform(sparse).select("id", "anomalyScore")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d.keySet == sp.keySet)
+    d.foreach { case (id, score) => assert(score == sp(id), s"id=$id") }
+  }
+
+  test("scoring expression: interpreted eval matches codegen output") {
+    import spark.implicits._
+    val model = new IForest().setNumTrees(8).setMaxDepth(5).setSeed(11L)
+      .fit(rampData(40, 4))
+    val df = (0 until 40).map(i =>
+      (i.toLong, Vectors.dense(Array.fill(4)(i.toDouble)))).toDF("id", "features")
+    val viaCodegen = model.transform(df).select("id", "anomalyScore")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // force the interpreted path for the same expression tree
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaInterp = model.transform(df).select("id", "anomalyScore")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      viaCodegen.foreach { case (id, score) => assert(score == viaInterp(id), s"id=$id") }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("copy preserves params, threshold, and summary") {
     val model = new IForest().setNumTrees(4).setMaxDepth(4).setSeed(2L)
       .fit(rampData(12, 2))
