@@ -33,8 +33,21 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // SPARK_GRAFT_BENCH_DIAG=1: per-run stderr lines with GC / heap /
+    // codegen-compilation deltas, for diagnosing long-session drift
+    // without touching the timed region or the emitted artifact.
+    val diag = sys.env.get("SPARK_GRAFT_BENCH_DIAG").contains("1")
+    def gcSnapshot(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
+    }
+    def codegenCount(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
     val results = selected.map { case (name, fn) =>
-      val runs = Seq.fill(repeats) {
+      val runs = Seq.tabulate(repeats) { i =>
+        val (gcc0, gct0) = if (diag) gcSnapshot() else (0L, 0L)
+        val cg0 = if (diag) codegenCount() else 0L
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -43,7 +56,18 @@ object Bench {
             errors(name) = (n + 1, first)
         }
         finally graft.queries.Caches.releaseAll()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (diag) {
+          val (gcc1, gct1) = gcSnapshot()
+          val heapMb = {
+            val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+            m.getUsed / (1024 * 1024)
+          }
+          System.err.println(
+            f"DIAG $name run=$i sec=$sec%.3f gcCount=${gcc1 - gcc0} gcMs=${gct1 - gct0} " +
+              s"codegen=${codegenCount() - cg0} heapMB=$heapMb")
+        }
+        sec
       }.sorted
       // True median: mean of the two middle runs when repeats is even
       // (runs(n/2) alone biases high).
