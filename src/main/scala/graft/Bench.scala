@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,33 +42,53 @@ object Bench {
       val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
     }
+    // CodegenMetrics is Spark-internal (not stable API): degrade to -1 if a
+    // future Spark hides it rather than failing the whole bench.
     def codegenCount(): Long =
-      org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
-    val results = selected.map { case (name, fn) =>
-      val runs = Seq.tabulate(repeats) { i =>
-        val (gcc0, gct0) = if (diag) gcSnapshot() else (0L, 0L)
-        val cg0 = if (diag) codegenCount() else 0L
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            val (n, first) = errors.getOrElse(name, (0, e.toString.take(200)))
-            errors(name) = (n + 1, first)
+      scala.util.Try(
+        org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      ).getOrElse(-1L)
+    // Repeats are INTERLEAVED (run the full query cycle `repeats` times)
+    // rather than back-to-back per query: a transient contention window —
+    // GC storm, driver-side concurrent work, OS noise — spans tens of
+    // seconds, so back-to-back repeats put ALL of one query's runs inside
+    // it and even min-of-N reports the inflated number. That was the r5/r6
+    // artifact signature exactly: a different contiguous query block
+    // "regressed" each round (q25+q27 in r5, q30 in r6) and never
+    // reproduced in isolation. Cycling visits each query once per ~40 s
+    // lap, so a window corrupts at most one of its runs and the min
+    // recovers the clean time.
+    def runOnce(name: String, fn: (SparkSession, String) => DataFrame, i: Int): Double = {
+      val (gcc0, gct0) = if (diag) gcSnapshot() else (0L, 0L)
+      val cg0 = if (diag) codegenCount() else 0L
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          val (n, first) = errors.getOrElse(name, (0, e.toString.take(200)))
+          errors(name) = (n + 1, first)
+      }
+      finally graft.queries.Caches.releaseAll()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (diag) {
+        val (gcc1, gct1) = gcSnapshot()
+        val heapMb = {
+          val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+          m.getUsed / (1024 * 1024)
         }
-        finally graft.queries.Caches.releaseAll()
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (diag) {
-          val (gcc1, gct1) = gcSnapshot()
-          val heapMb = {
-            val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
-            m.getUsed / (1024 * 1024)
-          }
-          System.err.println(
-            f"DIAG $name run=$i sec=$sec%.3f gcCount=${gcc1 - gcc0} gcMs=${gct1 - gct0} " +
-              s"codegen=${codegenCount() - cg0} heapMB=$heapMb")
-        }
-        sec
-      }.sorted
+        System.err.println(
+          f"DIAG $name run=$i sec=$sec%.3f gcCount=${gcc1 - gcc0} gcMs=${gct1 - gct0} " +
+            s"codegen=${codegenCount() - cg0} heapMB=$heapMb")
+      }
+      sec
+    }
+    val byQuery = selected.map { case (name, _) =>
+      name -> scala.collection.mutable.ArrayBuffer.empty[Double]
+    }.toMap
+    for (i <- 0 until repeats; (name, fn) <- selected)
+      byQuery(name) += runOnce(name, fn, i)
+    val results = selected.map { case (name, _) =>
+      val runs = byQuery(name).toSeq.sorted
       // True median: mean of the two middle runs when repeats is even
       // (runs(n/2) alone biases high).
       val med =
