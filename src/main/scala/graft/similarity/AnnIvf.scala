@@ -43,8 +43,7 @@ object AnnIvf {
     * `transform(e, x -> x / greatest(sqrt(aggregate(e, 0D, (a,v) -> a+v*v)),
     * 1e-30D))` operation-for-operation (index-order sum, sqrt, max-floor,
     * divide) so UDF-side assignment is bit-identical to fit-side. */
-  private def unitNorm(e: Seq[Double]): Array[Double] = {
-    val arr = e.toArray
+  private[similarity] def unitNorm(arr: Array[Double]): Array[Double] = {
     var ss = 0.0
     var i = 0
     while (i < arr.length) { ss += arr(i) * arr(i); i += 1 }
@@ -58,7 +57,7 @@ object AnnIvf {
   /** Indices of the `n` nearest centroids by euclidean distance — the same
     * assignment rule (and first-min tie-break) KMeansModel.transform uses,
     * so cached-centroid assignment matches a fresh model.transform. */
-  private def nearestLists(cs: Array[Array[Double]], en: Array[Double], n: Int): Array[Int] =
+  private[similarity] def nearestLists(cs: Array[Array[Double]], en: Array[Double], n: Int): Array[Int] =
     cs.zipWithIndex.map { case (c, i) =>
       var d = 0.0
       var j = 0
@@ -101,23 +100,27 @@ object AnnIvf {
         .clusterCenters.map(_.toArray)
     })
     val bc = s.sparkContext.broadcast(centroids)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     // Corpus side: each vector lands in its single nearest list — identical
     // assignments to model.transform, but from the broadcast centroid array
-    // (nlist x dim doubles) with no ML fit on the query path. The UDFs take
-    // the RAW vector and unit-normalize in compiled code (same index-order
-    // fold, sqrt, floor and division as the fit's SQL HOF, so assignments
-    // are bit-identical) — keeping the interpreted-lambda machinery off
-    // the per-query path entirely (it was ~1.5 s of q49's 2.0 s
-    // steady-state at sf0.1: the aggregate() in the lambda body re-runs
-    // for every element, dim x dim evals per row).
-    val assignList = udf { e: Seq[Double] => nearestLists(bc.value, unitNorm(e), 1).head }
-    val assigned = emb.select(col("vec_id"), col("e"), assignList(col("e")).as("list_id"))
+    // (nlist x dim doubles) with no ML fit on the query path. Assignment is
+    // the codegen'd IvfLists expression taking the RAW vector and
+    // unit-normalizing in compiled code (same index-order fold, sqrt, floor
+    // and division as the fit's SQL HOF, so assignments are bit-identical)
+    // — keeping both the interpreted-lambda machinery AND the ScalaUDF
+    // boxing off the per-query path entirely (the former lambda was ~1.5 s
+    // of q49's 2.0 s steady-state at sf0.1: the aggregate() in the lambda
+    // body re-runs for every element, dim x dim evals per row).
+    val assignList = element_at(ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bc, 1)), 1)
+    val assigned = emb.select(col("vec_id"), col("e"), assignList.as("list_id"))
 
-    // nprobe nearest centroids per probe vector (normalized in the UDF)
-    val probeLists = udf { e: Seq[Double] => nearestLists(bc.value, unitNorm(e), nprobe) }
+    // nprobe nearest centroids per probe vector (normalized in the expression)
+    val probeLists = ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bc, nprobe))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"),
-        explode(probeLists(col("e"))).as("list_id"))
+        explode(probeLists).as("list_id"))
 
     broadcast(probes)
       .join(assigned.select(col("vec_id"), col("e").as("be"), col("list_id")), Seq("list_id"))

@@ -32,8 +32,9 @@ import org.apache.spark.sql.functions._
  * cost for recall; measured recall@k against the brute-force baseline is
  * gated in ModulesSpec.
  *
- * The hyperplanes are seeded and broadcast; bucketing is a UDF over the
- * embedding array but runs once per (row, table), not once per pair.
+ * The hyperplanes are seeded and broadcast; bucketing is a native codegen
+ * expression ([[LshBuckets]]) over the embedding array, run once per
+ * (row, table), not once per pair.
  * Not SQL-expressible cross-engine (gaussian planes), so the driver records
  * the rows-only check for this query; correctness against brute force is
  * asserted in ModulesSpec instead.
@@ -47,10 +48,11 @@ object AnnLsh {
     Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** NOTE both kernels take Array, not Seq: Spark's UDF deserializer hands
-    * array<double> to a Seq-typed UDF as a LIST, so positional access in a
-    * dim-length loop is O(dim^2) pointer chasing — measured as ~0.9 s of
-    * the 2000-row index pass at sf0.1. Callers convert once per row. */
+  /** NOTE both kernels take Array, not Seq: a Seq-typed wrapper can hand
+    * array<double> through as a LIST, making positional access in a
+    * dim-length loop O(dim^2) pointer chasing — measured as ~0.9 s of the
+    * 2000-row index pass at sf0.1 in the former UDF. [[LshBuckets]] bulk-
+    * copies the catalyst array to a primitive Array once per row. */
   private[similarity] def projections(vec: Array[Double], ps: Array[Array[Double]],
       from: Int, len: Int): Array[Double] = {
     val dots = new Array[Double](len)
@@ -145,28 +147,22 @@ object AnnLsh {
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
     val bc = s.sparkContext.broadcast(planes(numTables * numPlanes, dim, seed))
-    val tableSpan = 1 << numPlanes
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     // Corpus side: ONE bucket per table per row — index size L per vector.
-    val indexBucketsUdf = udf { e: Seq[Double] =>
-      val arr = e.toArray
-      Array.tabulate(numTables)(t =>
-        t * tableSpan + bucketOf(arr, bc.value, t * numPlanes, numPlanes))
-    }
-    // Probe side: the probesPerTable most-probable buckets per table in
-    // margin order — query-time fan-out only, the index is untouched.
-    val probeBucketsUdf = udf { e: Seq[Double] =>
-      val arr = e.toArray
-      (0 until numTables).flatMap { t =>
-        val dots = projections(arr, bc.value, t * numPlanes, numPlanes)
-        probeSequence(dots, probesPerTable).map(t * tableSpan + _)
-      }.toArray
-    }
+    // Both assignments are codegen'd LshBuckets expressions (no ScalaUDF on
+    // the index-build or probe-fanout path); probe side emits the
+    // probesPerTable most-probable buckets per table in margin order —
+    // query-time fan-out only, the index is untouched.
+    val indexBuckets = ColumnBridge.column(
+      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
+    val probeBuckets = ColumnBridge.column(
+      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable))
     graft.functions.CosineSimilarity.register(s)
     val indexed = emb
-      .select(col("vec_id"), col("e").as("be"), explode(indexBucketsUdf(col("e"))).as("tb"))
+      .select(col("vec_id"), col("e").as("be"), explode(indexBuckets).as("tb"))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"),
-        explode(probeBucketsUdf(col("e"))).as("tb"))
+        explode(probeBuckets).as("tb"))
     // A neighbor sharing buckets in several tables/probes would be ranked
     // (and counted) more than once, so pairs are deduped — AFTER scoring,
     // not before: the cosine is a cheap codegen'd map-side expression, and

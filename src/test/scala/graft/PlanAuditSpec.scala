@@ -82,6 +82,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q31/q49 bucket assignment is a codegen'd native expression, not a ScalaUDF") {
+    // Round-7 upgrade (VERDICT r5 task 4): LSH/IVF bucket assignment runs
+    // once per corpus row — the last place a ScalaUDF's boxing + codegen
+    // fence sat on a hot path. LshBuckets/IvfLists replace them; this pins
+    // that no UDF sneaks back into either ANN plan.
+    for (q <- Seq("q31_ann_lsh", "q49_ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q bucket assignment regressed to a ScalaUDF:\n$p")
+    }
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
