@@ -40,14 +40,33 @@ object Streaming {
     * was exactly this. On a real cluster, size `graft.streaming
     * .statePartitions` to state volume (results are partition-invariant).
     */
+  /** State-store provider for the streaming pack. RocksDB is the default:
+    * the HDFS-backed provider keeps every partition's state map ON HEAP, so
+    * at 100 TB stream-stream join state outgrows executor memory; RocksDB
+    * spills to local disk and bounds heap by its block cache instead
+    * (results are provider-invariant — StateStoreProviderSpec pins that on
+    * q52/q55). Override with `graft.streaming.stateStoreProvider` =
+    * `hdfs` | `rocksdb` | a fully-qualified provider class name. */
+  private[graft] def providerClass(s: SparkSession): String =
+    s.conf.getOption("graft.streaming.stateStoreProvider").getOrElse("rocksdb") match {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case fqcn => fqcn
+    }
+
   private def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val table = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val key = "spark.sql.shuffle.partitions"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get(key)
+    val prevProvider = s.conf.getOption(providerKey)
     val stateParts = s.conf.getOption("graft.streaming.statePartitions")
       .getOrElse(math.min(8, prev.toInt).toString)
     s.conf.set(key, stateParts)
+    s.conf.set(providerKey, providerClass(s))
     try {
       val q = agg.writeStream
         .outputMode(mode)
@@ -56,7 +75,13 @@ object Streaming {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally s.conf.set(key, prev)
+    } finally {
+      s.conf.set(key, prev)
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
     // The memory sink holds the FULL result on the driver; register the
     // view so the consumer's releaseAll() drops it after the terminal
     // action instead of accreting one table per run for the JVM's life.
