@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.iforest.IForest
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Relational, Streaming, TextPipeline}
+import graft.queries.{Advanced, Physical, Relational, Streaming, TextPipeline}
 import graft.similarity.{AnnIvf, AnnLsh}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -65,7 +65,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++ Map(
+    Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++
+      Physical.queries ++ Map(
       "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
       "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
       "q49_ann_ivf" -> ((s: SparkSession, dir: String) => AnnIvf.annTopK(s, dir)),
@@ -79,7 +80,8 @@ object SparkEntry {
     * quantizer — none are expressible as deterministic cross-engine SQL;
     * all are asserted in ScalaTest specs instead). */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++ Map(
+    Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++
+      Physical.oracles ++ Map(
       "q30_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  round(list_avg(list_transform(generate_series(1, length(text)),

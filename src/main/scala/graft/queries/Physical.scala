@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-layout write paths — the output side of a training-data
+ * pipeline. The engine's other queries read parquet and write only the
+ * model; a 100 TB pipeline also WRITES its results as partitioned
+ * (hive-style `partitionBy`, one directory per key, so downstream readers
+ * prune at the scan) and bucketed (`bucketBy`, pre-shuffled on the join
+ * key, so repeated joins pay no exchange) tables. Both are exercised as
+ * oracled queries: the write → read-back → aggregate round-trip must
+ * produce exactly what the oracle computes straight off the source table,
+ * proving the layout step is lossless.
+ *
+ * Output goes under java.io.tmpdir, keyed by the input dir's hash so
+ * concurrent sessions on different SFs never collide; `mode("overwrite")`
+ * makes every run self-contained. PlanAuditSpec asserts the read-back scan
+ * actually prunes (`PartitionFilters`) — writing partitioned data that
+ * downstream scans read in full would be layout theater.
+ */
+object Physical {
+
+  private def outRoot(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_physical_${Integer.toHexString(dir.hashCode)}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hive-style partitioned write + partition-pruned read-back aggregate.
+    // At scale: `source` is low-cardinality (tens of values), so one
+    // directory per source; the read-back filter never touches the other
+    // directories (PartitionFilters at the scan, pinned in PlanAuditSpec).
+    "q56_partitioned_write" -> ((s, dir) => {
+      val out = s"${outRoot(dir)}/docs_by_source"
+      s.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").partitionBy("source").parquet(out)
+      s.read.parquet(out)
+        .filter(col("source").isin("src1", "src2", "src3"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // Bucketed write on the join key + co-located join read-back. Both
+    // sides are bucketed (8, on doc_id/vec_id) and sorted, so the join
+    // consumes bucketed scans with no exchange when broadcast is off —
+    // PartitioningSpec proves the shuffle-free property; at this sandbox
+    // scale AQE may still elect a broadcast, which is also correct.
+    "q57_bucketed_join" -> ((s, dir) => {
+      val root = outRoot(dir)
+      s.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$root/docs_b").saveAsTable("graft_q57_docs")
+      s.read.parquet(s"$dir/embeddings.parquet").select("vec_id")
+        .write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id")
+        .option("path", s"$root/emb_b").saveAsTable("graft_q57_emb")
+      s.table("graft_q57_docs")
+        .join(s.table("graft_q57_emb"), col("doc_id") === col("vec_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // sum(BIGINT) is HUGEINT in DuckDB — cast back so the value hash
+    // matches Spark's long (the r1 q17/q38/q53 lesson).
+    "q56_partitioned_write" ->
+      """SELECT source, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents
+        |WHERE source IN ('src1', 'src2', 'src3')
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    "q57_bucketed_join" ->
+      """SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+  )
+}

@@ -33,9 +33,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
  * `table * 2^numPlanes + bucket` so tables never collide.
  *
  * `probesPerTable == 1`: index side — the vector's own bucket per table
- * (one entry per table). `probesPerTable > 1`: probe side — the
- * `probesPerTable` most-probable buckets per table in margin order
- * (Lv et al.'s query-directed probing sequence).
+ * (one entry per table). `probesPerTable > 1`: probe side — a GLOBAL
+ * budget of `numTables * probesPerTable` buckets, allocated across tables
+ * by merging every table's margin-ordered probe sequence (Lv et al.'s
+ * query-directed probing) into one cheapest-flip-first order. Adaptive
+ * allocation dominates a fixed per-table quota: a query can sit near
+ * bucket borders in one table (cheap, productive flips) and deep inside
+ * a bucket in another (expensive flips that rarely find neighbors) —
+ * the merge spends the scan budget where the margins are tightest. Every
+ * table's own bucket has flip cost 0, so all `numTables` primary buckets
+ * are always probed first.
  */
 case class LshBuckets(
     child: Expression,
@@ -71,23 +78,35 @@ case class LshBuckets(
       }
       new GenericArrayData(out)
     } else {
-      // probeSequence may emit fewer than requested when probesPerTable
-      // exceeds the 2^numPlanes lattice — size from what it returns.
-      val buf = new Array[Int](numTables * probesPerTable)
+      // Each table enumerates up to the FULL budget (a table with uniformly
+      // tight margins may deserve most of it), then the per-table sequences
+      // merge into one cheapest-first order and the budget cuts it off.
+      // probeSequence emits fewer when the budget exceeds the 2^numPlanes
+      // lattice, so the merged pool can also run short of the budget.
+      val budget = numTables * probesPerTable
+      val all = new Array[(Double, Int)](numTables * math.min(budget, tableSpan))
       var n = 0
       var t = 0
       while (t < numTables) {
         val dots = AnnLsh.projections(vec, ps, t * numPlanes, numPlanes)
-        val seq = AnnLsh.probeSequence(dots, probesPerTable)
+        val seq = AnnLsh.probeSequenceWithCosts(dots, budget)
         var i = 0
         while (i < seq.length) {
-          buf(n) = t * tableSpan + seq(i)
+          all(n) = (seq(i)._1, t * tableSpan + seq(i)._2)
           n += 1
           i += 1
         }
         t += 1
       }
-      new GenericArrayData(if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n))
+      val merged = java.util.Arrays.copyOf(all, n)
+      // stable secondary key (bucket id) keeps the order deterministic
+      // across equal costs (e.g. the numTables zero-cost own buckets)
+      java.util.Arrays.sort(merged, Ordering.Tuple2[Double, Int].asInstanceOf[java.util.Comparator[(Double, Int)]])
+      val take = math.min(budget, merged.length)
+      val out = new Array[Int](take)
+      var i = 0
+      while (i < take) { out(i) = merged(i)._2; i += 1 }
+      new GenericArrayData(out)
     }
   }
 

@@ -92,7 +92,13 @@ object AnnLsh {
    * touches O(t log t) heap entries — never the full 2^planes lattice.
    * The first emitted bucket (empty flip set) is the query's own.
    */
-  private[similarity] def probeSequence(dots: Array[Double], t: Int): Array[Int] = {
+  private[similarity] def probeSequence(dots: Array[Double], t: Int): Array[Int] =
+    probeSequenceWithCosts(dots, t).map(_._2)
+
+  /** [[probeSequence]] plus each bucket's total flip cost, so callers can
+    * merge sequences from several tables into one global cheapest-first
+    * order (see [[LshBuckets]]'s adaptive budget allocation). */
+  private[similarity] def probeSequenceWithCosts(dots: Array[Double], t: Int): Array[(Double, Int)] = {
     val planes = dots.length
     var base = 0
     var p = 0
@@ -107,12 +113,12 @@ object AnnLsh {
     val heap = scala.collection.mutable.PriorityQueue.empty[(Double, List[Int])](
       Ordering.by[(Double, List[Int]), Double](_._1).reverse)
     heap.enqueue((0.0, Nil))
-    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
     while (heap.nonEmpty && out.length < t) {
       val (cost, subset) = heap.dequeue()
       var b = base
       subset.foreach(oi => b ^= 1 << (planes - 1 - order(oi)))
-      out += b
+      out += ((cost, b))
       val last = if (subset.isEmpty) -1 else subset.head
       if (last + 1 < planes) {
         // subset lists are kept newest-first so head is the max element
