@@ -108,7 +108,11 @@ object Bench {
     val errs = errors.map { case (k, (n, msg)) =>
       jstr(k) + s""":{"failures":$n,"first":${jstr(msg)}}"""
     }.mkString("{", ",", "}")
+    // "methodology" makes protocol changes machine-visible round-over-round
+    // (the r6→r7 interleaving shift looked like a broad regression until
+    // adjudicated by hand — an artifact field settles that up front).
     println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,""" +
+      s""""methodology":"interleaved","statistic":"median_of_repeats",""" +
       s""""queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}""")
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")

@@ -45,18 +45,24 @@ object Physical {
     // Bucketed write on the join key + co-located join read-back. Both
     // sides are bucketed (8, on doc_id/vec_id) and sorted, so the join
     // consumes bucketed scans with no exchange when broadcast is off —
-    // PartitioningSpec proves the shuffle-free property; at this sandbox
-    // scale AQE may still elect a broadcast, which is also correct.
+    // PlanAuditSpec pins the no-Exchange property on this very query; at
+    // this sandbox scale AQE may still elect a broadcast, also correct.
+    // Table names carry the same dir-hash as the paths: the catalog is
+    // shared across all sessions of one SparkContext, so bare names would
+    // let concurrent runs on different SFs clobber each other's entry.
     "q57_bucketed_join" -> ((s, dir) => {
       val root = outRoot(dir)
+      val suffix = Integer.toHexString(dir.hashCode)
+      val docsTable = s"graft_q57_docs_$suffix"
+      val embTable = s"graft_q57_emb_$suffix"
       s.read.parquet(s"$dir/documents.parquet")
         .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
-        .option("path", s"$root/docs_b").saveAsTable("graft_q57_docs")
+        .option("path", s"$root/docs_b").saveAsTable(docsTable)
       s.read.parquet(s"$dir/embeddings.parquet").select("vec_id")
         .write.mode("overwrite").bucketBy(8, "vec_id").sortBy("vec_id")
-        .option("path", s"$root/emb_b").saveAsTable("graft_q57_emb")
-      s.table("graft_q57_docs")
-        .join(s.table("graft_q57_emb"), col("doc_id") === col("vec_id"))
+        .option("path", s"$root/emb_b").saveAsTable(embTable)
+      s.table(docsTable)
+        .join(s.table(embTable), col("doc_id") === col("vec_id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))

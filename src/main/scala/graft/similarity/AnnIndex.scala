@@ -1,0 +1,196 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Parquet persistence for the ANN indexes, mirroring the iforest model
+ * round-trip ([[graft.iforest.IForestModel]]'s data + metadata layout).
+ *
+ * [[AnnLsh]]/[[AnnIvf]] rebuild their index structures (hyperplanes +
+ * bucket assignments, k-means centroids + inverted lists) on every
+ * session; a real deployment builds the index ONCE next to the data and
+ * every query session loads it. Layout under `<path>/`:
+ *
+ *  - `metadata/` — one JSON row of knobs (method, numPlanes/numTables/
+ *    probesPerTable or nlist/nprobe, seed, dim), so a loader never has to
+ *    guess the knobs the index was built with;
+ *  - `model/` — the geometry: (plane_id, weights) hyperplane rows for
+ *    LSH, (list_id, center) centroid rows for IVF. Doubles round-trip
+ *    parquet bit-exactly, so probe-side bucket assignment from a loaded
+ *    index is bit-identical to the build session's;
+ *  - `assignments/` — the index proper: (tb, vec_id) bucket rows for LSH
+ *    (L rows per vector), (list_id, vec_id) for IVF (1 row per vector).
+ *    Embeddings are NOT duplicated into the index — queries join
+ *    assignments back to the corpus table on vec_id, so the index stays
+ *    a few percent of the data size and the corpus remains the single
+ *    source of truth for vectors.
+ *
+ * At 100 TB the assignments write/read is an embarrassingly parallel
+ * column scan; the geometry is kilobytes. AnnIndexSpec proves the
+ * round-trip: a loaded index reproduces the direct q31/q49 results
+ * bit-for-bit.
+ */
+object AnnIndex {
+
+  private case class LshMeta(method: String, numPlanes: Int, numTables: Int,
+      probesPerTable: Int, seed: Long, dim: Int)
+  private case class IvfMeta(method: String, nlist: Int, nprobe: Int,
+      seed: Long, dim: Int)
+
+  private def writeMeta(s: SparkSession, path: String, json: String): Unit = {
+    import s.implicits._
+    s.createDataset(Seq(json)).repartition(1).write.mode("overwrite").text(s"$path/metadata")
+  }
+
+  private def readMeta(s: SparkSession, path: String): org.json4s.JValue = {
+    import s.implicits._
+    org.json4s.jackson.JsonMethods.parse(
+      s.read.text(s"$path/metadata").as[String].collect().mkString("\n"))
+  }
+
+  // ---------------------------------------------------------------- LSH --
+
+  /** Build the LSH index for `dir`'s embeddings and persist it at `path`. */
+  def saveLsh(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      numPlanes: Int = 10,
+      numTables: Int = 6,
+      probesPerTable: Int = 64,
+      seed: Long = 7919L): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val dim = emb.selectExpr("size(e)").first().getInt(0)
+    val planes = AnnLsh.planes(numTables * numPlanes, dim, seed)
+    writeMeta(s, path, compact(render(
+      ("method" -> "lsh") ~ ("numPlanes" -> numPlanes) ~ ("numTables" -> numTables) ~
+        ("probesPerTable" -> probesPerTable) ~ ("seed" -> seed) ~ ("dim" -> dim))))
+    import s.implicits._
+    s.createDataset(planes.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) })
+      .toDF("plane_id", "weights")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+    val bc = s.sparkContext.broadcast(planes)
+    val indexBuckets = ColumnBridge.column(
+      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
+    emb.select(col("vec_id"), explode(indexBuckets).as("tb"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /**
+   * Top-k cosine neighbors from a PERSISTED LSH index: probe-side buckets
+   * are computed from the loaded hyperplanes; candidate vectors come from
+   * joining the loaded (tb, vec_id) assignments back to the corpus.
+   * Bit-identical to [[AnnLsh.annTopK]] at the index's knobs.
+   */
+  def lshTopK(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      numProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    val numPlanes = (meta \ "numPlanes").extract[Int]
+    val numTables = (meta \ "numTables").extract[Int]
+    val probesPerTable = (meta \ "probesPerTable").extract[Int]
+    val planes = s.read.parquet(s"$path/model").orderBy("plane_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bc = s.sparkContext.broadcast(planes)
+    graft.functions.CosineSimilarity.register(s)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val probeBuckets = ColumnBridge.column(
+      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"), col("e").as("ae"), explode(probeBuckets).as("tb"))
+    val assignments = s.read.parquet(s"$path/assignments")
+    // probes × assignments is the same bucket equi-join as the direct
+    // path; the second join rehydrates candidate vectors from the corpus
+    // (broadcast probes stay the small side; the vec_id join is a plain
+    // shuffled hash join that scales with the candidate pool, not the
+    // corpus).
+    val scored = broadcast(probes)
+      .join(assignments, Seq("tb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(emb.select(col("vec_id"), col("e").as("be")), Seq("vec_id"))
+      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+      .dropDuplicates("q_id", "neighbor_id")
+    graft.plans.TopKPerKey.topK(scored, "q_id", "cos", "neighbor_id", k, "cosine")
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------- IVF --
+
+  /** Build the IVF index for `dir`'s embeddings and persist it at `path`. */
+  def saveIvf(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      nlist: Int = 256,
+      nprobe: Int = 32,
+      seed: Long = 4099L): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val dim = emb.selectExpr("size(e)").first().getInt(0)
+    // reuse the memoized quantizer fit via candidates' cache key
+    val centroids = AnnIvf.fitQuantizer(s, dir, nlist, seed)
+    writeMeta(s, path, compact(render(
+      ("method" -> "ivf") ~ ("nlist" -> nlist) ~ ("nprobe" -> nprobe) ~
+        ("seed" -> seed) ~ ("dim" -> dim))))
+    import s.implicits._
+    s.createDataset(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("list_id", "center")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+    val bc = s.sparkContext.broadcast(centroids)
+    val assignList = element_at(ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bc, 1)), 1)
+    emb.select(col("vec_id"), assignList.as("list_id"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /**
+   * Top-k cosine neighbors from a PERSISTED IVF index — loaded centroids
+   * assign probe lists; loaded (list_id, vec_id) assignments supply the
+   * candidates. Bit-identical to [[AnnIvf.annTopK]] at the index's knobs.
+   */
+  def ivfTopK(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      numProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    val nprobe = (meta \ "nprobe").extract[Int]
+    val centroids = s.read.parquet(s"$path/model").orderBy("list_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bc = s.sparkContext.broadcast(centroids)
+    graft.functions.CosineSimilarity.register(s)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val probeLists = ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bc, nprobe))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"), col("e").as("ae"), explode(probeLists).as("list_id"))
+    val assignments = s.read.parquet(s"$path/assignments")
+    val scored = broadcast(probes)
+      .join(assignments, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(emb.select(col("vec_id"), col("e").as("be")), Seq("vec_id"))
+      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+    graft.plans.TopKPerKey.topK(scored, "q_id", "cos", "neighbor_id", k, "cosine")
+      .orderBy(col("q_id"), col("rn"))
+  }
+}

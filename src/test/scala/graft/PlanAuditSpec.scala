@@ -105,6 +105,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
+  test("q56 read-back scan prunes partitions (non-empty PartitionFilters on source)") {
+    // The partitioned write is only worth its shuffle if downstream scans
+    // skip the unselected directories — a regression to a full-scan
+    // read-back (e.g. losing partitionBy, or filtering after a repartition)
+    // would still pass the correctness oracle. Pin the pruning itself.
+    val p = plan("q56_partitioned_write")
+    val pf = """PartitionFilters: \[[^\]]*src1[^\]]*\]""".r
+    assert(pf.findFirstIn(p).isDefined,
+      s"q56 read-back does not push the source filter to partition pruning:\n$p")
+  }
+
+  test("q57 join consumes bucketed scans with no exchange on the join keys") {
+    // Bucketed layout exists to pre-pay the join shuffle once at write
+    // time. With broadcast disabled, the sort-merge join must consume the
+    // bucketed scans directly: 8 of 8 buckets selected on each side and no
+    // Exchange hashpartitioning on doc_id/vec_id. (The post-join groupBy
+    // still exchanges on `source` — that one is expected.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q57_bucketed_join")
+      assert(p.contains("SelectedBucketsCount: 8 out of 8"),
+        s"q57 scans are not bucketed:\n$p")
+      for (key <- Seq("doc_id", "vec_id")) {
+        assert(!s"""Exchange hashpartitioning\\($key""".r.findFirstIn(p).isDefined,
+          s"q57 shuffles on $key despite the bucketed layout:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("iforest scoring is a codegen'd native expression, not a ScalaUDF") {
     // Round-5 upgrade (VERDICT r4 task 1): the scoring projection must show
     // the native iforest_score expression inside a whole-stage-codegen span

@@ -1,0 +1,60 @@
+package graft.similarity
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Round-trip proof for the persisted ANN indexes: an index written to
+  * parquet and loaded back must reproduce the live [[AnnLsh]]/[[AnnIvf]]
+  * results bit-for-bit — the same guarantee the iforest model round-trip
+  * gives (same scores from a loaded model as from the fitted one). */
+class AnnIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val root =
+    s"${sys.props("java.io.tmpdir")}/graft_ann_index_${Integer.toHexString(sf.hashCode)}"
+
+  /** Collected (q_id, neighbor_id, cosine-bits, rn) rows — cosine compared
+    * via raw long bits so "bit-for-bit" means exactly that. */
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Int)] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+      java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getInt(3)))
+
+  test("LSH: persisted index reproduces the live annTopK bit-for-bit") {
+    val path = s"$root/lsh"
+    AnnIndex.saveLsh(spark, sf, path)
+    val live = rows(AnnLsh.annTopK(spark, sf, numProbes = 5, k = 5))
+    val loaded = rows(AnnIndex.lshTopK(spark, sf, path, numProbes = 5, k = 5))
+    assert(loaded == live)
+  }
+
+  test("LSH: persisted metadata drives the loaded probe knobs") {
+    // An index saved with non-default knobs must be queried with those
+    // knobs, not the library defaults — the loader reads them from
+    // metadata, so a knob mismatch between writer and reader is impossible.
+    val path = s"$root/lsh_alt"
+    AnnIndex.saveLsh(spark, sf, path, numPlanes = 8, numTables = 5, probesPerTable = 28)
+    val live = rows(AnnLsh.annTopK(spark, sf, numProbes = 5, k = 5,
+      numPlanes = 8, numTables = 5, probesPerTable = 28))
+    val loaded = rows(AnnIndex.lshTopK(spark, sf, path, numProbes = 5, k = 5))
+    assert(loaded == live)
+  }
+
+  test("IVF: persisted index reproduces the live annTopK bit-for-bit") {
+    val path = s"$root/ivf"
+    AnnIndex.saveIvf(spark, sf, path)
+    val live = rows(AnnIvf.annTopK(spark, sf, numProbes = 5, k = 5))
+    val loaded = rows(AnnIndex.ivfTopK(spark, sf, path, numProbes = 5, k = 5))
+    assert(loaded == live)
+  }
+
+  test("IVF: loaded index needs no k-means fit (quantizer cache cold)") {
+    val path = s"$root/ivf"
+    // the index from the previous test is on disk; clearing the memo
+    // proves ivfTopK reads centroids from parquet instead of refitting
+    AnnIvf.clearQuantizerCache()
+    val loaded = AnnIndex.ivfTopK(spark, sf, path, numProbes = 5, k = 5).collect()
+    assert(loaded.nonEmpty)
+  }
+}
