@@ -23,6 +23,50 @@ object SparkEntry {
     iforestScore(spark, "/root/testdata/sf0.001")
 
   /**
+   * Planned task count of the scan stage, estimated from the PHYSICAL plan
+   * (`queryExecution.sparkPlan`, pre-AQE) — never from `df.rdd`, which
+   * would build the full RDD lineage and a second QueryExecution just to
+   * read a partition count. File scans replicate Spark's own
+   * `FilePartition` sizing arithmetic (bytes + per-file open cost, packed
+   * into min(maxPartitionBytes, max(openCost, bytesPerCore)) bins); Range
+   * leaves report their slice count; unknown leaves are assumed parallel
+   * enough (the guard then stays a no-op, never a surprise shuffle).
+   */
+  private[graft] def plannedScanTasks(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RangeExec}
+    val conf = df.sparkSession.sessionState.conf
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: FileSourceScanExec =>
+        // Same arithmetic as FilePartition.maxSplitBytes + getFilePartitions
+        // (split each file at maxSplit, sort splits descending, first-fit
+        // pack with a per-file open-cost pad). The listing is the one the
+        // planner already cached in the FileIndex — no extra FS round-trip.
+        val openCost = conf.filesOpenCostInBytes
+        val fileLens = f.relation.location.listFiles(Nil, Nil)
+          .flatMap(_.files.map(_.getLen))
+        val totalBytes = fileLens.map(_ + openCost).sum
+        val bytesPerCore = totalBytes / math.max(1L, conf.filesMinPartitionNum.getOrElse(cores).toLong)
+        val maxSplit = math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore))
+        val splits = fileLens
+          .flatMap(len => (0L until len by maxSplit).map(off => math.min(maxSplit, len - off)))
+          .sortBy(-_)
+        var nParts = 0
+        var cur = 0L
+        var open = false
+        splits.foreach { s =>
+          if (open && cur + s > maxSplit) { nParts += 1; cur = 0L; open = false }
+          cur += s + openCost
+          open = true
+        }
+        if (open) nParts += 1
+        math.max(1, nParts)
+      case r: RangeExec => r.numSlices
+      case _ => cores
+    }.foldLeft(Int.MaxValue)(math.min)
+  }
+
+  /**
    * Re-spread only when the scan planned fewer partitions than cores. The
    * testdata parquet is one row group per file — unsplittable, so without
    * this every scan-rooted stage runs as ONE task; at cluster scale the
@@ -32,7 +76,7 @@ object SparkEntry {
    */
   private[graft] def respread(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (plannedScanTasks(df) < cores) df.repartition(cores) else df
   }
 
   private def iforestScore(spark: SparkSession, dir: String): DataFrame = {
@@ -63,6 +107,23 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"), col("anomalyScore"), col("prediction"))
   }
 
+  /**
+   * Persisted-index ANN on the query surface: build the LSH index ONCE
+   * (if absent) under the q56-style tmpdir root, then answer top-k from
+   * the LOADED index — the deployment shape where the index lives next to
+   * the data and query sessions never pay the build. Repeat runs (bench
+   * laps 2+) measure the pure load-probe-join path. The completion marker
+   * is `assignments/_SUCCESS`, the LAST piece saveLsh writes, so a killed
+   * half-built index rebuilds instead of being served.
+   */
+  private def annPersisted(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props("java.io.tmpdir")}/" +
+      s"graft_ann_index_${Integer.toHexString(dir.hashCode)}/lsh_q58"
+    if (!new java.io.File(s"$path/assignments/_SUCCESS").exists())
+      graft.similarity.AnnIndex.saveLsh(s, dir, path)
+    graft.similarity.AnnIndex.lshTopK(s, dir, path)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++
@@ -70,6 +131,7 @@ object SparkEntry {
       "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
       "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
       "q49_ann_ivf" -> ((s: SparkSession, dir: String) => AnnIvf.annTopK(s, dir)),
+      "q58_ann_persisted" -> ((s: SparkSession, dir: String) => annPersisted(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
@@ -77,8 +139,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops (those get
     * the driver's rows-only check: iforest_score is seeded-RNG model output,
     * q31_ann_lsh buckets by gaussian hyperplanes, q49_ann_ivf by a k-means
-    * quantizer — none are expressible as deterministic cross-engine SQL;
-    * all are asserted in ScalaTest specs instead). */
+    * quantizer, q58_ann_persisted replays q31's buckets from a persisted
+    * index — none are expressible as deterministic cross-engine SQL; all
+    * are asserted in ScalaTest specs instead, q58 bit-for-bit against the
+    * live path in AnnIndexSpec). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++
       Physical.oracles ++ Map(

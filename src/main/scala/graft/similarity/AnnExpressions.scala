@@ -43,14 +43,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
  *    buckets, merged cheapest-flip-first across tables, so the scan
  *    budget concentrates where the margins are tightest.
  *
- * Measured head-to-head on the sandbox embeddings (AnnTune, 25 probes,
- * sf0.001, planes=10 tables=6 probes=64): fixed 0.864 recall@5 at 0.206
- * scan vs adaptive 0.848 at 0.210 — the fixed quota wins on BOTH axes
- * there and at every other swept point, because concentrating the budget
- * in one low-margin table buys duplicate candidates (tables hash the same
- * vectors) while a guaranteed per-table floor keeps the tables'
- * independent-miss product working. The adaptive merge is kept behind the
- * flag for re-measurement, not used by the shipped defaults.
+ * Measured head-to-head on the sandbox embeddings (TUNE_r9.txt, the
+ * committed AnnTune grid; 25 probes, sf0.001, planes=10 tables=6
+ * probes=64): fixed 0.808 recall@5 at 0.333 scan vs adaptive 0.760 at
+ * 0.339 — the fixed quota wins on BOTH axes there and at every other
+ * swept (planes, tables, probes) pair in the artifact, because
+ * concentrating the budget in one low-margin table buys duplicate
+ * candidates (tables hash the same vectors) while a guaranteed per-table
+ * floor keeps the tables' independent-miss product working. The adaptive
+ * merge is kept behind the flag for re-measurement, not used by the
+ * shipped defaults.
  */
 case class LshBuckets(
     child: Expression,

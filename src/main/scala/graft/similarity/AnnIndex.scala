@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
  * every query session loads it. Layout under `<path>/`:
  *
  *  - `metadata/` — one JSON row of knobs (method, numPlanes/numTables/
- *    probesPerTable or nlist/nprobe, seed, dim), so a loader never has to
- *    guess the knobs the index was built with;
+ *    probesPerTable/adaptive/minCollisions or nlist/nprobe, seed, dim),
+ *    so a loader never has to guess the knobs the index was built with —
+ *    including the query-side vote threshold, which changes results;
  *  - `model/` — the geometry: (plane_id, weights) hyperplane rows for
  *    LSH, (list_id, center) centroid rows for IVF. Doubles round-trip
  *    parquet bit-exactly, so probe-side bucket assignment from a loaded
@@ -34,7 +35,7 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   private case class LshMeta(method: String, numPlanes: Int, numTables: Int,
-      probesPerTable: Int, seed: Long, dim: Int)
+      probesPerTable: Int, adaptive: Boolean, minCollisions: Int, seed: Long, dim: Int)
   private case class IvfMeta(method: String, nlist: Int, nprobe: Int,
       seed: Long, dim: Int)
 
@@ -51,15 +52,20 @@ object AnnIndex {
 
   // ---------------------------------------------------------------- LSH --
 
-  /** Build the LSH index for `dir`'s embeddings and persist it at `path`. */
+  /** Build the LSH index for `dir`'s embeddings and persist it at `path`.
+    * ALL query-side knobs (probe width, budget allocation, collision-vote
+    * threshold) go into metadata too, so a loaded index reproduces the
+    * configuration it was tuned for even if library defaults later move. */
   def saveLsh(
       s: SparkSession,
       dir: String,
       path: String,
       numPlanes: Int = 10,
-      numTables: Int = 6,
-      probesPerTable: Int = 64,
-      seed: Long = 7919L): Unit = {
+      numTables: Int = 10,
+      probesPerTable: Int = 160,
+      seed: Long = 7919L,
+      adaptive: Boolean = false,
+      minCollisions: Int = 3): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
@@ -69,7 +75,8 @@ object AnnIndex {
     val planes = AnnLsh.planes(numTables * numPlanes, dim, seed)
     writeMeta(s, path, compact(render(
       ("method" -> "lsh") ~ ("numPlanes" -> numPlanes) ~ ("numTables" -> numTables) ~
-        ("probesPerTable" -> probesPerTable) ~ ("seed" -> seed) ~ ("dim" -> dim))))
+        ("probesPerTable" -> probesPerTable) ~ ("adaptive" -> adaptive) ~
+        ("minCollisions" -> minCollisions) ~ ("seed" -> seed) ~ ("dim" -> dim))))
     import s.implicits._
     s.createDataset(planes.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) })
       .toDF("plane_id", "weights")
@@ -100,6 +107,10 @@ object AnnIndex {
     val numPlanes = (meta \ "numPlanes").extract[Int]
     val numTables = (meta \ "numTables").extract[Int]
     val probesPerTable = (meta \ "probesPerTable").extract[Int]
+    // adaptive/minCollisions default for indexes written before r9 carried
+    // them; current saveLsh always persists both.
+    val adaptive = (meta \ "adaptive").extractOrElse[Boolean](false)
+    val minCollisions = (meta \ "minCollisions").extractOrElse[Int](1)
     val planes = s.read.parquet(s"$path/model").orderBy("plane_id")
       .collect().map(_.getSeq[Double](1).toArray)
     val bc = s.sparkContext.broadcast(planes)
@@ -107,21 +118,31 @@ object AnnIndex {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val probeBuckets = ColumnBridge.column(
-      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable))
+      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
+        adaptive))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"), explode(probeBuckets).as("tb"))
     val assignments = s.read.parquet(s"$path/assignments")
     // probes × assignments is the same bucket equi-join as the direct
-    // path; the second join rehydrates candidate vectors from the corpus
-    // (broadcast probes stay the small side; the vec_id join is a plain
-    // shuffled hash join that scales with the candidate pool, not the
-    // corpus).
-    val scored = broadcast(probes)
-      .join(assignments, Seq("tb"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .join(emb.select(col("vec_id"), col("e").as("be")), Seq("vec_id"))
-      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
-      .dropDuplicates("q_id", "neighbor_id")
+    // path; candidate vectors are rehydrated from the corpus (broadcast
+    // probes stay the small side; the vec_id join is a plain shuffled hash
+    // join that scales with the candidate pool, not the corpus). The vote
+    // path is AnnLsh's own scoreVoted, so a persisted voting index runs
+    // the identical plan to the live q31 default.
+    val scored =
+      if (minCollisions <= 1) {
+        broadcast(probes)
+          .join(assignments, Seq("tb"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .join(emb.select(col("vec_id"), col("e").as("be")), Seq("vec_id"))
+          .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+          .dropDuplicates("q_id", "neighbor_id")
+      } else {
+        AnnLsh.scoreVoted(probes.select("q_id", "tb"), assignments,
+          emb.filter(col("vec_id") < numProbes)
+            .select(col("vec_id").as("q_id"), col("e").as("ae")),
+          emb.select(col("vec_id"), col("e").as("be")), minCollisions)
+      }
     graft.plans.TopKPerKey.topK(scored, "q_id", "cos", "neighbor_id", k, "cosine")
       .orderBy(col("q_id"), col("rn"))
   }

@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
  * minimizes is monotone in the cosine the final ranking maximizes
  * (||a-b||^2 = 2 - 2*cos on the unit sphere). Quantizing the raw vectors
  * instead partitions by magnitude as much as by direction and silently
- * tanks recall — measured recall@5 on the test embeddings: 0.44 raw vs
- * the gated floor with normalization (ModulesSpec).
+ * tanks recall to roughly half the normalized quantizer's gated floor
+ * (ModulesSpec pins the floor; TUNE_r9.txt holds the swept points).
  *
  * The k-means fit is seeded but engine-specific, so (like AnnLsh) this is
  * a rows-only query for the driver; ModulesSpec asserts cosine
@@ -97,10 +97,11 @@ object AnnIvf {
   /** Inverted-list-pruned, cosine-scored candidate pairs — the pool
     * [[annTopK]] ranks, as (q_id, neighbor_id, cos). Exposed separately so
     * tests can count pool sizes directly instead of ranking with a
-    * sentinel k. Default knobs land the measured r8 operating point:
+    * sentinel k. Default knobs land the measured operating point:
     * recall@5 0.912 at scan fraction 0.196 on the sandbox embeddings
-    * (AnnTune sweep over nlist 128/192/256 x nprobe 26-48; gated in
-    * ModulesSpec at recall >= 0.85, scan <= 0.25). */
+    * (TUNE_r9.txt, "ivf nlist=256 nprobe=32" — the committed AnnTune
+    * sweep over nlist 128/192/256 x nprobe 26-48; gated in ModulesSpec
+    * at recall >= 0.85, scan <= 0.25). */
   def candidates(
       s: SparkSession,
       dir: String,

@@ -24,8 +24,7 @@ import org.apache.spark.sql.functions._
  * Hamming-ball probing at equal scan cost: a bit whose projection sits
  * near zero is far likelier to separate a true neighbor than a
  * high-margin bit, so the ball is crossed in likelihood order, not index
- * order (measured on the sandbox embeddings: recall@5 0.66 vs 0.51 at the
- * same ~0.3 scan fraction). Only probes fan out; corpus rows still index
+ * order. Only probes fan out; corpus rows still index
  * into one bucket per table, so the index stays L rows per vector and the
  * scanned fraction is bounded by L*probesPerTable/2^numPlanes of the
  * corpus before the collision vote below cuts it further.
@@ -36,13 +35,17 @@ import org.apache.spark.sql.functions._
  * in at least `minCollisions` buckets are cosine-scored. A true neighbor
  * multi-collides (per-table collision probabilities compound across wide
  * probing); a background vector that stumbled into one probed bucket
- * stops there. On the sandbox embeddings the vote moved the whole
- * recall/scan frontier: the r7 no-vote default measured recall@5 0.888
- * at scan 0.451, while the r8 default (10 planes x 10 tables, 160 probes
- * per table, minCollisions=3, picked by the AnnTune grid) measures 0.920
- * at 0.244 — higher recall than any no-vote point at barely half the
- * distance computations. The (recall >= 0.85, scan <= 0.25) pair is
- * gated in ModulesSpec.
+ * stops there. The vote moves the whole recall/scan frontier. Measured
+ * (TUNE_r9.txt, the committed AnnTune grid this file's numbers are
+ * required to come from): the best no-vote point at 6 tables x 64 probes
+ * is recall@5 0.808 at scan 0.333, while the SHIPPED DEFAULT below —
+ * 10 planes x 10 tables, 160 probes per table, minCollisions=3
+ * ("lsh planes=10 tables=10 probes=160 minC=3") — measures 0.920 at
+ * 0.244: higher recall than any no-vote point at a fraction of the
+ * distance computations. ModulesSpec gates the default at
+ * (recall >= 0.85, scan <= 0.25) and also logs the PRE-VOTE id-pair pool
+ * (the id-only aggregation's input) to RECALL.jsonl, so the cheap-filter
+ * work the scan number excludes stays visible.
  *
  * The hyperplanes are seeded and broadcast; bucketing is a native codegen
  * expression ([[LshBuckets]]) over the embedding array, run once per
@@ -158,11 +161,11 @@ object AnnLsh {
       dir: String,
       numProbes: Int = 5,
       numPlanes: Int = 10,
-      numTables: Int = 6,
-      probesPerTable: Int = 64,
+      numTables: Int = 10,
+      probesPerTable: Int = 160,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 1): DataFrame = {
+      minCollisions: Int = 3): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
@@ -199,30 +202,44 @@ object AnnLsh {
         .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
         .dropDuplicates("q_id", "neighbor_id")
     } else {
-      // COLLISION VOTING: count bucket co-occurrences per (probe, vector)
-      // pair FIRST — ids only, no vectors through the shuffle — and score
-      // only pairs colliding in >= minCollisions probed buckets. A true
-      // neighbor multi-collides (its per-table collision probabilities
-      // compound); a background vector that stumbled into one probed
-      // bucket usually stops there, so the vote filter drops a large slice
-      // of the candidate pool while costing only the neighbors that
-      // collided exactly once. This trades a second (cheap, id-only)
-      // aggregation for fewer distance computations — the right trade
-      // whenever the vectors are wide. Vectors are rehydrated afterwards:
-      // probes from a broadcast (numProbes rows), candidates from a hash
-      // join against the corpus that scales with the filtered pool.
-      val hits = broadcast(probes.select("q_id", "tb"))
-        .join(indexed.select(col("vec_id"), col("tb")), Seq("tb"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id").agg(count(lit(1)).as("n_hits"))
-        .filter(col("n_hits") >= minCollisions)
-      val probeVecs = emb.filter(col("vec_id") < numProbes)
-        .select(col("vec_id").as("q_id"), col("e").as("ae"))
-      hits
-        .join(broadcast(probeVecs), Seq("q_id"))
-        .join(emb.select(col("vec_id"), col("e").as("be")), Seq("vec_id"))
-        .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+      scoreVoted(probes.select("q_id", "tb"), indexed.select(col("vec_id"), col("tb")),
+        emb.filter(col("vec_id") < numProbes)
+          .select(col("vec_id").as("q_id"), col("e").as("ae")),
+        emb.select(col("vec_id"), col("e").as("be")), minCollisions)
     }
+  }
+
+  /**
+   * COLLISION VOTING: count bucket co-occurrences per (probe, vector)
+   * pair FIRST — ids only, no vectors through the shuffle — and score
+   * only pairs colliding in >= minCollisions probed buckets. A true
+   * neighbor multi-collides (its per-table collision probabilities
+   * compound); a background vector that stumbled into one probed
+   * bucket usually stops there, so the vote filter drops a large slice
+   * of the candidate pool while costing only the neighbors that
+   * collided exactly once. This trades a second (cheap, id-only)
+   * aggregation for fewer distance computations — the right trade
+   * whenever the vectors are wide. Vectors are rehydrated afterwards:
+   * probes from a broadcast (numProbes rows), candidates from a hash
+   * join against the corpus that scales with the filtered pool.
+   * Shared by the live path above and [[AnnIndex.lshTopK]]'s loaded
+   * (tb, vec_id) assignments, so persisted-index voting is the same plan.
+   */
+  private[similarity] def scoreVoted(
+      probeIds: DataFrame,   // (q_id, tb)
+      indexIds: DataFrame,   // (vec_id, tb)
+      probeVecs: DataFrame,  // (q_id, ae)
+      corpusVecs: DataFrame, // (vec_id, be)
+      minCollisions: Int): DataFrame = {
+    val hits = broadcast(probeIds)
+      .join(indexIds, Seq("tb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minCollisions)
+    hits
+      .join(broadcast(probeVecs), Seq("q_id"))
+      .join(corpusVecs, Seq("vec_id"))
+      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
   }
 
   /**
@@ -236,11 +253,11 @@ object AnnLsh {
       numProbes: Int = 5,
       k: Int = 5,
       numPlanes: Int = 10,
-      numTables: Int = 6,
-      probesPerTable: Int = 64,
+      numTables: Int = 10,
+      probesPerTable: Int = 160,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 1): DataFrame = {
+      minCollisions: Int = 3): DataFrame = {
     val scored = candidates(s, dir, numProbes, numPlanes, numTables, probesPerTable, seed,
       adaptive, minCollisions)
     // Bounded top-k aggregation (not a rank window): candidates are already

@@ -154,12 +154,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val cores = spark.sparkContext.defaultParallelism
     val wide = spark.range(0, 10000, 1, cores).toDF("id")
     // respread must be the identity (same plan, no RoundRobin shuffle) when
-    // the input already has >= cores partitions
+    // the planned scan already has >= cores tasks
     val out = SparkEntry.respread(wide)
     assert(out eq wide, "respread shuffled an already-parallel input")
     val narrow = spark.range(0, 100, 1, 1).toDF("id")
     assert(SparkEntry.respread(narrow).rdd.getNumPartitions == cores,
       "respread did not spread a single-partition input")
+    // The probe must read the PLAN, not df.rdd (materializing RDD lineage
+    // at plan-build time was the r6-r8 blemish): a one-row-group testdata
+    // parquet file plans fewer tasks than cores, so the guard fires, and
+    // the estimate agrees with what Spark actually schedules.
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val estimated = SparkEntry.plannedScanTasks(li)
+    assert(estimated < cores, s"tiny single-file scan estimated $estimated tasks")
+    assert(estimated == li.rdd.getNumPartitions, // test-side .rdd is the oracle
+      "planned-scan estimate diverges from Spark's actual file packing")
   }
 
   test("q44 theta join is the one query allowed to nested-loop (dims only)") {

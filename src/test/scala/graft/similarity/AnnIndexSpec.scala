@@ -41,6 +41,19 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(loaded == live)
   }
 
+  test("LSH: persisted no-vote index (minCollisions=1) reproduces that live path") {
+    // minCollisions is a QUERY-side knob that changes results, so it must
+    // round-trip through metadata like the geometry knobs: an index saved
+    // for the no-vote configuration must be queried without the vote even
+    // though the library default is now the voting point.
+    val path = s"$root/lsh_novote"
+    AnnIndex.saveLsh(spark, sf, path, numTables = 6, probesPerTable = 64, minCollisions = 1)
+    val live = rows(AnnLsh.annTopK(spark, sf, numProbes = 5, k = 5,
+      numTables = 6, probesPerTable = 64, minCollisions = 1))
+    val loaded = rows(AnnIndex.lshTopK(spark, sf, path, numProbes = 5, k = 5))
+    assert(loaded == live)
+  }
+
   test("IVF: persisted index reproduces the live annTopK bit-for-bit") {
     val path = s"$root/ivf"
     AnnIndex.saveIvf(spark, sf, path)
