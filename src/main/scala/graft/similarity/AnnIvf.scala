@@ -26,8 +26,47 @@ import org.apache.spark.sql.functions._
  * The k-means fit is seeded but engine-specific, so (like AnnLsh) this is
  * a rows-only query for the driver; ModulesSpec asserts cosine
  * correctness, rank order, pruning, and recall@k against brute force.
+ *
+ * DEFAULT KNOBS ARE CORPUS-ADAPTIVE (nlist=0/nprobe=0 below): a fixed
+ * nlist tuned on one corpus silently falls off the operating box when the
+ * corpus grows — the r9-default nlist=256/nprobe=32, tuned on sf0.001's
+ * 500 vectors (0.912 recall@5 at 0.196 scan), measures only 0.752 recall
+ * on sf0.1's 2000 vectors (TUNE_r10.txt "ivf nlist=256 nprobe=32" on each
+ * corpus) — and at 100 TB a constant list count is structurally wrong:
+ * per-list occupancy, and so per-probe scan cost, must not scale linearly
+ * with corpus size. The auto rule nlist = nearestPow2(11 * sqrt(n)),
+ * nprobe = nlist/8 (inside FAISS's published 4*sqrt(N)..16*sqrt(N)
+ * band, constant measured on the two gated corpora) lands the box on
+ * both: 500 -> (256, 32) = 0.912@0.196 and 2000 -> (512, 64) =
+ * 0.904@0.167 (TUNE_r10.txt "ivf nlist=512 nprobe=64"), keeping the
+ * probed fraction at a constant 12.5% of lists while list occupancy
+ * grows only as sqrt(n).
  */
 object AnnIvf {
+
+  /** Corpus-adaptive default list count: nearest power of two to
+    * 11*sqrt(n), clamped to [16, 65536]. See the class doc for the
+    * measurements anchoring the constant. */
+  private[similarity] def autoNlist(n: Long): Int = {
+    val target = 11.0 * math.sqrt(n.toDouble.max(1.0))
+    val exp = math.round(math.log(target) / math.log(2.0)).toInt
+    math.min(65536, math.max(16, 1 << math.max(4, math.min(16, exp))))
+  }
+
+  /** Memoized corpus row count (index-build-time constant, like the
+    * quantizer itself) backing the adaptive defaults. */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Resolve (nlist, nprobe) where 0 means corpus-adaptive. */
+  private[similarity] def resolveKnobs(
+      s: SparkSession, dir: String, nlist: Int, nprobe: Int): (Int, Int) = {
+    lazy val n: Long = corpusCounts.computeIfAbsent(dir,
+      d => s.read.parquet(s"$d/embeddings.parquet").count())
+    val rl = if (nlist > 0) nlist else autoNlist(n)
+    val rp = if (nprobe > 0) nprobe else math.max(1, rl / 8)
+    (rl, rp)
+  }
 
   /** Driver-side quantizer memo. The k-means fit is INDEX-BUILD work — in a
     * real deployment the inverted lists are built once and reused by every
@@ -97,22 +136,22 @@ object AnnIvf {
   /** Inverted-list-pruned, cosine-scored candidate pairs — the pool
     * [[annTopK]] ranks, as (q_id, neighbor_id, cos). Exposed separately so
     * tests can count pool sizes directly instead of ranking with a
-    * sentinel k. Default knobs land the measured operating point:
-    * recall@5 0.912 at scan fraction 0.196 on the sandbox embeddings
-    * (TUNE_r9.txt, "ivf nlist=256 nprobe=32" — the committed AnnTune
-    * sweep over nlist 128/192/256 x nprobe 26-48; gated in ModulesSpec
-    * at recall >= 0.85, scan <= 0.25). */
+    * sentinel k. nlist/nprobe = 0 (the default) resolves corpus-adaptively
+    * (see the class doc): (256, 32) on sf0.001 = recall@5 0.912 at scan
+    * 0.196, (512, 64) on sf0.1 = 0.904 at 0.167 (TUNE_r10.txt; gated in
+    * ModulesSpec at recall >= 0.85, scan <= 0.25 on both corpora). */
   def candidates(
       s: SparkSession,
       dir: String,
       numProbes: Int = 5,
-      nlist: Int = 256,
-      nprobe: Int = 32,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       seed: Long = 4099L): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
+    val (rNlist, rNprobe) = resolveKnobs(s, dir, nlist, nprobe)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
-    val centroids = fitQuantizer(s, dir, nlist, seed)
+    val centroids = fitQuantizer(s, dir, rNlist, seed)
     val bc = s.sparkContext.broadcast(centroids)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     // Corpus side: each vector lands in its single nearest list — identical
@@ -131,7 +170,7 @@ object AnnIvf {
 
     // nprobe nearest centroids per probe vector (normalized in the expression)
     val probeLists = ColumnBridge.column(
-      IvfLists(ColumnBridge.expression(col("e")), bc, nprobe))
+      IvfLists(ColumnBridge.expression(col("e")), bc, rNprobe))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"),
         explode(probeLists).as("list_id"))
@@ -147,8 +186,8 @@ object AnnIvf {
       dir: String,
       numProbes: Int = 5,
       k: Int = 5,
-      nlist: Int = 256,
-      nprobe: Int = 32,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       seed: Long = 4099L): DataFrame = {
     val scored = candidates(s, dir, numProbes, nlist, nprobe, seed)
     // Bounded top-k aggregation — see TopKPerKey: map-side partials keep

@@ -35,17 +35,25 @@ import org.apache.spark.sql.functions._
  * in at least `minCollisions` buckets are cosine-scored. A true neighbor
  * multi-collides (per-table collision probabilities compound across wide
  * probing); a background vector that stumbled into one probed bucket
- * stops there. The vote moves the whole recall/scan frontier. Measured
- * (TUNE_r9.txt, the committed AnnTune grid this file's numbers are
- * required to come from): the best no-vote point at 6 tables x 64 probes
- * is recall@5 0.808 at scan 0.333, while the SHIPPED DEFAULT below —
- * 10 planes x 10 tables, 160 probes per table, minCollisions=3
- * ("lsh planes=10 tables=10 probes=160 minC=3") — measures 0.920 at
- * 0.244: higher recall than any no-vote point at a fraction of the
- * distance computations. ModulesSpec gates the default at
- * (recall >= 0.85, scan <= 0.25) and also logs the PRE-VOTE id-pair pool
- * (the id-only aggregation's input) to RECALL.jsonl, so the cheap-filter
- * work the scan number excludes stays visible.
+ * stops there. The vote moves the whole recall/scan frontier.
+ *
+ * Once the vote prunes the SCORED pool, the dominant scale term becomes
+ * the id-only PRE-VOTE pool the vote aggregates, and that pool shrinks
+ * with FINER BUCKETS: more planes per table cut each probed bucket's
+ * occupancy, wider probing + the vote recover border recall. Measured
+ * (TUNE_r10.txt, the committed AnnTune grid this file's numbers are
+ * required to come from): round 9's 10-plane default
+ * ("lsh planes=10 tables=10 probes=160 minC=3") sits at recall@5 0.920,
+ * scan 0.244, pre-vote pool 0.774 of (probe, corpus) pairs, while the
+ * SHIPPED DEFAULT below — 14 planes x 12 tables, 896 probes per table,
+ * minCollisions=2 ("lsh planes=14 tables=12 probes=896 minC=2") —
+ * measures 0.872 at scan 0.196 with the pre-vote pool down to 0.502,
+ * and HOLDS on the 4x corpus (sf0.1: 0.920 at 0.194, pre-vote 0.500,
+ * same TUNE_r10.txt) where the frontier of the old point was never
+ * measured. ModulesSpec gates the default at (recall >= 0.85,
+ * scan <= 0.25, prevote <= 0.55) on BOTH corpora and logs all three
+ * numbers to RECALL.jsonl, so the cheap-filter work the scan number
+ * excludes stays visible and bounded.
  *
  * The hyperplanes are seeded and broadcast; bucketing is a native codegen
  * expression ([[LshBuckets]]) over the embedding array, run once per
@@ -160,12 +168,12 @@ object AnnLsh {
       s: SparkSession,
       dir: String,
       numProbes: Int = 5,
-      numPlanes: Int = 10,
-      numTables: Int = 10,
-      probesPerTable: Int = 160,
+      numPlanes: Int = 14,
+      numTables: Int = 12,
+      probesPerTable: Int = 896,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 3): DataFrame = {
+      minCollisions: Int = 2): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
@@ -252,12 +260,12 @@ object AnnLsh {
       dir: String,
       numProbes: Int = 5,
       k: Int = 5,
-      numPlanes: Int = 10,
-      numTables: Int = 10,
-      probesPerTable: Int = 160,
+      numPlanes: Int = 14,
+      numTables: Int = 12,
+      probesPerTable: Int = 896,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 3): DataFrame = {
+      minCollisions: Int = 2): DataFrame = {
     val scored = candidates(s, dir, numProbes, numPlanes, numTables, probesPerTable, seed,
       adaptive, minCollisions)
     // Bounded top-k aggregation (not a rank window): candidates are already

@@ -40,7 +40,8 @@ object AnnTune {
     }.toMap
 
     def evalOne(label: String, cands: org.apache.spark.sql.DataFrame,
-        top: org.apache.spark.sql.DataFrame): Unit = {
+        top: org.apache.spark.sql.DataFrame,
+        prevote: Option[org.apache.spark.sql.DataFrame] = None): Unit = {
       val scanned = cands.groupBy("q_id").count().collect().map(_.getLong(1)).sum
       val frac = scanned.toDouble / (nProbes.toLong * total)
       val ann = top.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -48,7 +49,15 @@ object AnnTune {
       val recall = (0 until nProbes).map(q =>
         ann.getOrElse(q.toLong, Set.empty[Long]).intersect(brute(q.toLong)).size.toDouble / k
       ).sum / nProbes
-      println(f"$label%-46s recall@$k=$recall%.3f scan=$frac%.3f")
+      // prevote = the id-only pool the collision vote aggregates before
+      // filtering (the no-vote candidate set at the same knobs) — the cheap
+      // work the scan number excludes; reported so the sweep can minimize
+      // it alongside the scored fraction.
+      val pre = prevote.map { pc =>
+        val n = pc.groupBy("q_id").count().collect().map(_.getLong(1)).sum
+        f" prevote=${n.toDouble / (nProbes.toLong * total)}%.3f"
+      }.getOrElse("")
+      println(f"$label%-46s recall@$k=$recall%.3f scan=$frac%.3f$pre")
     }
 
     if (which == "lsh" || which == "both") {
@@ -65,22 +74,74 @@ object AnnTune {
         AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes, adaptive = adaptive))
     }
     if (which == "vote" || which == "both") {
-      // Collision-voting variant: high-recall knobs + a >=2-collision
+      // Collision-voting variant: high-recall knobs + a >=minC-collision
       // filter on the scored pool — recall from wide probing, scan cost
-      // from the vote filter.
+      // from the vote filter. Round 10 extends the sweep beyond planes=10
+      // (the only voted section of TUNE_r9.txt): finer buckets shrink the
+      // id-only PRE-VOTE pool the vote must aggregate (the dominant term at
+      // scale once the scored fraction is pruned), with wider probing + the
+      // vote recovering border recall. Each point also reports that pool.
       for {
         (planes, tables, probes, minC) <- Seq(
-          (10, 10, 128, 3), (10, 10, 160, 3), (10, 10, 192, 3),
-          (10, 12, 128, 3), (10, 12, 160, 3), (10, 12, 160, 4), (10, 12, 192, 4),
-          (10, 8, 112, 2), (10, 9, 112, 2))
+          // r9 shipped point, for reference (now with its prevote printed)
+          (10, 10, 160, 3),
+          // planes=12: 4096 buckets, probe budgets scaled ~4x
+          (12, 10, 256, 2), (12, 10, 320, 2), (12, 10, 384, 2),
+          (12, 10, 320, 3), (12, 10, 384, 3), (12, 10, 448, 3),
+          (12, 12, 256, 2), (12, 12, 320, 2), (12, 12, 256, 3),
+          (12, 12, 320, 3), (12, 12, 384, 3), (12, 12, 448, 3),
+          (12, 14, 256, 3), (12, 14, 320, 3), (12, 14, 384, 3),
+          // planes=14: 16384 buckets
+          (14, 10, 768, 2), (14, 12, 768, 2), (14, 12, 1024, 2),
+          (14, 12, 1024, 3), (14, 14, 1024, 3),
+          // refinement pass: the first grid put the frontier at minC=2 with
+          // fine buckets (p14 t12 pr1024 = 0.904/0.230/pre 0.540) — walk
+          // planes 13-15 in that regime hunting prevote <= ~0.45
+          (13, 10, 512, 2), (13, 12, 384, 2), (13, 12, 512, 2), (13, 12, 640, 2),
+          (13, 14, 384, 2), (13, 14, 512, 2),
+          (14, 10, 1280, 2), (14, 12, 896, 2), (14, 14, 640, 2), (14, 14, 768, 2),
+          (14, 16, 640, 2),
+          (15, 12, 1536, 2), (15, 14, 1280, 2), (15, 16, 1024, 2))
       } evalOne(s"lsh planes=$planes tables=$tables probes=$probes minC=$minC",
         AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, minCollisions = minC),
-        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes, minCollisions = minC))
+        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes, minCollisions = minC),
+        prevote = Some(
+          AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, minCollisions = 1)))
+    }
+    if (which == "ship") {
+      // Ship-point shortlist: the voted frontier's box-satisfying points,
+      // re-measured on whatever corpus SPARK_GRAFT_SF_DIR selects — the
+      // operating point must hold on BOTH sf0.001 (500 vectors) and sf0.1
+      // (2000 vectors) before it becomes the library default, since bucket
+      // occupancy (and so the recall/scan/prevote frontier) shifts with
+      // corpus size.
+      for {
+        (planes, tables, probes, minC) <- Seq(
+          (10, 10, 160, 3), (13, 14, 384, 2), (14, 12, 896, 2),
+          (14, 12, 1024, 2), (13, 12, 512, 2))
+      } evalOne(s"lsh planes=$planes tables=$tables probes=$probes minC=$minC",
+        AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, minCollisions = minC),
+        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes, minCollisions = minC),
+        prevote = Some(
+          AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, minCollisions = 1)))
     }
     if (which == "ivf" || which == "both") {
       for {
         nlist <- Seq(128, 192, 256)
         nprobe <- Seq(26, 28, 32, 40, 48)
+      } evalOne(s"ivf nlist=$nlist nprobe=$nprobe",
+        AnnIvf.candidates(spark, dir, nProbes, nlist, nprobe),
+        AnnIvf.annTopK(spark, dir, nProbes, k, nlist, nprobe))
+    }
+    if (which == "ivfwide") {
+      // Larger-corpus IVF sweep (run with SPARK_GRAFT_SF_DIR=sf0.1): the
+      // sf0.001-tuned nlist=256/nprobe=32 point measures 0.752 recall on
+      // 2000 vectors — nlist must SCALE with corpus size (FAISS guidance:
+      // 4*sqrt(N)..16*sqrt(N)); this grid locates the sf0.1 box point that
+      // anchors the corpus-adaptive default.
+      for {
+        nlist <- Seq(384, 512, 768)
+        nprobe <- Seq(48, 64, 80, 96)
       } evalOne(s"ivf nlist=$nlist nprobe=$nprobe",
         AnnIvf.candidates(spark, dir, nProbes, nlist, nprobe),
         AnnIvf.annTopK(spark, dir, nProbes, k, nlist, nprobe))

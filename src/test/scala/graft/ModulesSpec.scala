@@ -44,13 +44,13 @@ class ModulesSpec extends AnyFunSuite {
       minCollisions = 1)
       .groupBy("q_id").count().collect().map(_.getLong(1))
     assert(single.forall(_ < total / 4), s"single-probe pools ${single.mkString(",")} vs $total")
-    // At the shipped default (wide multiprobe + collision vote), the
-    // SCORED pool per probe must stay well under brute force: the raw
-    // probe fan-out ceiling numTables*probesPerTable/2^numPlanes =
-    // 10*160/1024 ~ 1.56 exceeds the corpus, so it is exactly the
-    // minCollisions vote that keeps distance computations pruned —
-    // measured 0.244 of the corpus on average (TUNE_r9.txt); assert 0.5
-    // per probe to leave room for per-probe variance.
+    // At the shipped default (fine buckets + wide multiprobe + collision
+    // vote), the SCORED pool per probe must stay well under brute force:
+    // the raw probe fan-out ceiling numTables*probesPerTable/2^numPlanes =
+    // 12*896/16384 ~ 0.66 of the corpus, and the minCollisions vote prunes
+    // the scored pool far below that — measured 0.196 of the corpus on
+    // average (TUNE_r10.txt); assert 0.5 per probe to leave room for
+    // per-probe variance.
     val multi = AnnLsh.candidates(spark, sf, numProbes = 5)
       .groupBy("q_id").count().collect().map(_.getLong(1))
     assert(multi.forall(_ < total / 2), s"default-knob pools ${multi.mkString(",")} vs $total")
@@ -84,7 +84,13 @@ class ModulesSpec extends AnyFunSuite {
 
   // --- recall@k gates: ANN vs exhaustive brute force ---
 
-  private def embMap = spark.read.parquet(s"$sf/embeddings.parquet")
+  /** Both gated corpora: the sf0.001 500-vector corpus the operating
+    * point was swept on, and sf0.1's 2000 vectors — bucket occupancy (and
+    * so the recall/scan/prevote frontier) shifts with corpus size, so the
+    * shipped defaults are gated at BOTH scales (r9 verdict task 4). */
+  private val gatedSfs = Seq(sf, "/root/testdata/sf0.1")
+
+  private def embMap(dir: String) = spark.read.parquet(s"$dir/embeddings.parquet")
     .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
 
@@ -95,8 +101,8 @@ class ModulesSpec extends AnyFunSuite {
 
   /** Mean recall@k of `ann` (q_id -> neighbor ids) against driver-side
     * exhaustive top-k over the full embeddings table. */
-  private def meanRecall(ann: Map[Long, Set[Long]], nProbes: Int, k: Int): Double = {
-    val emb = embMap
+  private def meanRecall(dir: String, ann: Map[Long, Set[Long]], nProbes: Int, k: Int): Double = {
+    val emb = embMap(dir)
     val recalls = (0 until nProbes).map { q =>
       val qv = emb(q.toLong)
       val brute = emb.view.filter(_._1 != q.toLong)
@@ -117,8 +123,9 @@ class ModulesSpec extends AnyFunSuite {
 
   /** Candidate-pool fraction actually scanned, counted directly from the
     * candidate pairs (no sentinel-k ranking). */
-  private def scanFraction(cands: org.apache.spark.sql.DataFrame, nProbes: Int): Double = {
-    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+  private def scanFraction(dir: String, cands: org.apache.spark.sql.DataFrame,
+      nProbes: Int): Double = {
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val scanned = cands.groupBy("q_id").count().collect().map(_.getLong(1)).sum
     scanned.toDouble / (nProbes * total)
   }
@@ -128,10 +135,10 @@ class ModulesSpec extends AnyFunSuite {
     * (they previously lived only in test info() output). `extra` carries
     * method-specific fields (e.g. LSH's pre-vote pool fraction) as a
     * pre-rendered `,"key":value` suffix. */
-  private def logRecall(method: String, recall: Double, frac: Double, nProbes: Int, k: Int,
-      extra: String = ""): Unit = {
+  private def logRecall(dir: String, method: String, recall: Double, frac: Double,
+      nProbes: Int, k: Int, extra: String = ""): Unit = {
     val round = sys.env.getOrElse("GRAFT_ROUND", ModulesSpec.inferredRound)
-    val line = f"""{"round":"$round","method":"$method","recall_at_k":$recall%.4f,"scan_fraction":$frac%.4f$extra,"n_probes":$nProbes,"k":$k,"sf":"$sf"}"""
+    val line = f"""{"round":"$round","method":"$method","recall_at_k":$recall%.4f,"scan_fraction":$frac%.4f$extra,"n_probes":$nProbes,"k":$k,"sf":"$dir"}"""
     val p = java.nio.file.Paths.get("RECALL.jsonl")
     val opts =
       if (ModulesSpec.recallLogStarted) Seq(java.nio.file.StandardOpenOption.APPEND)
@@ -144,46 +151,57 @@ class ModulesSpec extends AnyFunSuite {
       (java.nio.file.StandardOpenOption.CREATE +: opts).distinct: _*)
   }
 
-  test("AnnLsh: recall@5 >= 0.85 at scan <= 0.25 (default knobs, collision-voted multiprobe)") {
-    // Gates pin the ASSIGNED operating box (recall >= 0.85, scan <= 0.25)
-    // at the shipped defaults — measured 0.920 @ 0.244 (TUNE_r9.txt,
-    // "lsh planes=10 tables=10 probes=160 minC=3"). Deterministic (seeded
-    // planes, fixed data), so the thin scan margin cannot flake.
-    val nProbes = 25
-    val ann = AnnLsh.annTopK(spark, sf, numProbes = nProbes, k = 5).collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val recall = meanRecall(ann, nProbes, 5)
-    val frac = scanFraction(AnnLsh.candidates(spark, sf, numProbes = nProbes), nProbes)
-    // Honesty sidecar: the scan fraction above counts DISTANCE
-    // COMPUTATIONS (the post-vote scored pool). The vote's input — the
-    // id-only (q_id, vec_id) pairs the cheap aggregation touches before
-    // filtering — is the no-vote pool at the same knobs; log it so the
-    // excluded work is visible in RECALL.jsonl, not hidden by the metric.
-    val prevote = scanFraction(
-      AnnLsh.candidates(spark, sf, numProbes = nProbes, minCollisions = 1), nProbes)
-    info(f"AnnLsh recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f" +
-      f" (pre-vote id-pair pool $prevote%.3f)")
-    logRecall("lsh", recall, frac, nProbes, 5, f""","prevote_fraction":$prevote%.4f""")
-    assert(recall >= 0.85, f"LSH recall@5 $recall%.3f below the 0.85 floor")
-    assert(frac <= 0.25, f"LSH scored $frac%.3f of the corpus, above the 0.25 ceiling")
-  }
+  for (dir <- gatedSfs)
+    test(s"AnnLsh: recall@5 >= 0.85, scan <= 0.25, prevote <= 0.55 (defaults, $dir)") {
+      // Gates pin the ASSIGNED operating box (recall >= 0.85, scan <= 0.25)
+      // at the shipped defaults on BOTH corpora, PLUS the r10 prevote
+      // ceiling so the id-only pool the vote aggregates is bounded too —
+      // a regression to probing every bucket would otherwise pass as long
+      // as the vote still filtered. Measured (TUNE_r10.txt, "lsh planes=14
+      // tables=12 probes=896 minC=2"): 0.872 @ scan 0.196, prevote 0.502
+      // on sf0.001; 0.920 @ 0.194, prevote 0.500 on sf0.1. Deterministic
+      // (seeded planes, fixed data), so the thin margins cannot flake.
+      val nProbes = 25
+      val ann = AnnLsh.annTopK(spark, dir, numProbes = nProbes, k = 5).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = meanRecall(dir, ann, nProbes, 5)
+      val frac = scanFraction(dir, AnnLsh.candidates(spark, dir, numProbes = nProbes), nProbes)
+      // Honesty sidecar: the scan fraction above counts DISTANCE
+      // COMPUTATIONS (the post-vote scored pool). The vote's input — the
+      // id-only (q_id, vec_id) pairs the cheap aggregation touches before
+      // filtering — is the no-vote pool at the same knobs; logged AND gated
+      // so the excluded work is neither hidden by the metric nor free to
+      // regress.
+      val prevote = scanFraction(dir,
+        AnnLsh.candidates(spark, dir, numProbes = nProbes, minCollisions = 1), nProbes)
+      info(f"AnnLsh recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f" +
+        f" (pre-vote id-pair pool $prevote%.3f)")
+      logRecall(dir, "lsh", recall, frac, nProbes, 5, f""","prevote_fraction":$prevote%.4f""")
+      assert(recall >= 0.85, f"LSH recall@5 $recall%.3f below the 0.85 floor")
+      assert(frac <= 0.25, f"LSH scored $frac%.3f of the corpus, above the 0.25 ceiling")
+      assert(prevote <= 0.55, f"LSH pre-vote id-pair pool $prevote%.3f above the 0.55 ceiling")
+    }
 
-  test("AnnIvf: recall@5 >= 0.85 at scan <= 0.25 (default knobs)") {
-    // Same assigned box as LSH; measured 0.912 @ 0.196 at the defaults
-    // (TUNE_r9.txt, "ivf nlist=256 nprobe=32"). The previous 0.50 ceiling
-    // would have let the scan cost regress 2.5x silently.
-    val nProbes = 25
-    val ann = graft.similarity.AnnIvf.annTopK(spark, sf, numProbes = nProbes, k = 5)
-      .collect()
-      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val recall = meanRecall(ann, nProbes, 5)
-    val frac = scanFraction(
-      graft.similarity.AnnIvf.candidates(spark, sf, numProbes = nProbes), nProbes)
-    info(f"AnnIvf recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f")
-    logRecall("ivf", recall, frac, nProbes, 5)
-    assert(recall >= 0.85, f"IVF recall@5 $recall%.3f below the 0.85 floor")
-    assert(frac <= 0.25, f"IVF scanned $frac%.3f of the corpus, above the 0.25 ceiling")
-  }
+  for (dir <- gatedSfs)
+    test(s"AnnIvf: recall@5 >= 0.85 at scan <= 0.25 (adaptive defaults, $dir)") {
+      // Same assigned box as LSH, on both corpora. The corpus-adaptive
+      // defaults resolve to (nlist=256, nprobe=32) on sf0.001 and
+      // (512, 64) on sf0.1 — measured 0.912 @ 0.196 and 0.904 @ 0.167
+      // (TUNE_r10.txt). The fixed r9 default (256, 32 everywhere) measured
+      // 0.752 on sf0.1 — exactly the corpus-size sensitivity this pair of
+      // gates exists to catch.
+      val nProbes = 25
+      val ann = graft.similarity.AnnIvf.annTopK(spark, dir, numProbes = nProbes, k = 5)
+        .collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = meanRecall(dir, ann, nProbes, 5)
+      val frac = scanFraction(dir,
+        graft.similarity.AnnIvf.candidates(spark, dir, numProbes = nProbes), nProbes)
+      info(f"AnnIvf recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f")
+      logRecall(dir, "ivf", recall, frac, nProbes, 5)
+      assert(recall >= 0.85, f"IVF recall@5 $recall%.3f below the 0.85 floor")
+      assert(frac <= 0.25, f"IVF scanned $frac%.3f of the corpus, above the 0.25 ceiling")
+    }
 
   test("Multimodal: moment features of a known payload") {
     val payload = Array[Byte](0, 10, 20, 30)
