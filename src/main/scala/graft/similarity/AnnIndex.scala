@@ -50,6 +50,55 @@ object AnnIndex {
       s.read.text(s"$path/metadata").as[String].collect().mkString("\n"))
   }
 
+  /**
+   * Cheap corpus fingerprint, written into index metadata at save and
+   * re-derived at load: an index answers for the EXACT corpus it was built
+   * on, so a corpus that changed after the build must fail loud instead of
+   * silently serving neighbors from the stale assignments. (rows, checksum)
+   * where the checksum is an order-independent bit_xor of per-row hashes —
+   * every row contributes its vec_id hash (catches adds/drops/renumbers),
+   * and a deterministic ~1% sample (vec_id % 97 == 0) also hashes the
+   * embedding payload (catches in-place vector rewrites) so the validation
+   * scan stays a column-pruned id pass plus a sampled slice of the vector
+   * bytes, not a full-corpus re-hash. One aggregation, embarrassingly
+   * parallel, no shuffle beyond the final combine.
+   */
+  private[similarity] def corpusFingerprint(s: SparkSession, dir: String): (Long, Long) = {
+    val row = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr(
+        "count(*) AS n",
+        "bit_xor(CASE WHEN pmod(vec_id, 97) = 0 THEN xxhash64(vec_id, embedding)" +
+          " ELSE xxhash64(vec_id) END) AS chk")
+      .first()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Validate a loaded index against the live corpus; throws with a
+    * rebuild hint on mismatch. Indexes written before the fingerprint
+    * existed (no corpusRows field) are treated as UNVERIFIABLE and
+    * rejected the same way — silence is the failure mode being removed. */
+  private def requireCurrent(s: SparkSession, dir: String, path: String,
+      meta: org.json4s.JValue): Unit = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val saved = (meta \ "corpusRows").extractOpt[Long]
+      .zip((meta \ "corpusChecksum").extractOpt[Long])
+    val live = corpusFingerprint(s, dir)
+    if (!saved.contains(live))
+      throw new IllegalStateException(
+        s"ANN index at $path is stale for corpus $dir: built for " +
+          s"(rows, checksum)=$saved, corpus is now $live — rebuild with saveLsh/saveIvf")
+  }
+
+  /** True iff the index at `path` exists, is completely written
+    * (`assignments/_SUCCESS` is the LAST artifact the save emits), and its
+    * persisted corpus fingerprint matches `dir`'s current contents. Callers
+    * use it for build-if-absent-or-stale (see SparkEntry's q58/q59). */
+  def isCurrent(s: SparkSession, dir: String, path: String): Boolean =
+    new java.io.File(s"$path/assignments/_SUCCESS").exists() &&
+      (try { requireCurrent(s, dir, path, readMeta(s, path)); true }
+       catch { case _: Exception => false })
+
   // ---------------------------------------------------------------- LSH --
 
   /** Build the LSH index for `dir`'s embeddings and persist it at `path`.
@@ -60,12 +109,12 @@ object AnnIndex {
       s: SparkSession,
       dir: String,
       path: String,
-      numPlanes: Int = 10,
-      numTables: Int = 10,
-      probesPerTable: Int = 160,
+      numPlanes: Int = 14,
+      numTables: Int = 12,
+      probesPerTable: Int = 896,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 3): Unit = {
+      minCollisions: Int = 2): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
@@ -73,10 +122,12 @@ object AnnIndex {
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
     val planes = AnnLsh.planes(numTables * numPlanes, dim, seed)
+    val (rows, chk) = corpusFingerprint(s, dir)
     writeMeta(s, path, compact(render(
       ("method" -> "lsh") ~ ("numPlanes" -> numPlanes) ~ ("numTables" -> numTables) ~
         ("probesPerTable" -> probesPerTable) ~ ("adaptive" -> adaptive) ~
-        ("minCollisions" -> minCollisions) ~ ("seed" -> seed) ~ ("dim" -> dim))))
+        ("minCollisions" -> minCollisions) ~ ("seed" -> seed) ~ ("dim" -> dim) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
     import s.implicits._
     s.createDataset(planes.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) })
       .toDF("plane_id", "weights")
@@ -93,6 +144,12 @@ object AnnIndex {
    * are computed from the loaded hyperplanes; candidate vectors come from
    * joining the loaded (tb, vec_id) assignments back to the corpus.
    * Bit-identical to [[AnnLsh.annTopK]] at the index's knobs.
+   *
+   * Loading VALIDATES the index's corpus fingerprint (one cheap
+   * aggregation over the corpus, see [[corpusFingerprint]]) and throws on
+   * mismatch — a stale index must never silently answer for a corpus that
+   * changed after the build. Callers wanting build-if-stale semantics
+   * check [[isCurrent]] first (SparkEntry's q58 does).
    */
   def lshTopK(
       s: SparkSession,
@@ -104,6 +161,7 @@ object AnnIndex {
     import org.json4s._
     implicit val formats: Formats = DefaultFormats
     val meta = readMeta(s, path)
+    requireCurrent(s, dir, path, meta)
     val numPlanes = (meta \ "numPlanes").extract[Int]
     val numTables = (meta \ "numTables").extract[Int]
     val probesPerTable = (meta \ "probesPerTable").extract[Int]
@@ -149,25 +207,33 @@ object AnnIndex {
 
   // ---------------------------------------------------------------- IVF --
 
-  /** Build the IVF index for `dir`'s embeddings and persist it at `path`. */
+  /** Build the IVF index for `dir`'s embeddings and persist it at `path`.
+    * nlist/nprobe = 0 resolve corpus-adaptively ([[AnnIvf.resolveKnobs]]);
+    * metadata records the RESOLVED values, so the loaded index keeps its
+    * build-time operating point even if the corpus (and therefore the
+    * auto rule's answer) later grows — the fingerprint guard forces a
+    * rebuild in that case anyway. */
   def saveIvf(
       s: SparkSession,
       dir: String,
       path: String,
-      nlist: Int = 256,
-      nprobe: Int = 32,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       seed: Long = 4099L): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
+    val (rNlist, rNprobe) = AnnIvf.resolveKnobs(s, dir, nlist, nprobe)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
     // reuse the memoized quantizer fit via candidates' cache key
-    val centroids = AnnIvf.fitQuantizer(s, dir, nlist, seed)
+    val centroids = AnnIvf.fitQuantizer(s, dir, rNlist, seed)
+    val (rows, chk) = corpusFingerprint(s, dir)
     writeMeta(s, path, compact(render(
-      ("method" -> "ivf") ~ ("nlist" -> nlist) ~ ("nprobe" -> nprobe) ~
-        ("seed" -> seed) ~ ("dim" -> dim))))
+      ("method" -> "ivf") ~ ("nlist" -> rNlist) ~ ("nprobe" -> rNprobe) ~
+        ("seed" -> seed) ~ ("dim" -> dim) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
     import s.implicits._
     s.createDataset(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("list_id", "center")
@@ -183,6 +249,7 @@ object AnnIndex {
    * Top-k cosine neighbors from a PERSISTED IVF index — loaded centroids
    * assign probe lists; loaded (list_id, vec_id) assignments supply the
    * candidates. Bit-identical to [[AnnIvf.annTopK]] at the index's knobs.
+   * Corpus-fingerprint-validated like [[lshTopK]]: throws on a stale index.
    */
   def ivfTopK(
       s: SparkSession,
@@ -194,6 +261,7 @@ object AnnIndex {
     import org.json4s._
     implicit val formats: Formats = DefaultFormats
     val meta = readMeta(s, path)
+    requireCurrent(s, dir, path, meta)
     val nprobe = (meta \ "nprobe").extract[Int]
     val centroids = s.read.parquet(s"$path/model").orderBy("list_id")
       .collect().map(_.getSeq[Double](1).toArray)

@@ -62,6 +62,44 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(loaded == live)
   }
 
+  test("staleness guard: an index built before the corpus changed refuses to serve") {
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_stale_corpus"
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+    orig.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val lshPath = s"$root/lsh_stale"
+    val ivfPath = s"$root/ivf_stale"
+    AnnIndex.saveLsh(spark, corpus, lshPath)
+    AnnIndex.saveIvf(spark, corpus, ivfPath)
+    assert(AnnIndex.isCurrent(spark, corpus, lshPath))
+    assert(AnnIndex.isCurrent(spark, corpus, ivfPath))
+    assert(AnnIndex.lshTopK(spark, corpus, lshPath).collect().nonEmpty)
+    // row-count mutation: drop one vector — both loaders must refuse
+    orig.filter(col("vec_id") =!= 399L)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    assert(!AnnIndex.isCurrent(spark, corpus, lshPath))
+    assert(!AnnIndex.isCurrent(spark, corpus, ivfPath))
+    val e = intercept[IllegalStateException] {
+      AnnIndex.lshTopK(spark, corpus, lshPath).collect()
+    }
+    assert(e.getMessage.contains("stale"))
+    intercept[IllegalStateException] {
+      AnnIndex.ivfTopK(spark, corpus, ivfPath).collect()
+    }
+    // content mutation at SAME row count: rewrite a sampled row's vector
+    // in place (vec_id 0 is in the % 97 == 0 content-hash sample) — the
+    // row count matches, only the checksum catches it
+    orig.selectExpr("vec_id",
+        "CASE WHEN vec_id = 0 THEN transform(embedding, x -> x + 1.0f)" +
+          " ELSE embedding END AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    assert(!AnnIndex.isCurrent(spark, corpus, lshPath))
+    // rebuild heals — the q58/q59 build-if-absent-or-stale contract
+    AnnIndex.saveLsh(spark, corpus, lshPath)
+    assert(AnnIndex.isCurrent(spark, corpus, lshPath))
+    assert(AnnIndex.lshTopK(spark, corpus, lshPath).collect().nonEmpty)
+  }
+
   test("IVF: loaded index needs no k-means fit (quantizer cache cold)") {
     val path = s"$root/ivf"
     // the index from the previous test is on disk; clearing the memo
