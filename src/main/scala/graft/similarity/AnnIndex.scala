@@ -55,22 +55,30 @@ object AnnIndex {
    * re-derived at load: an index answers for the EXACT corpus it was built
    * on, so a corpus that changed after the build must fail loud instead of
    * silently serving neighbors from the stale assignments. (rows, checksum)
-   * where the checksum is an order-independent bit_xor of per-row hashes —
-   * every row contributes its vec_id hash (catches adds/drops/renumbers),
-   * and a deterministic ~1% sample (vec_id % 97 == 0) also hashes the
-   * embedding payload (catches in-place vector rewrites) so the validation
-   * scan stays a column-pruned id pass plus a sampled slice of the vector
-   * bytes, not a full-corpus re-hash. One aggregation, embarrassingly
-   * parallel, no shuffle beyond the final combine.
+   * where the checksum xor-combines two order-independent bit_xor scans:
+   *
+   *  - ids: every row's xxhash64(vec_id) — catches adds/drops/renumbers —
+   *    over the vec_id column ONLY (column-pruned, never touches the
+   *    vector bytes);
+   *  - content: xxhash64(vec_id, embedding) for the ~1% deterministic
+   *    sample pmod(vec_id, 9973) < 103 — catches in-place vector rewrites.
+   *    The sample is RANGE-CLUSTERED (runs of 103 consecutive ids), not
+   *    strided, so parquet page/row-group stats on vec_id let the reader
+   *    skip ~99% of the embedding pages; a strided 1% sample matches every
+   *    page and silently re-reads the whole vector column.
+   *
+   * Both scans are embarrassingly parallel with no shuffle beyond the
+   * final combine; validation cost at load is therefore a metadata-scale
+   * id pass plus ~1% of the vector bytes, not a full corpus re-hash.
    */
   private[similarity] def corpusFingerprint(s: SparkSession, dir: String): (Long, Long) = {
-    val row = s.read.parquet(s"$dir/embeddings.parquet")
-      .selectExpr(
-        "count(*) AS n",
-        "bit_xor(CASE WHEN pmod(vec_id, 97) = 0 THEN xxhash64(vec_id, embedding)" +
-          " ELSE xxhash64(vec_id) END) AS chk")
-      .first()
-    (row.getLong(0), row.getLong(1))
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val idRow = emb.selectExpr(
+      "count(*) AS n", "coalesce(bit_xor(xxhash64(vec_id)), 0L) AS chk").first()
+    val contentChk = emb.where("pmod(vec_id, 9973) < 103")
+      .selectExpr("coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS chk")
+      .first().getLong(0)
+    (idRow.getLong(0), idRow.getLong(1) ^ contentChk)
   }
 
   /** Validate a loaded index against the live corpus; throws with a

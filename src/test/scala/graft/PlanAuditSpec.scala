@@ -93,6 +93,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q58/q59 persisted-index ANN runs the same shape as the live paths") {
+    // The loaded-index queries must not degrade to shapes the live q31/q49
+    // paths already banned: no rank window (k-bounded ObjectHashAggregate),
+    // no ScalaUDF (probe-side bucketing is the codegen'd expression over
+    // loaded geometry), no nested-loop/cartesian candidate join. Building
+    // the index (first call) is a side effect of planning here; the plan
+    // inspected is the query-time load-probe-join.
+    for (q <- Seq("q58_ann_persisted", "q59_ann_ivf_persisted")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q ranks via a window:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q top-k is not the bounded aggregation:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q regressed to a ScalaUDF:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q planned an all-pairs join:\n$p")
+    }
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
