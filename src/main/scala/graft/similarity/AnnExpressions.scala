@@ -42,6 +42,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
  *  - `adaptive = true`: a GLOBAL budget of `numTables * probesPerTable`
  *    buckets, merged cheapest-flip-first across tables, so the scan
  *    budget concentrates where the margins are tightest.
+ *  - `bcCounts != null`: OCCUPANCY-BUDGETED probing — the candidate
+ *    buckets of all tables merge cheapest-flip-first (own buckets, cost
+ *    0, lead), and are taken greedily while the running sum of their
+ *    OCCUPANCY (looked up in the broadcast per-bucket count array) stays
+ *    within `poolBudget` rows; empty buckets and buckets that would
+ *    overflow the remaining budget are skipped, the walk continuing to
+ *    cheaper-than-nothing smaller buckets behind them. This turns the
+ *    id-only pre-vote pool — the dominant scale term once collision
+ *    voting prunes the SCORED pool — from an emergent number into a
+ *    HARD PER-PROBE BOUND, and spends that bound in neighbor-likelihood
+ *    order instead of letting a handful of mega-buckets (dense regions
+ *    of the corpus hash there AND the query's margins are often tight
+ *    there too) eat most of it. The count array is sized by the lattice
+ *    (`numTables * 2^numPlanes` ints), not the corpus, so the broadcast
+ *    stays sub-MB at any data scale. `probesPerTable` becomes the
+ *    per-table ENUMERATION cap for the merge.
  *
  * Measured head-to-head on the sandbox embeddings (TUNE_r9.txt, the
  * committed AnnTune grid; 25 probes, sf0.001, planes=10 tables=6
@@ -52,7 +68,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
  * candidates (tables hash the same vectors) while a guaranteed per-table
  * floor keeps the tables' independent-miss product working. The adaptive
  * merge is kept behind the flag for re-measurement, not used by the
- * shipped defaults.
+ * shipped defaults. The occupancy-budgeted mode composes the global
+ * merge with the count table, which changes the economics: the failure
+ * mode the fixed quota guarded against (one table hogging the budget
+ * with duplicate candidates) is now charged to the budget at its true
+ * row cost, so the greedy walk self-corrects.
  */
 case class LshBuckets(
     child: Expression,
@@ -60,7 +80,9 @@ case class LshBuckets(
     numTables: Int,
     numPlanes: Int,
     probesPerTable: Int,
-    adaptive: Boolean = false) extends UnaryExpression {
+    adaptive: Boolean = false,
+    bcCounts: Broadcast[Array[Int]] = null,
+    poolBudget: Int = 0) extends UnaryExpression {
 
   @transient private lazy val planes: Array[Array[Double]] = bcPlanes.value
 
@@ -88,6 +110,50 @@ case class LshBuckets(
         t += 1
       }
       new GenericArrayData(out)
+    } else if (bcCounts != null) {
+      // Occupancy-budgeted: merge every table's margin-ordered candidates
+      // cheapest-first (as in the adaptive branch), then take greedily
+      // while the summed bucket occupancy fits poolBudget. Empty buckets
+      // carry no candidates and are dropped; a bucket that would overflow
+      // the REMAINING budget is skipped, not a stopping point — smaller
+      // buckets further down the margin order can still fit (greedy
+      // knapsack fill). The numTables own buckets all have flip cost 0 and
+      // so lead the merged order: each table keeps its own bucket while
+      // budget lasts, preserving the independent-miss product the fixed
+      // quota existed to protect.
+      val counts = bcCounts.value
+      val cap = math.min(probesPerTable, tableSpan)
+      val all = new Array[(Double, Int)](numTables * cap)
+      var n = 0
+      var t = 0
+      while (t < numTables) {
+        val dots = AnnLsh.projections(vec, ps, t * numPlanes, numPlanes)
+        val seq = AnnLsh.probeSequenceWithCosts(dots, cap)
+        var i = 0
+        while (i < seq.length) {
+          all(n) = (seq(i)._1, t * tableSpan + seq(i)._2)
+          n += 1
+          i += 1
+        }
+        t += 1
+      }
+      val merged = java.util.Arrays.copyOf(all, n)
+      java.util.Arrays.sort(merged, Ordering.Tuple2[Double, Int].asInstanceOf[java.util.Comparator[(Double, Int)]])
+      val out = new Array[Int](n)
+      var acc = 0L
+      var m = 0
+      var i = 0
+      while (i < merged.length) {
+        val tb = merged(i)._2
+        val c = counts(tb)
+        if (c > 0 && acc + c <= poolBudget) {
+          out(m) = tb
+          m += 1
+          acc += c
+        }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, m))
     } else if (!adaptive) {
       // Fixed per-table quota: each table emits exactly its probesPerTable
       // cheapest buckets (fewer when the quota exceeds the 2^numPlanes

@@ -122,7 +122,8 @@ object AnnIndex {
       probesPerTable: Int = 896,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 2): Unit = {
+      minCollisions: Int = 2,
+      poolFrac: Double = 0.0): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
@@ -134,7 +135,8 @@ object AnnIndex {
     writeMeta(s, path, compact(render(
       ("method" -> "lsh") ~ ("numPlanes" -> numPlanes) ~ ("numTables" -> numTables) ~
         ("probesPerTable" -> probesPerTable) ~ ("adaptive" -> adaptive) ~
-        ("minCollisions" -> minCollisions) ~ ("seed" -> seed) ~ ("dim" -> dim) ~
+        ("minCollisions" -> minCollisions) ~ ("poolFrac" -> poolFrac) ~
+        ("seed" -> seed) ~ ("dim" -> dim) ~
         ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
     import s.implicits._
     s.createDataset(planes.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) })
@@ -173,22 +175,40 @@ object AnnIndex {
     val numPlanes = (meta \ "numPlanes").extract[Int]
     val numTables = (meta \ "numTables").extract[Int]
     val probesPerTable = (meta \ "probesPerTable").extract[Int]
-    // adaptive/minCollisions default for indexes written before r9 carried
-    // them; current saveLsh always persists both.
+    // adaptive/minCollisions/poolFrac default for indexes written before
+    // the round that introduced them; current saveLsh always persists all.
     val adaptive = (meta \ "adaptive").extractOrElse[Boolean](false)
     val minCollisions = (meta \ "minCollisions").extractOrElse[Int](1)
+    val poolFrac = (meta \ "poolFrac").extractOrElse[Double](0.0)
     val planes = s.read.parquet(s"$path/model").orderBy("plane_id")
       .collect().map(_.getSeq[Double](1).toArray)
     val bc = s.sparkContext.broadcast(planes)
     graft.functions.CosineSimilarity.register(s)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
-    val probeBuckets = ColumnBridge.column(
-      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
-        adaptive))
+    val assignments = s.read.parquet(s"$path/assignments")
+    // Occupancy-budgeted indexes derive their per-bucket counts from the
+    // SAVED assignments (an ids-only aggregation over the index, never the
+    // corpus) and the budget from the fingerprint's corpusRows — so the
+    // loaded path probes bit-identically to the build session without
+    // re-touching a single vector byte.
+    val probeBuckets =
+      if (poolFrac > 0) {
+        val countRows = assignments.groupBy("tb").count().collect()
+        val counts = new Array[Int](numTables << numPlanes)
+        countRows.foreach(r => counts(r.getInt(0)) = r.getLong(1).toInt)
+        val corpusN = (meta \ "corpusRows").extract[Long]
+        val budget = math.max(1L, math.ceil(poolFrac * corpusN).toLong)
+          .min(Int.MaxValue).toInt
+        val bcCounts = s.sparkContext.broadcast(counts)
+        ColumnBridge.column(
+          LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes,
+            probesPerTable, adaptive, bcCounts, budget))
+      } else ColumnBridge.column(
+        LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
+          adaptive))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"), explode(probeBuckets).as("tb"))
-    val assignments = s.read.parquet(s"$path/assignments")
     // probes × assignments is the same bucket equi-join as the direct
     // path; candidate vectors are rehydrated from the corpus (broadcast
     // probes stay the small side; the vec_id join is a plain shuffled hash

@@ -55,6 +55,23 @@ import org.apache.spark.sql.functions._
  * numbers to RECALL.jsonl, so the cheap-filter work the scan number
  * excludes stays visible and bounded.
  *
+ * `poolFrac > 0` additionally switches the probe side to OCCUPANCY-
+ * BUDGETED probing: per-bucket occupancies (one ids-only aggregation,
+ * broadcast as a lattice-sized int array) let each probe take margin-
+ * ordered buckets only while their summed occupancy fits
+ * ceil(poolFrac * corpusN) rows — the pre-vote pool becomes a HARD
+ * per-probe bound instead of an emergent number. Measured
+ * (TUNE_r10.txt "budget" grids, both corpora): on THESE isotropic
+ * embeddings the mode does not dominate the fixed quota at equal
+ * distinct pool (e.g. budget=0.85: 0.848 recall at distinct pool 0.515
+ * vs the default's 0.872 at 0.502) — with no cluster structure, bucket
+ * occupancy is proportional to neighbor probability mass, so skipping
+ * crowded buckets forfeits proportional recall. It therefore ships as
+ * the worst-case-control knob (bounding per-query cost on real,
+ * clustered corpora where a handful of mega-buckets would otherwise
+ * eat the pool), NOT as the default; ModulesSpec pins the bound
+ * property and the measured point.
+ *
  * The hyperplanes are seeded and broadcast; bucketing is a native codegen
  * expression ([[LshBuckets]]) over the embedding array, run once per
  * (row, table), not once per pair.
@@ -173,7 +190,8 @@ object AnnLsh {
       probesPerTable: Int = 896,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 2): DataFrame = {
+      minCollisions: Int = 2,
+      poolFrac: Double = 0.0): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
@@ -187,9 +205,36 @@ object AnnLsh {
     // LshBuckets doc) — query-time fan-out only, the index is untouched.
     val indexBuckets = ColumnBridge.column(
       LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
-    val probeBuckets = ColumnBridge.column(
-      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
-        adaptive))
+    // poolFrac > 0 switches the probe side to OCCUPANCY-BUDGETED probing:
+    // one ids-only aggregation derives per-bucket occupancies (array sized
+    // by the lattice — numTables * 2^numPlanes ints — NOT the corpus, so
+    // the broadcast stays sub-MB at 100 TB; the aggregation itself is a
+    // map-side-combined count over the same assignments the index pass
+    // already computes, and the persisted-index path reads it from the
+    // saved assignments instead, see AnnIndex.lshTopK). Each probe then
+    // takes margin-ordered buckets merged across tables while their summed
+    // occupancy fits ceil(poolFrac * corpusN) rows, making the id-only
+    // pre-vote pool a HARD bound instead of an emergent number.
+    val probeBuckets =
+      if (poolFrac > 0) {
+        val countRows = emb.select(explode(indexBuckets).as("tb"))
+          .groupBy("tb").count().collect()
+        val counts = new Array[Int](numTables << numPlanes)
+        var totalAssign = 0L
+        countRows.foreach { r =>
+          counts(r.getInt(0)) = r.getLong(1).toInt
+          totalAssign += r.getLong(1)
+        }
+        val corpusN = totalAssign / numTables
+        val budget = math.max(1L, math.ceil(poolFrac * corpusN).toLong)
+          .min(Int.MaxValue).toInt
+        val bcCounts = s.sparkContext.broadcast(counts)
+        ColumnBridge.column(
+          LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes,
+            probesPerTable, adaptive, bcCounts, budget))
+      } else ColumnBridge.column(
+        LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
+          adaptive))
     graft.functions.CosineSimilarity.register(s)
     val indexed = emb
       .select(col("vec_id"), col("e").as("be"), explode(indexBuckets).as("tb"))
@@ -265,9 +310,10 @@ object AnnLsh {
       probesPerTable: Int = 896,
       seed: Long = 7919L,
       adaptive: Boolean = false,
-      minCollisions: Int = 2): DataFrame = {
+      minCollisions: Int = 2,
+      poolFrac: Double = 0.0): DataFrame = {
     val scored = candidates(s, dir, numProbes, numPlanes, numTables, probesPerTable, seed,
-      adaptive, minCollisions)
+      adaptive, minCollisions, poolFrac)
     // Bounded top-k aggregation (not a rank window): candidates are already
     // bucket-pruned, but the final rank must not funnel them into #probes
     // sort tasks either — TopKPerKey keeps <= k per (partition, probe).

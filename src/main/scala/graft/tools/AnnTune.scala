@@ -108,6 +108,39 @@ object AnnTune {
         prevote = Some(
           AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, minCollisions = 1)))
     }
+    if (which == "budget") {
+      // Occupancy-budgeted probing (round 10): the probe side takes
+      // margin-ordered buckets merged across tables while their summed
+      // occupancy fits ceil(poolFrac * corpusN) rows — the id-only
+      // pre-vote pool becomes a HARD per-probe bound spent in neighbor-
+      // likelihood order, instead of an emergent number dominated by
+      // whichever mega-buckets the fixed quota happened to probe. Sweep
+      // hunts the box (recall >= 0.85, scan <= 0.25) at poolFrac <= 0.45,
+      // the pre-vote target the plain grid could not reach (best
+      // non-budgeted point with recall >= 0.85: prevote 0.494).
+      // probesPerTable here is the per-table enumeration CAP for the
+      // merge, not a quota — set generously (the budget does the cutting).
+      // NOTE the budget bounds the MULTIPLICITY pool (every probed-bucket
+      // occurrence charges it); the gated prevote number counts DISTINCT
+      // (probe, vector) pairs, measured ~0.6-0.75x of the multiplicity
+      // bound at these knobs — so the interesting budget range sits well
+      // above the 0.45 distinct-pool target. First pass (0.35-0.45)
+      // measured recall 0.39-0.60: too tight for the vote to see double
+      // collisions.
+      for {
+        (planes, tables) <- Seq((12, 10), (12, 12), (13, 12), (13, 14),
+          (14, 12), (14, 14))
+        frac <- Seq(0.35, 0.40, 0.45, 0.55, 0.70, 0.85, 1.00, 1.20)
+        minC <- Seq(2)
+      } evalOne(s"lsh planes=$planes tables=$tables budget=$frac minC=$minC",
+        AnnLsh.candidates(spark, dir, nProbes, planes, tables, 1024,
+          minCollisions = minC, poolFrac = frac),
+        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, 1024,
+          minCollisions = minC, poolFrac = frac),
+        prevote = Some(
+          AnnLsh.candidates(spark, dir, nProbes, planes, tables, 1024,
+            minCollisions = 1, poolFrac = frac)))
+    }
     if (which == "ship") {
       // Ship-point shortlist: the voted frontier's box-satisfying points,
       // re-measured on whatever corpus SPARK_GRAFT_SF_DIR selects — the

@@ -182,6 +182,44 @@ class ModulesSpec extends AnyFunSuite {
       assert(prevote <= 0.55, f"LSH pre-vote id-pair pool $prevote%.3f above the 0.55 ceiling")
     }
 
+  test("AnnLsh: occupancy-budgeted probing caps the pre-vote pool at the budget") {
+    // poolFrac switches the probe side to occupancy-budgeted probing: each
+    // probe takes margin-ordered buckets (merged across tables) while their
+    // summed occupancy fits ceil(poolFrac * corpusN) rows — the id-only
+    // pre-vote pool becomes a HARD per-probe bound instead of an emergent
+    // number. The greedy walk charges MULTIPLICITY (every probed-bucket
+    // occurrence), so the DISTINCT pool measured here sits strictly below
+    // the budget. Swept in TUNE_r10.txt ("budget" mode): on these isotropic
+    // embeddings the mode does NOT dominate the fixed-quota default at
+    // equal distinct pool (occupancy is proportional to neighbor
+    // probability mass, so skipping crowded buckets costs proportional
+    // recall) — it ships as the worst-case-control option for clustered
+    // real corpora, not as the default. Deterministic: seeded planes,
+    // fixed data.
+    val nProbes = 25
+    // A budget that bites: distinct pool must stay under poolFrac, with
+    // room to spare (multiplicity >= distinct).
+    for (frac <- Seq(0.2, 0.85)) {
+      val pool = scanFraction(sf,
+        AnnLsh.candidates(spark, sf, numProbes = nProbes, probesPerTable = 1024,
+          minCollisions = 1, poolFrac = frac), nProbes)
+      assert(pool <= frac + 1e-9, f"budgeted pool $pool%.3f exceeds the $frac bound")
+    }
+    // The measured operating point at (planes=14, tables=12, cap=1024,
+    // budget=0.85, minC=2): recall 0.848 at scan 0.204, distinct pool
+    // 0.515 (TUNE_r10.txt budget section).
+    val ann = AnnLsh.annTopK(spark, sf, numProbes = nProbes, k = 5,
+      probesPerTable = 1024, poolFrac = 0.85).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall = meanRecall(sf, ann, nProbes, 5)
+    val frac = scanFraction(sf,
+      AnnLsh.candidates(spark, sf, numProbes = nProbes, probesPerTable = 1024,
+        poolFrac = 0.85), nProbes)
+    info(f"budgeted AnnLsh recall@5: $recall%.3f at scan fraction $frac%.3f")
+    assert(recall >= 0.84, f"budgeted recall@5 $recall%.3f below the measured 0.848 point")
+    assert(frac <= 0.21, f"budgeted scan $frac%.3f above the measured 0.204 point")
+  }
+
   for (dir <- gatedSfs)
     test(s"AnnIvf: recall@5 >= 0.85 at scan <= 0.25 (adaptive defaults, $dir)") {
       // Same assigned box as LSH, on both corpora. The corpus-adaptive
