@@ -160,6 +160,13 @@ object SparkEntry {
       "q49_ann_ivf" -> ((s: SparkSession, dir: String) => AnnIvf.annTopK(s, dir)),
       "q58_ann_persisted" -> ((s: SparkSession, dir: String) => annPersisted(s, dir)),
       "q59_ann_ivf_persisted" -> ((s: SparkSession, dir: String) => annIvfPersisted(s, dir)),
+      // Occupancy-budgeted LSH (worst-case-control variant): the id-only
+      // pre-vote pool is HARD-bounded at ceil(0.85 * corpusN) rows per
+      // probe, spent on the margin-cheapest buckets (see AnnLsh doc /
+      // TUNE_r10.txt budget grids; measured 0.848 recall @ 0.204 scan,
+      // distinct pool 0.515 on sf0.001).
+      "q60_ann_budgeted" -> ((s: SparkSession, dir: String) =>
+        AnnLsh.annTopK(s, dir, probesPerTable = 1024, poolFrac = 0.85)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
@@ -168,10 +175,11 @@ object SparkEntry {
     * the driver's rows-only check: iforest_score is seeded-RNG model output,
     * q31_ann_lsh buckets by gaussian hyperplanes, q49_ann_ivf by a k-means
     * quantizer, q58_ann_persisted / q59_ann_ivf_persisted replay those
-    * buckets/lists from a persisted index — none are expressible as
-    * deterministic cross-engine SQL; all are asserted in ScalaTest specs
-    * instead, the persisted paths bit-for-bit against the live ones in
-    * AnnIndexSpec). */
+    * buckets/lists from a persisted index, q60_ann_budgeted is the same
+    * gaussian bucketing under an occupancy budget — none are expressible
+    * as deterministic cross-engine SQL; all are asserted in ScalaTest
+    * specs instead, the persisted paths bit-for-bit against the live ones
+    * in AnnIndexSpec, the budgeted point in ModulesSpec). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++
       Physical.oracles ++ Map(

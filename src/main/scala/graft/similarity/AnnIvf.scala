@@ -95,16 +95,38 @@ object AnnIvf {
 
   /** Indices of the `n` nearest centroids by euclidean distance — the same
     * assignment rule (and first-min tie-break) KMeansModel.transform uses,
-    * so cached-centroid assignment matches a fresh model.transform. */
-  private[similarity] def nearestLists(cs: Array[Array[Double]], en: Array[Double], n: Int): Array[Int] =
-    cs.zipWithIndex.map { case (c, i) =>
+    * so cached-centroid assignment matches a fresh model.transform.
+    *
+    * This runs once per CORPUS ROW on the q49 index pass (n=1) — with the
+    * corpus-adaptive defaults that is nlist ~ 11*sqrt(corpus) distance
+    * computations per row, so the n=1 path is a primitive argmin (no
+    * tuple boxing, no sort); first-min tie-break preserved. n>1 (the
+    * probe side, numProbes rows) keeps the simple sort. */
+  private[similarity] def nearestLists(cs: Array[Array[Double]], en: Array[Double], n: Int): Array[Int] = {
+    def distTo(c: Array[Double]): Double = {
       var d = 0.0
       var j = 0
-      while (j < c.length && j < en.length) {
+      val lim = math.min(c.length, en.length)
+      while (j < lim) {
         val diff = c(j) - en(j); d += diff * diff; j += 1
       }
-      (d, i)
-    }.sortBy(_._1).take(n).map(_._2)
+      d
+    }
+    if (n == 1) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < cs.length) {
+        val d = distTo(cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      Array(best)
+    } else {
+      cs.zipWithIndex.map { case (c, i) => (distTo(c), i) }
+        .sortBy(_._1).take(n).map(_._2)
+    }
+  }
 
   /** Memoized spherical k-means quantizer fit for `dir`'s embeddings —
     * shared by the query path and [[AnnIndex.saveIvf]] so a persisted

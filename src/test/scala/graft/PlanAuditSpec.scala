@@ -74,7 +74,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // #probes partitions, each task sorting its probe's full candidate set.
     // TopKPerKey replaces it with an ObjectHashAggregate whose map-side
     // partials are k-bounded; this pins that no Window sneaks back in.
-    for (q <- Seq("q28_cosine_topk", "q31_ann_lsh", "q49_ann_ivf")) {
+    for (q <- Seq("q28_cosine_topk", "q31_ann_lsh", "q49_ann_ivf", "q60_ann_budgeted")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks via a window again:\n$p")
       assert(p.contains("ObjectHashAggregate"),
@@ -87,7 +87,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // once per corpus row — the last place a ScalaUDF's boxing + codegen
     // fence sat on a hot path. LshBuckets/IvfLists replace them; this pins
     // that no UDF sneaks back into either ANN plan.
-    for (q <- Seq("q31_ann_lsh", "q49_ann_ivf")) {
+    for (q <- Seq("q31_ann_lsh", "q49_ann_ivf", "q60_ann_budgeted")) {
       val p = plan(q)
       assert(!p.contains("ScalaUDF"), s"$q bucket assignment regressed to a ScalaUDF:\n$p")
     }
