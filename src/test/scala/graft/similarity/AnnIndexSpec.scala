@@ -54,6 +54,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(loaded == live)
   }
 
+  test("LSH: persisted occupancy-budgeted index reproduces that live path") {
+    // poolFrac round-trips through metadata too, and the loader derives
+    // the per-bucket occupancies from the SAVED assignments (an ids-only
+    // aggregation over the index — never a corpus re-scan) plus the budget
+    // from the fingerprint's corpusRows, so budgeted probing from a loaded
+    // index is bit-identical to the live q60 path.
+    val path = s"$root/lsh_budget"
+    AnnIndex.saveLsh(spark, sf, path, probesPerTable = 1024, poolFrac = 0.85)
+    val live = rows(AnnLsh.annTopK(spark, sf, numProbes = 5, k = 5,
+      probesPerTable = 1024, poolFrac = 0.85))
+    val loaded = rows(AnnIndex.lshTopK(spark, sf, path, numProbes = 5, k = 5))
+    assert(loaded == live)
+  }
+
   test("IVF: persisted index reproduces the live annTopK bit-for-bit") {
     val path = s"$root/ivf"
     AnnIndex.saveIvf(spark, sf, path)
