@@ -356,6 +356,30 @@ object TextPipeline {
       graft.plans.TopKPerKey.topK(cands, "q_id", "cos", "neighbor_id", 10, "cosine")
         .orderBy(col("q_id"), col("rn"))
     }),
+
+    // Int8-QUANTIZED similarity search: QuantizeVec maps each vector to
+    // integral doubles in [-127, 127] (symmetric per-vector scale) and the
+    // ranking runs CosineSimilarity directly on the quantized arrays —
+    // cosine is scale-invariant, so the per-vector scales cancel and no
+    // dequantization ever happens. At 100 TB this is the IO story for
+    // similarity search: the int8 column is 4x narrower than float32 on
+    // disk and through every shuffle, for a ranking-quality trade that is
+    // MEASURED, not guessed (ModulesSpec: quantized-vs-exact recall@10).
+    // Deterministic end to end (floor + greatest, same association order
+    // as the oracle), so unlike the seeded-plane ANN queries this one is
+    // fully DuckDB-oracled.
+    "q61_quantized_topk" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      graft.functions.QuantizeVec.register(s)
+      val emb = embDoubles(s, dir).selectExpr("vec_id", "quantize_vec(e) AS qe")
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qe").as("ae"))
+      val scored = broadcast(probes).join(emb.select(col("vec_id"), col("qe").as("be")),
+          expr("vec_id != q_id"))
+        .selectExpr("q_id", "vec_id AS neighbor_id", s"$cosineExpr AS cos")
+      graft.plans.TopKPerKey.topK(scored, "q_id", "cos", "neighbor_id", 10, "cosine")
+        .orderBy(col("q_id"), col("rn"))
+    }),
   )
 
   /** 16-bucket sign-LSH from four FIXED small-integer hyperplanes (each a
@@ -566,6 +590,28 @@ object TextPipeline {
          |    ${duckCos("q", "b")} AS cos
          |  FROM emb q JOIN emb b ON b.b54 = q.b54 AND b.vec_id != q.vec_id
          |  WHERE q.vec_id < 5),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    // Quantization mirrors QuantizeVec exactly: floor(x * (127/greatest(
+    // maxabs, 1e-30))) — scale computed FIRST, then one multiply, same
+    // association order, so the doubles (and the 4-decimal hash) agree.
+    "q61_quantized_topk" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+         |  FROM embeddings),
+         |q AS (SELECT vec_id,
+         |    list_transform(e, x -> floor(x * (127.0 /
+         |      greatest(list_max(list_transform(e, v -> abs(v))), 1e-30)))) AS qe
+         |  FROM emb),
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+         |    list_sum(list_transform(generate_series(1, len(a.qe)), i -> a.qe[i] * b.qe[i]))
+         |      / (sqrt(list_sum(list_transform(a.qe, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(b.qe, x -> x * x)))) AS cos
+         |  FROM q a JOIN q b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < 5),
          |ranked AS (SELECT q_id, neighbor_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
          |  FROM scored)

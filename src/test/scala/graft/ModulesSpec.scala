@@ -241,6 +241,39 @@ class ModulesSpec extends AnyFunSuite {
       assert(frac <= 0.25, f"IVF scanned $frac%.3f of the corpus, above the 0.25 ceiling")
     }
 
+  test("QuantizeVec: int8 ranking trade vs exact cosine is measured, not guessed") {
+    // q61 ranks on CosineSimilarity over QuantizeVec output (integral
+    // doubles in [-127, 127]; per-vector scales cancel in the cosine
+    // ratio). The quality cost of the 4x narrower representation must be
+    // on the record: overlap@10 of the quantized ranking vs driver-side
+    // exact cosine top-10, deterministic (floor arithmetic, fixed data).
+    for (dir <- gatedSfs) {
+      val emb = embMap(dir)
+      val exact = (0 until 5).map { qid =>
+        qid.toLong -> emb.view.filter(_._1 != qid.toLong)
+          .map { case (id, v) => (cosineOf(emb(qid.toLong), v), id) }
+          .toSeq.sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+      }.toMap
+      val quantized = graft.queries.TextPipeline.queries("q61_quantized_topk")(spark, dir)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val overlap = exact.keys.toSeq.map(q =>
+        exact(q).intersect(quantized.getOrElse(q, Set.empty)).size.toDouble / 10).sum / 5
+      info(f"quantized-vs-exact overlap@10 ($dir): $overlap%.3f")
+      // Measured: 1.000 on sf0.001, 0.980 on sf0.1 (49 of the 50 exact
+      // top-10 slots) — at dim 64 the int8 representation is near-lossless
+      // for ranking. Floor at the measured minimum (deterministic
+      // arithmetic, fixed data — cannot flake).
+      assert(overlap >= 0.98,
+        f"quantized overlap@10 $overlap%.3f fell below the measured 0.980 floor ($dir)")
+    }
+    // unit sanity: known vector, scale = 127/maxabs, floor semantics
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val q = graft.functions.QuantizeVec(null)
+      .quantize(new GenericArrayData(Array(0.5, -1.0, 0.25, 0.0)))
+    assert(q.toDoubleArray().toSeq == Seq(63.0, -127.0, 31.0, 0.0))
+  }
+
   test("Multimodal: moment features of a known payload") {
     val payload = Array[Byte](0, 10, 20, 30)
     val f = Multimodal.moments(
