@@ -51,9 +51,12 @@ import org.apache.spark.sql.functions._
  * and HOLDS on the 4x corpus (sf0.1: 0.920 at 0.194, pre-vote 0.500,
  * same TUNE_r10.txt) where the frontier of the old point was never
  * measured. ModulesSpec gates the default at (recall >= 0.85,
- * scan <= 0.25, prevote <= 0.55) on BOTH corpora and logs all three
- * numbers to RECALL.jsonl, so the cheap-filter work the scan number
- * excludes stays visible and bounded.
+ * scan <= 0.25, prevote <= 0.55, multiplicity <= 0.85) on BOTH corpora
+ * and logs all four numbers to RECALL.jsonl — the DISTINCT pre-vote
+ * pairs AND the multiplicity rows the bucket join actually feeds the
+ * counting aggregate (measured 0.797/0.786, i.e. ~1.59 collisions per
+ * distinct pair) — so the cheap-filter work the scan number excludes
+ * stays visible and bounded on both axes.
  *
  * `poolFrac > 0` additionally switches the probe side to OCCUPANCY-
  * BUDGETED probing: per-bucket occupancies (one ids-only aggregation,
@@ -181,17 +184,20 @@ object AnnLsh {
    * The join key is `tb = table * 2^numPlanes + bucket`, so buckets from
    * different tables never collide.
    */
-  def candidates(
+  /** The bucket-exploded probe and index frames the candidate join runs
+    * over — (probes: q_id, ae, tb), (indexed: vec_id, be, tb), plus the
+    * corpus (vec_id, e). Shared by [[candidates]] and [[collisionStats]]
+    * so diagnostics measure exactly the shipped frames. */
+  private def bucketFrames(
       s: SparkSession,
       dir: String,
-      numProbes: Int = 5,
-      numPlanes: Int = 14,
-      numTables: Int = 12,
-      probesPerTable: Int = 896,
-      seed: Long = 7919L,
-      adaptive: Boolean = false,
-      minCollisions: Int = 2,
-      poolFrac: Double = 0.0): DataFrame = {
+      numProbes: Int,
+      numPlanes: Int,
+      numTables: Int,
+      probesPerTable: Int,
+      seed: Long,
+      adaptive: Boolean,
+      poolFrac: Double): (DataFrame, DataFrame, DataFrame) = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
@@ -235,12 +241,28 @@ object AnnLsh {
       } else ColumnBridge.column(
         LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
           adaptive))
-    graft.functions.CosineSimilarity.register(s)
     val indexed = emb
       .select(col("vec_id"), col("e").as("be"), explode(indexBuckets).as("tb"))
     val probes = emb.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("q_id"), col("e").as("ae"),
         explode(probeBuckets).as("tb"))
+    (probes, indexed, emb)
+  }
+
+  def candidates(
+      s: SparkSession,
+      dir: String,
+      numProbes: Int = 5,
+      numPlanes: Int = 14,
+      numTables: Int = 12,
+      probesPerTable: Int = 896,
+      seed: Long = 7919L,
+      adaptive: Boolean = false,
+      minCollisions: Int = 2,
+      poolFrac: Double = 0.0): DataFrame = {
+    val (probes, indexed, emb) = bucketFrames(s, dir, numProbes, numPlanes, numTables,
+      probesPerTable, seed, adaptive, poolFrac)
+    graft.functions.CosineSimilarity.register(s)
     if (minCollisions <= 1) {
       // A neighbor sharing buckets in several tables/probes would be ranked
       // (and counted) more than once, so pairs are deduped — AFTER scoring,
@@ -263,6 +285,30 @@ object AnnLsh {
   }
 
   /**
+   * Diagnostic surface for the gates: the vote's INPUT (q_id, vec_id,
+   * n_hits) at the given knobs, over exactly the frames [[candidates]]
+   * joins. `sum(n_hits)` is the MULTIPLICITY pool — the rows the bucket
+   * join emits into the counting aggregate, i.e. the true id-only
+   * shuffle/aggregation cost the scan fraction excludes; `count(*)` is
+   * the DISTINCT pool RECALL.jsonl has always carried. Both are gated
+   * (ModulesSpec) so neither can silently regress.
+   */
+  def collisionStats(
+      s: SparkSession,
+      dir: String,
+      numProbes: Int = 5,
+      numPlanes: Int = 14,
+      numTables: Int = 12,
+      probesPerTable: Int = 896,
+      seed: Long = 7919L,
+      adaptive: Boolean = false,
+      poolFrac: Double = 0.0): DataFrame = {
+    val (probes, indexed, _) = bucketFrames(s, dir, numProbes, numPlanes, numTables,
+      probesPerTable, seed, adaptive, poolFrac)
+    collisionCounts(probes.select("q_id", "tb"), indexed.select(col("vec_id"), col("tb")))
+  }
+
+  /**
    * COLLISION VOTING: count bucket co-occurrences per (probe, vector)
    * pair FIRST — ids only, no vectors through the shuffle — and score
    * only pairs colliding in >= minCollisions probed buckets. A true
@@ -278,16 +324,26 @@ object AnnLsh {
    * Shared by the live path above and [[AnnIndex.lshTopK]]'s loaded
    * (tb, vec_id) assignments, so persisted-index voting is the same plan.
    */
+  /** The pre-threshold collision counts (q_id, vec_id, n_hits) — the
+    * id-only aggregation [[scoreVoted]] filters. Exposed so the gates can
+    * measure BOTH pool numbers the scan fraction excludes: sum(n_hits) is
+    * the MULTIPLICITY pool (the rows the bucket join actually emits into
+    * the counting aggregate — the true shuffle/aggregation cost at scale),
+    * count(*) the DISTINCT pool (unique candidate pairs). */
+  private[similarity] def collisionCounts(
+      probeIds: DataFrame, indexIds: DataFrame): DataFrame =
+    broadcast(probeIds)
+      .join(indexIds, Seq("tb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(count(lit(1)).as("n_hits"))
+
   private[similarity] def scoreVoted(
       probeIds: DataFrame,   // (q_id, tb)
       indexIds: DataFrame,   // (vec_id, tb)
       probeVecs: DataFrame,  // (q_id, ae)
       corpusVecs: DataFrame, // (vec_id, be)
       minCollisions: Int): DataFrame = {
-    val hits = broadcast(probeIds)
-      .join(indexIds, Seq("tb"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id").agg(count(lit(1)).as("n_hits"))
+    val hits = collisionCounts(probeIds, indexIds)
       .filter(col("n_hits") >= minCollisions)
     hits
       .join(broadcast(probeVecs), Seq("q_id"))

@@ -166,20 +166,30 @@ class ModulesSpec extends AnyFunSuite {
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val recall = meanRecall(dir, ann, nProbes, 5)
       val frac = scanFraction(dir, AnnLsh.candidates(spark, dir, numProbes = nProbes), nProbes)
-      // Honesty sidecar: the scan fraction above counts DISTANCE
-      // COMPUTATIONS (the post-vote scored pool). The vote's input — the
-      // id-only (q_id, vec_id) pairs the cheap aggregation touches before
-      // filtering — is the no-vote pool at the same knobs; logged AND gated
-      // so the excluded work is neither hidden by the metric nor free to
-      // regress.
-      val prevote = scanFraction(dir,
-        AnnLsh.candidates(spark, dir, numProbes = nProbes, minCollisions = 1), nProbes)
+      // Honesty sidecars: the scan fraction above counts DISTANCE
+      // COMPUTATIONS (the post-vote scored pool). The vote's input is
+      // measured on BOTH axes the scan number excludes — the DISTINCT
+      // (q_id, vec_id) pairs (prevote, what RECALL.jsonl has always
+      // carried) AND the MULTIPLICITY rows the bucket join actually emits
+      // into the counting aggregate (mult — the true id-only shuffle/
+      // aggregation cost at scale; a pair colliding in 3 probed buckets
+      // costs 3 rows there, not 1). Logged AND gated so neither number is
+      // hidden by the metric nor free to regress.
+      val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val stats = AnnLsh.collisionStats(spark, dir, numProbes = nProbes)
+        .selectExpr("count(*) AS distinct_pairs", "sum(n_hits) AS mult_rows").first()
+      val prevote = stats.getLong(0).toDouble / (nProbes * total)
+      val mult = stats.getLong(1).toDouble / (nProbes * total)
       info(f"AnnLsh recall@5 over $nProbes probes: $recall%.3f at scan fraction $frac%.3f" +
-        f" (pre-vote id-pair pool $prevote%.3f)")
-      logRecall(dir, "lsh", recall, frac, nProbes, 5, f""","prevote_fraction":$prevote%.4f""")
+        f" (pre-vote pools: distinct $prevote%.3f, multiplicity $mult%.3f)")
+      logRecall(dir, "lsh", recall, frac, nProbes, 5,
+        f""","prevote_fraction":$prevote%.4f,"mult_fraction":$mult%.4f""")
       assert(recall >= 0.85, f"LSH recall@5 $recall%.3f below the 0.85 floor")
       assert(frac <= 0.25, f"LSH scored $frac%.3f of the corpus, above the 0.25 ceiling")
       assert(prevote <= 0.55, f"LSH pre-vote id-pair pool $prevote%.3f above the 0.55 ceiling")
+      // Measured 0.797 (sf0.001) / 0.786 (sf0.1) at the shipped default —
+      // each distinct pair collides ~1.59x on average. Deterministic.
+      assert(mult <= 0.85, f"LSH multiplicity pool $mult%.3f above the 0.85 ceiling")
     }
 
   test("AnnLsh: occupancy-budgeted probing caps the pre-vote pool at the budget") {
