@@ -167,6 +167,12 @@ object SparkEntry {
       // distinct pool 0.515 on sf0.001).
       "q60_ann_budgeted" -> ((s: SparkSession, dir: String) =>
         AnnLsh.annTopK(s, dir, probesPerTable = 1024, poolFrac = 0.85)),
+      // Default-knob LSH with int8-quantized candidate scoring: same
+      // buckets, vote, and pool bounds as q31; only the rehydration join
+      // and cosine kernel run 8x narrower (QuantizeVec). Measured recall
+      // identical to q31 on both gated corpora (ModulesSpec).
+      "q62_ann_quantized" -> ((s: SparkSession, dir: String) =>
+        AnnLsh.annTopK(s, dir, quantized = true)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
@@ -176,10 +182,11 @@ object SparkEntry {
     * q31_ann_lsh buckets by gaussian hyperplanes, q49_ann_ivf by a k-means
     * quantizer, q58_ann_persisted / q59_ann_ivf_persisted replay those
     * buckets/lists from a persisted index, q60_ann_budgeted is the same
-    * gaussian bucketing under an occupancy budget — none are expressible
+    * gaussian bucketing under an occupancy budget, q62_ann_quantized the
+    * same bucketing with int8-scored candidates — none are expressible
     * as deterministic cross-engine SQL; all are asserted in ScalaTest
     * specs instead, the persisted paths bit-for-bit against the live ones
-    * in AnnIndexSpec, the budgeted point in ModulesSpec). */
+    * in AnnIndexSpec, the budgeted/quantized points in ModulesSpec). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++
       Physical.oracles ++ Map(

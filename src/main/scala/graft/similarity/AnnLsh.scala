@@ -259,10 +259,19 @@ object AnnLsh {
       seed: Long = 7919L,
       adaptive: Boolean = false,
       minCollisions: Int = 2,
-      poolFrac: Double = 0.0): DataFrame = {
+      poolFrac: Double = 0.0,
+      quantized: Boolean = false): DataFrame = {
     val (probes, indexed, emb) = bucketFrames(s, dir, numProbes, numPlanes, numTables,
       probesPerTable, seed, adaptive, poolFrac)
     graft.functions.CosineSimilarity.register(s)
+    // `quantized` scores candidates on int8-quantized vectors
+    // ([[graft.functions.QuantizeVec]]): bucketing and the collision vote
+    // are UNCHANGED (same candidate pool, same pool gates), only the
+    // rehydration join and the cosine kernel switch to the 8x narrower
+    // representation — at 100 TB that join is the widest data movement in
+    // this plan. Ranking degradation is measured in ModulesSpec
+    // (quantized-default recall on both gated corpora), not guessed.
+    if (quantized) graft.functions.QuantizeVec.register(s)
     if (minCollisions <= 1) {
       // A neighbor sharing buckets in several tables/probes would be ranked
       // (and counted) more than once, so pairs are deduped — AFTER scoring,
@@ -271,16 +280,26 @@ object AnnLsh {
       // cos) rows instead of dragging both full embedding vectors through it
       // (at dim=1024 that's a ~100x lighter shuffle; every duplicate scores
       // the same pair, so the kept row is identical either way).
-      broadcast(probes)
-        .join(indexed, Seq("tb"))
+      val (p, ix) =
+        if (!quantized) (probes, indexed)
+        else (probes.selectExpr("q_id", "quantize_vec(ae) AS ae", "tb"),
+          indexed.selectExpr("vec_id", "quantize_vec(be) AS be", "tb"))
+      broadcast(p)
+        .join(ix, Seq("tb"))
         .filter(col("vec_id") =!= col("q_id"))
         .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
         .dropDuplicates("q_id", "neighbor_id")
     } else {
+      val probeVecs = emb.filter(col("vec_id") < numProbes)
+      val (pv, cv) =
+        if (!quantized)
+          (probeVecs.select(col("vec_id").as("q_id"), col("e").as("ae")),
+            emb.select(col("vec_id"), col("e").as("be")))
+        else
+          (probeVecs.selectExpr("vec_id AS q_id", "quantize_vec(e) AS ae"),
+            emb.selectExpr("vec_id", "quantize_vec(e) AS be"))
       scoreVoted(probes.select("q_id", "tb"), indexed.select(col("vec_id"), col("tb")),
-        emb.filter(col("vec_id") < numProbes)
-          .select(col("vec_id").as("q_id"), col("e").as("ae")),
-        emb.select(col("vec_id"), col("e").as("be")), minCollisions)
+        pv, cv, minCollisions)
     }
   }
 
@@ -367,9 +386,10 @@ object AnnLsh {
       seed: Long = 7919L,
       adaptive: Boolean = false,
       minCollisions: Int = 2,
-      poolFrac: Double = 0.0): DataFrame = {
+      poolFrac: Double = 0.0,
+      quantized: Boolean = false): DataFrame = {
     val scored = candidates(s, dir, numProbes, numPlanes, numTables, probesPerTable, seed,
-      adaptive, minCollisions, poolFrac)
+      adaptive, minCollisions, poolFrac, quantized)
     // Bounded top-k aggregation (not a rank window): candidates are already
     // bucket-pruned, but the final rank must not funnel them into #probes
     // sort tasks either — TopKPerKey keeps <= k per (partition, probe).

@@ -251,6 +251,26 @@ class ModulesSpec extends AnyFunSuite {
       assert(frac <= 0.25, f"IVF scanned $frac%.3f of the corpus, above the 0.25 ceiling")
     }
 
+  for (dir <- gatedSfs)
+    test(s"AnnLsh quantized: int8 rehydration keeps the recall box ($dir)") {
+      // quantized=true leaves bucketing, voting, and every pool number
+      // untouched (same candidate frames — the pool gates above cover it)
+      // and switches only the rehydration join + cosine kernel to int8,
+      // the 8x-narrower data movement at 100 TB. The ranking cost of that
+      // width cut is measured here against exhaustive exact top-k:
+      // 0.872 on sf0.001 and 0.920 on sf0.1 — IDENTICAL to the
+      // exact-scored default on both corpora (RECALL.jsonl lsh lines):
+      // at dim 64 the int8 width cut is free at these knobs.
+      // Deterministic (seeded planes, floor arithmetic).
+      val nProbes = 25
+      val ann = AnnLsh.annTopK(spark, dir, numProbes = nProbes, k = 5, quantized = true)
+        .collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = meanRecall(dir, ann, nProbes, 5)
+      info(f"quantized AnnLsh recall@5 over $nProbes probes: $recall%.3f")
+      assert(recall >= 0.85, f"quantized LSH recall@5 $recall%.3f below the 0.85 floor")
+    }
+
   test("QuantizeVec: int8 ranking trade vs exact cosine is measured, not guessed") {
     // q61 ranks on CosineSimilarity over QuantizeVec output (integral
     // doubles in [-127, 127]; per-vector scales cancel in the cosine

@@ -75,7 +75,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // TopKPerKey replaces it with an ObjectHashAggregate whose map-side
     // partials are k-bounded; this pins that no Window sneaks back in.
     for (q <- Seq("q28_cosine_topk", "q31_ann_lsh", "q49_ann_ivf", "q60_ann_budgeted",
-        "q61_quantized_topk")) {
+        "q61_quantized_topk", "q62_ann_quantized")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q ranks via a window again:\n$p")
       assert(p.contains("ObjectHashAggregate"),
