@@ -267,7 +267,10 @@ class ModulesSpec extends AnyFunSuite {
         .collect()
         .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val recall = meanRecall(dir, ann, nProbes, 5)
-      info(f"quantized AnnLsh recall@5 over $nProbes probes: $recall%.3f")
+      val frac = scanFraction(dir,
+        AnnLsh.candidates(spark, dir, numProbes = nProbes, quantized = true), nProbes)
+      info(f"quantized AnnLsh recall@5 over $nProbes probes: $recall%.3f at scan $frac%.3f")
+      logRecall(dir, "lsh_int8", recall, frac, nProbes, 5)
       assert(recall >= 0.85, f"quantized LSH recall@5 $recall%.3f below the 0.85 floor")
     }
 
