@@ -357,6 +357,33 @@ object TextPipeline {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // Benchmark-CONTAMINATION check (decontamination): docs with
+    // doc_id < 25 stand in for an eval benchmark; every other document is
+    // scored by the fraction of its distinct 3-token shingles that appear
+    // anywhere in the benchmark — the standard n-gram-overlap test a
+    // training-data pipeline runs before a corpus ships. Scale shape: the
+    // benchmark shingle set is DISTINCT then BROADCAST (benchmarks are
+    // tiny next to a 100 TB corpus), the corpus pays one shingle explode
+    // and a map-side broadcast left join (corpus rows never shuffle for
+    // the membership test), and the per-doc ratio is a single groupBy on
+    // doc_id with map-side partial counts.
+    "q63_contamination" -> ((s, dir) => {
+      val docs = Caches.persist(docShingles(s, dir))
+      val bench = docs.filter(col("doc_id") < 25)
+        .select(explode(col("sh")).as("sgl")).distinct()
+        .withColumn("hit", lit(1))
+      docs.filter(col("doc_id") >= 25)
+        .select(col("doc_id"), explode(col("sh")).as("sgl"))
+        .join(broadcast(bench), Seq("sgl"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          round(col("n_hits").cast("double") / col("n_shingles"), 4)
+            .as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Int8-QUANTIZED similarity search: QuantizeVec maps each vector to
     // integral doubles in [-127, 127] (symmetric per-vector scale) and the
     // ranking runs CosineSimilarity directly on the quantized arrays —
@@ -595,6 +622,17 @@ object TextPipeline {
          |  FROM scored)
          |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rn
          |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+
+    "q63_contamination" ->
+      s"""WITH docs AS ($duckShingleDocs),
+         |bench AS (SELECT DISTINCT unnest(sh) AS sgl FROM docs WHERE doc_id < 25),
+         |corpus AS (SELECT doc_id, unnest(sh) AS sgl FROM docs WHERE doc_id >= 25),
+         |j AS (SELECT c.doc_id, (b.sgl IS NOT NULL)::INT AS hit
+         |  FROM corpus c LEFT JOIN bench b ON c.sgl = b.sgl)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  cast(sum(hit) AS BIGINT) AS n_hits,
+         |  round(sum(hit)::DOUBLE / count(*), 4) AS contamination
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Quantization mirrors QuantizeVec exactly: floor(x * (127/greatest(
     // maxabs, 1e-30))) — scale computed FIRST, then one multiply, same
