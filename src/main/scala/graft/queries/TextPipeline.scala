@@ -384,6 +384,27 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // CONCAT-AND-CHUNK packing layout — the standard pretraining data
+    // prep: documents are tokenized, concatenated in doc_id order, and
+    // cut into fixed 2048-token windows; each doc's global token offset
+    // determines which chunks it lands in. The global running sum is
+    // [[graft.plans.RangedPrefixSum]] — range-partition + local cumsum +
+    // bounded per-partition offset collect — NOT an unpartitioned window
+    // (which funnels the whole corpus through one task; at 100 TB the
+    // offset pass must stay embarrassingly parallel). Fully oracled
+    // against DuckDB's window-function form.
+    "q64_concat_chunks" -> ((s, dir) => {
+      val window = 2048
+      val toksPerDoc = t(s, dir, "documents")
+        .selectExpr("doc_id", s"cast(size($toks) AS bigint) AS n_tokens")
+      graft.plans.RangedPrefixSum.prefixSumBy(s, toksPerDoc, "n_tokens", "fin", "doc_id")
+        .selectExpr("doc_id", "n_tokens",
+          "fin - n_tokens AS start_offset",
+          s"(fin - n_tokens) div $window AS chunk_first",
+          s"(fin - 1) div $window - (fin - n_tokens) div $window + 1 AS n_chunks")
+        .orderBy(col("doc_id"))
+    }),
+
     // Int8-QUANTIZED similarity search: QuantizeVec maps each vector to
     // integral doubles in [-127, 127] (symmetric per-vector scale) and the
     // ranking runs CosineSimilarity directly on the quantized arrays —
@@ -633,6 +654,19 @@ object TextPipeline {
          |  cast(sum(hit) AS BIGINT) AS n_hits,
          |  round(sum(hit)::DOUBLE / count(*), 4) AS contamination
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q64_concat_chunks" ->
+      s"""WITH t AS (SELECT doc_id, cast(len($duckToks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  cast(fin - n_tokens AS BIGINT) AS start_offset,
+         |  cast((fin - n_tokens) // 2048 AS BIGINT) AS chunk_first,
+         |  cast((fin - 1) // 2048 - (fin - n_tokens) // 2048 + 1 AS BIGINT) AS n_chunks
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // Quantization mirrors QuantizeVec exactly: floor(x * (127/greatest(
     // maxabs, 1e-30))) — scale computed FIRST, then one multiply, same

@@ -62,7 +62,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // — Spark plans that as Exchange SinglePartition and one task sorts
     // the entire table. rankBy replaces it with a range-partitioned
     // two-level rank; this pins the fix.
-    for (q <- Seq("q27_ngram_jaccard", "q32_simhash_hamming")) {
+    for (q <- Seq("q27_ngram_jaccard", "q32_simhash_hamming", "q64_concat_chunks")) {
       val p = plan(q)
       assert(!p.contains("SinglePartition"),
         s"$q moves the table through one partition:\n$p")

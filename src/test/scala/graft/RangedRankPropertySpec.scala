@@ -75,4 +75,36 @@ class RangedRankPropertySpec extends AnyFunSuite {
       assert(out.count() == 0)
     }
   }
+
+  // value column for the prefix-sum property: derived from the pair so
+  // sums vary per row but stay deterministic
+  private def withV(data: DataFrame): DataFrame =
+    data.withColumn("v", (col("g") * 7 + col("id") % 11).cast("bigint"))
+
+  test("RangedPrefixSum equals sum() over (order by ...) on random data") {
+    // Same licensing contract as the rank: production (q64's global token
+    // offsets) swaps the one-task unpartitioned running-sum window for the
+    // range-partitioned two-pass form, so the two must agree exactly —
+    // arbitrary data, uneven partitions, multi-column keys, empty input.
+    samples(genDataset, propN(8), seed = 2718L).zipWithIndex.foreach { case (rows, i) =>
+      Caches.scoped {
+        val data = withV(df(rows))
+        val got = graft.plans.RangedPrefixSum.prefixSumBy(spark, data, "v", "ps", "g", "id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        val want = data.withColumn("ps",
+            sum(col("v")).over(Window.orderBy(col("g"), col("id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+        assert(got == want, s"[case#$i] diverged on $rows")
+      }
+    }
+  }
+
+  test("RangedPrefixSum on empty input returns an empty bigint column") {
+    Caches.scoped {
+      val out = graft.plans.RangedPrefixSum.prefixSumBy(spark, withV(df(Nil)), "v", "ps", "g", "id")
+      assert(out.schema("ps").dataType == LongType)
+      assert(out.count() == 0)
+    }
+  }
 }
