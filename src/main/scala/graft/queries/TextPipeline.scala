@@ -405,6 +405,24 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test SPLIT ASSIGNMENT — the reproducibility
+    // primitive every training-data pipeline needs: each doc hashes to a
+    // bucket in [0, 100) via md5 of its id (engine-portable, seed-free,
+    // stable under corpus growth — a doc keeps its split when new docs
+    // arrive, unlike any rand()/sample() scheme), 90/5/5 train/val/test.
+    // Pure map over the corpus: no shuffle, no state, embarrassingly
+    // parallel at 100 TB; the summary groupBy carries 3 rows.
+    "q65_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)" +
+            " % 100 AS bucket")
+        .selectExpr("doc_id", "bucket",
+          "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'" +
+            " ELSE 'test' END AS split")
+        .orderBy(col("doc_id"))
+    }),
+
     // Int8-QUANTIZED similarity search: QuantizeVec maps each vector to
     // integral doubles in [-127, 127] (symmetric per-vector scale) and the
     // ranking runs CosineSimilarity directly on the quantized arrays —
@@ -654,6 +672,16 @@ object TextPipeline {
          |  cast(sum(hit) AS BIGINT) AS n_hits,
          |  round(sum(hit)::DOUBLE / count(*), 4) AS contamination
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q65_split_assign" ->
+      s"""SELECT doc_id,
+         |  cast('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 AS bucket,
+         |  CASE WHEN cast('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 < 90
+         |         THEN 'train'
+         |       WHEN cast('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 < 95
+         |         THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q64_concat_chunks" ->
       s"""WITH t AS (SELECT doc_id, cast(len($duckToks) AS BIGINT) AS n_tokens
