@@ -112,6 +112,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 contamination: broadcast membership join, corpus side never shuffles") {
+    // The benchmark shingle set must broadcast (benchmarks are tiny next
+    // to the corpus); a sort-merge join here would shuffle every corpus
+    // shingle row — the exact shape this query exists to avoid.
+    val p = plan("q63_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"q63 lost the broadcast membership join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q63 shuffles the corpus for the join:\n$p")
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
