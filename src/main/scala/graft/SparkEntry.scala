@@ -118,12 +118,20 @@ object SparkEntry {
    * fingerprint fields are written before `assignments`) and a corpus
    * that changed after the build (fingerprint mismatch throws) — either
    * way [[buildIfStale]] rebuilds and retries. The path keys on the
-   * ESCAPED data dir, not a 32-bit hashCode, so two data roots can never
-   * collide onto one index.
+   * escaped data dir PLUS an md5 fragment of the raw dir (the readable
+   * escape alone is lossy), so two data roots can never collide onto one
+   * index.
    */
-  private def annIndexPath(dir: String, leaf: String): String =
+  private def annIndexPath(dir: String, leaf: String): String = {
+    // The readable escape is LOSSY ("/data/x" and "/data_x" both escape to
+    // "_data_x"), so an md5 fragment of the raw dir disambiguates — two
+    // data roots colliding onto one index path would otherwise alternate
+    // fingerprint-stale and rebuild on every access.
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/" +
-      s"graft_ann_index_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$leaf"
+      s"graft_ann_index_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$h/$leaf"
+  }
 
   /** Build-if-absent-or-stale without paying the corpus fingerprint twice:
     * the load path validates internally (and throws on missing/half-built/

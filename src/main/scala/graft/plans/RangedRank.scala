@@ -1,10 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.queries.Caches
 
 /**
  * Scale-safe global row_number over a unique sort key: range-partition
@@ -28,22 +25,16 @@ import graft.queries.Caches
  */
 object RangedRank {
 
-  /** Append a global `rn` (1-based bigint row_number ordered by `ord`). */
-  def rankBy(s: SparkSession, df: DataFrame, ord: String*): DataFrame = {
-    val parts = math.max(s.sparkContext.defaultParallelism, 2)
-    val ordCols = ord.map(col)
-    val local = Caches.persist(df.repartitionByRange(parts, ordCols: _*)
-      .withColumn("gr_pid", spark_partition_id())
-      .withColumn("gr_lrn",
-        row_number().over(Window.partitionBy(col("gr_pid")).orderBy(ordCols: _*))))
-    val counts = local.groupBy(col("gr_pid")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
-    // coalesce: on an empty input `offsets` is empty and element_at would
-    // yield a null rn; an empty-but-typed rank is the right degenerate case.
-    local
-      .withColumn("rn", col("gr_lrn").cast("bigint") +
-        coalesce(element_at(typedLit(offsets), col("gr_pid")), lit(0L)))
-      .drop("gr_pid", "gr_lrn")
-  }
+  /** Append a global `rn` (1-based bigint row_number ordered by `ord`).
+    *
+    * row_number IS the running count — the inclusive prefix sum of ones
+    * under the same total order — so this delegates to
+    * [[RangedPrefixSum.prefixSumBy]] over a constant-1 column rather than
+    * duplicating the two-pass partition-offset machinery (one copy of the
+    * subtle parts: eager totals collect, empty-input coalesce, Caches
+    * contract). RangedRankPropertySpec licenses both against the window
+    * forms independently. */
+  def rankBy(s: SparkSession, df: DataFrame, ord: String*): DataFrame =
+    RangedPrefixSum.prefixSumBy(s, df.withColumn("gr_one", lit(1L)), "gr_one", "rn", ord: _*)
+      .drop("gr_one")
 }

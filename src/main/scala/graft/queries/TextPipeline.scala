@@ -397,11 +397,17 @@ object TextPipeline {
       val window = 2048
       val toksPerDoc = t(s, dir, "documents")
         .selectExpr("doc_id", s"cast(size($toks) AS bigint) AS n_tokens")
+      // n_tokens = 0 guard (cannot occur with the split() tokenizer, which
+      // emits at least [""] — but the formula must not depend on that):
+      // an empty doc spans NO chunks, and the unguarded (fin - 1) with
+      // fin = 0 would also diverge between Spark's `div` (truncates toward
+      // zero) and DuckDB's `//` (floors) on the negative numerator.
       graft.plans.RangedPrefixSum.prefixSumBy(s, toksPerDoc, "n_tokens", "fin", "doc_id")
         .selectExpr("doc_id", "n_tokens",
           "fin - n_tokens AS start_offset",
           s"(fin - n_tokens) div $window AS chunk_first",
-          s"(fin - 1) div $window - (fin - n_tokens) div $window + 1 AS n_chunks")
+          "CASE WHEN n_tokens = 0 THEN cast(0 AS bigint) ELSE " +
+            s"(fin - 1) div $window - (fin - n_tokens) div $window + 1 END AS n_chunks")
         .orderBy(col("doc_id"))
     }),
 
@@ -423,26 +429,26 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
-    // Int8-QUANTIZED similarity search: QuantizeVec maps each vector to
-    // integral doubles in [-127, 127] (symmetric per-vector scale) and the
-    // ranking runs CosineSimilarity directly on the quantized arrays —
-    // cosine is scale-invariant, so the per-vector scales cancel and no
+    // Int8-QUANTIZED similarity search: QuantizeVec maps each vector to a
+    // TRUE array<tinyint> (symmetric per-vector scale) and the ranking
+    // runs CosineSimilarityI8 directly on the bytes — cosine is
+    // scale-invariant, so the per-vector scales cancel and no
     // dequantization ever happens. At 100 TB this is the IO story for
-    // similarity search: the int8 column is 4x narrower than float32 on
-    // disk and through every shuffle, for a ranking-quality trade that is
-    // MEASURED, not guessed (ModulesSpec: quantized-vs-exact recall@10).
-    // Deterministic end to end (floor + greatest, same association order
-    // as the oracle), so unlike the seeded-plane ANN queries this one is
-    // fully DuckDB-oracled.
+    // similarity search: one byte per element through every shuffle and
+    // join build side (8x narrower than the double arrays, 4x than
+    // float32), for a ranking-quality trade that is MEASURED, not guessed
+    // (ModulesSpec: quantized-vs-exact recall@10). Deterministic end to
+    // end (floor + greatest, integer sums exact in both engines), so
+    // unlike the seeded-plane ANN queries this one is fully DuckDB-oracled.
     "q61_quantized_topk" -> ((s, dir) => {
-      graft.functions.CosineSimilarity.register(s)
       graft.functions.QuantizeVec.register(s)
+      graft.functions.CosineSimilarityI8.register(s)
       val emb = embDoubles(s, dir).selectExpr("vec_id", "quantize_vec(e) AS qe")
       val probes = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("qe").as("ae"))
       val scored = broadcast(probes).join(emb.select(col("vec_id"), col("qe").as("be")),
           expr("vec_id != q_id"))
-        .selectExpr("q_id", "vec_id AS neighbor_id", s"$cosineExpr AS cos")
+        .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity_i8(ae, be) AS cos")
       graft.plans.TopKPerKey.topK(scored, "q_id", "cos", "neighbor_id", 10, "cosine")
         .orderBy(col("q_id"), col("rn"))
     }),
@@ -693,7 +699,8 @@ object TextPipeline {
          |SELECT doc_id, n_tokens,
          |  cast(fin - n_tokens AS BIGINT) AS start_offset,
          |  cast((fin - n_tokens) // 2048 AS BIGINT) AS chunk_first,
-         |  cast((fin - 1) // 2048 - (fin - n_tokens) // 2048 + 1 AS BIGINT) AS n_chunks
+         |  cast(CASE WHEN n_tokens = 0 THEN 0
+         |    ELSE (fin - 1) // 2048 - (fin - n_tokens) // 2048 + 1 END AS BIGINT) AS n_chunks
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // Quantization mirrors QuantizeVec exactly: floor(x * (127/greatest(

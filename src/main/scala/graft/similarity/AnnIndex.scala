@@ -44,6 +44,19 @@ object AnnIndex {
     s.createDataset(Seq(json)).repartition(1).write.mode("overwrite").text(s"$path/metadata")
   }
 
+  /** Invalidate the index BEFORE a rebuild touches any artifact: with the
+    * metadata gone, every interrupted rebuild prefix — model written,
+    * assignments half-written, anything — is an index the loaders refuse
+    * (readMeta fails loud), never one that validates over mixed-build
+    * artifacts. Paired with writing metadata LAST in saveLsh/saveIvf,
+    * the (delete-meta, build, write-meta) bracket makes the fingerprint
+    * guard crash-safe for corpus AND knob changes alike. */
+  private def clearMeta(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/metadata")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   private def readMeta(s: SparkSession, path: String): org.json4s.JValue = {
     import s.implicits._
     org.json4s.jackson.JsonMethods.parse(
@@ -132,12 +145,7 @@ object AnnIndex {
     val dim = emb.selectExpr("size(e)").first().getInt(0)
     val planes = AnnLsh.planes(numTables * numPlanes, dim, seed)
     val (rows, chk) = corpusFingerprint(s, dir)
-    writeMeta(s, path, compact(render(
-      ("method" -> "lsh") ~ ("numPlanes" -> numPlanes) ~ ("numTables" -> numTables) ~
-        ("probesPerTable" -> probesPerTable) ~ ("adaptive" -> adaptive) ~
-        ("minCollisions" -> minCollisions) ~ ("poolFrac" -> poolFrac) ~
-        ("seed" -> seed) ~ ("dim" -> dim) ~
-        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
+    clearMeta(s, path)
     import s.implicits._
     s.createDataset(planes.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) })
       .toDF("plane_id", "weights")
@@ -147,6 +155,19 @@ object AnnIndex {
       LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
     emb.select(col("vec_id"), explode(indexBuckets).as("tb"))
       .write.mode("overwrite").parquet(s"$path/assignments")
+    // COMMIT ORDER: metadata (with the fingerprint) is written LAST — a
+    // rebuild killed after metadata but before assignments would otherwise
+    // leave a fresh fingerprint over OLD assignments, which validates
+    // clean and silently serves the previous corpus's neighbors. With
+    // metadata last, every interrupted prefix leaves either unreadable
+    // metadata or an old fingerprint that mismatches the live corpus —
+    // both fail loud at load and heal via the build-if-stale retry.
+    writeMeta(s, path, compact(render(
+      ("method" -> "lsh") ~ ("numPlanes" -> numPlanes) ~ ("numTables" -> numTables) ~
+        ("probesPerTable" -> probesPerTable) ~ ("adaptive" -> adaptive) ~
+        ("minCollisions" -> minCollisions) ~ ("poolFrac" -> poolFrac) ~
+        ("seed" -> seed) ~ ("dim" -> dim) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
   }
 
   /**
@@ -158,8 +179,11 @@ object AnnIndex {
    * Loading VALIDATES the index's corpus fingerprint (one cheap
    * aggregation over the corpus, see [[corpusFingerprint]]) and throws on
    * mismatch — a stale index must never silently answer for a corpus that
-   * changed after the build. Callers wanting build-if-stale semantics
-   * check [[isCurrent]] first (SparkEntry's q58 does).
+   * changed after the build. Production callers get build-if-absent-or-
+   * stale semantics by wrapping the load in a rebuild-and-retry on ANY
+   * load failure (SparkEntry's buildIfStale — missing, half-built, and
+   * stale indexes all surface here as exceptions); [[isCurrent]] is the
+   * explicit non-throwing check for callers that want to probe first.
    */
   def lshTopK(
       s: SparkSession,
@@ -258,10 +282,7 @@ object AnnIndex {
     // reuse the memoized quantizer fit via candidates' cache key
     val centroids = AnnIvf.fitQuantizer(s, dir, rNlist, seed)
     val (rows, chk) = corpusFingerprint(s, dir)
-    writeMeta(s, path, compact(render(
-      ("method" -> "ivf") ~ ("nlist" -> rNlist) ~ ("nprobe" -> rNprobe) ~
-        ("seed" -> seed) ~ ("dim" -> dim) ~
-        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
+    clearMeta(s, path)
     import s.implicits._
     s.createDataset(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("list_id", "center")
@@ -271,6 +292,12 @@ object AnnIndex {
       IvfLists(ColumnBridge.expression(col("e")), bc, 1)), 1)
     emb.select(col("vec_id"), assignList.as("list_id"))
       .write.mode("overwrite").parquet(s"$path/assignments")
+    // metadata LAST — see saveLsh's commit-order note: an interrupted
+    // rebuild must never leave a fresh fingerprint over old artifacts.
+    writeMeta(s, path, compact(render(
+      ("method" -> "ivf") ~ ("nlist" -> rNlist) ~ ("nprobe" -> rNprobe) ~
+        ("seed" -> seed) ~ ("dim" -> dim) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
   }
 
   /**

@@ -53,16 +53,32 @@ object AnnIvf {
     math.min(65536, math.max(16, 1 << math.max(4, math.min(16, exp))))
   }
 
-  /** Memoized corpus row count (index-build-time constant, like the
-    * quantizer itself) backing the adaptive defaults. */
+  /** Cheap file-level signature of the corpus parquet (file count, total
+    * bytes, max mtime — a directory listing, NO data scan), mixed into
+    * every memo key below: a corpus REPLACED mid-session must not serve
+    * the old corpus's memoized row count or centroids. A rebuilt index
+    * would otherwise inherit old-corpus state under a fresh content
+    * fingerprint — the adaptive-knob regression the memos' round-10
+    * review flagged. (The content fingerprint in AnnIndex stays the
+    * load-time guard; this is only memo invalidation, so the listing-
+    * level signature is the right cost.) */
+  private[similarity] def corpusSignature(dir: String): String = {
+    val files = Option(new java.io.File(s"$dir/embeddings.parquet").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    s"${files.length}:${files.map(_.length).sum}:${files.map(_.lastModified).foldLeft(0L)(math.max)}"
+  }
+
+  /** Memoized corpus row count (an index-build-time constant for a GIVEN
+    * corpus state — the signature key drops it when the files change)
+    * backing the adaptive defaults. */
   private val corpusCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
   /** Resolve (nlist, nprobe) where 0 means corpus-adaptive. */
   private[similarity] def resolveKnobs(
       s: SparkSession, dir: String, nlist: Int, nprobe: Int): (Int, Int) = {
-    lazy val n: Long = corpusCounts.computeIfAbsent(dir,
-      d => s.read.parquet(s"$d/embeddings.parquet").count())
+    lazy val n: Long = corpusCounts.computeIfAbsent((dir, corpusSignature(dir)),
+      k => s.read.parquet(s"${k._1}/embeddings.parquet").count())
     val rl = if (nlist > 0) nlist else autoNlist(n)
     val rp = if (nprobe > 0) nprobe else math.max(1, rl / 8)
     (rl, rp)
@@ -71,10 +87,12 @@ object AnnIvf {
   /** Driver-side quantizer memo. The k-means fit is INDEX-BUILD work — in a
     * real deployment the inverted lists are built once and reused by every
     * query — so charging a full fit to every invocation misstates the query
-    * cost (~3 s of q49's 3.1 s at sf0.1). Keyed by (dir, nlist, seed);
-    * each entry is only nlist x dim doubles. */
+    * cost (~3 s of q49's 3.1 s at sf0.1). Keyed by (dir, corpus file
+    * signature, nlist, seed) — see [[corpusSignature]]: centroids fit on a
+    * replaced corpus's predecessor must not be reused; each entry is only
+    * nlist x dim doubles. */
   private val quantizers =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), Array[Array[Double]]]()
 
   private[similarity] def clearQuantizerCache(): Unit = quantizers.clear()
 
@@ -135,7 +153,7 @@ object AnnIvf {
       s: SparkSession, dir: String, nlist: Int, seed: Long): Array[Array[Double]] = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
-    quantizers.computeIfAbsent((dir, nlist, seed), _ => {
+    quantizers.computeIfAbsent((dir, corpusSignature(dir), nlist, seed), _ => {
       // unit-normalize for the quantizer fit; the cosine ranking below is
       // scale-invariant so it keeps using the raw vectors. greatest(..,tiny)
       // keeps an all-zero embedding at the origin instead of NaN-poisoning

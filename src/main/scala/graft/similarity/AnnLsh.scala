@@ -197,7 +197,8 @@ object AnnLsh {
       probesPerTable: Int,
       seed: Long,
       adaptive: Boolean,
-      poolFrac: Double): (DataFrame, DataFrame, DataFrame) = {
+      poolFrac: Double,
+      quantized: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
@@ -241,10 +242,19 @@ object AnnLsh {
       } else ColumnBridge.column(
         LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, probesPerTable,
           adaptive))
+    // `quantized`: the carried vector narrows to int8 BEFORE the bucket
+    // explode — Generate replicates the projected columns, so the
+    // quantization runs once per vector, not once per (vector, bucket)
+    // row — while BUCKETING stays on the raw doubles (the candidate pool,
+    // and so every gated pool number, is byte-identical to the exact path;
+    // only the scoring representation changes).
+    if (quantized) graft.functions.QuantizeVec.register(s)
+    val vecOf = (c: String) =>
+      if (quantized) expr(s"quantize_vec($c)") else col(c)
     val indexed = emb
-      .select(col("vec_id"), col("e").as("be"), explode(indexBuckets).as("tb"))
+      .select(col("vec_id"), vecOf("e").as("be"), explode(indexBuckets).as("tb"))
     val probes = emb.filter(col("vec_id") < numProbes)
-      .select(col("vec_id").as("q_id"), col("e").as("ae"),
+      .select(col("vec_id").as("q_id"), vecOf("e").as("ae"),
         explode(probeBuckets).as("tb"))
     (probes, indexed, emb)
   }
@@ -262,16 +272,20 @@ object AnnLsh {
       poolFrac: Double = 0.0,
       quantized: Boolean = false): DataFrame = {
     val (probes, indexed, emb) = bucketFrames(s, dir, numProbes, numPlanes, numTables,
-      probesPerTable, seed, adaptive, poolFrac)
-    graft.functions.CosineSimilarity.register(s)
-    // `quantized` scores candidates on int8-quantized vectors
-    // ([[graft.functions.QuantizeVec]]): bucketing and the collision vote
-    // are UNCHANGED (same candidate pool, same pool gates), only the
-    // rehydration join and the cosine kernel switch to the 8x narrower
-    // representation — at 100 TB that join is the widest data movement in
-    // this plan. Ranking degradation is measured in ModulesSpec
-    // (quantized-default recall on both gated corpora), not guessed.
-    if (quantized) graft.functions.QuantizeVec.register(s)
+      probesPerTable, seed, adaptive, poolFrac, quantized)
+    // `quantized` scores candidates on TRUE int8 vectors (QuantizeVec →
+    // array<tinyint>, CosineSimilarityI8 on the bytes): bucketing and the
+    // collision vote are UNCHANGED (same candidate pool, same pool
+    // gates), only the carried vectors and the cosine kernel switch to
+    // the 8x narrower representation — at 100 TB the candidate
+    // rehydration join is the widest data movement in this plan.
+    // Ranking degradation is measured in ModulesSpec (quantized-default
+    // recall on both gated corpora), not guessed.
+    val cosExpr =
+      if (quantized) { graft.functions.CosineSimilarityI8.register(s)
+        "cosine_similarity_i8(ae, be)" }
+      else { graft.functions.CosineSimilarity.register(s)
+        "cosine_similarity(ae, be)" }
     if (minCollisions <= 1) {
       // A neighbor sharing buckets in several tables/probes would be ranked
       // (and counted) more than once, so pairs are deduped — AFTER scoring,
@@ -280,14 +294,10 @@ object AnnLsh {
       // cos) rows instead of dragging both full embedding vectors through it
       // (at dim=1024 that's a ~100x lighter shuffle; every duplicate scores
       // the same pair, so the kept row is identical either way).
-      val (p, ix) =
-        if (!quantized) (probes, indexed)
-        else (probes.selectExpr("q_id", "quantize_vec(ae) AS ae", "tb"),
-          indexed.selectExpr("vec_id", "quantize_vec(be) AS be", "tb"))
-      broadcast(p)
-        .join(ix, Seq("tb"))
+      broadcast(probes)
+        .join(indexed, Seq("tb"))
         .filter(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+        .selectExpr("q_id", "vec_id AS neighbor_id", s"$cosExpr AS cos")
         .dropDuplicates("q_id", "neighbor_id")
     } else {
       val probeVecs = emb.filter(col("vec_id") < numProbes)
@@ -299,7 +309,7 @@ object AnnLsh {
           (probeVecs.selectExpr("vec_id AS q_id", "quantize_vec(e) AS ae"),
             emb.selectExpr("vec_id", "quantize_vec(e) AS be"))
       scoreVoted(probes.select("q_id", "tb"), indexed.select(col("vec_id"), col("tb")),
-        pv, cv, minCollisions)
+        pv, cv, minCollisions, cosExpr)
     }
   }
 
@@ -361,13 +371,14 @@ object AnnLsh {
       indexIds: DataFrame,   // (vec_id, tb)
       probeVecs: DataFrame,  // (q_id, ae)
       corpusVecs: DataFrame, // (vec_id, be)
-      minCollisions: Int): DataFrame = {
+      minCollisions: Int,
+      cosExpr: String = "cosine_similarity(ae, be)"): DataFrame = {
     val hits = collisionCounts(probeIds, indexIds)
       .filter(col("n_hits") >= minCollisions)
     hits
       .join(broadcast(probeVecs), Seq("q_id"))
       .join(corpusVecs, Seq("vec_id"))
-      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+      .selectExpr("q_id", "vec_id AS neighbor_id", s"$cosExpr AS cos")
   }
 
   /**

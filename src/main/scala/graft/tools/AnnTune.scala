@@ -6,13 +6,18 @@ import graft.similarity.{AnnIvf, AnnLsh}
 
 /**
  * Offline knob sweep for the ANN operating point: prints mean recall@5 and
- * scan fraction for a grid of LSH/IVF knobs against driver-side exhaustive
- * top-k. Not part of the query surface — run with
- * `sbt "runMain graft.tools.AnnTune [lsh|ivf]"`.
+ * scan fraction (and, for voted/budgeted LSH, the pre-vote pool) for a
+ * grid of LSH/IVF knobs against driver-side exhaustive top-k. Not part of
+ * the query surface — run with
+ * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|ivf|ivfwide|both]"`
+ * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
+  private val modes = Set("lsh", "vote", "budget", "ship", "ivf", "ivfwide", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
+    require(modes.contains(which),
+      s"unknown AnnTune mode '$which' — expected one of ${modes.toSeq.sorted.mkString("|")}")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val nProbes = 25
     val k = 5

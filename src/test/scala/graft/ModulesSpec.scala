@@ -275,11 +275,11 @@ class ModulesSpec extends AnyFunSuite {
     }
 
   test("QuantizeVec: int8 ranking trade vs exact cosine is measured, not guessed") {
-    // q61 ranks on CosineSimilarity over QuantizeVec output (integral
-    // doubles in [-127, 127]; per-vector scales cancel in the cosine
-    // ratio). The quality cost of the 4x narrower representation must be
-    // on the record: overlap@10 of the quantized ranking vs driver-side
-    // exact cosine top-10, deterministic (floor arithmetic, fixed data).
+    // q61 ranks on CosineSimilarityI8 over QuantizeVec output (a true
+    // array<tinyint>; per-vector scales cancel in the cosine ratio). The
+    // quality cost of the 8x narrower representation must be on the
+    // record: overlap@10 of the quantized ranking vs driver-side exact
+    // cosine top-10, deterministic (floor arithmetic, fixed data).
     for (dir <- gatedSfs) {
       val emb = embMap(dir)
       val exact = (0 until 5).map { qid =>
@@ -300,11 +300,12 @@ class ModulesSpec extends AnyFunSuite {
       assert(overlap >= 0.98,
         f"quantized overlap@10 $overlap%.3f fell below the measured 0.980 floor ($dir)")
     }
-    // unit sanity: known vector, scale = 127/maxabs, floor semantics
+    // unit sanity: known vector, scale = 127/maxabs, floor semantics,
+    // TRUE byte representation (one byte per element — the width claim)
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val q = graft.functions.QuantizeVec(null)
       .quantize(new GenericArrayData(Array(0.5, -1.0, 0.25, 0.0)))
-    assert(q.toDoubleArray().toSeq == Seq(63.0, -127.0, 31.0, 0.0))
+    assert(q.toByteArray().toSeq == Seq[Byte](63, -127, 31, 0))
   }
 
   test("Multimodal: moment features of a known payload") {

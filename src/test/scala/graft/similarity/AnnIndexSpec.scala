@@ -101,7 +101,8 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.ivfTopK(spark, corpus, ivfPath).collect()
     }
     // content mutation at SAME row count: rewrite a sampled row's vector
-    // in place (vec_id 0 is in the % 97 == 0 content-hash sample) — the
+    // in place (vec_id 0 satisfies the clustered content sample rule
+    // pmod(vec_id, 9973) < 103 — see AnnIndex.corpusFingerprint) — the
     // row count matches, only the checksum catches it
     orig.selectExpr("vec_id",
         "CASE WHEN vec_id = 0 THEN transform(embedding, x -> x + 1.0f)" +
