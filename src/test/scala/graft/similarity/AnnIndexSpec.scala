@@ -115,6 +115,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.lshTopK(spark, corpus, lshPath).collect().nonEmpty)
   }
 
+  test("interrupted rebuild fails loud: a metadata-less index never serves") {
+    // The save bracket is (delete metadata, write model + assignments,
+    // write metadata LAST), so every kill point during a rebuild leaves
+    // either no metadata or an old fingerprint — this pins the worst
+    // interrupted state (artifacts present, metadata gone): the loader
+    // must throw, and the q58-style build-if-stale retry must heal it.
+    val path = s"$root/lsh_interrupted"
+    AnnIndex.saveLsh(spark, sf, path, numTables = 6, probesPerTable = 64)
+    val before = rows(AnnIndex.lshTopK(spark, sf, path, numProbes = 5, k = 5))
+    // simulate the mid-rebuild kill window: metadata deleted, old
+    // model/assignments still on disk
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(s"$path/metadata"))
+    assert(!AnnIndex.isCurrent(spark, sf, path))
+    intercept[Exception] { AnnIndex.lshTopK(spark, sf, path, numProbes = 5, k = 5).collect() }
+    // rebuild heals and reproduces the original answers
+    AnnIndex.saveLsh(spark, sf, path, numTables = 6, probesPerTable = 64)
+    assert(rows(AnnIndex.lshTopK(spark, sf, path, numProbes = 5, k = 5)) == before)
+  }
+
+  test("IVF: corpus-adaptive memos drop when the corpus files change") {
+    // The row-count and quantizer memos key on a file-level corpus
+    // signature: a corpus REPLACED mid-session must not serve the old
+    // corpus's knobs (the rebuilt index would bake stale nlist/centroids
+    // under a fresh fingerprint). 500 rows -> nlist 256; grow the same
+    // dir to 2000 rows -> the adaptive default must move to 512.
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_memo_corpus"
+    val small = spark.read.parquet(s"$sf/embeddings.parquet")
+    small.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    assert(AnnIvf.resolveKnobs(spark, corpus, 0, 0) == ((256, 32)))
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    big.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    assert(AnnIvf.resolveKnobs(spark, corpus, 0, 0) == ((512, 64)),
+      "memoized row count survived a corpus replacement")
+  }
+
   test("IVF: loaded index needs no k-means fit (quantizer cache cold)") {
     val path = s"$root/ivf"
     // the index from the previous test is on disk; clearing the memo
