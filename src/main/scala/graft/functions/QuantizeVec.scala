@@ -43,13 +43,24 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
       s"quantize_vec needs array<double>, got ${other.simpleString(10)}")
   }
 
-  /** Hot path — called from both interpreted eval and generated code. */
+  /** Hot path — called from both interpreted eval and generated code.
+    *
+    * Non-finite elements FAIL LOUD: a byte cannot carry NaN, so the
+    * alternative is silently quantizing NaN/Infinity to 0 — a corrupt
+    * vector that would rank normally (where the unquantized kernel and
+    * the DuckDB oracle both NaN-poison the cosine). Data-quality
+    * filtering belongs upstream; a 100 TB job should stop on poisoned
+    * embeddings, not fold them into the neighbor lists. */
   def quantize(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
-      val v = math.abs(a.getDouble(i))
+      val x = a.getDouble(i)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        throw new IllegalArgumentException(
+          s"quantize_vec: non-finite element $x at index $i — clean the embedding upstream")
+      val v = math.abs(x)
       if (v > maxAbs) maxAbs = v
       i += 1
     }

@@ -111,10 +111,12 @@ object AnnIndex {
           s"(rows, checksum)=$saved, corpus is now $live — rebuild with saveLsh/saveIvf")
   }
 
-  /** True iff the index at `path` exists, is completely written
-    * (`assignments/_SUCCESS` is the LAST artifact the save emits), and its
-    * persisted corpus fingerprint matches `dir`'s current contents. Callers
-    * use it for build-if-absent-or-stale (see SparkEntry's q58/q59). */
+  /** True iff the index at `path` exists, is completely written, and its
+    * persisted corpus fingerprint matches `dir`'s current contents. The
+    * COMMIT RECORD is the metadata (deleted first, rewritten LAST by the
+    * saves — see [[clearMeta]]), so readMeta failing covers every
+    * interrupted-rebuild state; the `assignments/_SUCCESS` probe is only
+    * the cheap fast-path existence check before the metadata read. */
   def isCurrent(s: SparkSession, dir: String, path: String): Boolean =
     new java.io.File(s"$path/assignments/_SUCCESS").exists() &&
       (try { requireCurrent(s, dir, path, readMeta(s, path)); true }

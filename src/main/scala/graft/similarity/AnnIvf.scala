@@ -59,26 +59,37 @@ object AnnIvf {
     * the old corpus's memoized row count or centroids. A rebuilt index
     * would otherwise inherit old-corpus state under a fresh content
     * fingerprint — the adaptive-knob regression the memos' round-10
-    * review flagged. (The content fingerprint in AnnIndex stays the
-    * load-time guard; this is only memo invalidation, so the listing-
-    * level signature is the right cost.) */
-  private[similarity] def corpusSignature(dir: String): String = {
-    val files = Option(new java.io.File(s"$dir/embeddings.parquet").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    s"${files.length}:${files.map(_.length).sum}:${files.map(_.lastModified).foldLeft(0L)(math.max)}"
+    * review flagged. Listed through the Hadoop FileSystem of the path's
+    * own scheme (a java.io.File listing would silently return nothing —
+    * a CONSTANT signature, i.e. no invalidation at all — for file:/hdfs:/
+    * s3a: URIs that spark.read handles fine). The content fingerprint in
+    * AnnIndex stays the load-time guard; this is only memo invalidation,
+    * so the listing-level signature is the right cost. */
+  private[similarity] def corpusSignature(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isFile)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    s"${files.length}:${files.map(_.getLen).sum}:" +
+      files.map(_.getModificationTime).foldLeft(0L)(math.max)
   }
 
-  /** Memoized corpus row count (an index-build-time constant for a GIVEN
-    * corpus state — the signature key drops it when the files change)
-    * backing the adaptive defaults. */
+  /** Memoized corpus row count, keyed by dir and stamped with the file
+    * signature it was computed under — a changed signature recomputes IN
+    * PLACE (one live entry per dir, no growth across replacements). */
   private val corpusCounts =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** Resolve (nlist, nprobe) where 0 means corpus-adaptive. */
   private[similarity] def resolveKnobs(
       s: SparkSession, dir: String, nlist: Int, nprobe: Int): (Int, Int) = {
-    lazy val n: Long = corpusCounts.computeIfAbsent((dir, corpusSignature(dir)),
-      k => s.read.parquet(s"${k._1}/embeddings.parquet").count())
+    lazy val n: Long = {
+      val sig = corpusSignature(s, dir)
+      corpusCounts.compute(dir, (d, prev) =>
+        if (prev != null && prev._1 == sig) prev
+        else (sig, s.read.parquet(s"$d/embeddings.parquet").count()))._2
+    }
     val rl = if (nlist > 0) nlist else autoNlist(n)
     val rp = if (nprobe > 0) nprobe else math.max(1, rl / 8)
     (rl, rp)
@@ -87,12 +98,15 @@ object AnnIvf {
   /** Driver-side quantizer memo. The k-means fit is INDEX-BUILD work — in a
     * real deployment the inverted lists are built once and reused by every
     * query — so charging a full fit to every invocation misstates the query
-    * cost (~3 s of q49's 3.1 s at sf0.1). Keyed by (dir, corpus file
-    * signature, nlist, seed) — see [[corpusSignature]]: centroids fit on a
-    * replaced corpus's predecessor must not be reused; each entry is only
-    * nlist x dim doubles. */
-  private val quantizers =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), Array[Array[Double]]]()
+    * cost (~3 s of q49's 3.1 s at sf0.1). Keyed by (dir, nlist, seed) and
+    * STAMPED with the corpus file signature ([[corpusSignature]]): a
+    * changed signature refits IN PLACE, so centroids fit on a replaced
+    * corpus's predecessor are never reused AND superseded entries don't
+    * accumulate (each live entry is nlist x dim doubles — a bounded map
+    * would otherwise grow by one centroid table per corpus replacement in
+    * a long session). */
+  private val quantizers = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long), (String, Array[Array[Double]])]()
 
   private[similarity] def clearQuantizerCache(): Unit = quantizers.clear()
 
@@ -153,7 +167,10 @@ object AnnIvf {
       s: SparkSession, dir: String, nlist: Int, seed: Long): Array[Array[Double]] = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
-    quantizers.computeIfAbsent((dir, corpusSignature(dir), nlist, seed), _ => {
+    val sig = corpusSignature(s, dir)
+    quantizers.compute((dir, nlist, seed), (_, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else (sig, {
       // unit-normalize for the quantizer fit; the cosine ranking below is
       // scale-invariant so it keeps using the raw vectors. greatest(..,tiny)
       // keeps an all-zero embedding at the origin instead of NaN-poisoning
@@ -170,7 +187,7 @@ object AnnIvf {
         .setFeaturesCol("fv").setPredictionCol("list_id")
       km.fit(fitInput.withColumn("fv", array_to_vector(col("en"))))
         .clusterCenters.map(_.toArray)
-    })
+    }))._2
   }
 
   /** Inverted-list-pruned, cosine-scored candidate pairs — the pool

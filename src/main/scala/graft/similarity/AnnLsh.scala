@@ -248,16 +248,21 @@ object AnnLsh {
     // row — while BUCKETING stays on the raw doubles (the candidate pool,
     // and so every gated pool number, is byte-identical to the exact path;
     // only the scoring representation changes).
-    if (quantized) graft.functions.QuantizeVec.register(s)
-    val vecOf = (c: String) =>
-      if (quantized) expr(s"quantize_vec($c)") else col(c)
     val indexed = emb
-      .select(col("vec_id"), vecOf("e").as("be"), explode(indexBuckets).as("tb"))
+      .select(col("vec_id"), vecOf(s, quantized, "e").as("be"), explode(indexBuckets).as("tb"))
     val probes = emb.filter(col("vec_id") < numProbes)
-      .select(col("vec_id").as("q_id"), vecOf("e").as("ae"),
+      .select(col("vec_id").as("q_id"), vecOf(s, quantized, "e").as("ae"),
         explode(probeBuckets).as("tb"))
     (probes, indexed, emb)
   }
+
+  /** THE representation switch, in one place: the carried-vector column
+    * for scoring — int8 (registering quantize_vec) or the raw doubles.
+    * Used by [[bucketFrames]] and the voted branch's rehydration so the
+    * two paths can never drift onto different representations. */
+  private def vecOf(s: SparkSession, quantized: Boolean, c: String) =
+    if (quantized) { graft.functions.QuantizeVec.register(s); expr(s"quantize_vec($c)") }
+    else col(c)
 
   def candidates(
       s: SparkSession,
@@ -301,15 +306,10 @@ object AnnLsh {
         .dropDuplicates("q_id", "neighbor_id")
     } else {
       val probeVecs = emb.filter(col("vec_id") < numProbes)
-      val (pv, cv) =
-        if (!quantized)
-          (probeVecs.select(col("vec_id").as("q_id"), col("e").as("ae")),
-            emb.select(col("vec_id"), col("e").as("be")))
-        else
-          (probeVecs.selectExpr("vec_id AS q_id", "quantize_vec(e) AS ae"),
-            emb.selectExpr("vec_id", "quantize_vec(e) AS be"))
       scoreVoted(probes.select("q_id", "tb"), indexed.select(col("vec_id"), col("tb")),
-        pv, cv, minCollisions, cosExpr)
+        probeVecs.select(col("vec_id").as("q_id"), vecOf(s, quantized, "e").as("ae")),
+        emb.select(col("vec_id"), vecOf(s, quantized, "e").as("be")),
+        minCollisions, cosExpr)
     }
   }
 

@@ -156,8 +156,9 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("IVF: loaded index needs no k-means fit (quantizer cache cold)") {
     val path = s"$root/ivf"
-    // the index from the previous test is on disk; clearing the memo
-    // proves ivfTopK reads centroids from parquet instead of refitting
+    // depends on the '$root/ivf' index written by "IVF: persisted index
+    // reproduces..." above (suite runs in declaration order); clearing
+    // the memo proves ivfTopK reads centroids from parquet, not a refit
     AnnIvf.clearQuantizerCache()
     val loaded = AnnIndex.ivfTopK(spark, sf, path, numProbes = 5, k = 5).collect()
     assert(loaded.nonEmpty)
