@@ -27,19 +27,23 @@ import graft.queries.Caches
 object RangedPrefixSum {
 
   /** Append `outCol` = inclusive global running sum of `valueCol` (bigint)
-    * ordered by `ord`. */
+    * ordered by `ord`. NULL values count as 0 — coalesced identically on
+    * both passes, so a partition of all-null values contributes a zero
+    * offset instead of a driver-side NPE (sum() returns null there) and
+    * the local window and the totals pass can never disagree. */
   def prefixSumBy(s: SparkSession, df: DataFrame, valueCol: String, outCol: String,
       ord: String*): DataFrame = {
     val parts = math.max(s.sparkContext.defaultParallelism, 2)
     val ordCols = ord.map(col)
+    val v = coalesce(col(valueCol).cast("bigint"), lit(0L))
     val local = Caches.persist(df.repartitionByRange(parts, ordCols: _*)
       .withColumn("gp_pid", spark_partition_id())
       .withColumn("gp_lps",
-        sum(col(valueCol).cast("bigint"))
+        sum(v)
           .over(Window.partitionBy(col("gp_pid")).orderBy(ordCols: _*)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     val totals = local.groupBy(col("gp_pid"))
-      .agg(sum(col(valueCol).cast("bigint")).as("t"))
+      .agg(sum(v).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
     // coalesce: on an empty input `offsets` is empty and element_at would

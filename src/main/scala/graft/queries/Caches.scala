@@ -43,11 +43,16 @@ object Caches {
   /** Persist `df` and remember it: inside a [[scoped]] bracket it belongs
     * to that bracket (released at exit); otherwise it joins the global
     * queue for the next [[releaseAll]]. */
-  def persist(df: DataFrame): DataFrame = {
-    val p = df.persist()
+  def persist(df: DataFrame): DataFrame = register(df.persist())
+
+  /** Register an ALREADY-persisted DataFrame for release at the enclosing
+    * [[scoped]] bracket's exit or the next [[releaseAll]] — for builders
+    * that persist through another code path than [[persist]] (which is
+    * itself implemented as register-after-persist). */
+  def register(df: DataFrame): DataFrame = {
     val s = scope.get()
-    if (s != null) s.add(p) else live.add(p)
-    p
+    if (s != null) s.add(df) else live.add(df)
+    df
   }
 
   /** Bracket a query BUILD whose persisted intermediates are not needed

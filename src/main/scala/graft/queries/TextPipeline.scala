@@ -181,50 +181,30 @@ object TextPipeline {
     // MinHash + LSH near-duplicate pairs, verified with exact shingle
     // Jaccard >= 0.5. Candidate generation is the banded self-join (shuffle
     // keyed on (band, hash)), never an all-pairs product.
-    "q25_minhash_neardup" -> ((s, dir) => {
-      // persisted: referenced by both self-join sides and both jaccard
-      // sides; size is bounded (one shingle array per doc). Released by
-      // the consumer via Caches.releaseAll after the terminal action.
-      val docs = Caches.persist(docShingles(s, dir))
-      // Signature via explode + 12 min-aggregations. The aggregate is a
-      // deliberate optimization barrier: a pure projection chain here gets
-      // CollapseProject'ed, inlining the shingle+md5 pipeline into every
-      // one of the 12 signature / 4 band reference sites (~144x
-      // re-evaluation — measured 105 s at sf0.01 vs ~2 s this way).
-      // Each shingle pays ONE md5 and two hex->int conversions; the 12
-      // hash functions are Kirsch-Mitzenmacher double hashing
-      // (h_j = h1 + j*h2 mod 2^32) — integer math both engines compute
-      // identically, and the signatures shuffle as bigints with map-side
-      // partial min.
-      val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-        .withColumn("m", md5(col("s")))
-        .withColumn("h1", expr("cast(conv(substring(m, 1, 8), 16, 10) AS bigint)"))
-        .withColumn("h2", expr("cast(conv(substring(m, 9, 8), 16, 10) AS bigint)"))
-        .select(col("doc_id") +: (0 until 12).map(j =>
-          expr(s"pmod(h1 + $j * h2, 4294967296)").as(s"h$j")): _*)
-      val sigAggs = (0 until 12).map(j => min(col(s"h$j")).as(s"m$j"))
-      val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-      // Band key = the raw 3-minhash tuple — no re-hashing needed; the
-      // self-join is hash-partitioned on (band index, k0, k1, k2).
-      val bands = sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
-          struct(col(s"m${3 * b}").as("k0"), col(s"m${3 * b + 1}").as("k1"),
-            col(s"m${3 * b + 2}").as("k2"))): _*))
-          .as(Seq("b", "k")))
-        .select(col("doc_id"), col("b"), col("k.k0"), col("k.k1"), col("k.k2"))
-      val bandsP = Caches.persist(bands) // both sides of the candidate self-join
-      val cand = bandsP.withColumnRenamed("doc_id", "a_id")
-        .join(bandsP.withColumnRenamed("doc_id", "b_id"), Seq("b", "k0", "k1", "k2"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
-        .distinct()
-      cand
-        .join(docs.as("da"), col("a_id") === col("da.doc_id"))
-        .join(docs.as("db"), col("b_id") === col("db.doc_id"))
-        .select(col("a_id"), col("b_id"),
-          round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
-            " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("a_id"), col("b_id"))
+    "q25_minhash_neardup" -> ((s, dir) =>
+      minhashNearDupPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
+
+    // Near-dup CLUSTERING — pairs become dedup DECISIONS: transitive
+    // closure over the q25 near-dup pair set (a ~ b, b ~ c puts a and c in
+    // one cluster even when a !~ c directly), each document labeled with
+    // its component's min doc_id and whether it IS that canonical
+    // representative (is_canonical = 0 rows are the drop list). The
+    // closure is the large-star/small-star iteration
+    // ([[graft.plans.ConnectedComponents]]) — O(log n) key-partitioned
+    // rounds, no driver-side pair set — because at 100 TB dup clusters
+    // are huge and a union-find over collected pairs cannot be assumed to
+    // fit anywhere. Docs in no pair are their own singleton cluster (left
+    // join + coalesce). Fully DuckDB-oracled via a recursive-CTE closure
+    // over the identical pair set.
+    "q66_dedup_clusters" -> ((s, dir) => {
+      val pairs = minhashNearDupPairs(s, dir)
+      val cc = graft.plans.ConnectedComponents.components(
+        pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .selectExpr("doc_id", "coalesce(cluster, doc_id) AS cluster_id",
+          "cast(coalesce(cluster, doc_id) = doc_id AS int) AS is_canonical")
+        .orderBy(col("doc_id"))
     }),
 
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
@@ -454,6 +434,55 @@ object TextPipeline {
     }),
   )
 
+  /** MinHash-LSH near-duplicate pairs (a_id < b_id, exact shingle Jaccard
+    * >= 0.5) — the shared pair set behind q25 (the pairs themselves) and
+    * q66 (their transitive closure into dedup clusters).
+    *
+    * Signature via explode + 12 min-aggregations. The aggregate is a
+    * deliberate optimization barrier: a pure projection chain here gets
+    * CollapseProject'ed, inlining the shingle+md5 pipeline into every
+    * one of the 12 signature / 4 band reference sites (~144x
+    * re-evaluation — measured 105 s at sf0.01 vs ~2 s this way).
+    * Each shingle pays ONE md5 and two hex->int conversions; the 12
+    * hash functions are Kirsch-Mitzenmacher double hashing
+    * (h_j = h1 + j*h2 mod 2^32) — integer math both engines compute
+    * identically, and the signatures shuffle as bigints with map-side
+    * partial min. Band key = the raw 3-minhash tuple — no re-hashing
+    * needed; the candidate self-join is hash-partitioned on
+    * (band index, k0, k1, k2), never an all-pairs product. */
+  private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: referenced by both self-join sides and both jaccard
+    // sides; size is bounded (one shingle array per doc). Released by
+    // the consumer via Caches.releaseAll after the terminal action.
+    val docs = Caches.persist(docShingles(s, dir))
+    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("m", md5(col("s")))
+      .withColumn("h1", expr("cast(conv(substring(m, 1, 8), 16, 10) AS bigint)"))
+      .withColumn("h2", expr("cast(conv(substring(m, 9, 8), 16, 10) AS bigint)"))
+      .select(col("doc_id") +: (0 until 12).map(j =>
+        expr(s"pmod(h1 + $j * h2, 4294967296)").as(s"h$j")): _*)
+    val sigAggs = (0 until 12).map(j => min(col(s"h$j")).as(s"m$j"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bands = sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+        struct(col(s"m${3 * b}").as("k0"), col(s"m${3 * b + 1}").as("k1"),
+          col(s"m${3 * b + 2}").as("k2"))): _*))
+        .as(Seq("b", "k")))
+      .select(col("doc_id"), col("b"), col("k.k0"), col("k.k1"), col("k.k2"))
+    val bandsP = Caches.persist(bands) // both sides of the candidate self-join
+    val cand = bandsP.withColumnRenamed("doc_id", "a_id")
+      .join(bandsP.withColumnRenamed("doc_id", "b_id"), Seq("b", "k0", "k1", "k2"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(docs.as("da"), col("a_id") === col("da.doc_id"))
+      .join(docs.as("db"), col("b_id") === col("db.doc_id"))
+      .select(col("a_id"), col("b_id"),
+        round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
+          " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   /** 16-bucket sign-LSH from four FIXED small-integer hyperplanes (each a
     * 3-sparse +-1/2 vector). Double arithmetic with the same association
     * order as the DuckDB oracle, so bucket ids are bit-identical. Spark
@@ -485,6 +514,31 @@ object TextPipeline {
        |    * sqrt(list_sum(list_transform($b.e, x -> x * x))))""".stripMargin
   private val duckSigList =
     "list_value(" + (0 until 12).map(j => s"m$j").mkString(", ") + ")"
+  /** The shared MinHash-LSH pair CTE chain (mirrors [[minhashNearDupPairs]]
+    * clause for clause) — `pairs` is (a_id, b_id, jaccard), pre-threshold;
+    * q25 selects it directly, q66 closes it transitively. */
+  private lazy val duckNearDupCtes =
+    s"""docs AS ($duckShingleDocs),
+       |hashed AS (SELECT doc_id,
+       |    ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h1,
+       |    ('0x' || substr(md5(sg), 9, 8))::BIGINT AS h2
+       |  FROM docs, unnest(sh) AS u(sg)),
+       |sigs AS (SELECT doc_id,
+       |  ${(0 until 12).map(j =>
+             s"min((h1 + $j * h2) % 4294967296) AS m$j").mkString(",\n  ")}
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b,
+       |    $duckSigList[3*b + 1] AS k0, $duckSigList[3*b + 2] AS k1,
+       |    $duckSigList[3*b + 3] AS k2
+       |  FROM sigs, generate_series(0, 3) AS g(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.k0 = y.k0 AND x.k1 = y.k1
+       |    AND x.k2 = y.k2 AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT a_id, b_id,
+       |    round(len(list_intersect(da.sh, db.sh))::DOUBLE
+       |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
+       |  FROM cand JOIN docs da ON da.doc_id = a_id JOIN docs db ON db.doc_id = b_id)"""
+      .stripMargin
   private val duckEmb =
     """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
       |  (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
@@ -556,28 +610,32 @@ object TextPipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q25_minhash_neardup" ->
-      s"""WITH docs AS ($duckShingleDocs),
-         |hashed AS (SELECT doc_id,
-         |    ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h1,
-         |    ('0x' || substr(md5(sg), 9, 8))::BIGINT AS h2
-         |  FROM docs, unnest(sh) AS u(sg)),
-         |sigs AS (SELECT doc_id,
-         |  ${(0 until 12).map(j =>
-               s"min((h1 + $j * h2) % 4294967296) AS m$j").mkString(",\n  ")}
-         |  FROM hashed GROUP BY doc_id),
-         |bands AS (SELECT doc_id, b,
-         |    $duckSigList[3*b + 1] AS k0, $duckSigList[3*b + 2] AS k1,
-         |    $duckSigList[3*b + 3] AS k2
-         |  FROM sigs, generate_series(0, 3) AS g(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.k0 = y.k0 AND x.k1 = y.k1
-         |    AND x.k2 = y.k2 AND x.doc_id < y.doc_id),
-         |pairs AS (SELECT a_id, b_id,
-         |    round(len(list_intersect(da.sh, db.sh))::DOUBLE
-         |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
-         |  FROM cand JOIN docs da ON da.doc_id = a_id JOIN docs db ON db.doc_id = b_id)
+      s"""WITH $duckNearDupCtes
          |SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Transitive closure of the SAME pair set as q25: bidirected edges,
+    // recursive reachability (UNION dedup terminates cycles), component id
+    // = min over node + everything reachable. Documents in no pair fall
+    // through the LEFT JOIN as their own singleton cluster — identical
+    // semantics to the Spark side's large-star/small-star + coalesce.
+    "q66_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+         |nd AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM nd
+         |          UNION SELECT b_id, a_id FROM nd),
+         |reach AS (
+         |  SELECT u AS node, v AS r FROM edges
+         |  UNION
+         |  SELECT c.node, e.v FROM reach c JOIN edges e ON e.u = c.r),
+         |cmap AS (SELECT node, least(node, min(r)) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+         |       THEN 1 ELSE 0 END AS is_canonical
+         |FROM documents d LEFT JOIN cmap c ON c.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q26_simhash" ->
       s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,

@@ -55,7 +55,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
  *    order instead of letting a handful of mega-buckets (dense regions
  *    of the corpus hash there AND the query's margins are often tight
  *    there too) eat most of it. The count array is sized by the lattice
- *    (`numTables * 2^numPlanes` ints), not the corpus, so the broadcast
+ *    (`numTables * 2^numPlanes` longs), not the corpus, so the broadcast
  *    stays sub-MB at any data scale. `probesPerTable` becomes the
  *    per-table ENUMERATION cap for the merge.
  *
@@ -81,8 +81,18 @@ case class LshBuckets(
     numPlanes: Int,
     probesPerTable: Int,
     adaptive: Boolean = false,
-    bcCounts: Broadcast[Array[Int]] = null,
-    poolBudget: Int = 0) extends UnaryExpression {
+    bcCounts: Broadcast[Array[Long]] = null,
+    poolBudget: Long = 0L) extends UnaryExpression {
+
+  // The budgeted branch replaces (not refines) the adaptive merge — both
+  // orders are the same global cheapest-flip-first walk, but the budget
+  // charges occupancy where adaptive charges a flat per-bucket count, so
+  // "adaptive AND budgeted" has no coherent meaning. Fail loud instead of
+  // silently ignoring one knob (callers and metadata round-trips would
+  // otherwise lose adaptive semantics whenever poolFrac > 0).
+  require(!(adaptive && bcCounts != null),
+    "LshBuckets: adaptive and occupancy-budgeted probing are mutually exclusive " +
+      "— pass adaptive=false with poolFrac/bcCounts, or drop the budget")
 
   @transient private lazy val planes: Array[Array[Double]] = bcPlanes.value
 
@@ -121,6 +131,11 @@ case class LshBuckets(
       // so lead the merged order: each table keeps its own bucket while
       // budget lasts, preserving the independent-miss product the fixed
       // quota existed to protect.
+      // Counts and the budget are Long end to end: a bucket (or a budget of
+      // poolFrac * corpusN rows) past 2^31 would wrap an Int count negative
+      // (bucket silently dropped) or to a small positive (undercharging the
+      // greedy walk) — either way breaking the hard per-probe bound that is
+      // this mode's whole point at exactly the data scale it exists for.
       val counts = bcCounts.value
       val cap = math.min(probesPerTable, tableSpan)
       val all = new Array[(Double, Int)](numTables * cap)

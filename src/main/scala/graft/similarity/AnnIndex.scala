@@ -116,11 +116,18 @@ object AnnIndex {
     * COMMIT RECORD is the metadata (deleted first, rewritten LAST by the
     * saves — see [[clearMeta]]), so readMeta failing covers every
     * interrupted-rebuild state; the `assignments/_SUCCESS` probe is only
-    * the cheap fast-path existence check before the metadata read. */
-  def isCurrent(s: SparkSession, dir: String, path: String): Boolean =
-    new java.io.File(s"$path/assignments/_SUCCESS").exists() &&
+    * the cheap fast-path existence check before the metadata read. The
+    * probe goes through the Hadoop FileSystem resolved from the path (same
+    * as the save/load paths) — a `java.io.File` probe here would report
+    * every HDFS/S3 index as absent and put remote callers that probe
+    * first into a perpetual-rebuild loop. */
+  def isCurrent(s: SparkSession, dir: String, path: String): Boolean = {
+    val success = new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(success) &&
       (try { requireCurrent(s, dir, path, readMeta(s, path)); true }
        catch { case _: Exception => false })
+  }
 
   // ---------------------------------------------------------------- LSH --
 
@@ -142,6 +149,11 @@ object AnnIndex {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods._
+    // Fail at BUILD time, not at every later load: adaptive and budgeted
+    // probing are mutually exclusive (LshBuckets enforces the same), and an
+    // index persisted with both would throw on every lshTopK forever.
+    require(!(adaptive && poolFrac > 0),
+      "saveLsh: adaptive and occupancy-budgeted (poolFrac > 0) probing are mutually exclusive")
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
     val dim = emb.selectExpr("size(e)").first().getInt(0)
@@ -221,11 +233,12 @@ object AnnIndex {
     val probeBuckets =
       if (poolFrac > 0) {
         val countRows = assignments.groupBy("tb").count().collect()
-        val counts = new Array[Int](numTables << numPlanes)
-        countRows.foreach(r => counts(r.getInt(0)) = r.getLong(1).toInt)
+        // Long counts + budget, matching AnnLsh.bucketFrames: no Int wrap
+        // of a >2^31-row bucket can break the per-probe bound.
+        val counts = new Array[Long](numTables << numPlanes)
+        countRows.foreach(r => counts(r.getInt(0)) = r.getLong(1))
         val corpusN = (meta \ "corpusRows").extract[Long]
         val budget = math.max(1L, math.ceil(poolFrac * corpusN).toLong)
-          .min(Int.MaxValue).toInt
         val bcCounts = s.sparkContext.broadcast(counts)
         ColumnBridge.column(
           LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes,

@@ -226,15 +226,17 @@ object AnnLsh {
       if (poolFrac > 0) {
         val countRows = emb.select(explode(indexBuckets).as("tb"))
           .groupBy("tb").count().collect()
-        val counts = new Array[Int](numTables << numPlanes)
+        // Long counts + Long budget: a >2^31-row bucket (or budget) would
+        // wrap an Int and silently break the hard per-probe bound — the
+        // guarantee only matters at exactly that scale.
+        val counts = new Array[Long](numTables << numPlanes)
         var totalAssign = 0L
         countRows.foreach { r =>
-          counts(r.getInt(0)) = r.getLong(1).toInt
+          counts(r.getInt(0)) = r.getLong(1)
           totalAssign += r.getLong(1)
         }
         val corpusN = totalAssign / numTables
         val budget = math.max(1L, math.ceil(poolFrac * corpusN).toLong)
-          .min(Int.MaxValue).toInt
         val bcCounts = s.sparkContext.broadcast(counts)
         ColumnBridge.column(
           LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes,

@@ -207,13 +207,20 @@ class ModulesSpec extends AnyFunSuite {
     // real corpora, not as the default. Deterministic: seeded planes,
     // fixed data.
     val nProbes = 25
-    // A budget that bites: distinct pool must stay under poolFrac, with
-    // room to spare (multiplicity >= distinct).
+    // A budget that bites: distinct pool must stay under the bound, with
+    // room to spare (multiplicity >= distinct). The implementation
+    // guarantees multiplicity <= ceil(frac * corpusN) PER PROBE, so the
+    // pool FRACTION is bounded by ceil(frac * N) / N — up to ~1/N above
+    // the raw frac (the two coincide only when frac * N is an integer, an
+    // accident of the current corpus size this assert must not lean on).
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
     for (frac <- Seq(0.2, 0.85)) {
+      val bound = math.ceil(frac * total) / total
       val pool = scanFraction(sf,
         AnnLsh.candidates(spark, sf, numProbes = nProbes, probesPerTable = 1024,
           minCollisions = 1, poolFrac = frac), nProbes)
-      assert(pool <= frac + 1e-9, f"budgeted pool $pool%.3f exceeds the $frac bound")
+      assert(pool <= bound + 1e-9,
+        f"budgeted pool $pool%.3f exceeds the ceil($frac * $total)/$total = $bound%.5f bound")
     }
     // The measured operating point at (planes=14, tables=12, cap=1024,
     // budget=0.85, minC=2): recall 0.848 at scan 0.204, distinct pool
