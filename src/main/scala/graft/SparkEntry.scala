@@ -137,16 +137,28 @@ object SparkEntry {
   /** Build-if-absent-or-stale without paying the corpus fingerprint twice:
     * the load path validates internally (and throws on missing/half-built/
     * stale), so the common steady-state lap runs exactly ONE validation —
-    * the rebuild branch is the rare path and may re-scan. A non-staleness
-    * infrastructure failure isn't masked: it fails the rebuild or the
-    * retry and surfaces there. */
-  private def buildIfStale(build: => Unit)(load: => DataFrame): DataFrame =
+    * the heal branch is the rare path and may re-scan. The heal itself is
+    * tiered: try the INCREMENTAL APPEND first (work proportional to the
+    * added data — the right cost when the corpus merely grew, the common
+    * production staleness), fall back to the full rebuild when the index
+    * is unreadable or the change wasn't a pure add. A non-staleness
+    * infrastructure failure isn't masked: it fails the heal or the retry
+    * and surfaces there. */
+  private def buildIfStale(append: => Unit, rebuild: => Unit)(
+      load: => DataFrame): DataFrame =
     try load
-    catch { case scala.util.control.NonFatal(_) => build; load }
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        try append
+        catch { case scala.util.control.NonFatal(_) => rebuild }
+        load
+    }
 
   private def annPersisted(s: SparkSession, dir: String): DataFrame = {
     val path = annIndexPath(dir, "lsh_q58")
-    buildIfStale(graft.similarity.AnnIndex.saveLsh(s, dir, path))(
+    buildIfStale(
+      graft.similarity.AnnIndex.appendLsh(s, dir, path),
+      graft.similarity.AnnIndex.saveLsh(s, dir, path))(
       graft.similarity.AnnIndex.lshTopK(s, dir, path))
   }
 
@@ -156,7 +168,9 @@ object SparkEntry {
     * IVF load path too, not just LSH's. */
   private def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
     val path = annIndexPath(dir, "ivf_q59")
-    buildIfStale(graft.similarity.AnnIndex.saveIvf(s, dir, path))(
+    buildIfStale(
+      graft.similarity.AnnIndex.appendIvf(s, dir, path),
+      graft.similarity.AnnIndex.saveIvf(s, dir, path))(
       graft.similarity.AnnIndex.ivfTopK(s, dir, path))
   }
 

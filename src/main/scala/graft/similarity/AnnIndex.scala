@@ -94,6 +94,58 @@ object AnnIndex {
     (idRow.getLong(0), idRow.getLong(1) ^ contentChk)
   }
 
+  /**
+   * FILE-LEVEL corpus listing: (relative name, length, modificationTime)
+   * of every DATA file under the corpus parquet (Spark's hidden-file
+   * convention applies — `_SUCCESS`/`.crc` etc. are skipped, since a
+   * committer rewrites `_SUCCESS` even on a pure append). One driver-side
+   * FileSystem listing, ZERO data read — this is the same listing the scan
+   * planner makes anyway.
+   *
+   * Closes the content sample's ~99% blind spot: an IN-PLACE rewrite of an
+   * unsampled vector leaves (rows, id-xor, sampled-content-xor) intact,
+   * but no real store rewrites a parquet file without changing its length
+   * or mtime. The 1% content sample stays alongside it for
+   * content-addressed / mtime-less stores where listings lie.
+   */
+  private[similarity] def corpusListing(
+      s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base = p.toUri.getPath
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val full = st.getPath.toUri.getPath
+        val rel = if (full == base) name else full.stripPrefix(base).stripPrefix("/")
+        out += ((rel, st.getLen, st.getModificationTime))
+      }
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  /** Order-canonical md5 of a [[corpusListing]] — the value persisted in
+    * index metadata and compared at load. */
+  private[similarity] def listingDigest(entries: Seq[(String, Long, Long)]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.map { case (n, l, m) => s"$n:$l:$m" }.mkString("\n")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** The listing is ALSO persisted row-by-row (not only as a digest) under
+    * `<path>/listing`, because [[appendLsh]]/[[appendIvf]] need to verify
+    * per-file that nothing the index was built over changed — a digest can
+    * only say "something differs", not "only additions happened". */
+  private def writeListing(s: SparkSession, path: String,
+      entries: Seq[(String, Long, Long)]): Unit = {
+    import s.implicits._
+    s.createDataset(entries).toDF("name", "len", "mtime")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/listing")
+  }
+
   /** Validate a loaded index against the live corpus; throws with a
     * rebuild hint on mismatch. Indexes written before the fingerprint
     * existed (no corpusRows field) are treated as UNVERIFIABLE and
@@ -102,6 +154,14 @@ object AnnIndex {
       meta: org.json4s.JValue): Unit = {
     import org.json4s._
     implicit val formats: Formats = DefaultFormats
+    // FILE-LISTING check first: zero data read, and it catches every
+    // rewrite the 1% content sample is blind to (see corpusListing).
+    val savedListing = (meta \ "corpusListing").extractOpt[String]
+    val liveListing = listingDigest(corpusListing(s, dir))
+    if (!savedListing.contains(liveListing))
+      throw new IllegalStateException(
+        s"ANN index at $path is stale for corpus $dir: built over file listing " +
+          s"$savedListing, corpus listing is now $liveListing — rebuild with saveLsh/saveIvf")
     val saved = (meta \ "corpusRows").extractOpt[Long]
       .zip((meta \ "corpusChecksum").extractOpt[Long])
     val live = corpusFingerprint(s, dir)
@@ -127,6 +187,63 @@ object AnnIndex {
     fs.exists(success) &&
       (try { requireCurrent(s, dir, path, readMeta(s, path)); true }
        catch { case _: Exception => false })
+  }
+
+  /**
+   * The adds-only guard shared by [[appendLsh]]/[[appendIvf]]: proves the
+   * grown corpus is a PURE SUPERSET of the one the index was built over,
+   * and returns the frame of NEW rows to assign. Throws
+   * IllegalStateException otherwise — callers fall back to a full rebuild.
+   *
+   * Two checks, both required:
+   *
+   *  1. every file of the build-time listing is still present with the
+   *     same length and mtime (parquet appends only ADD part files; any
+   *     drop/compaction/rewrite touches one) — this is airtight against
+   *     in-place rewrites of OLD vectors, with no sampling caveat;
+   *  2. the saved fingerprint re-derives over the corpus RESTRICTED to
+   *     the already-indexed ids (a semi-join on the assignments' id set —
+   *     ids only, plus the same clustered 1% content sample) — this
+   *     catches a drop/renumber that check 1 can miss when old rows also
+   *     live in NEW files (e.g. the grown corpus was written by a system
+   *     that shuffles rows across its appended files).
+   *
+   * Cost: the FS listing, one ids-only scan + semi-join, ~1% of old
+   * vector bytes — the same order as a load validation, nothing like the
+   * full re-index an append exists to avoid.
+   */
+  private def appendableNewRows(s: SparkSession, dir: String, path: String,
+      meta: org.json4s.JValue): (DataFrame, Seq[(String, Long, Long)]) = {
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val liveListing = corpusListing(s, dir)
+    val live = liveListing.toSet
+    val savedListing = s.read.parquet(s"$path/listing")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val changed = savedListing.filterNot(live.contains)
+    if (changed.nonEmpty)
+      throw new IllegalStateException(
+        s"ANN index at $path cannot be appended for corpus $dir: " +
+          s"${changed.length} indexed file(s) changed or vanished (e.g. " +
+          s"${changed.head}) — not a pure add; rebuild with saveLsh/saveIvf")
+    val savedRows = (meta \ "corpusRows").extract[Long]
+    val savedChk = (meta \ "corpusChecksum").extract[Long]
+    val oldIds = s.read.parquet(s"$path/assignments").select("vec_id").distinct()
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val old = emb.join(oldIds, Seq("vec_id"))
+    val idRow = old.selectExpr(
+      "count(*) AS n", "coalesce(bit_xor(xxhash64(vec_id)), 0L) AS chk").first()
+    val contentChk = old.where("pmod(vec_id, 9973) < 103")
+      .selectExpr("coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS chk")
+      .first().getLong(0)
+    if (idRow.getLong(0) != savedRows || (idRow.getLong(1) ^ contentChk) != savedChk)
+      throw new IllegalStateException(
+        s"ANN index at $path cannot be appended for corpus $dir: the indexed " +
+          s"rows themselves changed (dropped/renumbered/rewritten) — " +
+          s"rebuild with saveLsh/saveIvf")
+    val newRows = emb.join(oldIds, Seq("vec_id"), "left_anti")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    (newRows, liveListing)
   }
 
   // ---------------------------------------------------------------- LSH --
@@ -159,6 +276,7 @@ object AnnIndex {
     val dim = emb.selectExpr("size(e)").first().getInt(0)
     val planes = AnnLsh.planes(numTables * numPlanes, dim, seed)
     val (rows, chk) = corpusFingerprint(s, dir)
+    val listing = corpusListing(s, dir)
     clearMeta(s, path)
     import s.implicits._
     s.createDataset(planes.toIndexedSeq.zipWithIndex.map { case (w, i) => (i, w.toSeq) })
@@ -169,6 +287,7 @@ object AnnIndex {
       LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
     emb.select(col("vec_id"), explode(indexBuckets).as("tb"))
       .write.mode("overwrite").parquet(s"$path/assignments")
+    writeListing(s, path, listing)
     // COMMIT ORDER: metadata (with the fingerprint) is written LAST — a
     // rebuild killed after metadata but before assignments would otherwise
     // leave a fresh fingerprint over OLD assignments, which validates
@@ -181,7 +300,73 @@ object AnnIndex {
         ("probesPerTable" -> probesPerTable) ~ ("adaptive" -> adaptive) ~
         ("minCollisions" -> minCollisions) ~ ("poolFrac" -> poolFrac) ~
         ("seed" -> seed) ~ ("dim" -> dim) ~
-        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(listing)))))
+  }
+
+  /**
+   * INCREMENTAL APPEND — the deployment-shaped operation for a corpus that
+   * only GROWS (daily arrivals at 100 TB): assign ONLY the new vec_ids
+   * against the FROZEN hyperplanes, append their (tb, vec_id) rows to
+   * `assignments/`, and re-fingerprint — never re-index the old corpus.
+   * Work is proportional to the ADDED data (plus a load-validation-sized
+   * adds-only guard, [[appendableNewRows]]), where a full rebuild is
+   * proportional to the whole corpus.
+   *
+   * Same crash-safe bracket as the saves: metadata is deleted FIRST and
+   * rewritten LAST, so an append killed half-way leaves a metadata-less
+   * index that every loader refuses and the build-if-stale retry heals.
+   * Appending changes no existing assignment row and the geometry is
+   * byte-identical, so an appended index is BIT-FOR-BIT the index a full
+   * rebuild on the grown corpus would produce (the hyperplanes depend
+   * only on (seed, dim) — AnnIndexSpec proves the equivalence).
+   *
+   * Throws IllegalStateException when the index is unreadable (missing/
+   * interrupted metadata) or the corpus change is not a pure add —
+   * callers fall back to [[saveLsh]] (SparkEntry's append-or-rebuild).
+   */
+  def appendLsh(s: SparkSession, dir: String, path: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    val method = (meta \ "method").extract[String]
+    if (method != "lsh")
+      throw new IllegalStateException(s"appendLsh on a '$method' index at $path")
+    val numPlanes = (meta \ "numPlanes").extract[Int]
+    val numTables = (meta \ "numTables").extract[Int]
+    val (newRows, liveListing) = appendableNewRows(s, dir, path, meta)
+    val planes = s.read.parquet(s"$path/model").orderBy("plane_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bc = s.sparkContext.broadcast(planes)
+    val indexBuckets = ColumnBridge.column(
+      LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
+    // Materialize the new assignments BEFORE mutating `assignments/`: the
+    // frame reads that very directory (the left-anti join against the
+    // indexed ids), and appending to a path a live plan is scanning is
+    // undefined. The persisted blocks decouple read from write.
+    val newAssign = newRows
+      .select(col("vec_id"), explode(indexBuckets).as("tb")).persist()
+    newAssign.count()
+    val (rows, chk) = corpusFingerprint(s, dir)
+    clearMeta(s, path) // invalidate FIRST — see the save bracket note
+    newAssign.write.mode("append").parquet(s"$path/assignments")
+    newAssign.unpersist(blocking = false)
+    writeListing(s, path, liveListing)
+    // metadata LAST, with every original knob preserved verbatim and only
+    // the corpus fingerprint/listing advanced to the grown corpus.
+    writeMeta(s, path, compact(render(
+      ("method" -> "lsh") ~ ("numPlanes" -> numPlanes) ~ ("numTables" -> numTables) ~
+        ("probesPerTable" -> (meta \ "probesPerTable").extract[Int]) ~
+        ("adaptive" -> (meta \ "adaptive").extractOrElse[Boolean](false)) ~
+        ("minCollisions" -> (meta \ "minCollisions").extractOrElse[Int](1)) ~
+        ("poolFrac" -> (meta \ "poolFrac").extractOrElse[Double](0.0)) ~
+        ("seed" -> (meta \ "seed").extract[Long]) ~
+        ("dim" -> (meta \ "dim").extract[Int]) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(liveListing)))))
   }
 
   /**
@@ -297,6 +482,7 @@ object AnnIndex {
     // reuse the memoized quantizer fit via candidates' cache key
     val centroids = AnnIvf.fitQuantizer(s, dir, rNlist, seed)
     val (rows, chk) = corpusFingerprint(s, dir)
+    val listing = corpusListing(s, dir)
     clearMeta(s, path)
     import s.implicits._
     s.createDataset(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
@@ -307,12 +493,58 @@ object AnnIndex {
       IvfLists(ColumnBridge.expression(col("e")), bc, 1)), 1)
     emb.select(col("vec_id"), assignList.as("list_id"))
       .write.mode("overwrite").parquet(s"$path/assignments")
+    writeListing(s, path, listing)
     // metadata LAST — see saveLsh's commit-order note: an interrupted
     // rebuild must never leave a fresh fingerprint over old artifacts.
     writeMeta(s, path, compact(render(
       ("method" -> "ivf") ~ ("nlist" -> rNlist) ~ ("nprobe" -> rNprobe) ~
         ("seed" -> seed) ~ ("dim" -> dim) ~
-        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk))))
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(listing)))))
+  }
+
+  /**
+   * IVF twin of [[appendLsh]]: new vec_ids are assigned to their nearest
+   * FROZEN centroid (no quantizer refit — the loaded geometry stays the
+   * index's operating point) and appended to the inverted lists, with the
+   * same adds-only guard and delete-meta/write-meta-last crash bracket.
+   * NOTE the deliberate semantic difference from a full rebuild: a rebuild
+   * on the grown corpus would REFIT k-means (different centroids), so for
+   * IVF "append ≡ rebuild" holds for the assignments given the geometry,
+   * not for the geometry itself — exactly what an incremental index means.
+   */
+  def appendIvf(s: SparkSession, dir: String, path: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    val method = (meta \ "method").extract[String]
+    if (method != "ivf")
+      throw new IllegalStateException(s"appendIvf on a '$method' index at $path")
+    val (newRows, liveListing) = appendableNewRows(s, dir, path, meta)
+    val centroids = s.read.parquet(s"$path/model").orderBy("list_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val bc = s.sparkContext.broadcast(centroids)
+    val assignList = element_at(ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bc, 1)), 1)
+    // materialize before mutating the directory the plan reads — see
+    // appendLsh.
+    val newAssign = newRows.select(col("vec_id"), assignList.as("list_id")).persist()
+    newAssign.count()
+    val (rows, chk) = corpusFingerprint(s, dir)
+    clearMeta(s, path)
+    newAssign.write.mode("append").parquet(s"$path/assignments")
+    newAssign.unpersist(blocking = false)
+    writeListing(s, path, liveListing)
+    writeMeta(s, path, compact(render(
+      ("method" -> "ivf") ~ ("nlist" -> (meta \ "nlist").extract[Int]) ~
+        ("nprobe" -> (meta \ "nprobe").extract[Int]) ~
+        ("seed" -> (meta \ "seed").extract[Long]) ~
+        ("dim" -> (meta \ "dim").extract[Int]) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(liveListing)))))
   }
 
   /**

@@ -115,6 +115,119 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.lshTopK(spark, corpus, lshPath).collect().nonEmpty)
   }
 
+  test("staleness guard: in-place rewrite of an UNSAMPLED vector is refused") {
+    // The content sample reads ~1% of rows (pmod(vec_id, 9973) < 103), so
+    // rewriting a vector OUTSIDE it leaves (rows, id-xor, sampled-content)
+    // all intact — round 10's one silent-staleness path. The FILE-LISTING
+    // digest (name, length, mtime of every data file — zero data read)
+    // closes it: no store rewrites a parquet file without changing one of
+    // those. vec_id 200 has pmod(200, 9973) = 200 >= 103 — unsampled.
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_unsampled_corpus"
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet")
+    orig.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/lsh_unsampled"
+    AnnIndex.saveLsh(spark, corpus, path, numTables = 6, probesPerTable = 64)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    orig.selectExpr("vec_id",
+        "CASE WHEN vec_id = 200 THEN transform(embedding, x -> x + 1.0f)" +
+          " ELSE embedding END AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    // same row count, same ids, rewrite invisible to the content sample —
+    // only the listing catches it
+    assert(!AnnIndex.isCurrent(spark, corpus, path))
+    val e = intercept[IllegalStateException] {
+      AnnIndex.lshTopK(spark, corpus, path).collect()
+    }
+    assert(e.getMessage.contains("listing"))
+    AnnIndex.saveLsh(spark, corpus, path, numTables = 6, probesPerTable = 64)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+  }
+
+  test("LSH append: appended index is bit-for-bit a full rebuild of the grown corpus") {
+    import org.apache.spark.sql.functions.col
+    // build over the first 400 vectors, then the corpus GROWS by 100 (a
+    // parquet append — new part files only, old files untouched)
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_grow_corpus"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val fs = new java.io.File(corpus)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(fs)
+    all.filter(col("vec_id") < 400).write.parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/lsh_append"
+    AnnIndex.saveLsh(spark, corpus, path, numTables = 6, probesPerTable = 64)
+    all.filter(col("vec_id") >= 400)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    // grown corpus: the old index must refuse, the append must heal
+    assert(!AnnIndex.isCurrent(spark, corpus, path))
+    AnnIndex.appendLsh(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    // equivalence: the hyperplanes depend only on (seed, dim), so a FULL
+    // rebuild over the grown corpus produces the same geometry — appended
+    // assignments and query answers must match it bit-for-bit
+    val rebuilt = s"$root/lsh_append_rebuilt"
+    AnnIndex.saveLsh(spark, corpus, rebuilt, numTables = 6, probesPerTable = 64)
+    def assignSet(p: String) = spark.read.parquet(s"$p/assignments")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(assignSet(path) == assignSet(rebuilt))
+    assert(rows(AnnIndex.lshTopK(spark, corpus, path, numProbes = 5, k = 5)) ==
+      rows(AnnIndex.lshTopK(spark, corpus, rebuilt, numProbes = 5, k = 5)))
+    // a SECOND append with nothing new is a no-op that still validates
+    AnnIndex.appendLsh(spark, corpus, path)
+    assert(assignSet(path) == assignSet(rebuilt))
+  }
+
+  test("LSH append refuses when the change was not a pure add") {
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_notadd_corpus"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    all.filter(col("vec_id") < 400)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/lsh_notadd"
+    AnnIndex.saveLsh(spark, corpus, path, numTables = 6, probesPerTable = 64)
+    // an overwrite (even to a superset of the rows) rewrites every file —
+    // the per-file listing check must refuse the shortcut
+    all.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val e = intercept[IllegalStateException] { AnnIndex.appendLsh(spark, corpus, path) }
+    assert(e.getMessage.contains("rebuild"))
+    // the full rebuild (the q58 fallback tier) heals
+    AnnIndex.saveLsh(spark, corpus, path, numTables = 6, probesPerTable = 64)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+  }
+
+  test("IVF append: new vectors join the frozen geometry's lists; old rows untouched") {
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_ivfgrow_corpus"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val fs = new java.io.File(corpus)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(fs)
+    all.write.parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/ivf_append"
+    AnnIndex.saveIvf(spark, corpus, path)
+    def assigns(p: String) = spark.read.parquet(s"$p/assignments")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap // vec_id -> list
+    val before = assigns(path)
+    // grow with DUPLICATES of vectors 0..49 at new ids 10000+i: under the
+    // FROZEN centroids an identical vector must land in the same list as
+    // its source — an expectation independent of the append code itself
+    all.filter(col("vec_id") < 50)
+      .selectExpr("vec_id + 10000 AS vec_id", "embedding", "label")
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    AnnIndex.appendIvf(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    val after = assigns(path)
+    assert(before.forall { case (id, l) => after(id) == l }, "old assignments changed")
+    (0L until 50L).foreach { i =>
+      assert(after(i + 10000) == after(i), s"duplicate of $i landed in a different list")
+    }
+    assert(AnnIndex.ivfTopK(spark, corpus, path).collect().nonEmpty)
+  }
+
   test("interrupted rebuild fails loud: a metadata-less index never serves") {
     // The save bracket is (delete metadata, write model + assignments,
     // write metadata LAST), so every kill point during a rebuild leaves
