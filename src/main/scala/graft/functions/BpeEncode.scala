@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Byte-pair-encoding tokenizer as a native codegen'd expression: text is
+ * pre-tokenized with the same regex the q48 heuristic used (letter runs,
+ * digit runs, single marks — the pre-tokenization real BPE tokenizers
+ * apply before merges), then each pre-token is merged bottom-up from
+ * characters by a RANKED MERGES TABLE, the way a trained tokenizer's
+ * merges.txt drives encoding. Returns the full subword token array
+ * (`array<string>`); `size()` of it is the true token count that packing
+ * (q64) and token statistics (q48) need — whitespace/regex counts are
+ * approximations the moment subword tokenization enters the picture.
+ *
+ * MERGE SEMANTICS (pinned, and mirrored operation-for-operation by the
+ * DuckDB oracle so q48/q64 stay hash-checked): each pre-token is the
+ * space-joined sequence of its codepoints, bracketed by spaces; one CHAIN
+ * PASS applies every merge in rank order as a leftmost, non-overlapping,
+ * all-occurrences string replacement (`" l l "` -> `" ll "` — exactly
+ * `String.replace`/DuckDB `replace` semantics); chain passes repeat until
+ * a pass changes nothing. A merge's operands may only be single
+ * codepoints or outputs of LOWER-ranked merges (the validity invariant of
+ * any real merges table), which is what makes rank-order exhaustive
+ * application equivalent to the classic best-pair-first loop: a later
+ * merge can never create an occurrence of an earlier one.
+ *
+ * SCALE SHAPE: the merges travel as a [[Broadcast]] handle (a trained
+ * table is ~50k rows — per-task serialization would ship it with every
+ * task binary), the expression runs inside whole-stage codegen via
+ * [[doGenCode]], and encoding memoizes per-WORD results in a bounded
+ * per-executor cache — natural-language corpora reuse a vocabulary-sized
+ * set of pre-tokens, so the per-document cost collapses to hash lookups
+ * after warm-up.
+ */
+case class BpeEncode(
+    child: Expression,
+    bcMerges: Broadcast[Array[(String, String)]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode needs string, got ${other.simpleString(10)}")
+  }
+
+  @transient private lazy val patterns: Array[(String, String)] =
+    bcMerges.value.map { case (a, b) => (s" $a $b ", s" $a$b ") }
+
+  @transient private lazy val preTok =
+    java.util.regex.Pattern.compile(BpeTokenizer.preTokenRegex)
+
+  /** word -> merged subword tokens, memoized. Bounded: natural-language
+    * vocabularies are finite, but nothing guarantees the input is natural
+    * language — at the cap the cache clears rather than growing without
+    * bound (correctness never depends on a hit). */
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  private def mergeWord(word: String): Array[String] = {
+    val cached = memo.get(word)
+    if (cached != null) return cached
+    // space-joined codepoints (codepoints, not UTF-16 units, so BMP and
+    // supplementary characters alike are one symbol — matching the
+    // oracle's per-codepoint split)
+    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    var changed = true
+    while (changed) {
+      val before = s
+      var m = 0
+      while (m < patterns.length) {
+        s = s.replace(patterns(m)._1, patterns(m)._2)
+        m += 1
+      }
+      changed = s != before
+    }
+    val toks = s.trim.split(" ")
+    if (memo.size >= BpeEncode.memoCap) memo.clear()
+    memo.put(word, toks)
+    toks
+  }
+
+  /** Hot path — called from both interpreted eval and generated code. */
+  def encode(text: UTF8String): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val m = preTok.matcher(text.toString)
+    while (m.find()) {
+      val toks = mergeWord(m.group())
+      var i = 0
+      while (i < toks.length) {
+        out += UTF8String.fromString(toks(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, f => {
+      val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncode].getName)
+      s"${ev.value} = $ref.encode($f);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  private[functions] val memoCap = 1 << 16
+
+  /** Register `bpe_encode(text)` with the default merges table. The
+    * broadcast is created once per session (Registration.ensure runs the
+    * builder once) so every query over the session shares one handle. */
+  def register(spark: SparkSession): Unit = {
+    lazy val bc = spark.sparkContext.broadcast(BpeTokenizer.defaultMerges)
+    Registration.ensure(spark, "bpe_encode")(exprs => BpeEncode(exprs(0), bc))
+  }
+}
+
+/**
+ * The merges table and its cross-engine rendering. ONE source of truth:
+ * the Scala expression broadcasts [[defaultMerges]] and the DuckDB oracle
+ * SQL is GENERATED from the same list ([[duckChainSql]]), so the two
+ * engines cannot drift.
+ *
+ * The default table is a small hand-built English/digit set (32 merges)
+ * standing in for a trained tokenizer's merges.txt — the ENGINE mechanics
+ * (ranked pair merging from characters) are the real thing; only the
+ * table is a placeholder a deployment swaps for its tokenizer's. Every
+ * merge's operands are single characters or outputs of earlier merges
+ * (the validity invariant the class doc relies on).
+ */
+object BpeTokenizer {
+
+  /** Pre-tokenization: letter runs, digit runs, single other marks — the
+    * same pattern q48 counted with, now feeding the merge stage. Matches
+    * identically under Java regex and RE2 (the alternatives' character
+    * classes are disjoint, so there is no ambiguity to resolve). */
+  val preTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** (left, right) merge pairs in rank order; the output token is always
+    * the concatenation. */
+  val defaultMerges: Array[(String, String)] = Array(
+    ("t", "h"), ("th", "e"),               // th, the
+    ("i", "n"), ("a", "n"), ("an", "d"),   // in, an, and
+    ("e", "r"), ("o", "n"), ("r", "e"),    // er, on, re
+    ("e", "d"), ("in", "g"),               // ed, ing
+    ("o", "u"), ("s", "t"), ("a", "t"),    // ou, st, at
+    ("o", "r"), ("e", "n"), ("t", "o"),    // or, en, to
+    ("i", "s"), ("i", "t"), ("a", "l"),    // is, it, al
+    ("l", "l"), ("o", "o"), ("e", "e"),    // ll, oo, ee
+    ("s", "s"), ("o", "f"), ("h", "e"),    // ss, of, he
+    ("a", "r"), ("w", "h"), ("l", "e"),    // ar, wh, le
+    ("c", "h"), ("s", "h"),                // ch, sh
+    ("0", "0"), ("1", "9"))                // 00, 19
+
+  /** One chain pass as nested DuckDB `replace` calls over column `col` —
+    * the oracle's equivalent of the expression's inner merge loop. */
+  def duckChainSql(col: String): String =
+    defaultMerges.foldLeft(col) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+}

@@ -96,14 +96,19 @@ object TextPipeline {
         .orderBy(col("keeper"))
     }),
 
-    // BPE-ish regex token counting: letter runs, digit runs, and single
-    // non-alphanumeric marks as separate tokens (the pre-tokenization
-    // shape real BPE tokenizers apply before merges). Same RE2/Java-safe
-    // character classes both engines match identically.
+    // TRUE BPE token counting: the same regex pre-tokenization as before
+    // (letter runs, digit runs, single marks), now followed by ranked
+    // pair merges from a broadcast merges table — the native codegen'd
+    // [[graft.functions.BpeEncode]], the real tokenizer mechanics packing
+    // and token budgets are computed with. The DuckDB oracle re-derives
+    // the merges as a recursive-CTE replace chain GENERATED from the same
+    // Scala table (one source of truth), over DISTINCT pre-tokens (the
+    // encode is a pure word function) — so the subword counts are
+    // hash-checked cross-engine, not trusted.
     "q48_bpe_tokens" -> ((s, dir) => {
+      graft.functions.BpeEncode.register(s)
       t(s, dir, "documents")
-        .selectExpr("source",
-          "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe")
+        .selectExpr("source", "size(bpe_encode(text)) AS n_bpe")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bpe")).as("total_bpe_tokens"),
@@ -367,21 +372,25 @@ object TextPipeline {
     // CONCAT-AND-CHUNK packing layout — the standard pretraining data
     // prep: documents are tokenized, concatenated in doc_id order, and
     // cut into fixed 2048-token windows; each doc's global token offset
-    // determines which chunks it lands in. The global running sum is
-    // [[graft.plans.RangedPrefixSum]] — range-partition + local cumsum +
-    // bounded per-partition offset collect — NOT an unpartitioned window
-    // (which funnels the whole corpus through one task; at 100 TB the
-    // offset pass must stay embarrassingly parallel). Fully oracled
-    // against DuckDB's window-function form.
+    // determines which chunks it lands in. Token counts are TRUE BPE
+    // subword counts (bpe_encode — packing against whitespace counts
+    // misbudgets every window once subword tokenization is real). The
+    // global running sum is [[graft.plans.RangedPrefixSum]] —
+    // range-partition + local cumsum + bounded per-partition offset
+    // collect — NOT an unpartitioned window (which funnels the whole
+    // corpus through one task; at 100 TB the offset pass must stay
+    // embarrassingly parallel). Fully oracled against DuckDB's
+    // window-function form over the same recursive-CTE BPE counts.
     "q64_concat_chunks" -> ((s, dir) => {
+      graft.functions.BpeEncode.register(s)
       val window = 2048
       val toksPerDoc = t(s, dir, "documents")
-        .selectExpr("doc_id", s"cast(size($toks) AS bigint) AS n_tokens")
-      // n_tokens = 0 guard (cannot occur with the split() tokenizer, which
-      // emits at least [""] — but the formula must not depend on that):
-      // an empty doc spans NO chunks, and the unguarded (fin - 1) with
-      // fin = 0 would also diverge between Spark's `div` (truncates toward
-      // zero) and DuckDB's `//` (floors) on the negative numerator.
+        .selectExpr("doc_id", "cast(size(bpe_encode(text)) AS bigint) AS n_tokens")
+      // n_tokens = 0 guard (a doc with no pre-tokens — e.g. all spaces —
+      // genuinely encodes to zero BPE tokens): an empty doc spans NO
+      // chunks, and the unguarded (fin - 1) with fin = 0 would also
+      // diverge between Spark's `div` (truncates toward zero) and
+      // DuckDB's `//` (floors) on the negative numerator.
       graft.plans.RangedPrefixSum.prefixSumBy(s, toksPerDoc, "n_tokens", "fin", "doc_id")
         .selectExpr("doc_id", "n_tokens",
           "fin - n_tokens AS start_offset",
@@ -539,6 +548,35 @@ object TextPipeline {
        |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
        |  FROM cand JOIN docs da ON da.doc_id = a_id JOIN docs db ON db.doc_id = b_id)"""
       .stripMargin
+  /** The BPE oracle CTE chain, generated from the SAME Scala merges table
+    * as the [[graft.functions.BpeEncode]] expression
+    * ([[graft.functions.BpeTokenizer.duckChainSql]]) so the engines
+    * cannot drift. Mirrors the expression operation for operation:
+    * regex pre-tokens; per-codepoint space-joined seed; one chain pass =
+    * every merge in rank order as a leftmost all-occurrence `replace`;
+    * passes iterate (recursive CTE, UNION ALL — strictly shrinking
+    * strings terminate it) to the fixpoint row, the one the chain leaves
+    * unchanged. Merging runs over DISTINCT pre-tokens only (a pure word
+    * function — the same economy the expression's memo exploits) and
+    * joins counts back per doc; `cnt` is (doc_id, n) for docs with >= 1
+    * pre-token — consumers LEFT JOIN + coalesce 0 for the rest. */
+  private lazy val duckBpeCtes = {
+    val chain = graft.functions.BpeTokenizer.duckChainSql("s")
+    s"""pre AS (SELECT doc_id, source,
+       |    unnest(regexp_extract_all(text,
+       |      '${graft.functions.BpeTokenizer.preTokenRegex}')) AS w
+       |  FROM documents),
+       |seed AS (SELECT DISTINCT w FROM pre),
+       |bpe AS (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM seed
+       |  UNION ALL
+       |  SELECT w, $chain FROM bpe WHERE $chain <> s),
+       |enc AS (SELECT w, len(string_split(trim(s), ' ')) AS n
+       |  FROM bpe WHERE $chain = s),
+       |cnt AS (SELECT doc_id, cast(sum(n) AS BIGINT) AS n
+       |  FROM pre JOIN enc USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
   private val duckEmb =
     """SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e,
       |  (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
@@ -551,14 +589,14 @@ object TextPipeline {
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
 
     "q48_bpe_tokens" ->
-      """WITH d AS (SELECT source,
-        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
-        |  FROM documents)
-        |SELECT source, count(*) AS n_docs,
-        |  cast(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
-        |  round(avg(n_bpe), 4) AS avg_bpe_tokens,
-        |  max(n_bpe) AS max_bpe_tokens
-        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH RECURSIVE $duckBpeCtes,
+         |d AS (SELECT d.source, coalesce(c.n, 0) AS n_bpe
+         |  FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  cast(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+         |  round(avg(n_bpe), 4) AS avg_bpe_tokens,
+         |  max(n_bpe) AS max_bpe_tokens
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q21_token_stats" ->
       s"""WITH d AS (SELECT source, len($duckToks) AS n_tokens,
@@ -748,9 +786,10 @@ object TextPipeline {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q64_concat_chunks" ->
-      s"""WITH t AS (SELECT doc_id, cast(len($duckToks) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |c AS (SELECT doc_id, n_tokens,
+      s"""WITH RECURSIVE $duckBpeCtes,
+         |t AS (SELECT d.doc_id, cast(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id),
+         |c2 AS (SELECT doc_id, n_tokens,
          |    sum(n_tokens) OVER (ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fin
          |  FROM t)
@@ -759,7 +798,7 @@ object TextPipeline {
          |  cast((fin - n_tokens) // 2048 AS BIGINT) AS chunk_first,
          |  cast(CASE WHEN n_tokens = 0 THEN 0
          |    ELSE (fin - 1) // 2048 - (fin - n_tokens) // 2048 + 1 END AS BIGINT) AS n_chunks
-         |FROM c ORDER BY doc_id""".stripMargin,
+         |FROM c2 ORDER BY doc_id""".stripMargin,
 
     // Quantization mirrors QuantizeVec exactly: floor(x * (127/greatest(
     // maxabs, 1e-30))) — scale computed FIRST, then one multiply, same

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BpeEncode, BpeTokenizer}
+
+/** [[BpeEncode]] against handcrafted merge cascades — the subword
+  * tokenizer behind q48's counts and q64's packing offsets. The e2e
+  * cross-engine equality is the DuckDB oracle's job (CORRECTNESS gate);
+  * this pins the merge semantics on inputs small enough to verify by
+  * hand. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def enc(text: String): Seq[String] = {
+    BpeEncode.register(spark)
+    import spark.implicits._
+    Seq(text).toDF("text").selectExpr("bpe_encode(text) AS t")
+      .collect().head.getSeq[String](0)
+  }
+
+  test("merges table is valid: operands are chars or outputs of earlier merges") {
+    // the invariant that makes rank-order exhaustive application
+    // equivalent to best-pair-first BPE — see BpeEncode's class doc
+    val outputs = scala.collection.mutable.Set.empty[String]
+    BpeTokenizer.defaultMerges.foreach { case (a, b) =>
+      assert(a.length == 1 || outputs.contains(a), s"operand '$a' unavailable at its rank")
+      assert(b.length == 1 || outputs.contains(b), s"operand '$b' unavailable at its rank")
+      outputs += (a + b)
+    }
+  }
+
+  test("cascading merges build multi-level tokens") {
+    // and: (a,n) then (an,d); standing: (i,n), (a,n), (an,d), (in,g), (s,t)
+    assert(enc("and") == Seq("and"))
+    assert(enc("standing") == Seq("st", "and", "ing"))
+    // the: (t,h) then (th,e) — and the leftover e stays a character
+    assert(enc("thee") == Seq("the", "e"))
+  }
+
+  test("rank order decides when merges compete for a character") {
+    // hello: (l,l) at rank 20 beats (h,e) at rank 25? No — they do not
+    // compete; both apply: h e l l o -> he ll o
+    assert(enc("hello") == Seq("he", "ll", "o"))
+    // cat: only (a,t) applies — c stays single
+    assert(enc("cat") == Seq("c", "at"))
+  }
+
+  test("pre-tokenization: letter runs, digit runs, single marks; spaces vanish") {
+    assert(enc("the cat!") == Seq("the", "c", "at", "!"))
+    assert(enc("2019") == Seq("2", "0", "19"))
+    assert(enc("") == Seq.empty)
+    assert(enc("   ") == Seq.empty)
+  }
+
+  test("q64 packing offsets stay consistent with q48's counts") {
+    // both queries must see the SAME token counts (one expression, one
+    // merges broadcast) — sum of q64's per-doc n_tokens == q48's total
+    val dir = "/root/testdata/sf0.001"
+    val total48 = graft.queries.TextPipeline.queries("q48_bpe_tokens")(spark, dir)
+      .selectExpr("sum(total_bpe_tokens)").collect().head.getLong(0)
+    val total64 = graft.queries.TextPipeline.queries("q64_concat_chunks")(spark, dir)
+      .selectExpr("sum(n_tokens)").collect().head.getLong(0)
+    graft.queries.Caches.releaseAll()
+    assert(total48 == total64, s"q48 $total48 vs q64 $total64")
+    assert(total48 > 0)
+  }
+}
