@@ -1,0 +1,114 @@
+"""End-to-end test of the graft_iforest.pipeline wrappers.
+
+Driven by graft.PipelineBridgeSpec (ScalaTest): runs q20-shape exact
+dedup, q66 clustering, q65 splits, and q31-shape LSH ANN from Python over
+the sf0.001 testdata, asserting structural invariants plus cross-checks
+computed independently in pyspark (dedup totals against a pyspark md5
+group-by; cluster canonicals against the cluster minimum).
+
+Usage: test_pipeline_bridge.py <driverClassPath> <sfDir>
+
+Exit code 0 = all assertions passed.
+"""
+
+import os
+import re
+import sys
+
+
+def main():
+    driver_cp, sf_dir = sys.argv[1:3]
+    prior = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    prior = re.sub(r"\s*pyspark-shell\s*$", "", prior).strip()
+    os.environ["PYSPARK_SUBMIT_ARGS"] = \
+        f"{prior} --driver-class-path {driver_cp} pyspark-shell".lstrip()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    spark = (SparkSession.builder
+             .master("local[2]")
+             .appName("graft-pipeline-bridge")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    try:
+        spark._jvm.java.lang.Class.forName("graft.PipelineBridge")
+    except Exception:
+        raise SystemExit(
+            "graft.PipelineBridge is not on the gateway JVM classpath; "
+            f"expected it via --driver-class-path {driver_cp}.")
+
+    from graft_iforest import pipeline as gp
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+
+    # --- exact dedup: totals must reconcile with an INDEPENDENT pyspark
+    # md5 group-by over the same table ---
+    dedup = gp.exact_dedup(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert sum(r["n_copies"] for r in dedup) == n_docs
+    expected_groups = docs.groupBy(F.md5(F.col("text"))).count().count()
+    assert len(dedup) == expected_groups, \
+        f"dedup groups {len(dedup)} vs pyspark md5 group-by {expected_groups}"
+
+    # --- near-dup clustering: one row per doc, canonical = cluster min ---
+    clusters = gp.dedup_clusters(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert len(clusters) == n_docs
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    multi = 0
+    for cid, rows in by_cluster.items():
+        members = sorted(r["doc_id"] for r in rows)
+        assert cid == members[0], f"cluster {cid} id is not its min member"
+        canon = [r for r in rows if r["is_canonical"] == 1]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid
+        if len(rows) > 1:
+            multi += 1
+    assert multi > 0, "no multi-document near-dup clusters found"
+
+    # --- deterministic splits: full coverage, stable, ~90/5/5 ---
+    splits = gp.split_assign(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert len(splits) == n_docs
+    frac_train = sum(1 for r in splits if r["split"] == "train") / n_docs
+    assert 0.8 < frac_train < 0.97, f"train fraction {frac_train} implausible"
+    assert {r["split"] for r in splits} <= {"train", "val", "test"}
+
+    # --- ANN (q31-shape): 5 probes x k=5, ranks ordered, cosines sane ---
+    ann = gp.ann_topk_lsh(spark, sf_dir, num_probes=5, k=5).collect()
+    gp.release_caches(spark)
+    assert ann, "ANN returned no rows"
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        assert len(rows) <= 5
+        ordered = sorted(rows, key=lambda r: r["rn"])
+        cosines = [r["cosine"] for r in ordered]
+        assert all(-1.0001 <= c <= 1.0001 for c in cosines)
+        assert all(a >= b for a, b in zip(cosines, cosines[1:])), \
+            f"probe {q}: ranks not descending in cosine"
+        assert all(r["neighbor_id"] != q for r in rows)
+
+    # --- the generic runner exposes the whole query surface ---
+    names = gp.query_names(spark)
+    assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names
+    try:
+        gp.run_query(spark, "no_such_query", sf_dir)
+        raise AssertionError("unknown query name did not raise")
+    except Exception as e:
+        assert "unknown query" in str(e)
+
+    print("PY_PIPELINE_OK docs=%d dedup_groups=%d multi_clusters=%d ann_rows=%d"
+          % (n_docs, len(dedup), multi, len(ann)))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
