@@ -187,9 +187,12 @@ object SparkEntry {
       // pre-vote pool is HARD-bounded at ceil(0.85 * corpusN) rows per
       // probe, spent on the margin-cheapest buckets (see AnnLsh doc /
       // TUNE_r10.txt budget grids; measured 0.848 recall @ 0.204 scan,
-      // distinct pool 0.515 on sf0.001).
+      // distinct pool 0.515 on sf0.001). Pinned to the SWEPT configuration
+      // (planes=14, tables=12, cap=1024) — the r11 default moved to 16
+      // tables, but the budgeted mode's measured operating point was
+      // established at 12 and is a deliberate knob here, not a default.
       "q60_ann_budgeted" -> ((s: SparkSession, dir: String) =>
-        AnnLsh.annTopK(s, dir, probesPerTable = 1024, poolFrac = 0.85)),
+        AnnLsh.annTopK(s, dir, numTables = 12, probesPerTable = 1024, poolFrac = 0.85)),
       // Default-knob LSH with int8-quantized candidate scoring: same
       // buckets, vote, and pool bounds as q31; only the rehydration join
       // and cosine kernel run 8x narrower (QuantizeVec). Measured recall

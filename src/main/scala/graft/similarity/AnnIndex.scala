@@ -257,8 +257,8 @@ object AnnIndex {
       dir: String,
       path: String,
       numPlanes: Int = 14,
-      numTables: Int = 12,
-      probesPerTable: Int = 896,
+      numTables: Int = 16,
+      probesPerTable: Int = 768,
       seed: Long = 7919L,
       adaptive: Boolean = false,
       minCollisions: Int = 2,

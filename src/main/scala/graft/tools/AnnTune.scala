@@ -13,7 +13,7 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
-  private val modes = Set("lsh", "vote", "budget", "ship", "ivf", "ivfwide", "both")
+  private val modes = Set("lsh", "vote", "budget", "ship", "seeds", "ivf", "ivfwide", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -162,6 +162,32 @@ object AnnTune {
         AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes, minCollisions = minC),
         prevote = Some(
           AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes, minCollisions = 1)))
+    }
+    if (which == "seeds") {
+      // SEED-SENSITIVITY (r10 verdict: the sf0.001 gate passed 0.872 vs a
+      // 0.85 floor at the single seed 7919L — this sweep turns "green at
+      // this seed" into "green with known margin"). First finding, r11:
+      // the r10 default (14, 12, 896) spans 0.784-0.872 across 5 seeds on
+      // sf0.001 — BELOW the floor at 3 of 5 draws — while holding
+      // 0.872-0.960 on sf0.1; so the sweep also walks neighboring points
+      // (more tables / wider probing, still inside the scan <= 0.25,
+      // prevote <= 0.55 box) hunting one whose 5-seed MIN clears the
+      // floor on both corpora. The gates stay deterministic at 7919L;
+      // the other seeds measure how much of the margin is plane-draw
+      // luck vs the operating point.
+      for {
+        (planes, tables, probes, minC) <- Seq(
+          (14, 12, 896, 2), (14, 14, 768, 2), (14, 14, 896, 2),
+          (14, 16, 768, 2), (13, 14, 512, 2))
+        seed <- Seq(7919L, 104729L, 1299709L, 15485863L, 32452843L)
+      } evalOne(s"lsh planes=$planes tables=$tables probes=$probes minC=$minC seed=$seed",
+        AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes,
+          seed = seed, minCollisions = minC),
+        AnnLsh.annTopK(spark, dir, nProbes, k, planes, tables, probes,
+          seed = seed, minCollisions = minC),
+        prevote = Some(
+          AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes,
+            seed = seed, minCollisions = 1)))
     }
     if (which == "ivf" || which == "both") {
       for {
