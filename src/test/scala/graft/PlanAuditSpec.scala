@@ -121,6 +121,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q63 shuffles the corpus for the join:\n$p")
   }
 
+  test("q66 clustering: equi-joins only, and the star iteration stays bounded") {
+    // The transitive closure must never plan an all-pairs shape: every
+    // large/small-star step is a groupBy + equi-join on the node id, and
+    // the final document labeling is an equi-join on doc_id. (Planning
+    // this query RUNS the CC iteration — the converged edges are an eager
+    // checkpoint — so the audit also proves convergence on the real
+    // near-dup graph, within the operator's maxIter bound.)
+    val p = plan("q66_dedup_clusters")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q66 planned a nested-loop join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q66 planned a cartesian product:\n$p")
+    assert(!p.contains("Window"), s"q66 ranks via a window:\n$p")
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
