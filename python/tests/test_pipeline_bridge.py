@@ -99,11 +99,15 @@ def main():
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names
+    raised = False
     try:
         gp.run_query(spark, "no_such_query", sf_dir)
-        raise AssertionError("unknown query name did not raise")
     except Exception as e:
+        raised = True
         assert "unknown query" in str(e)
+    # asserted OUTSIDE the except: a raise inside the try whose message
+    # happened to contain the expected substring must not self-satisfy
+    assert raised, "unknown query name did not raise"
 
     print("PY_PIPELINE_OK docs=%d dedup_groups=%d multi_clusters=%d ann_rows=%d"
           % (n_docs, len(dedup), multi, len(ann)))

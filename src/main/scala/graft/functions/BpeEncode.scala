@@ -60,12 +60,16 @@ case class BpeEncode(
   @transient private lazy val preTok =
     java.util.regex.Pattern.compile(BpeTokenizer.preTokenRegex)
 
-  /** word -> merged subword tokens, memoized. Bounded: natural-language
-    * vocabularies are finite, but nothing guarantees the input is natural
-    * language — at the cap the cache clears rather than growing without
-    * bound (correctness never depends on a hit). */
-  @transient private lazy val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  /** word -> merged subword tokens, memoized PER EXECUTOR: the expression
+    * instance itself is deserialized once per task (it rides in the
+    * serialized plan via addReferenceObj), so an instance field would
+    * re-warm from empty every task — the cache lives in the companion,
+    * keyed by the merges broadcast id, and is shared by every task of
+    * every stage using that merges table in the executor JVM. Bounded:
+    * natural-language vocabularies are finite, but nothing guarantees the
+    * input is natural language — at the cap the cache clears rather than
+    * growing without bound (correctness never depends on a hit). */
+  @transient private lazy val memo = BpeEncode.memoFor(bcMerges.id)
 
   private def mergeWord(word: String): Array[String] = {
     val cached = memo.get(word)
@@ -128,6 +132,16 @@ case class BpeEncode(
 
 object BpeEncode {
   private[functions] val memoCap = 1 << 16
+
+  /** Executor-wide word caches, one per merges broadcast (a session makes
+    * one broadcast, so this is one map per JVM in practice). */
+  private val memos = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+
+  private[functions] def memoFor(
+      broadcastId: Long): java.util.concurrent.ConcurrentHashMap[String, Array[String]] =
+    memos.computeIfAbsent(broadcastId,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
 
   /** Register `bpe_encode(text)` with the default merges table. The
     * broadcast is created once per session (Registration.ensure runs the

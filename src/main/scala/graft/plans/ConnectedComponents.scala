@@ -40,10 +40,17 @@ import org.apache.spark.sql.functions._
  * exponentially in the iteration count — ~6 path-graph rounds OOMed the
  * driver on plan bookkeeping alone while the data stayed tiny. Reliable
  * `checkpoint()` when the session has a checkpoint dir (the cluster
- * deployment: survives executor loss), `localCheckpoint()` otherwise;
- * superseded iterations' blocks are freed by the ContextCleaner once
- * unreferenced, and the returned mapping keeps only the converged
- * iteration's RDD alive.
+ * deployment: survives executor loss), `localCheckpoint()` otherwise.
+ * Superseded iterations are reclaimed EXPLICITLY: local-checkpoint blocks
+ * by the ContextCleaner once unreferenced, reliable-checkpoint FILES by a
+ * delete as soon as the next iteration is materialized — the cleaner only
+ * removes checkpoint files when `spark.cleaner.referenceTracking
+ * .cleanCheckpoints` is set (default false), and O(log n) full edge-set
+ * copies per run would otherwise accrete in the checkpoint dir until the
+ * filesystem filled. Only the CONVERGED iteration's checkpoint survives
+ * the call (the returned mapping reads it); that one dir per run is
+ * reclaimed by the cleaner conf above or the deployment's checkpoint-dir
+ * hygiene.
  */
 object ConnectedComponents {
 
@@ -66,6 +73,19 @@ object ConnectedComponents {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    // Reliable-checkpoint file of an eagerly checkpointed frame (None in
+    // localCheckpoint mode): Dataset.checkpoint returns a LogicalRDD over
+    // the checkpointed RDD, whose getCheckpointFile is the directory to
+    // reclaim once the frame is superseded.
+    def dropCheckpoint(df: DataFrame): Unit =
+      (df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+        case _ => None
+      }).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
     // Canonical undirected form: u > v, deduped, no self-loops.
     var cur = snap(edges
       .selectExpr(s"cast($u AS bigint) AS a", s"cast($v AS bigint) AS b")
@@ -92,8 +112,9 @@ object ConnectedComponents {
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .distinct())
-      val nextSig = sigOf(next)
+      val nextSig = sigOf(next) // materializes `next` before cur is reclaimed
       converged = nextSig == sig
+      dropCheckpoint(cur)
       cur = next
       sig = nextSig
       it += 1

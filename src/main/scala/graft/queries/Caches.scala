@@ -43,16 +43,11 @@ object Caches {
   /** Persist `df` and remember it: inside a [[scoped]] bracket it belongs
     * to that bracket (released at exit); otherwise it joins the global
     * queue for the next [[releaseAll]]. */
-  def persist(df: DataFrame): DataFrame = register(df.persist())
-
-  /** Register an ALREADY-persisted DataFrame for release at the enclosing
-    * [[scoped]] bracket's exit or the next [[releaseAll]] — for builders
-    * that persist through another code path than [[persist]] (which is
-    * itself implemented as register-after-persist). */
-  def register(df: DataFrame): DataFrame = {
+  def persist(df: DataFrame): DataFrame = {
+    val p = df.persist()
     val s = scope.get()
-    if (s != null) s.add(df) else live.add(df)
-    df
+    if (s != null) s.add(p) else live.add(p)
+    p
   }
 
   /** Bracket a query BUILD whose persisted intermediates are not needed

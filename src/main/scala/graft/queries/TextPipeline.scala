@@ -107,8 +107,12 @@ object TextPipeline {
     // hash-checked cross-engine, not trusted.
     "q48_bpe_tokens" -> ((s, dir) => {
       graft.functions.BpeEncode.register(s)
+      // coalesce: a NULL text encodes as 0 tokens on BOTH engines — the
+      // oracle's LEFT JOIN + coalesce(n, 0) counts a pre-token-less doc as
+      // 0, and size(bpe_encode(NULL)) would be NULL here (skipped by
+      // avg/max), silently diverging on any corpus with null text.
       t(s, dir, "documents")
-        .selectExpr("source", "size(bpe_encode(text)) AS n_bpe")
+        .selectExpr("source", "size(bpe_encode(coalesce(text, ''))) AS n_bpe")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bpe")).as("total_bpe_tokens"),
@@ -384,8 +388,11 @@ object TextPipeline {
     "q64_concat_chunks" -> ((s, dir) => {
       graft.functions.BpeEncode.register(s)
       val window = 2048
+      // coalesce(text, ''): NULL text = 0 tokens, same as the oracle's
+      // LEFT JOIN + coalesce — see q48's note.
       val toksPerDoc = t(s, dir, "documents")
-        .selectExpr("doc_id", "cast(size(bpe_encode(text)) AS bigint) AS n_tokens")
+        .selectExpr("doc_id",
+          "cast(size(bpe_encode(coalesce(text, ''))) AS bigint) AS n_tokens")
       // n_tokens = 0 guard (a doc with no pre-tokens — e.g. all spaces —
       // genuinely encodes to zero BPE tokens): an empty doc spans NO
       // chunks, and the unguarded (fin - 1) with fin = 0 would also

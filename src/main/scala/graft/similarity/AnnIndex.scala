@@ -117,12 +117,17 @@ object AnnIndex {
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) {
-        val full = st.getPath.toUri.getPath
-        val rel = if (full == base) name else full.stripPrefix(base).stripPrefix("/")
-        out += ((rel, st.getLen, st.getModificationTime))
-      }
+      val full = st.getPath.toUri.getPath
+      val rel = if (full == base) st.getPath.getName
+        else full.stripPrefix(base).stripPrefix("/")
+      // EVERY path segment must be non-hidden, matching the scan planner's
+      // own filter: a leaf-name-only check would let `_temporary/.../part-
+      // 0001.parquet` debris from a dead producer job into the digest —
+      // files the scan never reads would then flip every load stale and
+      // block the append tier.
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) out += ((rel, st.getLen, st.getModificationTime))
     }
     out.sortBy(_._1).toSeq
   }

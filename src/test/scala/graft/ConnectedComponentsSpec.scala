@@ -76,4 +76,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial: $got vs $want")
     }
   }
+
+  // LAST in the suite: setCheckpointDir is session-global and cannot be
+  // unset, so every earlier test runs the localCheckpoint path first.
+  test("reliable-checkpoint mode reclaims superseded iterations' files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
+    // the 11-node path needs several star rounds -> several checkpoints
+    val got = cc((90L until 100L).map(i => (i, i + 1)))
+    assert((90L to 100L).forall(got(_) == 90L))
+    // only the CONVERGED iteration's checkpoint may survive — the cleaner
+    // conf that would reclaim intermediates is off by default, so the
+    // operator must delete them itself (O(log n) full edge-set copies per
+    // run would otherwise accrete until the checkpoint volume filled)
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq
+        .flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
+    val left = rddDirs(dir)
+    assert(left.length <= 1, s"superseded checkpoints not reclaimed: $left")
+  }
 }
