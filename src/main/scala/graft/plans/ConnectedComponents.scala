@@ -67,12 +67,17 @@ object ConnectedComponents {
         "count(*) AS n", "coalesce(bit_xor(xxhash64(u, v)), 0L) AS h").first()
       (r.getLong(0), r.getLong(1))
     }
-    // Lineage truncation per iteration — see the class doc. Eager, so the
-    // signature read that follows runs over materialized blocks.
+    // Lineage truncation per iteration — see the class doc. The LOCAL
+    // variant is lazy: the signature read right after is the materializing
+    // action, so each iteration pays ONE job instead of an eager-snap job
+    // plus a signature job. The RELIABLE variant stays eager — a lazy
+    // reliable checkpoint recomputes its RDD a second time to write the
+    // files, which doubles every iteration's work at exactly the scale
+    // that mode exists for.
     def snap(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      else df.localCheckpoint(eager = false)
     // Reliable-checkpoint file of an eagerly checkpointed frame (None in
     // localCheckpoint mode): Dataset.checkpoint returns a LogicalRDD over
     // the checkpointed RDD, whose getCheckpointFile is the directory to
@@ -100,10 +105,16 @@ object ConnectedComponents {
       // m = min(neighbors(u) + u) <= u < v, so output stays canonical.
       val bi = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
       val lsMin = bi.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      // persisted: referenced twice below (the small-star min aggregation
+      // AND its join) — without the cache each reference recomputes the
+      // whole large-star (two shuffles over the full edge set), doubling
+      // every iteration's heavy work. The single materializing job fills
+      // the cache; released as soon as the iteration's output is sampled.
       val ls = bi.join(lsMin, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
+        .persist()
       // small-star on the (u > v) form: u and each smaller neighbor v != m
       // re-attach to m = min of u's smaller neighbors (m < u, m <= v).
       val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
@@ -113,6 +124,7 @@ object ConnectedComponents {
         .union(ssMin.select(col("u"), col("m").as("v")))
         .distinct())
       val nextSig = sigOf(next) // materializes `next` before cur is reclaimed
+      ls.unpersist(blocking = false)
       converged = nextSig == sig
       dropCheckpoint(cur)
       cur = next

@@ -314,16 +314,27 @@ object TextPipeline {
     // Embedding near-dup: sign-bit blocking (8 buckets from the leading 3
     // dims) then exact cosine >= 0.3 inside each bucket. The bucket join is
     // the scale path — pairs only form within a bucket.
-    "q29_cosine_neardup" -> ((s, dir) => {
-      graft.functions.CosineSimilarity.register(s)
-      val emb = embDoubles(s, dir)
-      emb.select(col("vec_id").as("a_id"), col("e").as("ae"), col("bucket")).as("a")
-        .join(emb.select(col("vec_id").as("b_id"), col("e").as("be"), col("bucket")).as("b"),
-          expr("a.bucket = b.bucket AND a_id < b_id"))
-        .selectExpr("a_id", "b_id", s"$cosineExpr AS cos")
-        .filter(col("cos") >= 0.3)
+    "q29_cosine_neardup" -> ((s, dir) =>
+      cosineNearDupPairs(s, dir)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cosine"))
-        .orderBy(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // EMBEDDING-space dedup decisions — the q66 story for the q29 pair
+    // set: transitive closure over the cosine near-dup pairs labels every
+    // vector with its component's min vec_id and canonical flag, so
+    // semantic dedup (same content, different words — invisible to every
+    // n-gram method) ends in a drop list too, not just pairs. Same
+    // [[graft.plans.ConnectedComponents]] iteration, same recursive-CTE
+    // oracle shape as q66, fully hash-checked.
+    "q67_embed_dedup_clusters" -> ((s, dir) => {
+      val pairs = cosineNearDupPairs(s, dir)
+      val cc = graft.plans.ConnectedComponents.components(
+        pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      t(s, dir, "embeddings").select(col("vec_id"))
+        .join(cc.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .selectExpr("vec_id", "coalesce(cluster, vec_id) AS cluster_id",
+          "cast(coalesce(cluster, vec_id) = vec_id AS int) AS is_canonical")
+        .orderBy(col("vec_id"))
     }),
 
     // ANN with FIXED integer hyperplanes — the end-to-end ORACLED variant
@@ -497,6 +508,20 @@ object TextPipeline {
         round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
           " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Sign-bucket-blocked cosine near-dup pairs (a_id < b_id, exact cosine
+    * >= 0.3 on the UN-rounded value) — shared by q29 (the pairs) and q67
+    * (their transitive closure). The bucket equi-join is the scale path:
+    * pairs only form within a bucket, never across the corpus. */
+  private def cosineNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = embDoubles(s, dir)
+    emb.select(col("vec_id").as("a_id"), col("e").as("ae"), col("bucket")).as("a")
+      .join(emb.select(col("vec_id").as("b_id"), col("e").as("be"), col("bucket")).as("b"),
+        expr("a.bucket = b.bucket AND a_id < b_id"))
+      .selectExpr("a_id", "b_id", s"$cosineExpr AS cos")
+      .filter(col("cos") >= 0.3)
   }
 
   /** 16-bucket sign-LSH from four FIXED small-integer hyperplanes (each a
@@ -752,6 +777,27 @@ object TextPipeline {
          |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT a_id, b_id, round(cos, 4) AS cosine
          |FROM pairs WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin,
+
+    // Same recursive-closure shape as q66, over the q29 pair set.
+    "q67_embed_dedup_clusters" ->
+      s"""WITH RECURSIVE emb AS ($duckEmb),
+         |nd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a", "b")} >= 0.3),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM nd
+         |          UNION SELECT b_id, a_id FROM nd),
+         |reach AS (
+         |  SELECT u AS node, v AS r FROM edges
+         |  UNION
+         |  SELECT c.node, e.v FROM reach c JOIN edges e ON e.u = c.r),
+         |cmap AS (SELECT node, least(node, min(r)) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT d.vec_id,
+         |  coalesce(c.cluster_id, d.vec_id) AS cluster_id,
+         |  CASE WHEN coalesce(c.cluster_id, d.vec_id) = d.vec_id
+         |       THEN 1 ELSE 0 END AS is_canonical
+         |FROM embeddings d LEFT JOIN cmap c ON c.node = d.vec_id
+         |ORDER BY d.vec_id""".stripMargin,
 
     // 1-based list indexing: e[c+1] here mirrors Spark's e[c] above.
     "q54_ann_fixed" ->
