@@ -34,13 +34,17 @@ import org.apache.spark.sql.functions._
  * on sf0.1's 2000 vectors (TUNE_r10.txt "ivf nlist=256 nprobe=32" on each
  * corpus) — and at 100 TB a constant list count is structurally wrong:
  * per-list occupancy, and so per-probe scan cost, must not scale linearly
- * with corpus size. The auto rule nlist = nearestPow2(11 * sqrt(n)),
- * nprobe = nlist/8 (inside FAISS's published 4*sqrt(N)..16*sqrt(N)
- * band, constant measured on the two gated corpora) lands the box on
- * both: 500 -> (256, 32) = 0.912@0.196 and 2000 -> (512, 64) =
- * 0.904@0.167 (TUNE_r10.txt "ivf nlist=512 nprobe=64"), keeping the
- * probed fraction at a constant 12.5% of lists while list occupancy
- * grows only as sqrt(n).
+ * with corpus size. The auto rule is nlist = nearestPow2(11 * sqrt(n))
+ * (inside FAISS's published 4*sqrt(N)..16*sqrt(N) band), nprobe =
+ * nlist/7 — the denominator is chosen by 5-SEED MINIMUM recall, like the
+ * LSH default (TUNE_r11.txt "ivfseeds" grids): the r10 nlist/8 rule
+ * passed the floor at its shipped k-means seed (0.904 on sf0.1) but
+ * measured 0.832 at one of five initializations; /7 holds min 0.920 on
+ * sf0.001 (256 lists, nprobe 36, scan <= 0.222) and 0.856 on sf0.1 (512
+ * lists, nprobe 73, scan <= 0.189) across all five draws, and /6 — still
+ * better recall — breaks the 0.25 scan ceiling on sf0.001. Probed
+ * fraction stays a constant ~14% of lists while list occupancy grows
+ * only as sqrt(n).
  */
 object AnnIvf {
 
@@ -82,7 +86,7 @@ object AnnIvf {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** Resolve (nlist, nprobe) where 0 means corpus-adaptive. */
-  private[similarity] def resolveKnobs(
+  private[graft] def resolveKnobs(
       s: SparkSession, dir: String, nlist: Int, nprobe: Int): (Int, Int) = {
     lazy val n: Long = {
       val sig = corpusSignature(s, dir)
@@ -91,7 +95,7 @@ object AnnIvf {
         else (sig, s.read.parquet(s"$d/embeddings.parquet").count()))._2
     }
     val rl = if (nlist > 0) nlist else autoNlist(n)
-    val rp = if (nprobe > 0) nprobe else math.max(1, rl / 8)
+    val rp = if (nprobe > 0) nprobe else math.max(1, rl / 7)
     (rl, rp)
   }
 

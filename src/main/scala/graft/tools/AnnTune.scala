@@ -13,7 +13,8 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
-  private val modes = Set("lsh", "vote", "budget", "ship", "seeds", "ivf", "ivfwide", "both")
+  private val modes =
+    Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -188,6 +189,25 @@ object AnnTune {
         prevote = Some(
           AnnLsh.candidates(spark, dir, nProbes, planes, tables, probes,
             seed = seed, minCollisions = 1)))
+    }
+    if (which == "ivfseeds") {
+      // IVF's analogue of the LSH seed sweep: the gated operating point
+      // (corpus-adaptive nlist/nprobe) rests on the k-means seed 4099L —
+      // centroid quality varies by initialization, so the margin over the
+      // 0.85 floor must be measured across draws, not assumed. Each seed
+      // runs at three nprobe rules (nlist/8 — the r10 default — and the
+      // wider /6 and /5) so a failing draw can be priced against the scan
+      // headroom (the box ceiling is 0.25; the /8 rule sits at ~0.17).
+      val (rl, _) = AnnIvf.resolveKnobs(spark, dir, 0, 0)
+      for {
+        denom <- Seq(8, 7, 6, 5)
+        seed <- Seq(4099L, 104729L, 1299709L, 15485863L, 32452843L)
+      } {
+        val np = math.max(1, rl / denom)
+        evalOne(s"ivf nlist=$rl nprobe=$np (rule /$denom) seed=$seed",
+          AnnIvf.candidates(spark, dir, nProbes, rl, np, seed = seed),
+          AnnIvf.annTopK(spark, dir, nProbes, k, rl, np, seed = seed))
+      }
     }
     if (which == "ivf" || which == "both") {
       for {

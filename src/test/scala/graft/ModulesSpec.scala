@@ -248,11 +248,14 @@ class ModulesSpec extends AnyFunSuite {
   for (dir <- gatedSfs)
     test(s"AnnIvf: recall@5 >= 0.85 at scan <= 0.25 (adaptive defaults, $dir)") {
       // Same assigned box as LSH, on both corpora. The corpus-adaptive
-      // defaults resolve to (nlist=256, nprobe=32) on sf0.001 and
-      // (512, 64) on sf0.1 — measured 0.912 @ 0.196 and 0.904 @ 0.167
-      // (TUNE_r10.txt). The fixed r9 default (256, 32 everywhere) measured
-      // 0.752 on sf0.1 — exactly the corpus-size sensitivity this pair of
-      // gates exists to catch.
+      // defaults resolve to (nlist=256, nprobe=36) on sf0.001 and
+      // (512, 73) on sf0.1 — the r11 nlist/7 rule, chosen by 5-seed
+      // minimum like the LSH default: measured 0.936 @ 0.218 and 0.928 @
+      // 0.189 at the shipped k-means seed, min 0.920/0.856 across five
+      // initializations (TUNE_r11.txt ivfseeds). The r10 nlist/8 rule
+      // dipped to 0.832 on sf0.1 at one draw; the fixed r9 default
+      // (256, 32 everywhere) measured 0.752 on sf0.1 — the corpus-size
+      // and seed sensitivities these gates exist to catch.
       val nProbes = 25
       val ann = graft.similarity.AnnIvf.annTopK(spark, dir, numProbes = nProbes, k = 5)
         .collect()

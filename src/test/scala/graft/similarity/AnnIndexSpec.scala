@@ -260,10 +260,10 @@ class AnnIndexSpec extends AnyFunSuite {
     val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_memo_corpus"
     val small = spark.read.parquet(s"$sf/embeddings.parquet")
     small.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
-    assert(AnnIvf.resolveKnobs(spark, corpus, 0, 0) == ((256, 32)))
+    assert(AnnIvf.resolveKnobs(spark, corpus, 0, 0) == ((256, 36)))
     val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     big.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
-    assert(AnnIvf.resolveKnobs(spark, corpus, 0, 0) == ((512, 64)),
+    assert(AnnIvf.resolveKnobs(spark, corpus, 0, 0) == ((512, 73)),
       "memoized row count survived a corpus replacement")
   }
 
