@@ -198,9 +198,10 @@ object AnnIvf {
     * [[annTopK]] ranks, as (q_id, neighbor_id, cos). Exposed separately so
     * tests can count pool sizes directly instead of ranking with a
     * sentinel k. nlist/nprobe = 0 (the default) resolves corpus-adaptively
-    * (see the class doc): (256, 32) on sf0.001 = recall@5 0.912 at scan
-    * 0.196, (512, 64) on sf0.1 = 0.904 at 0.167 (TUNE_r10.txt; gated in
-    * ModulesSpec at recall >= 0.85, scan <= 0.25 on both corpora). */
+    * (see the class doc): (256, 36) on sf0.001 = recall@5 0.936 at scan
+    * 0.218, (512, 73) on sf0.1 = 0.928 at 0.189 at the shipped seed
+    * (TUNE_r11.txt ivfseeds; gated in ModulesSpec at recall >= 0.85,
+    * scan <= 0.25 on both corpora, with 5-seed minima 0.920/0.856). */
   def candidates(
       s: SparkSession,
       dir: String,
