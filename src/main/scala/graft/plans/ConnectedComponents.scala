@@ -54,14 +54,51 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
+  /** Give the context a RELIABLE checkpoint dir when it has none, so the
+    * closure survives executor loss (the `localCheckpoint` fallback below
+    * recomputes-from-nothing when a block's executor dies — at 100 TB,
+    * hours into an iteration on preemptible nodes, that is a failed query).
+    * Called by the query surface (q66/q67/q68/q69) before each closure;
+    * deployments override by setting their own checkpoint dir first, or
+    * via `spark.graft.checkpoint.dir` (e.g. an HDFS/S3 path — the tmpdir
+    * default is only right where driver and executors share a filesystem,
+    * i.e. local mode). `setCheckpointDir` nests a per-context UUID under
+    * the root, so concurrent applications never collide. */
+  def ensureReliableCheckpointDir(s: org.apache.spark.sql.SparkSession): Unit =
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        s.conf.getOption("spark.graft.checkpoint.dir")
+          .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_ckpt"))
+
   /** (node, cluster) for every node that appears in `edges`, where
     * `cluster` is the smallest node id of the node's connected component.
     * Input columns `u`, `v` (castable to bigint); self-loops and nulls are
     * dropped, direction is ignored. Nodes with no edges don't appear —
     * callers left-join and coalesce to the node's own id (a singleton is
-    * its own cluster). */
+    * its own cluster).
+    *
+    * Graphs whose CANONICAL edge count (deduped, self-loop-free) is at
+    * most `driverThreshold` take a driver-side union-find over ONE bounded
+    * collect instead of the star iteration: the iteration pays O(log n)
+    * rounds of fixed job-scheduling overhead (checkpoint + shuffles per
+    * round — measured 2.7-4.9 s on few-hundred-edge graphs at sf0.1,
+    * pure overhead), while 2^20 collected edges are ~16 MB of driver
+    * memory and microseconds of union-find. The count is already in hand
+    * (the convergence signature's first field), so the decision costs
+    * nothing, and the star iteration remains the UNCONDITIONAL path above
+    * the threshold — the fast path is a bounded shortcut, never a bet
+    * that the pair set fits. `driverThreshold = 0` forces the iteration
+    * (used by tests to cover both paths on the same graphs). */
   def components(edges: DataFrame, u: String = "u", v: String = "v",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, driverThreshold: Long = 1L << 20): DataFrame = {
+    // Order-independent convergence signature. NOTE the accepted trade: a
+    // non-fixpoint iteration whose edge multiset changed while preserving
+    // BOTH count and xor would terminate the loop early — probability
+    // ~2^-64 per iteration (the xor is over xxhash64 of canonical edges),
+    // vs. a two-sided subtract check paying an extra join per round on
+    // every run. The 2^-64 branch yields a wrong answer only if the
+    // premature set also happens to be star-shaped; callers that need
+    // certainty re-verify downstream (q66-q69 are oracle-checked).
     def sigOf(e: DataFrame): (Long, Long) = {
       val r = e.selectExpr(
         "count(*) AS n", "coalesce(bit_xor(xxhash64(u, v)), 0L) AS h").first()
@@ -98,6 +135,11 @@ object ConnectedComponents {
       .selectExpr("greatest(a, b) AS u", "least(a, b) AS v")
       .distinct())
     var sig = sigOf(cur)
+    if (sig._1 <= driverThreshold) {
+      val out = driverComponents(cur)
+      dropCheckpoint(cur)
+      return out
+    }
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -142,5 +184,38 @@ object ConnectedComponents {
     cur.select(col("u").as("node"), col("v").as("cluster"))
       .union(cur.select(col("v").as("node"), col("v").as("cluster")))
       .distinct()
+  }
+
+  /** Driver union-find over an already-bounded canonical edge frame — the
+    * small-graph shortcut of [[components]]. The result is computed ON THE
+    * DRIVER and returned as a literal frame, so the caller's downstream
+    * plan reads a local relation (broadcastable by size) instead of a
+    * checkpoint. Union attaches the larger root under the smaller, so a
+    * component's root IS its minimum node; iterative path-halving keeps
+    * find stack-free at any chain depth. */
+  private def driverComponents(canonical: DataFrame): DataFrame = {
+    val spark = canonical.sparkSession
+    import spark.implicits._
+    val edges = canonical.select(col("u"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      if (!parent.containsKey(x)) parent.put(x, x)
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(n => out += ((n, find(n))))
+    out.sortBy(_._1).toSeq.toDF("node", "cluster")
   }
 }

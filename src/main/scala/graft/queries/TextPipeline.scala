@@ -162,20 +162,8 @@ object TextPipeline {
     // (2a+b) div 2b): the double form `round(0.4*u + 0.3*(1-s) + ..., 4)`
     // lands on .xxxx5 shortest-repr boundaries that Spark and DuckDB
     // round in opposite directions (caught at sf0.1).
-    "q23_quality_score" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .selectExpr("doc_id",
-          s"size($toks) AS n",
-          s"size(array_distinct($toks)) AS d",
-          s"size(filter($toks, x -> x IN ('the', 'a'))) AS st")
-        .selectExpr("doc_id", "n AS n_tokens",
-          "round(cast(d AS double) / n, 4) AS uniq_ratio",
-          "round(cast(st AS double) / n, 4) AS stop_ratio",
-          // quality*1e4 = (4000d + 3000(n-st))/n + 30*least(n,100), half-up
-          "(2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n) div (2 * n)" +
-            " AS quality_e4")
-        .orderBy(col("doc_id"))
-    }),
+    "q23_quality_score" -> ((s, dir) =>
+      docQuality(s, dir).orderBy(col("doc_id"))),
 
     // Content fingerprint over normalized text (dedup key robust to
     // whitespace/punctuation differences).
@@ -206,9 +194,77 @@ object TextPipeline {
     // join + coalesce). Fully DuckDB-oracled via a recursive-CTE closure
     // over the identical pair set.
     "q66_dedup_clusters" -> ((s, dir) => {
+      graft.plans.ConnectedComponents.ensureReliableCheckpointDir(s)
       val pairs = minhashNearDupPairs(s, dir)
       val cc = graft.plans.ConnectedComponents.components(
         pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .selectExpr("doc_id", "coalesce(cluster, doc_id) AS cluster_id",
+          "cast(coalesce(cluster, doc_id) = doc_id AS int) AS is_canonical")
+        .orderBy(col("doc_id"))
+    }),
+
+    // QUALITY-AWARE canonical selection — q66's clusters with the keeper
+    // chosen by MERIT instead of accident: q66 keeps each component's
+    // minimum doc_id, which preserves whichever copy happened to get the
+    // small id (possibly the truncated/boilerplate one) and drops the
+    // clean one. Here the canonical member is arg-max of the q23 quality
+    // score (tie-break: min doc_id — deterministic, and degrades to q66's
+    // rule when a cluster's members tie). The arg-max is a per-cluster
+    // AGGREGATION (max_by over a (quality, -doc_id) struct — one map-side-
+    // partial shuffle keyed by cluster), never a window over the corpus.
+    // keep_reason makes the decision auditable downstream: 'singleton'
+    // (nothing to compare), 'best_quality' (won its cluster), or
+    // 'lower_quality' (the drop list, with the cluster id to find the
+    // kept copy). Fully DuckDB-oracled: same recursive-CTE closure as
+    // q66 plus the q23 quality CTE and a window arg-max.
+    "q68_quality_canonical" -> ((s, dir) => {
+      graft.plans.ConnectedComponents.ensureReliableCheckpointDir(s)
+      val pairs = minhashNearDupPairs(s, dir)
+      val cc = graft.plans.ConnectedComponents.components(
+        pairs.select(col("a_id").as("u"), col("b_id").as("v")))
+      val members = docQuality(s, dir)
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .selectExpr("doc_id", "coalesce(cluster, doc_id) AS cluster_id",
+          "quality_e4")
+      val canon = members.groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"),
+            struct(col("quality_e4"), (-col("doc_id")).as("neg_id"))).as("canonical_id"),
+          count(lit(1)).as("n_members"))
+      members.join(canon, Seq("cluster_id"))
+        .selectExpr("doc_id", "cluster_id",
+          "cast(doc_id = canonical_id AS int) AS is_canonical",
+          """CASE WHEN doc_id = canonical_id AND n_members = 1 THEN 'singleton'
+            |     WHEN doc_id = canonical_id THEN 'best_quality'
+            |     ELSE 'lower_quality' END AS keep_reason""".stripMargin)
+        .orderBy(col("doc_id"))
+    }),
+
+    // UNIFIED dedup closure — ONE authoritative drop list over the UNION
+    // of every pairwise evidence source: q25's MinHash/Jaccard pairs,
+    // q32's simhash-Hamming pairs, and q29's embedding-cosine pairs
+    // (doc_id and vec_id share the id space — the embedding row IS the
+    // document's vector). Running the closures separately (q66 on n-gram
+    // evidence, q67 on cosine evidence) misses transitive links that
+    // CROSS evidence types: a ~ b caught only by MinHash and b ~ c caught
+    // only by cosine chain into one cluster here, where the split
+    // closures would keep both a and c. The union is three bounded
+    // candidate generators feeding one ConnectedComponents run — no new
+    // O(n^2) surface — and the DuckDB oracle closes the identical unioned
+    // pair set with the same recursive CTE, so the merged decisions stay
+    // hash-checked.
+    "q69_unified_dedup" -> ((s, dir) => {
+      graft.plans.ConnectedComponents.ensureReliableCheckpointDir(s)
+      val ngram = minhashNearDupPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val simhash = simhashHammingPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val cosine = cosineNearDupPairs(s, dir)
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+      val cc = graft.plans.ConnectedComponents.components(
+        ngram.union(simhash).union(cosine))
       t(s, dir, "documents").select(col("doc_id"))
         .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .selectExpr("doc_id", "coalesce(cluster, doc_id) AS cluster_id",
@@ -282,17 +338,8 @@ object TextPipeline {
     // fingerprints differ in <= 12 of 32 bits. Exercises the native
     // codegen'd HammingDistance expression (graft.functions) inside
     // whole-stage codegen — no UDF in the loop.
-    "q32_simhash_hamming" -> ((s, dir) => {
-      graft.functions.HammingDistance.register(s)
-      val ranked = rankBy(s, docSimhash(s, dir), "simhash", "doc_id")
-      val next = ranked.select(col("doc_id").as("b_id"), col("simhash").as("b_simhash"),
-        (col("rn") - 1).as("rn"))
-      ranked.join(next, Seq("rn"))
-        .selectExpr("doc_id AS a_id", "b_id",
-          "hamming_distance(simhash, b_simhash) AS hamming")
-        .filter(col("hamming") <= 12)
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+    "q32_simhash_hamming" -> ((s, dir) =>
+      simhashHammingPairs(s, dir).orderBy(col("a_id"), col("b_id"))),
 
     // Similarity search baseline: brute-force cosine top-10 for the 5
     // probe vectors. One broadcast of 5 rows against a single scan; the
@@ -510,6 +557,41 @@ object TextPipeline {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** The q23 quality frame (doc_id, n_tokens, uniq_ratio, stop_ratio,
+    * quality_e4) — shared by q23 (the scores) and q68 (arg-max canonical
+    * selection). The composite score is exact integer math scaled by 1e4
+    * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
+    * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
+    * Spark and DuckDB round in opposite directions (caught at sf0.1). */
+  private def docQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        s"size($toks) AS n",
+        s"size(array_distinct($toks)) AS d",
+        s"size(filter($toks, x -> x IN ('the', 'a'))) AS st")
+      .selectExpr("doc_id", "n AS n_tokens",
+        "round(cast(d AS double) / n, 4) AS uniq_ratio",
+        "round(cast(st AS double) / n, 4) AS stop_ratio",
+        // quality*1e4 = (4000d + 3000(n-st))/n + 30*least(n,100), half-up
+        "(2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n) div (2 * n)" +
+          " AS quality_e4")
+
+  /** SimHash near-dup candidate pairs (adjacent docs in simhash order,
+    * <= 12 of 32 bits apart) — shared by q32 (the pairs) and q69 (the
+    * unified closure). Exercises the native codegen'd HammingDistance
+    * expression inside whole-stage codegen; the global rank is
+    * range-partitioned (rankBy), never a single-task window. */
+  private def simhashHammingPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HammingDistance.register(s)
+    val ranked = rankBy(s, docSimhash(s, dir), "simhash", "doc_id")
+    val next = ranked.select(col("doc_id").as("b_id"), col("simhash").as("b_simhash"),
+      (col("rn") - 1).as("rn"))
+    ranked.join(next, Seq("rn"))
+      .selectExpr("doc_id AS a_id", "b_id",
+        "hamming_distance(simhash, b_simhash) AS hamming")
+      .filter(col("hamming") <= 12)
+  }
+
   /** Sign-bucket-blocked cosine near-dup pairs (a_id < b_id, exact cosine
     * >= 0.3 on the UN-rounded value) — shared by q29 (the pairs) and q67
     * (their transitive closure). The bucket equi-join is the scale path:
@@ -694,6 +776,77 @@ object TextPipeline {
          |nd AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.5),
          |edges AS (SELECT a_id AS u, b_id AS v FROM nd
          |          UNION SELECT b_id, a_id FROM nd),
+         |reach AS (
+         |  SELECT u AS node, v AS r FROM edges
+         |  UNION
+         |  SELECT c.node, e.v FROM reach c JOIN edges e ON e.u = c.r),
+         |cmap AS (SELECT node, least(node, min(r)) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+         |       THEN 1 ELSE 0 END AS is_canonical
+         |FROM documents d LEFT JOIN cmap c ON c.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q66's closure plus the q23 quality CTE: the canonical member is the
+    // window arg-max (quality DESC, doc_id ASC) per cluster — equivalent
+    // to the Spark side's max_by over the (quality, -doc_id) struct.
+    "q68_quality_canonical" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+         |nd AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM nd
+         |          UNION SELECT b_id, a_id FROM nd),
+         |reach AS (
+         |  SELECT u AS node, v AS r FROM edges
+         |  UNION
+         |  SELECT c.node, e.v FROM reach c JOIN edges e ON e.u = c.r),
+         |cmap AS (SELECT node, least(node, min(r)) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |q AS (SELECT doc_id,
+         |    CAST((2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n)
+         |      // (2 * n) AS BIGINT) AS quality_e4
+         |  FROM (SELECT doc_id, len($duckToks) AS n,
+         |      len(list_distinct($duckToks)) AS d,
+         |      len(list_filter($duckToks, x -> x IN ('the', 'a'))) AS st
+         |    FROM documents)),
+         |m AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |    q.quality_e4
+         |  FROM documents d LEFT JOIN cmap c ON c.node = d.doc_id
+         |  JOIN q ON q.doc_id = d.doc_id),
+         |r AS (SELECT doc_id, cluster_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality_e4 DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS nm
+         |  FROM m)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_canonical,
+         |  CASE WHEN rk = 1 AND nm = 1 THEN 'singleton'
+         |       WHEN rk = 1 THEN 'best_quality'
+         |       ELSE 'lower_quality' END AS keep_reason
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // One closure over the UNION of the q25 (MinHash), q32 (simhash
+    // Hamming), and q29 (cosine) pair sets — each pair CTE mirrors its
+    // query's oracle clause for clause; the union makes cross-evidence
+    // chains transitive.
+    "q69_unified_dedup" ->
+      s"""WITH RECURSIVE $duckNearDupCtes,
+         |nd AS (SELECT a_id, b_id FROM pairs WHERE jaccard >= 0.5),
+         |sranked AS (SELECT doc_id, simhash,
+         |    row_number() OVER (ORDER BY simhash, doc_id) AS rn
+         |  FROM ($duckSimhashDocs)),
+         |sp AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM sranked x JOIN sranked y ON y.rn = x.rn + 1
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 12),
+         |emb AS ($duckEmb),
+         |cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a", "b")} >= 0.3),
+         |alledges AS (SELECT a_id AS u, b_id AS v FROM nd
+         |  UNION SELECT a_id, b_id FROM sp
+         |  UNION SELECT a_id, b_id FROM cp),
+         |edges AS (SELECT u, v FROM alledges UNION SELECT v, u FROM alledges),
          |reach AS (
          |  SELECT u AS node, v AS r FROM edges
          |  UNION

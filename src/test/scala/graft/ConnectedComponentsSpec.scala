@@ -4,22 +4,33 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.plans.ConnectedComponents
 
-/** [[ConnectedComponents]] (large-star/small-star) against handcrafted
-  * graphs and a driver-side union-find oracle on random graphs — the
-  * clustering stage q66 builds dedup decisions on. */
+/** [[ConnectedComponents]] (driver fast path + large-star/small-star)
+  * against handcrafted graphs and a driver-side union-find oracle on
+  * random graphs — the clustering stage q66/q67/q68/q69 build dedup
+  * decisions on. Every graph runs BOTH paths: the default (driver
+  * union-find under the edge threshold) and `driverThreshold = 0` (the
+  * star iteration, the unconditional big-graph path). */
 class ConnectedComponentsSpec extends AnyFunSuite {
 
   private lazy val spark = SparkTestSession.spark
 
+  /** Both execution paths over the same edges; asserts they agree and
+    * returns the mapping. */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     graft.queries.Caches.scoped {
-      ConnectedComponents.components(edges.toDF("u", "v"))
+      val df = edges.toDF("u", "v")
+      val fast = ConnectedComponents.components(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = ConnectedComponents.components(df, driverThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == star, "driver fast path and star iteration disagree")
+      fast
     }
   }
 
-  /** Driver-side union-find — the independent oracle. */
+  /** Driver-side union-find — the independent oracle (recursive find,
+    * written independently of the operator's path-halving variant). */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -49,12 +60,14 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 9L -> 5L))
   }
 
-  test("empty edge set yields an empty, correctly-typed mapping") {
+  test("empty edge set yields an empty, correctly-typed mapping on both paths") {
     import spark.implicits._
-    val out = ConnectedComponents.components(
-      Seq.empty[(Long, Long)].toDF("u", "v"))
-    assert(out.columns.toSeq == Seq("node", "cluster"))
-    assert(out.count() == 0)
+    for (thr <- Seq(1L << 20, 0L)) {
+      val out = ConnectedComponents.components(
+        Seq.empty[(Long, Long)].toDF("u", "v"), driverThreshold = thr)
+      assert(out.columns.toSeq == Seq("node", "cluster"))
+      assert(out.count() == 0)
+    }
   }
 
   test("long path and star collapse to the component minimum") {
@@ -64,7 +77,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert((90L to 100L).forall(got(_) == 90L))
   }
 
-  test("random graphs match a driver-side union-find oracle") {
+  test("random graphs match a driver-side union-find oracle on both paths") {
     val rng = new scala.util.Random(4242L)
     for (trial <- 0 until 5) {
       val n = 40 + trial * 20
@@ -77,22 +90,70 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
-  // LAST in the suite: setCheckpointDir is session-global and cannot be
-  // unset, so every earlier test runs the localCheckpoint path first.
-  test("reliable-checkpoint mode reclaims superseded iterations' files") {
+  test("ensureReliableCheckpointDir sets a dir when absent, respects one when present") {
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    try {
+      // start from the dir-less state regardless of suite order (a query
+      // surface run in an earlier suite may have ensured a dir already;
+      // local mode skips the non-local path check, so null resets to None)
+      sc.setCheckpointDir(null)
+      ConnectedComponents.ensureReliableCheckpointDir(spark)
+      val set = sc.getCheckpointDir
+      assert(set.isDefined && set.get.contains("graft_ckpt"),
+        s"expected a tmpdir-rooted default, got $set")
+      // idempotent, and never overrides a deployment's own dir
+      ConnectedComponents.ensureReliableCheckpointDir(spark)
+      assert(sc.getCheckpointDir == set)
+    } finally {
+      // session-global state: restore what the suite found (r11 ADVICE —
+      // leaving it mutated silently switches later suites' CC mode)
+      sc.setCheckpointDir(prior.orNull)
+    }
+  }
+
+  test("reliable-checkpoint mode is taken when a dir is set, and reclaims superseded files") {
+    import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
-    spark.sparkContext.setCheckpointDir(dir.getAbsolutePath)
-    // the 11-node path needs several star rounds -> several checkpoints
-    val got = cc((90L until 100L).map(i => (i, i + 1)))
-    assert((90L to 100L).forall(got(_) == 90L))
-    // only the CONVERGED iteration's checkpoint may survive — the cleaner
-    // conf that would reclaim intermediates is off by default, so the
-    // operator must delete them itself (O(log n) full edge-set copies per
-    // run would otherwise accrete until the checkpoint volume filled)
-    def rddDirs(f: java.io.File): Seq[java.io.File] =
-      Option(f.listFiles()).getOrElse(Array.empty).toSeq
-        .flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
-    val left = rddDirs(dir)
-    assert(left.length <= 1, s"superseded checkpoints not reclaimed: $left")
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    try {
+      sc.setCheckpointDir(dir.getAbsolutePath)
+      // the 11-node path needs several star rounds -> several checkpoints;
+      // driverThreshold = 0 forces the star path (the fast path would
+      // otherwise collect this tiny graph and checkpoint only once)
+      val got = graft.queries.Caches.scoped {
+        ConnectedComponents.components(
+          (90L until 100L).map(i => (i, i + 1)).toDF("u", "v"),
+          driverThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert((90L to 100L).forall(got(_) == 90L))
+      // only the CONVERGED iteration's checkpoint may survive — the cleaner
+      // conf that would reclaim intermediates is off by default, so the
+      // operator must delete them itself (O(log n) full edge-set copies per
+      // run would otherwise accrete until the checkpoint volume filled).
+      // The surviving count > 0 also proves the RELIABLE branch ran (the
+      // localCheckpoint fallback writes no rdd-* dirs at all).
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
+      val left = rddDirs(dir)
+      assert(left.length == 1, s"expected exactly the converged checkpoint: $left")
+      // the FAST path under a reliable dir cleans up even its one snapshot
+      val fastGot = graft.queries.Caches.scoped {
+        ConnectedComponents.components(
+          (90L until 100L).map(i => (i, i + 1)).toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(fastGot == got)
+      assert(rddDirs(dir).length == 1,
+        "fast path must reclaim its input snapshot's checkpoint")
+    } finally {
+      // restore what the suite found — setCheckpointDir is session-global,
+      // and leaving this test's temp dir set silently switches every later
+      // suite's CC mode and leaks checkpoints into it (r11 ADVICE)
+      sc.setCheckpointDir(prior.orNull)
+    }
   }
 }
