@@ -95,25 +95,34 @@ object AnnIndex {
   }
 
   /**
-   * FILE-LEVEL corpus listing: (relative name, length, modificationTime)
-   * of every DATA file under the corpus parquet (Spark's hidden-file
-   * convention applies — `_SUCCESS`/`.crc` etc. are skipped, since a
-   * committer rewrites `_SUCCESS` even on a pure append). One driver-side
-   * FileSystem listing, ZERO data read — this is the same listing the scan
-   * planner makes anyway.
+   * FILE-LEVEL corpus listing: (relative name, length, modificationTime,
+   * checksum) of every DATA file under the corpus parquet (Spark's
+   * hidden-file convention applies — `_SUCCESS`/`.crc` etc. are skipped,
+   * since a committer rewrites `_SUCCESS` even on a pure append). One
+   * driver-side FileSystem listing, ZERO data read — this is the same
+   * listing the scan planner makes anyway, plus (where the FileSystem
+   * exposes one) a per-file content identity: HDFS serves block checksums
+   * from stored metadata, checksummed local FS reads the tiny `.crc`
+   * sidecar — one metadata-scale call per FILE, bounded by file count,
+   * never bytes. Filesystems without one (raw local files, S3A default)
+   * contribute the "-" sentinel and fall back to (length, mtime) alone.
    *
    * Closes the content sample's ~99% blind spot: an IN-PLACE rewrite of an
    * unsampled vector leaves (rows, id-xor, sampled-content-xor) intact,
-   * but no real store rewrites a parquet file without changing its length
-   * or mtime. The 1% content sample stays alongside it for
-   * content-addressed / mtime-less stores where listings lie.
+   * but no real store rewrites a parquet file without changing its length,
+   * mtime, or checksum. RESIDUAL CAVEAT, documented not hidden: where the
+   * checksum slot is "-", a same-length in-place rewrite landing within
+   * the filesystem's mtime granularity (1 s on some local filesystems)
+   * whose touched rows all fall outside the 1% content sample still
+   * validates — for content-addressed or mtime-less stores the 1% sample
+   * is the only content guard, which is why it stays alongside.
    */
   private[similarity] def corpusListing(
-      s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+      s: SparkSession, dir: String): Seq[(String, Long, Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val base = p.toUri.getPath
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, String)]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
@@ -127,16 +136,23 @@ object AnnIndex {
       // block the append tier.
       val hidden = rel.split('/')
         .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden) out += ((rel, st.getLen, st.getModificationTime))
+      if (!hidden) {
+        val chk = scala.util.Try(Option(fs.getFileChecksum(st.getPath)))
+          .toOption.flatten
+          .map(c => c.getBytes.map("%02x".format(_)).mkString)
+          .getOrElse("-")
+        out += ((rel, st.getLen, st.getModificationTime, chk))
+      }
     }
     out.sortBy(_._1).toSeq
   }
 
   /** Order-canonical md5 of a [[corpusListing]] — the value persisted in
     * index metadata and compared at load. */
-  private[similarity] def listingDigest(entries: Seq[(String, Long, Long)]): String =
+  private[similarity] def listingDigest(
+      entries: Seq[(String, Long, Long, String)]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(entries.map { case (n, l, m) => s"$n:$l:$m" }.mkString("\n")
+      .digest(entries.map { case (n, l, m, c) => s"$n:$l:$m:$c" }.mkString("\n")
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
@@ -145,9 +161,9 @@ object AnnIndex {
     * per-file that nothing the index was built over changed — a digest can
     * only say "something differs", not "only additions happened". */
   private def writeListing(s: SparkSession, path: String,
-      entries: Seq[(String, Long, Long)]): Unit = {
+      entries: Seq[(String, Long, Long, String)]): Unit = {
     import s.implicits._
-    s.createDataset(entries).toDF("name", "len", "mtime")
+    s.createDataset(entries).toDF("name", "len", "mtime", "chk")
       .repartition(1).write.mode("overwrite").parquet(s"$path/listing")
   }
 
@@ -218,13 +234,21 @@ object AnnIndex {
    * full re-index an append exists to avoid.
    */
   private def appendableNewRows(s: SparkSession, dir: String, path: String,
-      meta: org.json4s.JValue): (DataFrame, Seq[(String, Long, Long)]) = {
+      meta: org.json4s.JValue): (DataFrame, Seq[(String, Long, Long, String)]) = {
     import org.json4s._
     implicit val formats: Formats = DefaultFormats
     val liveListing = corpusListing(s, dir)
     val live = liveListing.toSet
-    val savedListing = s.read.parquet(s"$path/listing")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val listingDf = s.read.parquet(s"$path/listing")
+    // listings written before the checksum column are UNVERIFIABLE for the
+    // per-file adds-only proof — refuse (the caller's rebuild fallback
+    // rewrites the listing in the current shape), same policy as
+    // pre-fingerprint metadata in requireCurrent.
+    if (!listingDf.columns.contains("chk"))
+      throw new IllegalStateException(
+        s"ANN index at $path has a pre-checksum listing — rebuild with saveLsh/saveIvf")
+    val savedListing = listingDf
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
     val changed = savedListing.filterNot(live.contains)
     if (changed.nonEmpty)
       throw new IllegalStateException(
@@ -501,12 +525,27 @@ object AnnIndex {
     writeListing(s, path, listing)
     // metadata LAST — see saveLsh's commit-order note: an interrupted
     // rebuild must never leave a fresh fingerprint over old artifacts.
+    // trainedRows records the corpus size the GEOMETRY was fit at; appends
+    // advance corpusRows but never trainedRows, so the drift bound below
+    // always measures growth against the k-means fit, not the last append.
     writeMeta(s, path, compact(render(
       ("method" -> "ivf") ~ ("nlist" -> rNlist) ~ ("nprobe" -> rNprobe) ~
-        ("seed" -> seed) ~ ("dim" -> dim) ~
+        ("seed" -> seed) ~ ("dim" -> dim) ~ ("trainedRows" -> rows) ~
         ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
         ("corpusListing" -> listingDigest(listing)))))
   }
+
+  /** Maximum live-corpus growth over the geometry-training corpus before
+    * [[appendIvf]] refuses and the heal tier falls back to a full rebuild.
+    * MEASURED, not guessed (TUNE_r12.txt "ivfdrift"): with frozen
+    * centroids and build-time nlist, +25% appended rows holds the
+    * (recall >= 0.85, scan <= 0.25) operating box on both gated corpora;
+    * +50% breaks the scan ceiling on sf0.001 (0.302 — the undersized list
+    * count over-occupies lists, so COST decays before recall) and sits on
+    * both box edges on sf0.1; +100% breaks the recall floor outright
+    * (0.816 / 0.768). The bound caps the silent part of the decay: past
+    * it, the index rebuilds with refit geometry and re-resolved knobs. */
+  private[similarity] val ivfDriftBound = 1.25
 
   /**
    * IVF twin of [[appendLsh]]: new vec_ids are assigned to their nearest
@@ -517,6 +556,11 @@ object AnnIndex {
    * on the grown corpus would REFIT k-means (different centroids), so for
    * IVF "append ≡ rebuild" holds for the assignments given the geometry,
    * not for the geometry itself — exactly what an incremental index means.
+   * That frozen geometry is also why the append tier is BOUNDED: once the
+   * live corpus exceeds [[ivfDriftBound]] x the rows the geometry was
+   * trained at, this method refuses (throws) and the heal tier rebuilds —
+   * past that measured knee the undersized nlist and stale centroids decay
+   * scan cost and recall silently (TUNE_r12.txt "ivfdrift").
    */
   def appendIvf(s: SparkSession, dir: String, path: String): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -529,6 +573,20 @@ object AnnIndex {
     if (method != "ivf")
       throw new IllegalStateException(s"appendIvf on a '$method' index at $path")
     val (newRows, liveListing) = appendableNewRows(s, dir, path, meta)
+    // DRIFT BOUND — checked before ANY mutation, so a refusal leaves the
+    // index intact and loadable for the current corpus while the caller
+    // rebuilds. Indexes persisted before trainedRows existed fall back to
+    // their corpusRows (the size at the last commit — conservative: it
+    // can only refuse EARLIER than the true training size would).
+    val trainedRows = (meta \ "trainedRows").extractOpt[Long]
+      .getOrElse((meta \ "corpusRows").extract[Long])
+    val (rows, chk) = corpusFingerprint(s, dir)
+    if (rows > ivfDriftBound * trainedRows)
+      throw new IllegalStateException(
+        s"ANN index at $path cannot be appended: corpus grew to $rows rows " +
+          s"against geometry trained at $trainedRows (> ${ivfDriftBound}x) — " +
+          s"recall/scan decay past the measured knee (TUNE_r12.txt ivfdrift); " +
+          s"rebuild with saveIvf")
     val centroids = s.read.parquet(s"$path/model").orderBy("list_id")
       .collect().map(_.getSeq[Double](1).toArray)
     val bc = s.sparkContext.broadcast(centroids)
@@ -538,7 +596,6 @@ object AnnIndex {
     // appendLsh.
     val newAssign = newRows.select(col("vec_id"), assignList.as("list_id")).persist()
     newAssign.count()
-    val (rows, chk) = corpusFingerprint(s, dir)
     clearMeta(s, path)
     newAssign.write.mode("append").parquet(s"$path/assignments")
     newAssign.unpersist(blocking = false)
@@ -548,6 +605,7 @@ object AnnIndex {
         ("nprobe" -> (meta \ "nprobe").extract[Int]) ~
         ("seed" -> (meta \ "seed").extract[Long]) ~
         ("dim" -> (meta \ "dim").extract[Int]) ~
+        ("trainedRows" -> trainedRows) ~
         ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
         ("corpusListing" -> listingDigest(liveListing)))))
   }

@@ -243,6 +243,41 @@ object AnnIvf {
       .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
   }
 
+  /** [[candidates]] with the quantizer trained on a DIFFERENT corpus
+    * (`trainDir` — a prefix of `dir`'s corpus in AnnTune's drift mode):
+    * the measurement harness behind the append drift bound. Knobs resolve
+    * corpus-adaptively from the TRAINING corpus, exactly like an index
+    * built at that size and then appended to `dir`'s size with the
+    * geometry frozen — nlist undersized for the grown corpus AND
+    * centroids fit on the old distribution, the two decay mechanisms
+    * [[AnnIndex.appendIvf]]'s bound exists to cap. */
+  private[graft] def frozenGeometryCandidates(
+      s: SparkSession,
+      dir: String,
+      trainDir: String,
+      numProbes: Int = 5,
+      seed: Long = 4099L): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val (rNlist, rNprobe) = resolveKnobs(s, trainDir, 0, 0)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val centroids = fitQuantizer(s, trainDir, rNlist, seed)
+    val bc = s.sparkContext.broadcast(centroids)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val assignList = element_at(ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bc, 1)), 1)
+    val assigned = emb.select(col("vec_id"), col("e"), assignList.as("list_id"))
+    val probeLists = ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bc, rNprobe))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"), col("e").as("ae"),
+        explode(probeLists).as("list_id"))
+    broadcast(probes)
+      .join(assigned.select(col("vec_id"), col("e").as("be"), col("list_id")), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS neighbor_id", "cosine_similarity(ae, be) AS cos")
+  }
+
   def annTopK(
       s: SparkSession,
       dir: String,

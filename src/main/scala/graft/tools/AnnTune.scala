@@ -14,7 +14,8 @@ import graft.similarity.{AnnIvf, AnnLsh}
  */
 object AnnTune {
   private val modes =
-    Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide", "both")
+    Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide",
+      "ivfdrift", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -207,6 +208,31 @@ object AnnTune {
         evalOne(s"ivf nlist=$rl nprobe=$np (rule /$denom) seed=$seed",
           AnnIvf.candidates(spark, dir, nProbes, rl, np, seed = seed),
           AnnIvf.annTopK(spark, dir, nProbes, k, rl, np, seed = seed))
+      }
+    }
+    if (which == "ivfdrift") {
+      // APPEND-DRIFT measurement (r12): an appended IVF index keeps the
+      // geometry trained at build time — both nlist (sized to the
+      // build-time corpus) and the centroids themselves freeze while the
+      // corpus grows. This mode prices that decay: for appended fraction
+      // f (appended rows / trained rows), the quantizer trains on the
+      // first N/(1+f) vec_ids (written to a temp corpus so the adaptive
+      // knob rule sees the BUILD-time size, exactly like a real build),
+      // every vector of the FULL corpus is assigned to the frozen
+      // centroids, and recall@5 over the standard 25 probes is measured
+      // against brute force on the full corpus. f = 0 is the
+      // fresh-rebuild baseline; the knee picks appendIvf's refusal bound.
+      for (f <- Seq(0.0, 0.25, 0.5, 1.0, 2.0)) {
+        val cutoff = math.round(total / (1.0 + f))
+        val trainDir = java.nio.file.Files
+          .createTempDirectory(s"graft-ivfdrift-$f-").toString
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .where(s"vec_id < $cutoff")
+          .write.mode("overwrite").parquet(s"$trainDir/embeddings.parquet")
+        val cands = AnnIvf.frozenGeometryCandidates(spark, dir, trainDir, nProbes)
+        evalOne(f"ivfdrift appended=${(f * 100).toInt}%d%% trained=$cutoff of $total",
+          cands,
+          graft.plans.TopKPerKey.topK(cands, "q_id", "cos", "neighbor_id", k, "cosine"))
       }
     }
     if (which == "ivf" || which == "both") {

@@ -267,6 +267,70 @@ class AnnIndexSpec extends AnyFunSuite {
       "memoized row count survived a corpus replacement")
   }
 
+  test("IVF append: refuses past the measured drift bound; rebuild heals") {
+    // The geometry (nlist + centroids) freezes at build time; TUNE_r12.txt
+    // "ivfdrift" measured the (recall >= 0.85, scan <= 0.25) box holding
+    // at +25% appended rows and breaking beyond — appendIvf must refuse
+    // (BEFORE mutating anything) once live rows exceed 1.25x trainedRows.
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_drift_corpus"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(corpus))
+    all.filter(col("vec_id") < 200).write.parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/ivf_drift"
+    AnnIndex.saveIvf(spark, corpus, path) // trainedRows = 200
+    // +20% growth (240 <= 1.25 * 200): the append tier serves it
+    all.filter(col("vec_id") >= 200 && col("vec_id") < 240)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    AnnIndex.appendIvf(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    // grow to 500 total (2.5x the trained 200): refuse, index left intact
+    all.filter(col("vec_id") >= 240)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    val e = intercept[IllegalStateException] { AnnIndex.appendIvf(spark, corpus, path) }
+    assert(e.getMessage.contains("trained at 200"), e.getMessage)
+    // the refusal mutated NOTHING: the index still answers for the corpus
+    // it last committed (240 rows) — stale for the live one, not broken
+    assert(!AnnIndex.isCurrent(spark, corpus, path))
+    assert(spark.read.text(s"$path/metadata").count() == 1,
+      "refusal must not clear the metadata commit record")
+    // the rebuild tier heals with refit geometry and a fresh trainedRows
+    AnnIndex.saveIvf(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    AnnIndex.appendIvf(spark, corpus, path) // no-op growth: serves again
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+  }
+
+  test("buildIfStale: a current index's transient load failure re-raises, never heals") {
+    // The heal tiers clear + rewrite the metadata commit record; firing
+    // them on a transient infra error over a CURRENT index would hand a
+    // concurrent reader a metadata-less index mid-window (r11 ADVICE).
+    var appends = 0
+    var rebuilds = 0
+    val boom = new RuntimeException("transient I/O")
+    val e = intercept[RuntimeException] {
+      graft.SparkEntry.buildIfStale(
+        isCur = true, append = { appends += 1 }, rebuild = { rebuilds += 1 })(
+        throw boom)
+    }
+    assert(e eq boom, "must surface the ORIGINAL failure")
+    assert(appends == 0 && rebuilds == 0, "heal tiers must not run")
+    // and the stale path still heals: append first, rebuild on its failure
+    var loads = 0
+    val out = graft.SparkEntry.buildIfStale(
+      isCur = false,
+      append = { appends += 1; throw new IllegalStateException("not a pure add") },
+      rebuild = { rebuilds += 1 })({
+      loads += 1
+      if (loads == 1) throw new IllegalStateException("stale")
+      spark.range(1).toDF()
+    })
+    assert(appends == 1 && rebuilds == 1 && out.count() == 1)
+  }
+
   test("IVF: loaded index needs no k-means fit (quantizer cache cold)") {
     val path = s"$root/ivf"
     // depends on the '$root/ivf' index written by "IVF: persisted index
