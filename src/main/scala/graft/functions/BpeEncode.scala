@@ -131,23 +131,49 @@ case class BpeEncode(
 }
 
 object BpeEncode {
-  private[functions] val memoCap = 1 << 16
+  private[graft] val memoCap = 1 << 16
+
+  /** At most this many per-broadcast word caches live in the JVM: a
+    * long-lived executor serving many sessions (each registering its own
+    * merges broadcast) would otherwise accrete one memoCap-sized cache per
+    * DESTROYED broadcast forever — the id is a plain Long, so nothing ties
+    * the entry's lifetime to the broadcast's. Access-order LRU: the tables
+    * in active use stay, a table idle across [[maxMemoTables]] other
+    * broadcasts' warm-ups is evicted (correctness never depends on a hit —
+    * a re-used old broadcast just re-warms). */
+  private[graft] val maxMemoTables = 4
 
   /** Executor-wide word caches, one per merges broadcast (a session makes
-    * one broadcast, so this is one map per JVM in practice). */
-  private val memos = new java.util.concurrent.ConcurrentHashMap[
-    Long, java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+    * one broadcast, so steady state is one live entry per JVM). */
+  private val memos = new java.util.LinkedHashMap[
+      Long, java.util.concurrent.ConcurrentHashMap[String, Array[String]]](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Long, java.util.concurrent.ConcurrentHashMap[String, Array[String]]])
+        : Boolean = size > maxMemoTables
+  }
 
-  private[functions] def memoFor(
+  /** Looked up once per task deserialization (the expression's lazy val),
+    * so the coarse lock is off the per-row path. */
+  private[graft] def memoFor(
       broadcastId: Long): java.util.concurrent.ConcurrentHashMap[String, Array[String]] =
-    memos.computeIfAbsent(broadcastId,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+    memos.synchronized {
+      memos.computeIfAbsent(broadcastId,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
+    }
 
-  /** Register `bpe_encode(text)` with the default merges table. The
-    * broadcast is created once per session (Registration.ensure runs the
-    * builder once) so every query over the session shares one handle. */
-  def register(spark: SparkSession): Unit = {
-    lazy val bc = spark.sparkContext.broadcast(BpeTokenizer.defaultMerges)
+  private[graft] def liveMemoTables: Int = memos.synchronized { memos.size }
+
+  /** Register `bpe_encode(text)` over `merges` — the default table unless
+    * a deployment loads its trained tokenizer's via
+    * [[BpeTokenizer.fromMergesFile]]. The broadcast is created once per
+    * session (Registration.ensure runs the builder once) so every query
+    * over the session shares one handle; the FIRST registration of the
+    * name in a session wins (the oracle-generated SQL and the expression
+    * must see the same table). */
+  def register(spark: SparkSession,
+      merges: Array[(String, String)] = BpeTokenizer.defaultMerges): Unit = {
+    lazy val bc = spark.sparkContext.broadcast(merges)
     Registration.ensure(spark, "bpe_encode")(exprs => BpeEncode(exprs(0), bc))
   }
 }
@@ -160,10 +186,11 @@ object BpeEncode {
  *
  * The default table is a small hand-built English/digit set (32 merges)
  * standing in for a trained tokenizer's merges.txt — the ENGINE mechanics
- * (ranked pair merging from characters) are the real thing; only the
- * table is a placeholder a deployment swaps for its tokenizer's. Every
- * merge's operands are single characters or outputs of earlier merges
- * (the validity invariant the class doc relies on).
+ * (ranked pair merging from characters) are the real thing; a deployment
+ * swaps the table for its tokenizer's via [[fromMergesFile]] +
+ * [[BpeEncode.register]]. Every merge's operands are single characters or
+ * outputs of earlier merges (the validity invariant the class doc relies
+ * on — fromMergesFile enforces it on load).
  */
 object BpeTokenizer {
 
@@ -195,4 +222,54 @@ object BpeTokenizer {
     defaultMerges.foldLeft(col) { case (acc, (a, b)) =>
       s"replace($acc, ' $a $b ', ' $a$b ')"
     }
+
+  /** Load a TRAINED tokenizer's merges table from a `merges.txt` — the
+    * deployment path that swaps [[defaultMerges]] for the real thing
+    * (feed the result to [[BpeEncode.register]]). Format: one
+    * space-separated pair per line, rank = line order; blank lines and
+    * `#...` header/comment lines (the conventional `#version:` stamp)
+    * are skipped. Resolved through the Hadoop FileSystem of the path's
+    * own scheme, so `file:`, `hdfs:` and `s3a:` tokenizer artifacts all
+    * load — a merges table is kilobytes, one driver-side read.
+    *
+    * VALIDATES the lower-rank-operands invariant the merge engine's
+    * rank-order-exhaustive equivalence rests on (see [[BpeEncode]]'s
+    * class doc) and fails loud with the offending line: a corrupted or
+    * hand-edited table that references a pair never produced by an
+    * earlier rank would otherwise silently never fire that merge and
+    * miscount every token budget downstream. */
+  def fromMergesFile(path: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Array[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p)
+    val raw =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val outputs = scala.collection.mutable.Set.empty[String]
+    def singleCodepoint(sym: String): Boolean =
+      sym.length == Character.charCount(sym.codePointAt(0))
+    raw.zipWithIndex.foreach { case (line, i) =>
+      val t = line.trim
+      if (t.nonEmpty && !t.startsWith("#")) {
+        val parts = t.split(" ")
+        if (parts.length != 2)
+          throw new IllegalArgumentException(
+            s"$path:${i + 1}: expected 'left right', got '$line'")
+        val Array(a, b) = parts
+        for (sym <- Seq(a, b))
+          if (!singleCodepoint(sym) && !outputs.contains(sym))
+            throw new IllegalArgumentException(
+              s"$path:${i + 1}: operand '$sym' is neither a single codepoint nor " +
+                s"the output of a lower-ranked merge — invalid merges table")
+        merges += ((a, b))
+        outputs += (a + b)
+      }
+    }
+    if (merges.isEmpty)
+      throw new IllegalArgumentException(s"$path: no merges found")
+    merges.toArray
+  }
 }

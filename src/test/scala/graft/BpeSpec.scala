@@ -54,6 +54,62 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("   ") == Seq.empty)
   }
 
+  test("fromMergesFile: loads merges.txt (rank = line order), skips header/blank lines") {
+    val f = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+    java.nio.file.Files.writeString(f,
+      """#version: 0.2
+        |t h
+        |
+        |th e
+        |i n
+        |in g
+        |""".stripMargin)
+    val merges = BpeTokenizer.fromMergesFile(f.toString)
+    assert(merges.toSeq == Seq(("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")))
+    // the loaded table drives the engine exactly like the built-in one: a
+    // fresh session registers bpe_encode over it (the shared session keeps
+    // the default-table registration — first registration wins per session)
+    val s2 = spark.newSession()
+    graft.functions.BpeEncode.register(s2, merges)
+    import s2.implicits._
+    val got = Seq("thinking the").toDF("text").selectExpr("bpe_encode(text) AS t")
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("th", "in", "k", "ing", "the"))
+  }
+
+  test("fromMergesFile: writing the default table round-trips to identical encoding") {
+    val f = java.nio.file.Files.createTempFile("graft-merges-default", ".txt")
+    java.nio.file.Files.writeString(f,
+      BpeTokenizer.defaultMerges.map { case (a, b) => s"$a $b" }.mkString("\n"))
+    assert(BpeTokenizer.fromMergesFile(f.toString).toSeq ==
+      BpeTokenizer.defaultMerges.toSeq)
+  }
+
+  test("fromMergesFile: fails loud on invalid tables, with the offending line") {
+    def bad(content: String): String = {
+      val f = java.nio.file.Files.createTempFile("graft-merges-bad", ".txt")
+      java.nio.file.Files.writeString(f, content)
+      intercept[IllegalArgumentException] {
+        BpeTokenizer.fromMergesFile(f.toString)
+      }.getMessage
+    }
+    // operand 'th' referenced before any merge produces it
+    assert(bad("th e\nt h").contains(":1"))
+    // malformed line (three fields)
+    assert(bad("t h e").contains(":1"))
+    // empty table
+    assert(bad("#version: 0.2\n").contains("no merges"))
+  }
+
+  test("executor-wide word caches stay bounded across many merges broadcasts") {
+    // each registered merges table caches under its broadcast id; a
+    // long-lived executor must not accrete one cache per dead broadcast
+    // (r11 ADVICE) — the LRU keeps at most maxMemoTables live
+    (0 until 20).foreach(i => graft.functions.BpeEncode.memoFor(1000000L + i))
+    assert(graft.functions.BpeEncode.liveMemoTables <=
+      graft.functions.BpeEncode.maxMemoTables)
+  }
+
   test("q64 packing offsets stay consistent with q48's counts") {
     // both queries must see the SAME token counts (one expression, one
     // merges broadcast) — sum of q64's per-doc n_tokens == q48's total
