@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 __all__ = [
     "run_query", "query_names", "exact_dedup", "minhash_near_dup",
     "dedup_clusters", "split_assign", "ann_topk_lsh", "ann_topk_ivf",
+    "build_ann_index", "append_ann_index", "ann_index_current",
+    "persisted_topk_lsh", "persisted_topk_ivf",
     "release_caches",
 ]
 
@@ -69,6 +71,60 @@ def ann_topk_ivf(spark, data_dir, num_probes=5, k=5):
     """IVF approximate top-k cosine neighbors for vec_id < num_probes."""
     jdf = _bridge(spark).annIvfTopK(
         spark._jsparkSession, data_dir, int(num_probes), int(k))
+    return DataFrame(jdf, spark)
+
+
+def build_ann_index(spark, data_dir, index_path, method="lsh"):
+    """Build (or rebuild) a persisted ANN index for ``data_dir``'s
+    embeddings at ``index_path`` — the deployment shape where the index
+    lives next to the data and query sessions load instead of rebuilding.
+    ``method`` is ``"lsh"`` or ``"ivf"`` (IVF records the training corpus
+    size for its append drift bound)."""
+    b = _bridge(spark)
+    if method == "lsh":
+        b.buildLshIndex(spark._jsparkSession, data_dir, index_path)
+    elif method == "ivf":
+        b.buildIvfIndex(spark._jsparkSession, data_dir, index_path)
+    else:
+        raise ValueError(f"unknown ANN index method {method!r}")
+
+
+def append_ann_index(spark, data_dir, index_path, method="lsh"):
+    """Incrementally index only the rows added since the last
+    build/append (cost proportional to the added data). Raises when the
+    corpus change was not a pure add — or, for IVF, when the corpus has
+    outgrown the frozen geometry's measured drift bound — rebuild with
+    :func:`build_ann_index` in that case."""
+    b = _bridge(spark)
+    if method == "lsh":
+        b.appendLshIndex(spark._jsparkSession, data_dir, index_path)
+    elif method == "ivf":
+        b.appendIvfIndex(spark._jsparkSession, data_dir, index_path)
+    else:
+        raise ValueError(f"unknown ANN index method {method!r}")
+
+
+def ann_index_current(spark, data_dir, index_path):
+    """True iff the index exists, is fully committed, and its persisted
+    corpus fingerprint matches ``data_dir``'s current contents."""
+    return bool(_bridge(spark).isIndexCurrent(
+        spark._jsparkSession, data_dir, index_path))
+
+
+def persisted_topk_lsh(spark, data_dir, index_path, num_probes=5, k=5):
+    """Top-k cosine neighbors from the persisted LSH index with
+    build-if-absent-or-stale semantics: a missing or stale index heals
+    (append first when the corpus merely grew, full rebuild otherwise)
+    before the probe runs."""
+    jdf = _bridge(spark).persistedLshTopK(
+        spark._jsparkSession, data_dir, index_path, int(num_probes), int(k))
+    return DataFrame(jdf, spark)
+
+
+def persisted_topk_ivf(spark, data_dir, index_path, num_probes=5, k=5):
+    """IVF twin of :func:`persisted_topk_lsh`."""
+    jdf = _bridge(spark).persistedIvfTopK(
+        spark._jsparkSession, data_dir, index_path, int(num_probes), int(k))
     return DataFrame(jdf, spark)
 
 

@@ -96,6 +96,47 @@ def main():
             f"probe {q}: ranks not descending in cosine"
         assert all(r["neighbor_id"] != q for r in rows)
 
+    # --- persisted ANN tier: build, grow the corpus, APPEND, probe ---
+    import shutil
+    import tempfile
+    work = tempfile.mkdtemp(prefix="graft-py-ann-")
+    try:
+        corpus = os.path.join(work, "corpus")
+        index = os.path.join(work, "lsh_index")
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        emb.filter(F.col("vec_id") < 400).write.parquet(
+            os.path.join(corpus, "embeddings.parquet"))
+        gp.build_ann_index(spark, corpus, index, method="lsh")
+        assert gp.ann_index_current(spark, corpus, index)
+        first = gp.persisted_topk_lsh(spark, corpus, index, num_probes=5, k=5).collect()
+        gp.release_caches(spark)
+        assert first, "persisted LSH probe returned no rows"
+        # pure growth: new part files only -> the append tier must serve it
+        emb.filter(F.col("vec_id") >= 400).write.mode("append").parquet(
+            os.path.join(corpus, "embeddings.parquet"))
+        assert not gp.ann_index_current(spark, corpus, index)
+        gp.append_ann_index(spark, corpus, index, method="lsh")
+        assert gp.ann_index_current(spark, corpus, index)
+        # the appended index answers for the grown corpus, and matches the
+        # LIVE path bit-for-bit (same knobs, same geometry)
+        appended = gp.persisted_topk_lsh(spark, corpus, index,
+                                         num_probes=5, k=5).collect()
+        gp.release_caches(spark)
+        live = gp.ann_topk_lsh(spark, corpus, num_probes=5, k=5).collect()
+        gp.release_caches(spark)
+        key = lambda r: (r["q_id"], r["rn"], r["neighbor_id"], r["cosine"])
+        assert sorted(map(key, appended)) == sorted(map(key, live)), \
+            "persisted+appended LSH diverged from the live path"
+        # IVF: the persisted probe's heal tier BUILDS the absent index
+        ivf_index = os.path.join(work, "ivf_index")
+        ivf = gp.persisted_topk_ivf(spark, corpus, ivf_index,
+                                    num_probes=5, k=5).collect()
+        gp.release_caches(spark)
+        assert ivf, "persisted IVF probe returned no rows"
+        assert gp.ann_index_current(spark, corpus, ivf_index)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names
@@ -109,8 +150,8 @@ def main():
     # happened to contain the expected substring must not self-satisfy
     assert raised, "unknown query name did not raise"
 
-    print("PY_PIPELINE_OK docs=%d dedup_groups=%d multi_clusters=%d ann_rows=%d"
-          % (n_docs, len(dedup), multi, len(ann)))
+    print("PY_PIPELINE_OK docs=%d dedup_groups=%d multi_clusters=%d ann_rows=%d "
+          "persisted_rows=%d" % (n_docs, len(dedup), multi, len(ann), len(appended)))
     spark.stop()
 
 

@@ -32,6 +32,59 @@ object PipelineBridge {
   def annIvfTopK(s: SparkSession, dir: String, numProbes: Int, k: Int): DataFrame =
     similarity.AnnIvf.annTopK(s, dir, numProbes = numProbes, k = k)
 
+  // --- Persisted/appendable ANN index tier (the q58/q59 deployment
+  // shape: the index lives next to the data, query sessions validate and
+  // load instead of rebuilding). Explicit build/append/probe methods for
+  // callers managing index lifecycle themselves, plus the
+  // build-if-absent-or-stale probes with the append-first heal — the
+  // exact tiering SparkEntry's bench surface runs. ---
+
+  /** Build (or rebuild) the LSH index for `dir`'s embeddings at `path`. */
+  def buildLshIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.saveLsh(s, dir, path)
+
+  /** Build (or rebuild) the IVF index — geometry trained on the current
+    * corpus, trainedRows recorded for the append drift bound. */
+  def buildIvfIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.saveIvf(s, dir, path)
+
+  /** Incrementally index ONLY the corpus rows added since the last
+    * build/append (cost proportional to the added data); throws when the
+    * change was not a pure add — callers rebuild. */
+  def appendLshIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.appendLsh(s, dir, path)
+
+  /** IVF append — additionally refuses once the corpus outgrows the
+    * geometry's measured drift bound (see AnnIndex.ivfDriftBound). */
+  def appendIvfIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.appendIvf(s, dir, path)
+
+  /** Non-throwing probe: index exists, fully committed, fingerprint
+    * matches the live corpus. */
+  def isIndexCurrent(s: SparkSession, dir: String, path: String): Boolean =
+    similarity.AnnIndex.isCurrent(s, dir, path)
+
+  /** Top-k from the persisted LSH index with build-if-absent-or-stale
+    * semantics: loads and validates; on a stale/missing index appends
+    * first (when the corpus merely grew), rebuilds otherwise; a transient
+    * failure over a CURRENT index re-raises instead of healing. */
+  def persistedLshTopK(s: SparkSession, dir: String, path: String,
+      numProbes: Int, k: Int): DataFrame =
+    SparkEntry.buildIfStale(
+      similarity.AnnIndex.isCurrent(s, dir, path),
+      similarity.AnnIndex.appendLsh(s, dir, path),
+      similarity.AnnIndex.saveLsh(s, dir, path))(
+      similarity.AnnIndex.lshTopK(s, dir, path, numProbes = numProbes, k = k))
+
+  /** IVF twin of [[persistedLshTopK]]. */
+  def persistedIvfTopK(s: SparkSession, dir: String, path: String,
+      numProbes: Int, k: Int): DataFrame =
+    SparkEntry.buildIfStale(
+      similarity.AnnIndex.isCurrent(s, dir, path),
+      similarity.AnnIndex.appendIvf(s, dir, path),
+      similarity.AnnIndex.saveIvf(s, dir, path))(
+      similarity.AnnIndex.ivfTopK(s, dir, path, numProbes = numProbes, k = k))
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this
