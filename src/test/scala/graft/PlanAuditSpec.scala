@@ -134,6 +134,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q66 ranks via a window:\n$p")
   }
 
+  test("q68/q69 dedup decisions: equi-joins only, q68 arg-max stays an aggregation") {
+    // q68's per-cluster canonical selection must plan as a (partial-able)
+    // aggregation keyed on cluster_id — a row_number window over the
+    // corpus here would funnel every document through sort-per-cluster
+    // tasks; q69's three-way evidence union feeds one closure and must
+    // never widen to an all-pairs shape. (q69 keeps the RangedPrefixSum
+    // per-range window from its simhash rank — partitioned, not global —
+    // so only q68 pins Window's absence.)
+    for (q <- Seq("q68_quality_canonical", "q69_unified_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q planned a nested-loop join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian product:\n$p")
+    }
+    val p68 = plan("q68_quality_canonical")
+    assert(!p68.contains("Window"), s"q68 ranks via a window:\n$p68")
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
