@@ -78,13 +78,26 @@ object TopKPerKey {
       idCol: String,
       k: Int,
       outScore: String,
-      roundTo: Int = 4): DataFrame = {
+      roundTo: Int = 4): DataFrame =
+    topK(df, Seq(key), scoreCol, idCol, k, outScore, roundTo)
+
+  /** Multi-column-key form — same bounded aggregation, grouped on a
+    * composite key (e.g. q71's (lang, source) domain cap). */
+  def topK(
+      df: DataFrame,
+      keys: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      outScore: String,
+      roundTo: Int): DataFrame = {
     val agg = udaf(new TopKAggregator(k), ExpressionEncoder[ScoredId]())
-    df.groupBy(col(key))
+    val kc = keys.map(col)
+    df.groupBy(kc: _*)
       .agg(agg(col(scoreCol), col(idCol)).as("__topk"))
-      .select(col(key), posexplode(col("__topk")))
-      .select(col(key), col("col.id").as(idCol),
+      .select(kc :+ posexplode(col("__topk")): _*)
+      .select(kc ++ Seq(col("col.id").as(idCol),
         round(col("col.score"), roundTo).as(outScore),
-        (col("pos") + 1).cast("int").as("rn"))
+        (col("pos") + 1).cast("int").as("rn")): _*)
   }
 }

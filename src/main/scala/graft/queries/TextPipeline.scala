@@ -272,6 +272,79 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // GOPHER-STYLE repetition signals (Rae et al. 2021 §A1.1, adapted):
+    // the quality view q23 doesn't cover — templated/boilerplate docs
+    // repeat the same n-grams, which length/stopword ratios can't see.
+    // Per document: top2_frac = the largest character coverage of any one
+    // word-2-gram (occurrences x gram length, over n_chars), dup3_frac =
+    // character coverage of all word-3-grams occurring more than once.
+    // Both are integer arithmetic (counts x lengths) until one final
+    // division, so the DuckDB oracle reproduces them bitwise; the
+    // `repetitive` flag compares the UNROUNDED ratios (identical doubles
+    // in both engines) against fixed 0.10 thresholds chosen from the
+    // corpus distribution (median top2 0.068, max 0.33). Scale shape:
+    // explode -> count keyed by (doc_id, gram) -> per-doc max/sum — two
+    // partial-aggregating shuffles, nothing O(n^2), no windows.
+    "q70_repetition_flags" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .join(repetitionChars(s, dir), Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "round(coalesce(top2_chars, 0) / n_chars, 4) AS top2_frac",
+          "round(coalesce(dup3_chars, 0) / n_chars, 4) AS dup3_frac",
+          s"cast($repetitivePred AS int) AS repetitive")
+        .orderBy(col("doc_id"))
+    }),
+
+    // PER-DOMAIN CAP — keep at most 5 documents per (lang, source),
+    // chosen by a DETERMINISTIC md5 rank (the same engine-neutral hash
+    // family as the q65 splits): the standard guard against any one
+    // domain dominating a training mix, reproducible across runs and
+    // engines because the "random" order is a pure function of doc_id.
+    // The rank is the bounded TopKPerKey aggregation on the composite
+    // (lang, source) key — map-side partials carry at most k rows per
+    // (partition, domain), where the window form would shuffle and sort
+    // EVERY document per domain. Negated hash because the aggregator
+    // ranks score-descending; ties (32-bit hash collisions) break on
+    // doc_id ascending in both engines.
+    "q71_domain_cap" -> ((s, dir) => {
+      val ranked = t(s, dir, "documents").selectExpr("lang", "source", "doc_id",
+        "-cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS double) AS neg_h")
+      graft.plans.TopKPerKey
+        .topK(ranked, Seq("lang", "source"), "neg_h", "doc_id", 5, "neg_h", 4)
+        .selectExpr("lang", "source", "doc_id", "rn")
+        .orderBy(col("lang"), col("source"), col("rn"))
+    }),
+
+    // TEMPERATURE RESAMPLING weights — the standard multilingual
+    // alpha-sampling (alpha = 1/2, i.e. T = 2): per-language sampling
+    // weight w_l proportional to sqrt(n_l), and the per-document boost
+    // w_l / p_l that upsamples low-resource languages. Exponent 1/2
+    // specifically because IEEE sqrt is correctly rounded in BOTH engines
+    // where pow(x, 0.3) is a libm-dependent last-ulp gamble; the
+    // cross-language normalizer sums FLOOR-SCALED INTEGER sqrts
+    // (floor(sqrt(n) * 1e6)) so the sum is order-independent — a plain
+    // double sum would expose Spark's nondeterministic aggregation order
+    // against DuckDB's. The 5-row weight table broadcast-joins back to
+    // documents: the corpus never shuffles.
+    "q72_temperature_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perLang = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .selectExpr("lang", "n_docs",
+          "cast(floor(sqrt(cast(n_docs AS double)) * 1e6) AS bigint) AS s6")
+      val total = perLang.agg(sum(col("s6")).as("s6_total"),
+        sum(col("n_docs")).as("n_total"))
+      val weights = perLang.join(broadcast(total))
+        .selectExpr("lang", "n_docs",
+          "round(s6 / s6_total, 6) AS weight",
+          "round(((s6 / s6_total) * n_total) / n_docs, 6) AS boost")
+      docs.select(col("doc_id"), col("lang"))
+        .join(broadcast(weights), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_docs"), col("weight"),
+          col("boost"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -563,6 +636,41 @@ object TextPipeline {
     * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
     * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
     * Spark and DuckDB round in opposite directions (caught at sf0.1). */
+  /** Per-doc Gopher-style repetition character counts — top2_chars = the
+    * largest (occurrences x gram length) of any word-2-gram, dup3_chars =
+    * the summed coverage of word-3-grams occurring more than once. Shared
+    * by q70 (the flags) and q73 (the composed mix pipeline). Docs with
+    * under 2 tokens are absent — callers left-join and coalesce to 0.
+    * Shape: explode -> count keyed by (doc_id, gram) -> per-doc max/sum,
+    * two partial-aggregating shuffles, all-integer until the caller's
+    * final division (so the DuckDB oracle reproduces it bitwise). */
+  private def repetitionChars(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").selectExpr("doc_id", s"$toks AS tk")
+    def gramCounts(n: Int): DataFrame = {
+      val gram = (1 to n).map(j => s"element_at(tk, i + ${j - 1})")
+        .mkString("concat(", ", ' ', ", ")")
+      docs.where(s"size(tk) >= $n")
+        .selectExpr("doc_id",
+          s"explode(transform(sequence(1, size(tk) - ${n - 1}), i -> $gram)) AS g")
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    }
+    gramCounts(2).groupBy("doc_id")
+      .agg(max(expr("c * length(g)")).as("top2_chars"))
+      .join(gramCounts(3).groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN c > 1 THEN c * length(g) ELSE 0 END"))
+          .as("dup3_chars")),
+        Seq("doc_id"), "full_outer")
+  }
+
+  /** The repetition gate over [[repetitionChars]] output left-joined to
+    * documents (needs `n_chars`, `top2_chars`, `dup3_chars` in scope) —
+    * UNROUNDED ratios against fixed thresholds from the corpus
+    * distribution (median top2 0.068, max 0.33), identical text in the
+    * q70/q73 oracles so both engines compare the same doubles. */
+  private val repetitivePred =
+    "(coalesce(top2_chars, 0) / n_chars > 0.10" +
+      " OR coalesce(dup3_chars, 0) / n_chars > 0.10)"
+
   private def docQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .selectExpr("doc_id",
@@ -859,6 +967,54 @@ object TextPipeline {
          |       THEN 1 ELSE 0 END AS is_canonical
          |FROM documents d LEFT JOIN cmap c ON c.node = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q70_repetition_flags" ->
+      s"""WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i+1])) AS g
+         |  FROM tk WHERE len(tk) >= 2),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+         |top2 AS (SELECT doc_id, max(c * len(g)) AS top2_chars FROM c2 GROUP BY doc_id),
+         |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |  FROM tk WHERE len(tk) >= 3),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+         |dup3 AS (SELECT doc_id,
+         |    sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END) AS dup3_chars
+         |  FROM c3 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  round(coalesce(top2_chars, 0) / d.n_chars, 4) AS top2_frac,
+         |  round(coalesce(dup3_chars, 0) / d.n_chars, 4) AS dup3_frac,
+         |  CASE WHEN coalesce(top2_chars, 0) / d.n_chars > 0.10
+         |         OR coalesce(dup3_chars, 0) / d.n_chars > 0.10
+         |       THEN 1 ELSE 0 END AS repetitive
+         |FROM documents d
+         |LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q71_domain_cap" ->
+      """WITH h AS (SELECT lang, source, doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, source, doc_id,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, source, doc_id, rn FROM r WHERE rn <= 5
+        |ORDER BY lang, source, rn""".stripMargin,
+
+    "q72_temperature_weights" ->
+      """WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |    CAST(floor(sqrt(count(*)::DOUBLE) * 1e6) AS BIGINT) AS s6
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(s6)::BIGINT AS s6_total, sum(n_docs)::BIGINT AS n_total
+        |  FROM pl),
+        |w AS (SELECT lang, n_docs,
+        |    round(s6 / s6_total, 6) AS weight,
+        |    round(((s6 / s6_total) * n_total) / n_docs, 6) AS boost
+        |  FROM pl, tot)
+        |SELECT d.doc_id, d.lang, w.n_docs, w.weight, w.boost
+        |FROM documents d JOIN w USING (lang)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q26_simhash" ->
       s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,

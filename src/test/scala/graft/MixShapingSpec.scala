@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Behavior specs for the training-mix shaping queries (q70-q72) over
+ * handcrafted corpora whose expected outputs are computed BY HAND in the
+ * comments — the sf0.01 DuckDB oracle proves cross-engine agreement, these
+ * prove the semantics are the intended ones on shapes the synthetic corpus
+ * doesn't contain (a pathologically repetitive doc, a one-token doc, a
+ * domain over the cap, a 9:1 language imbalance).
+ */
+class MixShapingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-mix-corpus").toString
+    rows.map { case (id, tx, lang, src) => (id, tx, lang, src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String, dir: String): Array[org.apache.spark.sql.Row] =
+    graft.queries.Caches.scoped {
+      SparkEntry.queries(name)(spark, dir).collect()
+    }
+
+  // --- q70 repetition flags ---
+
+  test("q70 flags the alternating-2-gram doc and passes the all-distinct doc") {
+    // doc 0: "spam ham" x 10 (20 tokens, n_chars 89).
+    //   "spam ham" occurs 10x (len 8) -> top2_chars 80, frac 80/89 = 0.8989;
+    //   3-grams "spam ham spam" 9x (len 13) + "ham spam ham" 9x (len 12)
+    //   -> dup3_chars 225, frac 225/89 = 2.5281 (occurrence x length
+    //   coverage deliberately counts overlaps, so > 1 is possible).
+    // doc 1: 20 distinct 5-letter words (n_chars 119): every 2-gram count
+    //   1 -> top2_chars = 11, frac 11/119 = 0.0924 < 0.10; no duplicate
+    //   3-gram -> dup3 0. Not flagged.
+    // doc 2: one token — no 2-grams at all; both fracs coalesce to 0.
+    val spam = Seq.fill(10)("spam ham").mkString(" ")
+    val clean = Seq("abcde", "bcdef", "cdefg", "defgh", "efghi", "fghij",
+      "ghijk", "hijkl", "ijklm", "jklmn", "klmno", "lmnop", "mnopq", "nopqr",
+      "opqrs", "pqrst", "qrstu", "rstuv", "stuvw", "tuvwx").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, spam, "en", "s0"), (1L, clean, "en", "s0"), (2L, "solo", "en", "s0")))
+    val rows = run("q70_repetition_flags", dir)
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(rows(0L) == ((0.8989, 2.5281, 1)), s"spam doc: ${rows(0L)}")
+    assert(rows(1L) == ((0.0924, 0.0, 0)), s"clean doc: ${rows(1L)}")
+    assert(rows(2L) == ((0.0, 0.0, 0)), s"one-token doc: ${rows(2L)}")
+  }
+
+  // --- q71 domain cap ---
+
+  test("q71 caps the big domain at 5 by md5 order and keeps the small one whole") {
+    // (en, big): 8 docs — exactly 5 survive; (en, small): 3 docs — all 3
+    // survive. The 5 kept from `big` must be the 5 with the SMALLEST
+    // md5-prefix values (hash order, not id order) with rn dense in 1..5.
+    val dir = writeDocs(
+      (0L to 7L).map(i => (i, s"doc $i text", "en", "big")) ++
+        (8L to 10L).map(i => (i, s"doc $i text", "en", "small")))
+    val rows = run("q71_domain_cap", dir)
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    val big = rows.filter(_._1 == "big").sortBy(_._3)
+    val small = rows.filter(_._1 == "small").sortBy(_._3)
+    assert(big.length == 5 && big.map(_._3).toSeq == (1 to 5), s"big: $big")
+    assert(small.length == 3 && small.map(_._3).toSeq == (1 to 3), s"small: $small")
+    // independent expectation: order (0..7) by the same engine-neutral
+    // hash the query uses and take the first 5
+    import spark.implicits._
+    val expect = (0L to 7L).toDF("doc_id").selectExpr("doc_id",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, h) => (h, id) }.take(5).map(_._1)
+    assert(big.map(_._2).toSeq == expect.toSeq,
+      s"kept ids ${big.map(_._2).toSeq} != hash-order expectation ${expect.toSeq}")
+  }
+
+  // --- q72 temperature weights ---
+
+  test("q72 alpha=1/2 weights: 9:1 corpus gives 0.75/0.25 and boosts 0.8333/2.5") {
+    // s6(hi) = floor(sqrt(9) * 1e6) = 3e6, s6(lo) = 1e6, total 4e6:
+    //   weight(hi) = 0.75, weight(lo) = 0.25;
+    //   boost(hi) = 0.75 * 10 / 9 = 0.833333 (downsampled),
+    //   boost(lo) = 0.25 * 10 / 1 = 2.5 (upsampled).
+    val dir = writeDocs(
+      (0L to 8L).map(i => (i, s"doc $i", "hi", "s0")) :+
+        ((9L, "doc 9", "lo", "s0")))
+    val rows = run("q72_temperature_weights", dir)
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(rows.size == 10)
+    assert(rows(0L) == (("hi", 9L, 0.75, 0.833333)), s"hi doc: ${rows(0L)}")
+    assert(rows(9L) == (("lo", 1L, 0.25, 2.5)), s"lo doc: ${rows(9L)}")
+  }
+}

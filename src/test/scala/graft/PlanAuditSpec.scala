@@ -151,6 +151,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p68.contains("Window"), s"q68 ranks via a window:\n$p68")
   }
 
+  test("q70/q71/q72 mix shaping: bounded aggregation, broadcast weights, no windows") {
+    // q71's domain cap must stay the bounded TopKPerKey aggregation — a
+    // row_number window would shuffle and sort every document per domain;
+    // q72's 5-row weight table must broadcast back to documents (the
+    // corpus never shuffles for the join); q70's per-gram counting must
+    // never widen past keyed equi-joins.
+    val p71 = plan("q71_domain_cap")
+    assert(!p71.contains("Window"), s"q71 ranks via a window:\n$p71")
+    assert(p71.contains("ObjectHashAggregate"),
+      s"q71 lost the bounded top-k aggregation:\n$p71")
+    val p72 = plan("q72_temperature_weights")
+    assert(p72.contains("BroadcastHashJoin"),
+      s"q72 weight join is not broadcast:\n$p72")
+    assert(!p72.contains("SortMergeJoin"),
+      s"q72 shuffles the corpus for the weight join:\n$p72")
+    val p70 = plan("q70_repetition_flags")
+    assert(!p70.contains("BroadcastNestedLoopJoin") && !p70.contains("CartesianProduct"),
+      s"q70 planned a non-equi join:\n$p70")
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
