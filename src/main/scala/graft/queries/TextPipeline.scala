@@ -345,6 +345,56 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END TRAINING-MIX PIPELINE — the composition a real data-prep
+    // run executes, as ONE declarative plan Catalyst optimizes whole:
+    // (1) exact dedup (min-id copy per distinct md5(text) survives),
+    // (2) quality gate (q23 score >= 6100, from the corpus distribution)
+    //     and repetition gate (q70's thresholds),
+    // (3) per-(lang, source) cap at 5 by deterministic md5 rank (q71's
+    //     bounded TopKPerKey — survivors only, so a domain full of
+    //     near-spam doesn't waste its cap on dropped docs),
+    // (4) deterministic train/val/test assignment (q65's md5 buckets),
+    // (5) TRUE BPE token count (q48's codegen'd encoder) for the KEPT set
+    //     only — the expensive stage runs on the capped survivor set, not
+    //     the corpus.
+    // Every stage is a fragment already oracled on its own (q20/q23/q70/
+    // q71/q65/q48); the composed oracle chains the same DuckDB CTEs, so
+    // the interactions — gates feeding the cap, the cap feeding the token
+    // count — are hash-checked too, not assumed from stage-wise green.
+    // Scale shape: two keyed shuffles (dedup group, gate joins) + the
+    // bounded cap aggregation; the final text joins BROADCAST the capped
+    // id set (bounded by 5 x |domains|), so the corpus never shuffles for
+    // them.
+    "q73_mix_pipeline" -> ((s, dir) => {
+      graft.functions.BpeEncode.register(s)
+      val docs = t(s, dir, "documents")
+      val keepers = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val kept = docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .join(docQuality(s, dir).select(col("doc_id"), col("quality_e4")),
+          Seq("doc_id"))
+        .join(repetitionChars(s, dir), Seq("doc_id"), "left")
+        .where(s"quality_e4 >= 6100 AND NOT $repetitivePred")
+      val capped = graft.plans.TopKPerKey.topK(
+        kept.selectExpr("lang", "source", "doc_id",
+          "-cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS double) AS neg_h"),
+        Seq("lang", "source"), "neg_h", "doc_id", 5, "neg_h", 4)
+        .select(col("lang"), col("source"), col("doc_id"))
+      docs.select(col("doc_id"), col("text"))
+        .join(broadcast(capped), Seq("doc_id"))
+        .selectExpr("doc_id", "lang", "source",
+          "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100 AS bucket",
+          "size(bpe_encode(coalesce(text, ''))) AS n_tokens")
+        .selectExpr("doc_id", "lang", "source",
+          "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'" +
+            " ELSE 'test' END AS split",
+          "n_tokens")
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -727,6 +777,43 @@ object TextPipeline {
   // --- DuckDB oracles (same math, same operation order) ---
 
   private val duckToks = "string_split(text, ' ')"
+  /** q23's quality score as named CTEs (`qual` is the consumable) —
+    * shared by q23 and the q73 pipeline's quality gate. */
+  private val duckQualityCtes =
+    s"""qt AS (SELECT doc_id, len($duckToks) AS n,
+       |    len(list_distinct($duckToks)) AS d,
+       |    len(list_filter($duckToks, x -> x IN ('the', 'a'))) AS st
+       |  FROM documents),
+       |qual AS (SELECT doc_id, n AS n_tokens,
+       |    round(d::DOUBLE / n, 4) AS uniq_ratio,
+       |    round(st::DOUBLE / n, 4) AS stop_ratio,
+       |    CAST((2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n)
+       |      // (2 * n) AS BIGINT) AS quality_e4
+       |  FROM qt)""".stripMargin
+  /** q70's repetition character counts as named CTEs (`top2`, `dup3`) —
+    * mirrors [[repetitionChars]] clause for clause; shared by q70 and the
+    * q73 pipeline's repetition gate. */
+  private val duckRepCtes =
+    s"""rtk AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i+1])) AS g
+       |  FROM rtk WHERE len(tk) >= 2),
+       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+       |top2 AS (SELECT doc_id, max(c * len(g)) AS top2_chars FROM c2 GROUP BY doc_id),
+       |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+       |  FROM rtk WHERE len(tk) >= 3),
+       |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+       |dup3 AS (SELECT doc_id,
+       |    sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END) AS dup3_chars
+       |  FROM c3 GROUP BY doc_id)""".stripMargin
+  /** [[repetitivePred]]'s DuckDB twin — textually identical arithmetic on
+    * the same integer inputs, so both engines compare the same doubles;
+    * expects `top2_chars`/`dup3_chars` (left-joined, nullable) and a
+    * documents alias `d` in scope. */
+  private val duckRepPred =
+    "(coalesce(top2_chars, 0) / d.n_chars > 0.10" +
+      " OR coalesce(dup3_chars, 0) / d.n_chars > 0.10)"
   private val duckShingleDocs =
     s"""SELECT doc_id, list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
        |    i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) AS sh
@@ -852,16 +939,9 @@ object TextPipeline {
     },
 
     "q23_quality_score" ->
-      s"""WITH t AS (SELECT doc_id, len($duckToks) AS n,
-         |  len(list_distinct($duckToks)) AS d,
-         |  len(list_filter($duckToks, x -> x IN ('the', 'a'))) AS st
-         |  FROM documents)
-         |SELECT doc_id, n AS n_tokens,
-         |  round(d::DOUBLE / n, 4) AS uniq_ratio,
-         |  round(st::DOUBLE / n, 4) AS stop_ratio,
-         |  CAST((2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n)
-         |    // (2 * n) AS BIGINT) AS quality_e4
-         |FROM t ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckQualityCtes
+         |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, quality_e4
+         |FROM qual ORDER BY doc_id""".stripMargin,
 
     "q24_fingerprint" ->
       """SELECT doc_id,
@@ -969,25 +1049,11 @@ object TextPipeline {
          |ORDER BY d.doc_id""".stripMargin,
 
     "q70_repetition_flags" ->
-      s"""WITH tk AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-         |    i -> tk[i] || ' ' || tk[i+1])) AS g
-         |  FROM tk WHERE len(tk) >= 2),
-         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
-         |top2 AS (SELECT doc_id, max(c * len(g)) AS top2_chars FROM c2 GROUP BY doc_id),
-         |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
-         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
-         |  FROM tk WHERE len(tk) >= 3),
-         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
-         |dup3 AS (SELECT doc_id,
-         |    sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END) AS dup3_chars
-         |  FROM c3 GROUP BY doc_id)
+      s"""WITH $duckRepCtes
          |SELECT d.doc_id,
          |  round(coalesce(top2_chars, 0) / d.n_chars, 4) AS top2_frac,
          |  round(coalesce(dup3_chars, 0) / d.n_chars, 4) AS dup3_frac,
-         |  CASE WHEN coalesce(top2_chars, 0) / d.n_chars > 0.10
-         |         OR coalesce(dup3_chars, 0) / d.n_chars > 0.10
-         |       THEN 1 ELSE 0 END AS repetitive
+         |  CASE WHEN $duckRepPred THEN 1 ELSE 0 END AS repetitive
          |FROM documents d
          |LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
@@ -1015,6 +1081,31 @@ object TextPipeline {
         |SELECT d.doc_id, d.lang, w.n_docs, w.weight, w.boost
         |FROM documents d JOIN w USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q73_mix_pipeline" ->
+      s"""WITH RECURSIVE $duckBpeCtes,
+         |$duckQualityCtes,
+         |$duckRepCtes,
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (SELECT d.doc_id, d.lang, d.source
+         |  FROM documents d
+         |  JOIN keepers USING (doc_id)
+         |  JOIN qual USING (doc_id)
+         |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+         |  WHERE qual.quality_e4 >= 6100 AND NOT $duckRepPred),
+         |kh AS (SELECT lang, source, doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM kept),
+         |kr AS (SELECT lang, source, doc_id, hv,
+         |    row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id) AS rn
+         |  FROM kh)
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN hv % 100 < 90 THEN 'train'
+         |       WHEN hv % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+         |  coalesce(cnt.n, 0) AS n_tokens
+         |FROM kr LEFT JOIN cnt USING (doc_id)
+         |WHERE rn <= 5
+         |ORDER BY doc_id""".stripMargin,
 
     "q26_simhash" ->
       s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,

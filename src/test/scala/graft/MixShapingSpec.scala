@@ -80,6 +80,59 @@ class MixShapingSpec extends AnyFunSuite {
       s"kept ids ${big.map(_._2).toSeq} != hash-order expectation ${expect.toSeq}")
   }
 
+  // --- q73 end-to-end mix pipeline ---
+
+  test("q73 drops the dupe, the repetitive doc, and the low-quality doc, then caps") {
+    // Each drop reason is ISOLATED so a pass can't be explained by the
+    // wrong gate:
+    //  - docs 0/1: identical clean text (20 distinct 6-char words) ->
+    //    exact dedup keeps 0, drops 1; nothing else touches them;
+    //  - doc 2: "t00000 t00001" twice then 28 distinct words — top2 =
+    //    2*13/223 = 0.117 > 0.10 (repetitive) but d=30/n=32 keeps
+    //    quality at 7710 >= 6100: dropped by REPETITION alone;
+    //  - doc 3: one hub word alternating with 10 distinct others —
+    //    no repeated 2-gram (top2 = 13/139 = 0.094) but d=11/n=20 puts
+    //    quality at 5800 < 6100: dropped by QUALITY alone;
+    //  - docs 4..15: twelve distinct clean docs in ONE (en, big) domain
+    //    -> the cap keeps the 5 smallest by md5-prefix hash order.
+    val dup = (0 until 20).map(j => f"dupw$j%02d").mkString(" ")
+    val rep = "t00000 t00001 t00000 t00001 " +
+      (0 until 28).map(j => f"rep$j%03d").mkString(" ")
+    val lowq = (0 until 10).map(j => f"hub000 fil$j%03d").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, dup, "en", "dup"), (1L, dup, "en", "dup"),
+      (2L, rep, "en", "bad"), (3L, lowq, "en", "bad")) ++
+      (4L to 15L).map(i =>
+        (i, (0 until 20).map(j => f"d$i%02dw$j%02d").mkString(" "), "en", "big")))
+    val rows = run("q73_mix_pipeline", dir)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getInt(4)))
+    val ids = rows.map(_._1).toSet
+    assert(ids.contains(0L) && !ids.contains(1L), s"dedup keeper: $ids")
+    assert(!ids.contains(2L), "repetitive doc survived")
+    assert(!ids.contains(3L), "low-quality doc survived")
+    // cap: exactly the 5 hash-smallest of the big domain
+    import spark.implicits._
+    val hashed = (4L to 15L).toDF("doc_id").selectExpr("doc_id",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) AS h")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectBig = hashed.sortBy { case (id, h) => (h, id) }.take(5).map(_._1).toSet
+    assert(ids == expectBig + 0L, s"kept $ids != ${expectBig + 0L}")
+    // split matches the doc's md5 bucket; token count matches the encoder
+    val buckets = hashed.toMap
+    for ((id, _, _, split, _) <- rows if id >= 4L) {
+      val b = buckets(id) % 100
+      val want = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(split == want, s"doc $id split $split != $want (bucket $b)")
+    }
+    graft.functions.BpeEncode.register(spark)
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(bpe_encode(coalesce(text, ''))) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((id, _, _, _, n) <- rows)
+      assert(n == nTok(id) && n > 0, s"doc $id n_tokens $n != ${nTok(id)}")
+  }
+
   // --- q72 temperature weights ---
 
   test("q72 alpha=1/2 weights: 9:1 corpus gives 0.75/0.25 and boosts 0.8333/2.5") {

@@ -171,6 +171,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q70 planned a non-equi join:\n$p70")
   }
 
+  test("q73 mix pipeline: bounded cap, broadcast token join, no windows") {
+    val p = plan("q73_mix_pipeline")
+    assert(!p.contains("Window"), s"q73 ranks via a window:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q73 lost the bounded cap aggregation:\n$p")
+    // the final text/token join must broadcast the capped id set — the
+    // corpus never shuffles to meet a bounded survivor list
+    assert(p.contains("BroadcastHashJoin"), s"q73 token join not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q73 planned a non-equi join:\n$p")
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
