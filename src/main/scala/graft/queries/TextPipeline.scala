@@ -286,8 +286,8 @@ object TextPipeline {
     // explode -> count keyed by (doc_id, gram) -> per-doc max/sum — two
     // partial-aggregating shuffles, nothing O(n^2), no windows.
     "q70_repetition_flags" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        .join(repetitionChars(s, dir), Seq("doc_id"), "left")
+      withRepetitionChars(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("text")))
         .selectExpr("doc_id",
           "round(coalesce(top2_chars, 0) / n_chars, 4) AS top2_frac",
           "round(coalesce(dup3_chars, 0) / n_chars, 4) AS dup3_frac",
@@ -361,22 +361,25 @@ object TextPipeline {
     // q71/q65/q48); the composed oracle chains the same DuckDB CTEs, so
     // the interactions — gates feeding the cap, the cap feeding the token
     // count — are hash-checked too, not assumed from stage-wise green.
-    // Scale shape: two keyed shuffles (dedup group, gate joins) + the
-    // bounded cap aggregation; the final text joins BROADCAST the capped
-    // id set (bounded by 5 x |domains|), so the corpus never shuffles for
-    // them.
+    // Scale shape: BOTH gates compute in-row on the scan (no gate joins
+    // — see withRepetitionChars), so the corpus shuffles exactly twice
+    // (the dedup groupBy and its keeper semi-join) before the bounded cap
+    // aggregation; the final text join BROADCASTS the capped id set
+    // (bounded by 5 x |domains|), so the corpus never shuffles for it.
     "q73_mix_pipeline" -> ((s, dir) => {
       graft.functions.BpeEncode.register(s)
       val docs = t(s, dir, "documents")
       val keepers = docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val kept = docs.select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"))
+      // both gates compute IN-ROW on the dedup survivors — one scan, no
+      // gate joins; the semi-join against the keeper set is the only
+      // exchange stage 1+2 pay
+      val kept = withRepetitionChars(
+          docs.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text")),
+          withQuality = true)
         .join(keepers, Seq("doc_id"), "left_semi")
-        .join(docQuality(s, dir).select(col("doc_id"), col("quality_e4")),
-          Seq("doc_id"))
-        .join(repetitionChars(s, dir), Seq("doc_id"), "left")
         .where(s"quality_e4 >= 6100 AND NOT $repetitivePred")
       val capped = graft.plans.TopKPerKey.topK(
         kept.selectExpr("lang", "source", "doc_id",
@@ -686,30 +689,63 @@ object TextPipeline {
     * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
     * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
     * Spark and DuckDB round in opposite directions (caught at sf0.1). */
-  /** Per-doc Gopher-style repetition character counts — top2_chars = the
-    * largest (occurrences x gram length) of any word-2-gram, dup3_chars =
-    * the summed coverage of word-3-grams occurring more than once. Shared
-    * by q70 (the flags) and q73 (the composed mix pipeline). Docs with
-    * under 2 tokens are absent — callers left-join and coalesce to 0.
-    * Shape: explode -> count keyed by (doc_id, gram) -> per-doc max/sum,
-    * two partial-aggregating shuffles, all-integer until the caller's
-    * final division (so the DuckDB oracle reproduces it bitwise). */
-  private def repetitionChars(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").selectExpr("doc_id", s"$toks AS tk")
-    def gramCounts(n: Int): DataFrame = {
-      val gram = (1 to n).map(j => s"element_at(tk, i + ${j - 1})")
-        .mkString("concat(", ", ' ', ", ")")
-      docs.where(s"size(tk) >= $n")
-        .selectExpr("doc_id",
-          s"explode(transform(sequence(1, size(tk) - ${n - 1}), i -> $gram)) AS g")
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    }
-    gramCounts(2).groupBy("doc_id")
-      .agg(max(expr("c * length(g)")).as("top2_chars"))
-      .join(gramCounts(3).groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN c > 1 THEN c * length(g) ELSE 0 END"))
-          .as("dup3_chars")),
-        Seq("doc_id"), "full_outer")
+  /** Word-n-gram array over a pre-materialized token array column —
+    * empty (not sequence(1, 0)'s DESCENDING [1, 0]!) under n tokens. */
+  private def gramArr(n: Int, tk: String): String = {
+    val gram = (1 to n).map(j => s"element_at($tk, i + ${j - 1})")
+      .mkString("concat(", ", ' ', ", ")")
+    s"""CASE WHEN size($tk) >= $n THEN
+       |  transform(sequence(1, size($tk) - ${n - 1}), i -> $gram)
+       |ELSE cast(array() AS array<string>) END""".stripMargin
+  }
+
+  /** Adds per-doc Gopher-style repetition character counts to `df` (which
+    * must carry `text`): top2_chars = the largest (occurrences x gram
+    * length) of any word-2-gram, dup3_chars = the summed coverage of
+    * word-3-grams occurring more than once. Shared by q70 (the flags) and
+    * q73 (the composed mix pipeline).
+    *
+    * The counting is IN-ROW — sort the row's gram array, fold adjacent
+    * runs — because the computation never crosses documents: the obvious
+    * explode + groupBy(doc_id, gram) shape shuffles every distinct
+    * (doc, gram) pair, i.e. re-shuffles the tokenized corpus, to compute
+    * something each row already had locally. At 100 TB that is the
+    * difference between zero exchanges and two corpus-sized ones. All-
+    * integer until the caller's final division, so the DuckDB oracle
+    * (which counts the same runs via unnest + GROUP BY — engines need
+    * only agree on VALUES, not plans) reproduces the ratios bitwise. */
+  private def withRepetitionChars(df: DataFrame,
+      withQuality: Boolean = false): DataFrame = {
+    // fold state: current run of equal grams + the running answer; the
+    // run in progress is settled on gram change (and flushed in finish)
+    val top2 =
+      """aggregate(array_sort(__g2),
+        |  named_struct('prev', cast(null AS string), 'run', 0L, 'best', 0L),
+        |  (s, x) -> named_struct('prev', x,
+        |    'run', IF(x <=> s.prev, s.run + 1, 1L),
+        |    'best', greatest(s.best, IF(x <=> s.prev, s.run + 1, 1L) * length(x))),
+        |  s -> s.best) AS top2_chars""".stripMargin
+    val dup3 =
+      """aggregate(array_sort(__g3),
+        |  named_struct('prev', cast(null AS string), 'run', 0L, 'acc', 0L),
+        |  (s, x) -> IF(x <=> s.prev,
+        |    named_struct('prev', x, 'run', s.run + 1, 'acc', s.acc),
+        |    named_struct('prev', x, 'run', 1L,
+        |      'acc', s.acc + IF(s.run >= 2, s.run * length(s.prev), 0L))),
+        |  s -> s.acc + IF(s.run >= 2, s.run * length(s.prev), 0L)) AS dup3_chars"""
+        .stripMargin
+    // q23's quality score from the same materialized token array — the
+    // q73 gates then need NO joins at all, one scan computes both
+    val quality =
+      """(2 * (4000 * size(array_distinct(__tk))
+        |      + 3000 * (size(__tk) - size(filter(__tk, x -> x IN ('the', 'a'))))
+        |      + 30 * least(size(__tk), 100) * size(__tk)) + size(__tk))
+        |  div (2 * size(__tk)) AS quality_e4""".stripMargin
+    df.selectExpr("*", s"$toks AS __tk")
+      .selectExpr("*", s"${gramArr(2, "__tk")} AS __g2",
+        s"${gramArr(3, "__tk")} AS __g3")
+      .selectExpr(Seq("*", top2, dup3) ++ (if (withQuality) Seq(quality) else Nil): _*)
+      .drop("__tk", "__g2", "__g3")
   }
 
   /** The repetition gate over [[repetitionChars]] output left-joined to

@@ -166,9 +166,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q72 weight join is not broadcast:\n$p72")
     assert(!p72.contains("SortMergeJoin"),
       s"q72 shuffles the corpus for the weight join:\n$p72")
+    // q70's repetition counts are per-document facts computed in-row —
+    // the plan must be a pure scan+project with NO join and NO
+    // aggregation exchange (the explode+groupBy shape would re-shuffle
+    // the tokenized corpus to compute what every row holds locally)
     val p70 = plan("q70_repetition_flags")
-    assert(!p70.contains("BroadcastNestedLoopJoin") && !p70.contains("CartesianProduct"),
-      s"q70 planned a non-equi join:\n$p70")
+    assert(!p70.contains("Join"), s"q70 joins for per-row facts:\n$p70")
+    assert(!p70.contains("HashAggregate"), s"q70 aggregates per-row facts:\n$p70")
   }
 
   test("q73 mix pipeline: bounded cap, broadcast token join, no windows") {
