@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "run_query", "query_names", "exact_dedup", "minhash_near_dup",
-    "dedup_clusters", "split_assign", "ann_topk_lsh", "ann_topk_ivf",
+    "dedup_clusters", "split_assign", "mix_pipeline",
+    "ann_topk_lsh", "ann_topk_ivf",
     "build_ann_index", "append_ann_index", "ann_index_current",
     "persisted_topk_lsh", "persisted_topk_ivf",
     "release_caches",
@@ -58,6 +59,13 @@ def dedup_clusters(spark, data_dir):
 def split_assign(spark, data_dir):
     """Deterministic 90/5/5 train/val/test assignment per doc_id."""
     return run_query(spark, "q65_split_assign", data_dir)
+
+
+def mix_pipeline(spark, data_dir):
+    """The end-to-end training-mix pipeline (q73): exact dedup, quality +
+    repetition gates, per-(lang, source) cap, deterministic split, and BPE
+    token count — (doc_id, lang, source, split, n_tokens) for kept docs."""
+    return run_query(spark, "q73_mix_pipeline", data_dir)
 
 
 def ann_topk_lsh(spark, data_dir, num_probes=5, k=5):

@@ -1,10 +1,11 @@
 """End-to-end test of the graft_iforest.pipeline wrappers.
 
 Driven by graft.PipelineBridgeSpec (ScalaTest): runs q20-shape exact
-dedup, q66 clustering, q65 splits, and q31-shape LSH ANN from Python over
-the sf0.001 testdata, asserting structural invariants plus cross-checks
-computed independently in pyspark (dedup totals against a pyspark md5
-group-by; cluster canonicals against the cluster minimum).
+dedup, q66 clustering, q65 splits, q73 mix pipeline, and q31-shape LSH
+ANN from Python over the sf0.001 testdata, asserting structural
+invariants plus cross-checks computed independently in pyspark (dedup
+totals against a pyspark md5 group-by; cluster canonicals against the
+cluster minimum; mix splits against the standalone q65 assignment).
 
 Usage: test_pipeline_bridge.py <driverClassPath> <sfDir>
 
@@ -137,6 +138,25 @@ def main():
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # --- end-to-end mix pipeline (q73): structural invariants + split
+    # agreement with the standalone q65 assignment ---
+    mix = gp.mix_pipeline(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert 0 < len(mix) < n_docs, f"mix kept {len(mix)} of {n_docs}"
+    mix_ids = [r["doc_id"] for r in mix]
+    assert len(mix_ids) == len(set(mix_ids)), "mix emitted a doc twice"
+    per_domain = {}
+    for r in mix:
+        assert r["split"] in ("train", "val", "test")
+        assert r["n_tokens"] > 0
+        per_domain[(r["lang"], r["source"])] = \
+            per_domain.get((r["lang"], r["source"]), 0) + 1
+    assert max(per_domain.values()) <= 5, f"domain cap exceeded: {per_domain}"
+    split_by_id = {r["doc_id"]: r["split"] for r in splits}
+    for r in mix:
+        assert r["split"] == split_by_id[r["doc_id"]], \
+            f"doc {r['doc_id']}: mix split {r['split']} != q65 {split_by_id[r['doc_id']]}"
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names
@@ -151,7 +171,8 @@ def main():
     assert raised, "unknown query name did not raise"
 
     print("PY_PIPELINE_OK docs=%d dedup_groups=%d multi_clusters=%d ann_rows=%d "
-          "persisted_rows=%d" % (n_docs, len(dedup), multi, len(ann), len(appended)))
+          "persisted_rows=%d mix_kept=%d"
+          % (n_docs, len(dedup), multi, len(ann), len(appended), len(mix)))
     spark.stop()
 
 

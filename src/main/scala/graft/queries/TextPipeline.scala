@@ -689,63 +689,39 @@ object TextPipeline {
     * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
     * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
     * Spark and DuckDB round in opposite directions (caught at sf0.1). */
-  /** Word-n-gram array over a pre-materialized token array column —
-    * empty (not sequence(1, 0)'s DESCENDING [1, 0]!) under n tokens. */
-  private def gramArr(n: Int, tk: String): String = {
-    val gram = (1 to n).map(j => s"element_at($tk, i + ${j - 1})")
-      .mkString("concat(", ", ' ', ", ")")
-    s"""CASE WHEN size($tk) >= $n THEN
-       |  transform(sequence(1, size($tk) - ${n - 1}), i -> $gram)
-       |ELSE cast(array() AS array<string>) END""".stripMargin
-  }
-
   /** Adds per-doc Gopher-style repetition character counts to `df` (which
     * must carry `text`): top2_chars = the largest (occurrences x gram
     * length) of any word-2-gram, dup3_chars = the summed coverage of
     * word-3-grams occurring more than once. Shared by q70 (the flags) and
     * q73 (the composed mix pipeline).
     *
-    * The counting is IN-ROW — sort the row's gram array, fold adjacent
-    * runs — because the computation never crosses documents: the obvious
-    * explode + groupBy(doc_id, gram) shape shuffles every distinct
-    * (doc, gram) pair, i.e. re-shuffles the tokenized corpus, to compute
-    * something each row already had locally. At 100 TB that is the
-    * difference between zero exchanges and two corpus-sized ones. All-
-    * integer until the caller's final division, so the DuckDB oracle
-    * (which counts the same runs via unnest + GROUP BY — engines need
-    * only agree on VALUES, not plans) reproduces the ratios bitwise. */
+    * The counting is IN-ROW — the native codegen'd
+    * [[graft.functions.RepetitionChars]] — because the computation never
+    * crosses documents: the obvious explode + groupBy(doc_id, gram) shape
+    * shuffles every distinct (doc, gram) pair, i.e. re-shuffles the
+    * tokenized corpus, to compute something each row already had locally
+    * (at 100 TB, two corpus-sized exchanges vs zero). The SQL-composable
+    * in-row form (aggregate over array_sort) is an interpreted fold that
+    * predicate pushdown re-inlines per column reference — measured 6+ s
+    * for 5k docs inside the q73 gate filter vs ~0.1 s fused. All-integer
+    * until the caller's final division, so the DuckDB oracle (unnest +
+    * GROUP BY — engines need only agree on VALUES, not plans) reproduces
+    * the ratios bitwise. */
   private def withRepetitionChars(df: DataFrame,
       withQuality: Boolean = false): DataFrame = {
-    // fold state: current run of equal grams + the running answer; the
-    // run in progress is settled on gram change (and flushed in finish)
-    val top2 =
-      """aggregate(array_sort(__g2),
-        |  named_struct('prev', cast(null AS string), 'run', 0L, 'best', 0L),
-        |  (s, x) -> named_struct('prev', x,
-        |    'run', IF(x <=> s.prev, s.run + 1, 1L),
-        |    'best', greatest(s.best, IF(x <=> s.prev, s.run + 1, 1L) * length(x))),
-        |  s -> s.best) AS top2_chars""".stripMargin
-    val dup3 =
-      """aggregate(array_sort(__g3),
-        |  named_struct('prev', cast(null AS string), 'run', 0L, 'acc', 0L),
-        |  (s, x) -> IF(x <=> s.prev,
-        |    named_struct('prev', x, 'run', s.run + 1, 'acc', s.acc),
-        |    named_struct('prev', x, 'run', 1L,
-        |      'acc', s.acc + IF(s.run >= 2, s.run * length(s.prev), 0L))),
-        |  s -> s.acc + IF(s.run >= 2, s.run * length(s.prev), 0L)) AS dup3_chars"""
-        .stripMargin
-    // q23's quality score from the same materialized token array — the
-    // q73 gates then need NO joins at all, one scan computes both
+    graft.functions.RepetitionChars.register(df.sparkSession)
+    // q23's quality score from the same token array — the q73 gates then
+    // need NO joins at all, one scan computes both
     val quality =
       """(2 * (4000 * size(array_distinct(__tk))
         |      + 3000 * (size(__tk) - size(filter(__tk, x -> x IN ('the', 'a'))))
         |      + 30 * least(size(__tk), 100) * size(__tk)) + size(__tk))
         |  div (2 * size(__tk)) AS quality_e4""".stripMargin
-    df.selectExpr("*", s"$toks AS __tk")
-      .selectExpr("*", s"${gramArr(2, "__tk")} AS __g2",
-        s"${gramArr(3, "__tk")} AS __g3")
-      .selectExpr(Seq("*", top2, dup3) ++ (if (withQuality) Seq(quality) else Nil): _*)
-      .drop("__tk", "__g2", "__g3")
+    df.selectExpr("*", "repetition_chars(text) AS __rc")
+      .selectExpr(Seq("*", "__rc[0] AS top2_chars", "__rc[1] AS dup3_chars") ++
+        (if (withQuality) Seq(s"$toks AS __tk") else Nil): _*)
+      .selectExpr(Seq("*") ++ (if (withQuality) Seq(quality) else Nil): _*)
+      .drop("__rc", "__tk")
   }
 
   /** The repetition gate over [[repetitionChars]] output left-joined to

@@ -80,6 +80,46 @@ class MixShapingSpec extends AnyFunSuite {
       s"kept ids ${big.map(_._2).toSeq} != hash-order expectation ${expect.toSeq}")
   }
 
+  test("repetition_chars matches an explode+groupBy recount on random texts") {
+    // independent formulation of the same counts — explode the grams and
+    // re-aggregate — over seeded-random texts plus the edge shapes the
+    // fused loop must get right: empty text, one token, consecutive
+    // spaces (empty tokens), and supplementary-plane code points (length
+    // must count CODE POINTS, not UTF-16 units)
+    import spark.implicits._
+    graft.functions.RepetitionChars.register(spark)
+    val rnd = new scala.util.Random(4099)
+    val vocab = Vector("a", "bb", "ccc", "😀", "the", "zz")
+    val texts = Seq("", "solo", "a  b", "😀 x 😀 x y") ++
+      (0 until 60).map(_ =>
+        (0 until (1 + rnd.nextInt(30))).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.selectExpr("id", "repetition_chars(text) AS rc")
+      .selectExpr("id", "rc[0] AS top2", "rc[1] AS dup3")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def gramCounts(n: Int) = df
+      .selectExpr("id", "split(text, ' ') AS tk")
+      .where(s"size(tk) >= $n")
+      .selectExpr("id",
+        s"explode(transform(sequence(1, size(tk) - ${n - 1}), i -> " +
+          (1 to n).map(j => s"element_at(tk, i + ${j - 1})")
+            .mkString("concat(", ", ' ', ", ")") + ")) AS g")
+      .groupBy("id", "g").count()
+    val top2 = gramCounts(2).groupBy("id")
+      .agg(org.apache.spark.sql.functions.expr("max(count * length(g))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup3 = gramCounts(3).groupBy("id")
+      .agg(org.apache.spark.sql.functions
+        .expr("sum(CASE WHEN count > 1 THEN count * length(g) ELSE 0 END)").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, (t2, d3)) <- got) {
+      assert(t2 == top2.getOrElse(id, 0L), s"id $id top2 $t2 != recount")
+      assert(d3 == dup3.getOrElse(id, 0L), s"id $id dup3 $d3 != recount")
+    }
+  }
+
   // --- q73 end-to-end mix pipeline ---
 
   test("q73 drops the dupe, the repetitive doc, and the low-quality doc, then caps") {
