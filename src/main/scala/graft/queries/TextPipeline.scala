@@ -724,8 +724,8 @@ object TextPipeline {
       .drop("__rc", "__tk")
   }
 
-  /** The repetition gate over [[repetitionChars]] output left-joined to
-    * documents (needs `n_chars`, `top2_chars`, `dup3_chars` in scope) —
+  /** The repetition gate over [[withRepetitionChars]] output (needs
+    * `n_chars`, `top2_chars`, `dup3_chars` in scope) —
     * UNROUNDED ratios against fixed thresholds from the corpus
     * distribution (median top2 0.068, max 0.33), identical text in the
     * q70/q73 oracles so both engines compare the same doubles. */
@@ -803,8 +803,9 @@ object TextPipeline {
        |      // (2 * n) AS BIGINT) AS quality_e4
        |  FROM qt)""".stripMargin
   /** q70's repetition character counts as named CTEs (`top2`, `dup3`) —
-    * mirrors [[repetitionChars]] clause for clause; shared by q70 and the
-    * q73 pipeline's repetition gate. */
+    * counts the same grams as [[graft.functions.RepetitionChars]] (via
+    * unnest + GROUP BY; engines agree on values, not plans); shared by
+    * q70 and the q73 pipeline's repetition gate. */
   private val duckRepCtes =
     s"""rtk AS (SELECT doc_id, $duckToks AS tk FROM documents),
        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
