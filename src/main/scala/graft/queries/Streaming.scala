@@ -174,6 +174,28 @@ object Streaming {
       runToCompletion(s, dedup, "stream_dedup", mode = "append")
         .orderBy(col("user_id"), col("event_type"), col("m_ts"))
     }),
+
+    // STREAMING MIX GATE — the q73 quality + repetition gates applied to
+    // documents AS THEY ARRIVE: the same in-row expressions
+    // (RepetitionChars + the q23 score, zero state, zero shuffles) gate a
+    // document stream in append mode, so a crawl feed is filtered before
+    // it ever lands in the corpus instead of by a later batch sweep.
+    // Stateless ⇒ the result is independent of batch boundaries and
+    // arrival order, and the batch gate SQL is the oracle verbatim. At
+    // cluster scale the memory sink becomes a parquet/Kafka sink; nothing
+    // else changes.
+    "q74_stream_mix_gate" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val kept = TextPipeline.withRepetitionChars(
+          stream.selectExpr("doc_id", "lang", "source", "n_chars", "text"),
+          withQuality = true)
+        .where(s"quality_e4 >= 6100 AND NOT ${TextPipeline.repetitivePred}")
+        .selectExpr("doc_id", "lang", "source", "quality_e4")
+      runToCompletion(s, kept, "stream_mix_gate", mode = "append")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +247,17 @@ object Streaming {
       """SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m_ts
         |FROM events
         |ORDER BY user_id, event_type, m_ts""".stripMargin,
+
+    // the BATCH gate SQL verbatim (shared CTE fragments with q70/q73) —
+    // stateless streaming must reproduce it exactly
+    "q74_stream_mix_gate" ->
+      s"""WITH ${TextPipeline.duckQualityCtes},
+         |${TextPipeline.duckRepCtes}
+         |SELECT d.doc_id, d.lang, d.source, qual.quality_e4
+         |FROM documents d
+         |JOIN qual USING (doc_id)
+         |LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+         |WHERE qual.quality_e4 >= 6100 AND NOT ${TextPipeline.duckRepPred}
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

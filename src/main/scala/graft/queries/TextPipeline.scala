@@ -707,7 +707,7 @@ object TextPipeline {
     * until the caller's final division, so the DuckDB oracle (unnest +
     * GROUP BY — engines need only agree on VALUES, not plans) reproduces
     * the ratios bitwise. */
-  private def withRepetitionChars(df: DataFrame,
+  private[queries] def withRepetitionChars(df: DataFrame,
       withQuality: Boolean = false): DataFrame = {
     graft.functions.RepetitionChars.register(df.sparkSession)
     // q23's quality score from the same token array — the q73 gates then
@@ -729,7 +729,7 @@ object TextPipeline {
     * UNROUNDED ratios against fixed thresholds from the corpus
     * distribution (median top2 0.068, max 0.33), identical text in the
     * q70/q73 oracles so both engines compare the same doubles. */
-  private val repetitivePred =
+  private[queries] val repetitivePred =
     "(coalesce(top2_chars, 0) / n_chars > 0.10" +
       " OR coalesce(dup3_chars, 0) / n_chars > 0.10)"
 
@@ -791,7 +791,7 @@ object TextPipeline {
   private val duckToks = "string_split(text, ' ')"
   /** q23's quality score as named CTEs (`qual` is the consumable) —
     * shared by q23 and the q73 pipeline's quality gate. */
-  private val duckQualityCtes =
+  private[queries] val duckQualityCtes =
     s"""qt AS (SELECT doc_id, len($duckToks) AS n,
        |    len(list_distinct($duckToks)) AS d,
        |    len(list_filter($duckToks, x -> x IN ('the', 'a'))) AS st
@@ -806,7 +806,7 @@ object TextPipeline {
     * counts the same grams as [[graft.functions.RepetitionChars]] (via
     * unnest + GROUP BY; engines agree on values, not plans); shared by
     * q70 and the q73 pipeline's repetition gate. */
-  private val duckRepCtes =
+  private[queries] val duckRepCtes =
     s"""rtk AS (SELECT doc_id, $duckToks AS tk FROM documents),
        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
        |    i -> tk[i] || ' ' || tk[i+1])) AS g
@@ -824,7 +824,7 @@ object TextPipeline {
     * the same integer inputs, so both engines compare the same doubles;
     * expects `top2_chars`/`dup3_chars` (left-joined, nullable) and a
     * documents alias `d` in scope. */
-  private val duckRepPred =
+  private[queries] val duckRepPred =
     "(coalesce(top2_chars, 0) / d.n_chars > 0.10" +
       " OR coalesce(dup3_chars, 0) / d.n_chars > 0.10)"
   private val duckShingleDocs =

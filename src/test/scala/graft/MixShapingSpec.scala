@@ -173,6 +173,23 @@ class MixShapingSpec extends AnyFunSuite {
       assert(n == nTok(id) && n > 0, s"doc $id n_tokens $n != ${nTok(id)}")
   }
 
+  test("q74 streaming gate keeps exactly the batch gate's survivors") {
+    // same corpus as the q73 test; the STREAMING gate has no dedup stage,
+    // so BOTH copies of the dupe text pass (they're clean), while the
+    // repetitive doc 2 and low-quality doc 3 are dropped in-flight
+    val dup = (0 until 20).map(j => f"dupw$j%02d").mkString(" ")
+    val rep = "t00000 t00001 t00000 t00001 " +
+      (0 until 28).map(j => f"rep$j%03d").mkString(" ")
+    val lowq = (0 until 10).map(j => f"hub000 fil$j%03d").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, dup, "en", "dup"), (1L, dup, "en", "dup"),
+      (2L, rep, "en", "bad"), (3L, lowq, "en", "bad")) ++
+      (4L to 15L).map(i =>
+        (i, (0 until 20).map(j => f"d$i%02dw$j%02d").mkString(" "), "en", "big")))
+    val ids = run("q74_stream_mix_gate", dir).map(_.getLong(0)).toSet
+    assert(ids == (Set(0L, 1L) ++ (4L to 15L)), s"streamed survivors: $ids")
+  }
+
   // --- q72 temperature weights ---
 
   test("q72 alpha=1/2 weights: 9:1 corpus gives 0.75/0.25 and boosts 0.8333/2.5") {
