@@ -398,6 +398,43 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // TOKEN-BUDGET SAMPLING — q72's weights say how much of each language
+    // to take; this MATERIALIZES such a take: per language, documents in
+    // deterministic md5-hash order are kept while the inclusive running
+    // token total stays within a fixed budget (3000 whitespace tokens) —
+    // the "sample this many tokens per language" primitive of mixture
+    // construction, reproducible across runs and engines.
+    //
+    // Scale shape: `sum() over (partition by lang order by hash)` would
+    // put each language's ENTIRE corpus slice in one window task — with a
+    // handful of languages over 100 TB, that is corpus/5 per task. So the
+    // running sum is the GLOBAL RangedPrefixSum over the (lang, h,
+    // doc_id) order (lang blocks are contiguous: range-partitioned
+    // cumsum, bounded totals collect), and the per-language running total
+    // is the global one minus the language's start offset — an exclusive
+    // prefix over the #languages-row totals table, computed by a window
+    // over THAT bounded aggregate (bounded by language count, never
+    // corpus) and broadcast back.
+    "q75_token_budget" -> ((s, dir) => {
+      val budget = 3000L
+      val docs = Caches.persist(t(s, dir, "documents").selectExpr(
+        "doc_id", "lang", s"size($toks) AS n_tokens",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)" +
+          " AS h"))
+      val g = graft.plans.RangedPrefixSum.prefixSumBy(
+        s, docs, "n_tokens", "gcum", "lang", "h", "doc_id")
+      val offsets = docs.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("t"))
+        .withColumn("off",
+          coalesce(sum(col("t")).over(Window.orderBy(col("lang"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang"), col("off"))
+      g.join(broadcast(offsets), Seq("lang"))
+        .selectExpr("doc_id", "lang", "n_tokens", "gcum - off AS cum_tokens")
+        .where(s"cum_tokens <= $budget")
+        .orderBy(col("lang"), col("cum_tokens"))
+    }),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -1119,6 +1156,18 @@ object TextPipeline {
          |FROM kr LEFT JOIN cnt USING (doc_id)
          |WHERE rn <= 5
          |ORDER BY doc_id""".stripMargin,
+
+    "q75_token_budget" ->
+      s"""WITH h AS (SELECT doc_id, lang, len($duckToks) AS n_tokens,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY hv, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+         |  FROM h)
+         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 3000
+         |ORDER BY lang, cum_tokens""".stripMargin,
 
     "q26_simhash" ->
       s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,

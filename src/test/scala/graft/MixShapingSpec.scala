@@ -190,6 +190,30 @@ class MixShapingSpec extends AnyFunSuite {
     assert(ids == (Set(0L, 1L) ++ (4L to 15L)), s"streamed survivors: $ids")
   }
 
+  test("q75 stops at the 3000-token budget per language, in hash order") {
+    // lang "big": three 2000-token docs — only the hash-first one fits
+    // (inclusive cum 2000; the next would reach 4000 > 3000);
+    // lang "sm": two 100-token docs — both fit (cum 100, 200)
+    val big = Seq.fill(2000)("w").mkString(" ")
+    val sm = Seq.fill(100)("v").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, big, "big", "s"), (1L, big, "big", "s"), (2L, big, "big", "s"),
+      (3L, sm, "sm", "s"), (4L, sm, "sm", "s")))
+    val rows = run("q75_token_budget", dir)
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getLong(3)))
+    val bigKept = rows.filter(_._2 == "big")
+    val smKept = rows.filter(_._2 == "sm").sortBy(_._4)
+    assert(smKept.map(x => (x._3, x._4)).toSeq == Seq((100L, 100L), (100L, 200L)),
+      s"sm: $smKept")
+    assert(bigKept.length == 1 && bigKept.head._4 == 2000L, s"big: $bigKept")
+    // the kept big doc is the hash-order first, not the min id
+    import spark.implicits._
+    val first = Seq(0L, 1L, 2L).toDF("doc_id").selectExpr("doc_id",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) AS h")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).min._2
+    assert(bigKept.head._1 == first, s"kept ${bigKept.head._1}, hash-first $first")
+  }
+
   // --- q72 temperature weights ---
 
   test("q72 alpha=1/2 weights: 9:1 corpus gives 0.75/0.25 and boosts 0.8333/2.5") {
