@@ -175,6 +175,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p70.contains("HashAggregate"), s"q70 aggregates per-row facts:\n$p70")
   }
 
+  test("q75 token budget: offsets broadcast back, corpus never sort-merge joins") {
+    // the per-language start offsets are a #languages-row table — they
+    // must broadcast to the prefix-summed corpus, never shuffle it; the
+    // only windows are RangedPrefixSum's partition-local cumsum and the
+    // bounded offsets prefix (both keyed, neither corpus-global)
+    val p = plan("q75_token_budget")
+    assert(p.contains("BroadcastHashJoin"), s"q75 offsets join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q75 shuffles the corpus for the offsets join:\n$p")
+  }
+
   test("q73 mix pipeline: bounded cap, broadcast token join, no windows") {
     val p = plan("q73_mix_pipeline")
     assert(!p.contains("Window"), s"q73 ranks via a window:\n$p")
