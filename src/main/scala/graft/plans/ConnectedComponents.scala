@@ -60,15 +60,26 @@ object ConnectedComponents {
     * hours into an iteration on preemptible nodes, that is a failed query).
     * Called by the query surface (q66/q67/q68/q69) before each closure;
     * deployments override by setting their own checkpoint dir first, or
-    * via `spark.graft.checkpoint.dir` (e.g. an HDFS/S3 path — the tmpdir
-    * default is only right where driver and executors share a filesystem,
-    * i.e. local mode). `setCheckpointDir` nests a per-context UUID under
-    * the root, so concurrent applications never collide. */
+    * via `spark.graft.checkpoint.dir` (e.g. an HDFS/S3 path).
+    * `setCheckpointDir` nests a per-context UUID under the root, so
+    * concurrent applications never collide.
+    *
+    * The java.io.tmpdir default applies ONLY in local mode: on a real
+    * cluster a driver-local `file:` path means each executor checkpoints
+    * to its OWN disk and any cross-executor read fails — a hard failure
+    * where the localCheckpoint fallback (no dir set) merely loses
+    * resilience. So without an explicit conf on a cluster, no dir is set
+    * and the closure keeps the working fallback. */
   def ensureReliableCheckpointDir(s: org.apache.spark.sql.SparkSession): Unit =
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        s.conf.getOption("spark.graft.checkpoint.dir")
-          .getOrElse(s"${sys.props("java.io.tmpdir")}/graft_ckpt"))
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      val conf = s.conf.getOption("spark.graft.checkpoint.dir")
+      val dir =
+        if (conf.isDefined) conf
+        else if (s.sparkContext.isLocal)
+          Some(s"${sys.props("java.io.tmpdir")}/graft_ckpt")
+        else None
+      dir.foreach(s.sparkContext.setCheckpointDir)
+    }
 
   /** (node, cluster) for every node that appears in `edges`, where
     * `cluster` is the smallest node id of the node's connected component.

@@ -278,19 +278,24 @@ object TextPipeline {
     // Per document: top2_frac = the largest character coverage of any one
     // word-2-gram (occurrences x gram length, over n_chars), dup3_frac =
     // character coverage of all word-3-grams occurring more than once.
-    // Both are integer arithmetic (counts x lengths) until one final
-    // division, so the DuckDB oracle reproduces them bitwise; the
-    // `repetitive` flag compares the UNROUNDED ratios (identical doubles
-    // in both engines) against fixed 0.10 thresholds chosen from the
-    // corpus distribution (median top2 0.068, max 0.33). Scale shape:
-    // explode -> count keyed by (doc_id, gram) -> per-doc max/sum — two
-    // partial-aggregating shuffles, nothing O(n^2), no windows.
+    // Both counts are in-row integer facts (the native codegen'd
+    // RepetitionChars via withRepetitionChars — a pure scan+project, zero
+    // joins, zero shuffles, plan-pinned) until one final division, so the
+    // DuckDB oracle reproduces the ratios bitwise; the `repetitive` flag
+    // compares in the multiply form (see repetitivePred) against fixed
+    // 0.10 thresholds chosen from the corpus distribution (median top2
+    // 0.068, max 0.33). Fracs guard n_chars = 0 explicitly — Spark's
+    // NULL and DuckDB's NaN would otherwise diverge on empty text.
     "q70_repetition_flags" -> ((s, dir) => {
       withRepetitionChars(
         t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("text")))
         .selectExpr("doc_id",
-          "round(coalesce(top2_chars, 0) / n_chars, 4) AS top2_frac",
-          "round(coalesce(dup3_chars, 0) / n_chars, 4) AS dup3_frac",
+          "CASE WHEN n_chars > 0" +
+            " THEN round(coalesce(top2_chars, 0) / n_chars, 4)" +
+            " ELSE 0.0 END AS top2_frac",
+          "CASE WHEN n_chars > 0" +
+            " THEN round(coalesce(dup3_chars, 0) / n_chars, 4)" +
+            " ELSE 0.0 END AS dup3_frac",
           s"cast($repetitivePred AS int) AS repetitive")
         .orderBy(col("doc_id"))
     }),
@@ -537,6 +542,7 @@ object TextPipeline {
     // [[graft.plans.ConnectedComponents]] iteration, same recursive-CTE
     // oracle shape as q66, fully hash-checked.
     "q67_embed_dedup_clusters" -> ((s, dir) => {
+      graft.plans.ConnectedComponents.ensureReliableCheckpointDir(s)
       val pairs = cosineNearDupPairs(s, dir)
       val cc = graft.plans.ConnectedComponents.components(
         pairs.select(col("a_id").as("u"), col("b_id").as("v")))
@@ -720,12 +726,6 @@ object TextPipeline {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** The q23 quality frame (doc_id, n_tokens, uniq_ratio, stop_ratio,
-    * quality_e4) — shared by q23 (the scores) and q68 (arg-max canonical
-    * selection). The composite score is exact integer math scaled by 1e4
-    * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
-    * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
-    * Spark and DuckDB round in opposite directions (caught at sf0.1). */
   /** Adds per-doc Gopher-style repetition character counts to `df` (which
     * must carry `text`): top2_chars = the largest (occurrences x gram
     * length) of any word-2-gram, dup3_chars = the summed coverage of
@@ -766,10 +766,20 @@ object TextPipeline {
     * UNROUNDED ratios against fixed thresholds from the corpus
     * distribution (median top2 0.068, max 0.33), identical text in the
     * q70/q73 oracles so both engines compare the same doubles. */
+  /** Multiply form, NOT `chars / n_chars > 0.10`: at n_chars = 0 (empty
+    * text) the division is NULL in Spark but NaN in DuckDB — the gate
+    * would then DROP the doc here (NOT NULL = NULL) and KEEP it in the
+    * oracle. `chars > 0.10 * n_chars` is 0 > 0 = false in both. */
   private[queries] val repetitivePred =
-    "(coalesce(top2_chars, 0) / n_chars > 0.10" +
-      " OR coalesce(dup3_chars, 0) / n_chars > 0.10)"
+    "(coalesce(top2_chars, 0) > 0.10 * n_chars" +
+      " OR coalesce(dup3_chars, 0) > 0.10 * n_chars)"
 
+  /** The q23 quality frame (doc_id, n_tokens, uniq_ratio, stop_ratio,
+    * quality_e4) — shared by q23 (the scores) and q68 (arg-max canonical
+    * selection). The composite score is exact integer math scaled by 1e4
+    * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
+    * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
+    * Spark and DuckDB round in opposite directions (caught at sf0.1). */
   private def docQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .selectExpr("doc_id",
@@ -862,8 +872,8 @@ object TextPipeline {
     * expects `top2_chars`/`dup3_chars` (left-joined, nullable) and a
     * documents alias `d` in scope. */
   private[queries] val duckRepPred =
-    "(coalesce(top2_chars, 0) / d.n_chars > 0.10" +
-      " OR coalesce(dup3_chars, 0) / d.n_chars > 0.10)"
+    "(coalesce(top2_chars, 0) > 0.10 * d.n_chars" +
+      " OR coalesce(dup3_chars, 0) > 0.10 * d.n_chars)"
   private val duckShingleDocs =
     s"""SELECT doc_id, list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
        |    i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) AS sh
@@ -1041,17 +1051,11 @@ object TextPipeline {
          |  SELECT c.node, e.v FROM reach c JOIN edges e ON e.u = c.r),
          |cmap AS (SELECT node, least(node, min(r)) AS cluster_id
          |  FROM reach GROUP BY node),
-         |q AS (SELECT doc_id,
-         |    CAST((2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n)
-         |      // (2 * n) AS BIGINT) AS quality_e4
-         |  FROM (SELECT doc_id, len($duckToks) AS n,
-         |      len(list_distinct($duckToks)) AS d,
-         |      len(list_filter($duckToks, x -> x IN ('the', 'a'))) AS st
-         |    FROM documents)),
+         |$duckQualityCtes,
          |m AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
          |    q.quality_e4
          |  FROM documents d LEFT JOIN cmap c ON c.node = d.doc_id
-         |  JOIN q ON q.doc_id = d.doc_id),
+         |  JOIN qual q ON q.doc_id = d.doc_id),
          |r AS (SELECT doc_id, cluster_id,
          |    row_number() OVER (PARTITION BY cluster_id
          |      ORDER BY quality_e4 DESC, doc_id) AS rk,
@@ -1101,8 +1105,12 @@ object TextPipeline {
     "q70_repetition_flags" ->
       s"""WITH $duckRepCtes
          |SELECT d.doc_id,
-         |  round(coalesce(top2_chars, 0) / d.n_chars, 4) AS top2_frac,
-         |  round(coalesce(dup3_chars, 0) / d.n_chars, 4) AS dup3_frac,
+         |  CASE WHEN d.n_chars > 0
+         |    THEN round(coalesce(top2_chars, 0) / d.n_chars, 4)
+         |    ELSE 0.0 END AS top2_frac,
+         |  CASE WHEN d.n_chars > 0
+         |    THEN round(coalesce(dup3_chars, 0) / d.n_chars, 4)
+         |    ELSE 0.0 END AS dup3_frac,
          |  CASE WHEN $duckRepPred THEN 1 ELSE 0 END AS repetitive
          |FROM documents d
          |LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)

@@ -226,13 +226,23 @@ object AnnTune {
         val cutoff = math.round(total / (1.0 + f))
         val trainDir = java.nio.file.Files
           .createTempDirectory(s"graft-ivfdrift-$f-").toString
-        spark.read.parquet(s"$dir/embeddings.parquet")
-          .where(s"vec_id < $cutoff")
-          .write.mode("overwrite").parquet(s"$trainDir/embeddings.parquet")
-        val cands = AnnIvf.frozenGeometryCandidates(spark, dir, trainDir, nProbes)
-        evalOne(f"ivfdrift appended=${(f * 100).toInt}%d%% trained=$cutoff of $total",
-          cands,
-          graft.plans.TopKPerKey.topK(cands, "q_id", "cos", "neighbor_id", k, "cosine"))
+        try {
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .where(s"vec_id < $cutoff")
+            .write.mode("overwrite").parquet(s"$trainDir/embeddings.parquet")
+          val cands = AnnIvf.frozenGeometryCandidates(spark, dir, trainDir, nProbes)
+          evalOne(f"ivfdrift appended=${(f * 100).toInt}%d%% trained=$cutoff of $total",
+            cands,
+            graft.plans.TopKPerKey.topK(cands, "q_id", "cos", "neighbor_id", k, "cosine"))
+        } finally {
+          // each fraction copies up to the whole corpus — five undeleted
+          // copies per lap would accrete in tmp until the disk fills
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm))
+            p.delete()
+          }
+          rm(new java.io.File(trainDir))
+        }
       }
     }
     if (which == "ivf" || which == "both") {
