@@ -219,24 +219,32 @@ object TextPipeline {
     // 'lower_quality' (the drop list, with the cluster id to find the
     // kept copy). Fully DuckDB-oracled: same recursive-CTE closure as
     // q66 plus the q23 quality CTE and a window arg-max.
+    // Scale shape: only docs in the PAIR CLOSURE need an arg-max — the
+    // inner join against cc bounds the quality frame and the per-cluster
+    // aggregation by the pair set (never the corpus), so the resulting
+    // (cluster_id -> canonical) table is bounded and BROADCASTS back.
+    // Singletons ride the existing left-join + coalesce: a doc with no
+    // canon row is its own keeper. (The r12 shape computed the arg-max
+    // over ALL documents, making `canon` corpus-sized and the final join
+    // a full corpus-by-corpus shuffle — two avoidable exchanges at
+    // 100 TB, plus a skew magnet on any giant dup cluster's key.)
     "q68_quality_canonical" -> ((s, dir) => {
       graft.plans.ConnectedComponents.ensureReliableCheckpointDir(s)
       val pairs = minhashNearDupPairs(s, dir)
       val cc = graft.plans.ConnectedComponents.components(
         pairs.select(col("a_id").as("u"), col("b_id").as("v")))
-      val members = docQuality(s, dir)
-        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-        .selectExpr("doc_id", "coalesce(cluster, doc_id) AS cluster_id",
-          "quality_e4")
-      val canon = members.groupBy(col("cluster_id"))
-        .agg(
-          max_by(col("doc_id"),
-            struct(col("quality_e4"), (-col("doc_id")).as("neg_id"))).as("canonical_id"),
-          count(lit(1)).as("n_members"))
-      members.join(canon, Seq("cluster_id"))
+        .withColumnRenamed("node", "doc_id")
+      val closureQ = docQuality(s, dir).join(cc, Seq("doc_id"))
+      val canon = closureQ.groupBy(col("cluster").as("cluster_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("quality_e4"), (-col("doc_id")).as("neg_id"))).as("canonical_id"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "coalesce(cluster, doc_id) AS cluster_id")
+        .join(broadcast(canon), Seq("cluster_id"), "left")
         .selectExpr("doc_id", "cluster_id",
-          "cast(doc_id = canonical_id AS int) AS is_canonical",
-          """CASE WHEN doc_id = canonical_id AND n_members = 1 THEN 'singleton'
+          "cast(canonical_id IS NULL OR doc_id = canonical_id AS int) AS is_canonical",
+          """CASE WHEN canonical_id IS NULL THEN 'singleton'
             |     WHEN doc_id = canonical_id THEN 'best_quality'
             |     ELSE 'lower_quality' END AS keep_reason""".stripMargin)
         .orderBy(col("doc_id"))
@@ -329,8 +337,15 @@ object TextPipeline {
     // cross-language normalizer sums FLOOR-SCALED INTEGER sqrts
     // (floor(sqrt(n) * 1e6)) so the sum is order-independent — a plain
     // double sum would expose Spark's nondeterministic aggregation order
-    // against DuckDB's. The 5-row weight table broadcast-joins back to
-    // documents: the corpus never shuffles.
+    // against DuckDB's. Both outputs are INTEGER-SCALED (x1e6, half-up
+    // via the (2a+b) div 2b idiom quality_e4 uses): `round(s6/s6_total,
+    // 6)` emitted raw double quotients, the same .xxx5 shortest-repr
+    // boundary class where Spark (HALF_UP on the decimal repr) and
+    // DuckDB (binary-value rounding) are MEASURED to disagree (see the
+    // q23 comment). boost_e6 derives from weight_e6 (not the unscaled
+    // quotient) so the bigint products stay under 2^63 out to ~4.6e12
+    // corpus docs — far beyond a 100 TB corpus. The bounded weight table
+    // broadcast-joins back to documents: the corpus never shuffles.
     "q72_temperature_weights" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val perLang = docs.groupBy(col("lang"))
@@ -340,13 +355,14 @@ object TextPipeline {
       val total = perLang.agg(sum(col("s6")).as("s6_total"),
         sum(col("n_docs")).as("n_total"))
       val weights = perLang.join(broadcast(total))
-        .selectExpr("lang", "n_docs",
-          "round(s6 / s6_total, 6) AS weight",
-          "round(((s6 / s6_total) * n_total) / n_docs, 6) AS boost")
+        .selectExpr("lang", "n_docs", "n_total",
+          "(2 * s6 * 1000000 + s6_total) div (2 * s6_total) AS weight_e6")
+        .selectExpr("lang", "n_docs", "weight_e6",
+          "(2 * weight_e6 * n_total + n_docs) div (2 * n_docs) AS boost_e6")
       docs.select(col("doc_id"), col("lang"))
         .join(broadcast(weights), Seq("lang"))
-        .select(col("doc_id"), col("lang"), col("n_docs"), col("weight"),
-          col("boost"))
+        .select(col("doc_id"), col("lang"), col("n_docs"), col("weight_e6"),
+          col("boost_e6"))
         .orderBy(col("doc_id"))
     }),
 
@@ -437,6 +453,49 @@ object TextPipeline {
       g.join(broadcast(offsets), Seq("lang"))
         .selectExpr("doc_id", "lang", "n_tokens", "gcum - off AS cum_tokens")
         .where(s"cum_tokens <= $budget")
+        .orderBy(col("lang"), col("cum_tokens"))
+    }),
+
+    // TEMPERATURE-WEIGHTED TOKEN TAKE — q72 x q75 composed into the
+    // actual mixture-construction primitive a training-data run executes:
+    // a TOTAL token budget B is split per language by the alpha=1/2
+    // sampling weights (budget_l = round(weight_l * B), exact bigint
+    // half-up — the same s6/s6_total fraction q72 scales to weight_e6),
+    // then each language's documents are taken in deterministic md5-hash
+    // order while the inclusive running token total stays within ITS
+    // budget. Low-resource languages get more than their proportional
+    // share of tokens (sqrt weighting), which is the point.
+    //
+    // Scale shape is exactly q75's: ONE global RangedPrefixSum over the
+    // (lang, h, doc_id) order; the per-language start offsets AND budgets
+    // are both #languages-row tables, joined to each other and broadcast
+    // back in a single bounded join — the corpus never shuffles for
+    // either, and no per-language corpus-slice window task exists.
+    "q76_weighted_take" -> ((s, dir) => {
+      val totalBudget = 15000L
+      val docs = Caches.persist(t(s, dir, "documents").selectExpr(
+        "doc_id", "lang", s"size($toks) AS n_tokens",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)" +
+          " AS h"))
+      val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .selectExpr("lang",
+          "cast(floor(sqrt(cast(n_docs AS double)) * 1e6) AS bigint) AS s6")
+      val total = perLang.agg(sum(col("s6")).as("s6_total"))
+      val budgets = perLang.join(broadcast(total))
+        .selectExpr("lang",
+          s"(2 * s6 * $totalBudget + s6_total) div (2 * s6_total) AS budget")
+      val g = graft.plans.RangedPrefixSum.prefixSumBy(
+        s, docs, "n_tokens", "gcum", "lang", "h", "doc_id")
+      val offsets = docs.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("t"))
+        .withColumn("off",
+          coalesce(sum(col("t")).over(Window.orderBy(col("lang"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("lang"), col("off"))
+      g.join(broadcast(offsets.join(budgets, Seq("lang"))), Seq("lang"))
+        .selectExpr("doc_id", "lang", "n_tokens", "gcum - off AS cum_tokens",
+          "budget")
+        .where("cum_tokens <= budget")
         .orderBy(col("lang"), col("cum_tokens"))
     }),
 
@@ -1132,11 +1191,13 @@ object TextPipeline {
         |  FROM documents GROUP BY lang),
         |tot AS (SELECT sum(s6)::BIGINT AS s6_total, sum(n_docs)::BIGINT AS n_total
         |  FROM pl),
-        |w AS (SELECT lang, n_docs,
-        |    round(s6 / s6_total, 6) AS weight,
-        |    round(((s6 / s6_total) * n_total) / n_docs, 6) AS boost
-        |  FROM pl, tot)
-        |SELECT d.doc_id, d.lang, w.n_docs, w.weight, w.boost
+        |w0 AS (SELECT lang, n_docs, n_total,
+        |    CAST((2 * s6 * 1000000 + s6_total) // (2 * s6_total) AS BIGINT) AS weight_e6
+        |  FROM pl, tot),
+        |w AS (SELECT lang, n_docs, weight_e6,
+        |    CAST((2 * weight_e6 * n_total + n_docs) // (2 * n_docs) AS BIGINT) AS boost_e6
+        |  FROM w0)
+        |SELECT d.doc_id, d.lang, w.n_docs, w.weight_e6, w.boost_e6
         |FROM documents d JOIN w USING (lang)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -1175,6 +1236,28 @@ object TextPipeline {
          |  FROM h)
          |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= 3000
+         |ORDER BY lang, cum_tokens""".stripMargin,
+
+    // q72's weight CTE feeding q75's cumulative-take CTE — the budgets
+    // join replaces the flat 3000
+    "q76_weighted_take" ->
+      s"""WITH pl AS (SELECT lang, count(*)::BIGINT AS n_docs,
+         |    CAST(floor(sqrt(count(*)::DOUBLE) * 1e6) AS BIGINT) AS s6
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(s6)::BIGINT AS s6_total FROM pl),
+         |b AS (SELECT lang,
+         |    CAST((2 * s6 * 15000 + s6_total) // (2 * s6_total) AS BIGINT) AS budget
+         |  FROM pl, tot),
+         |h AS (SELECT doc_id, lang, len($duckToks) AS n_tokens,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY hv, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+         |  FROM h)
+         |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, b.budget
+         |FROM c JOIN b USING (lang)
+         |WHERE cum_tokens <= budget
          |ORDER BY lang, cum_tokens""".stripMargin,
 
     "q26_simhash" ->

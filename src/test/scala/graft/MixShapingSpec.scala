@@ -214,22 +214,56 @@ class MixShapingSpec extends AnyFunSuite {
     assert(bigKept.head._1 == first, s"kept ${bigKept.head._1}, hash-first $first")
   }
 
+  test("q76 weighted take: the sqrt boost visibly shifts the low-resource share") {
+    // 900 docs x 100 tokens in lang "hi", 100 docs x 100 tokens in "lo".
+    // s6(hi) = floor(sqrt(900) * 1e6) = 30e6, s6(lo) = 10e6, total 40e6:
+    //   budget(hi) = round(0.75 * 15000) = 11250 -> 112 docs (11200 tok),
+    //   budget(lo) = round(0.25 * 15000) = 3750  -> 37 docs (3700 tok).
+    // A PROPORTIONAL split (budget_l ~ n_l) would give lo only 1500
+    // tokens (10%); the sqrt weighting lifts its kept-token share to
+    // 3700 / 14900 = 24.8% — the low-resource boost made material.
+    val mk = (lang: String, ids: Range) =>
+      ids.map(i => (i.toLong, Seq.fill(100)(s"w$i").mkString(" "), lang, "s"))
+    val dir = writeDocs(mk("hi", 0 until 900) ++ mk("lo", 900 until 1000))
+    val rows = run("q76_weighted_take", dir)
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getLong(3),
+        r.getLong(4)))
+    val byLang = rows.groupBy(_._2)
+    assert(byLang("hi").forall(_._5 == 11250L) && byLang("lo").forall(_._5 == 3750L),
+      s"budgets: ${rows.map(_._5).distinct.toSeq}")
+    assert(byLang("hi").length == 112 && byLang("lo").length == 37,
+      s"kept: hi ${byLang("hi").length}, lo ${byLang("lo").length}")
+    // every kept doc's inclusive running total respects its language budget
+    assert(rows.forall(r => r._4 <= r._5), "a kept doc exceeds its budget")
+    val loShare = byLang("lo").map(_._3).sum.toDouble / rows.map(_._3).sum
+    assert(loShare > 0.2, f"lo kept-token share $loShare%.3f not boosted past " +
+      "its proportional 10%")
+    // the flat-budget q75 take on the same corpus keeps 3000 tokens per
+    // language — the weighted take is a genuinely different allocation
+    val flat = run("q75_token_budget", dir).map(r => (r.getString(1), r.getInt(2)))
+    val flatLo = flat.filter(_._1 == "lo").map(_._2).sum
+    assert(flatLo == 3000 && byLang("lo").map(_._3).sum == 3700L,
+      s"flat lo $flatLo vs weighted lo ${byLang("lo").map(_._3).sum}")
+  }
+
   // --- q72 temperature weights ---
 
   test("q72 alpha=1/2 weights: 9:1 corpus gives 0.75/0.25 and boosts 0.8333/2.5") {
-    // s6(hi) = floor(sqrt(9) * 1e6) = 3e6, s6(lo) = 1e6, total 4e6:
-    //   weight(hi) = 0.75, weight(lo) = 0.25;
-    //   boost(hi) = 0.75 * 10 / 9 = 0.833333 (downsampled),
-    //   boost(lo) = 0.25 * 10 / 1 = 2.5 (upsampled).
+    // s6(hi) = floor(sqrt(9) * 1e6) = 3e6, s6(lo) = 1e6, total 4e6
+    // (weights and boosts are emitted x1e6 as exact bigints — see the
+    // query doc on the cross-engine double-rounding hazard):
+    //   weight_e6(hi) = round(0.75e6 + eps) = 750000, weight_e6(lo) = 250000;
+    //   boost_e6(hi) = round(750000 * 10 / 9) = 833333 (downsampled),
+    //   boost_e6(lo) = round(250000 * 10 / 1) = 2500000 (upsampled).
     val dir = writeDocs(
       (0L to 8L).map(i => (i, s"doc $i", "hi", "s0")) :+
         ((9L, "doc 9", "lo", "s0")))
     val rows = run("q72_temperature_weights", dir)
       .map(r => r.getLong(0) ->
-        ((r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     assert(rows.size == 10)
-    assert(rows(0L) == (("hi", 9L, 0.75, 0.833333)), s"hi doc: ${rows(0L)}")
-    assert(rows(9L) == (("lo", 1L, 0.25, 2.5)), s"lo doc: ${rows(9L)}")
+    assert(rows(0L) == (("hi", 9L, 750000L, 833333L)), s"hi doc: ${rows(0L)}")
+    assert(rows(9L) == (("lo", 1L, 250000L, 2500000L)), s"lo doc: ${rows(9L)}")
   }
 }

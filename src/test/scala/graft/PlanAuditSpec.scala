@@ -149,6 +149,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     val p68 = plan("q68_quality_canonical")
     assert(!p68.contains("Window"), s"q68 ranks via a window:\n$p68")
+    // r13: the (cluster -> canonical) table is bounded by the pair
+    // closure and must BROADCAST back to the corpus — the r12 shape
+    // aggregated over all documents and met them again in a corpus-by-
+    // corpus sort-merge join
+    assert(p68.contains("BroadcastHashJoin"),
+      s"q68 canonical join is not broadcast:\n$p68")
+    assert(!p68.contains("SortMergeJoin"),
+      s"q68 shuffles the corpus to meet the bounded canon table:\n$p68")
   }
 
   test("q70/q71/q72 mix shaping: bounded aggregation, broadcast weights, no windows") {
@@ -184,6 +192,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"q75 offsets join not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"q75 shuffles the corpus for the offsets join:\n$p")
+    // q76 composes the q72 budgets into the same take: offsets AND
+    // budgets are both #languages-row tables and must reach the corpus
+    // through ONE broadcast join, never a shuffle
+    val p76 = plan("q76_weighted_take")
+    assert(p76.contains("BroadcastHashJoin"), s"q76 budget join not broadcast:\n$p76")
+    assert(!p76.contains("SortMergeJoin"),
+      s"q76 shuffles the corpus for the budget join:\n$p76")
   }
 
   test("q73 mix pipeline: bounded cap, broadcast token join, no windows") {
