@@ -74,29 +74,7 @@ case class BpeEncode(
   private def mergeWord(word: String): Array[String] = {
     val cached = memo.get(word)
     if (cached != null) return cached
-    // space-joined codepoints (codepoints, not UTF-16 units, so BMP and
-    // supplementary characters alike are one symbol — matching the
-    // oracle's per-codepoint split)
-    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
-    sb.append(' ')
-    var i = 0
-    while (i < word.length) {
-      val cp = word.codePointAt(i)
-      sb.appendCodePoint(cp).append(' ')
-      i += Character.charCount(cp)
-    }
-    var s = sb.toString
-    var changed = true
-    while (changed) {
-      val before = s
-      var m = 0
-      while (m < patterns.length) {
-        s = s.replace(patterns(m)._1, patterns(m)._2)
-        m += 1
-      }
-      changed = s != before
-    }
-    val toks = s.trim.split(" ")
+    val toks = BpeEncode.mergeWordRaw(word, patterns)
     if (memo.size >= BpeEncode.memoCap) memo.clear()
     memo.put(word, toks)
     toks
@@ -133,6 +111,35 @@ case class BpeEncode(
 object BpeEncode {
   private[graft] val memoCap = 1 << 16
 
+  /** The uncached merge loop shared by [[BpeEncode]] and [[BpeEncodeIds]]:
+    * space-joined codepoints (codepoints, not UTF-16 units, so BMP and
+    * supplementary characters alike are one symbol — matching the
+    * oracle's per-codepoint split), then chain passes of every merge in
+    * rank order until a pass changes nothing. */
+  private[functions] def mergeWordRaw(
+      word: String, patterns: Array[(String, String)]): Array[String] = {
+    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    var changed = true
+    while (changed) {
+      val before = s
+      var m = 0
+      while (m < patterns.length) {
+        s = s.replace(patterns(m)._1, patterns(m)._2)
+        m += 1
+      }
+      changed = s != before
+    }
+    s.trim.split(" ")
+  }
+
   /** At most this many per-broadcast word caches live in the JVM: a
     * long-lived executor serving many sessions (each registering its own
     * merges broadcast) would otherwise accrete one memoCap-sized cache per
@@ -164,18 +171,192 @@ object BpeEncode {
 
   private[graft] def liveMemoTables: Int = memos.synchronized { memos.size }
 
+  /** Per-session record of which merges table `bpe_encode` was registered
+    * over, so a CONFLICTING re-register fails loud instead of silently
+    * keeping the first table (first-registration-wins used to be a quiet
+    * API trap: a caller who ran any default-merges query and then
+    * registered a trained table kept the default without noticing — and
+    * the DuckDB oracles always encode the DEFAULT chain, so the oracled
+    * paths q48/q64/q73 now throw in a session that registered a custom
+    * table rather than compare mismatched engines). Weak keys: the record
+    * dies with the session. */
+  private val sessionMerges =
+    new java.util.WeakHashMap[SparkSession, Array[(String, String)]]()
+
+  private[functions] def describe(merges: Array[(String, String)]): String = {
+    val label = if (merges eq BpeTokenizer.defaultMerges) "built-in default"
+      else "custom"
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(merges.map { case (a, b) => s"$a $b" }.mkString("\n").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"$label table (${merges.length} merges, md5 $digest)"
+  }
+
+  /** Throws unless `merges` matches what this session already registered
+    * under `what` (no-op for the first registration). */
+  private def requireSameTable(spark: SparkSession, what: String,
+      merges: Array[(String, String)]): Unit = sessionMerges.synchronized {
+    val prev = sessionMerges.get(spark)
+    if (prev == null) sessionMerges.put(spark, merges)
+    else if (!(prev.sameElements(merges)))
+      throw new IllegalStateException(
+        s"$what: this session already registered the ${describe(prev)} and the " +
+          s"registry is first-registration-wins — refusing to silently keep it " +
+          s"while you asked for the ${describe(merges)}. Use a fresh session " +
+          "(SparkSession.newSession) for a different merges table.")
+  }
+
   /** Register `bpe_encode(text)` over `merges` — the default table unless
     * a deployment loads its trained tokenizer's via
     * [[BpeTokenizer.fromMergesFile]]. The broadcast is created once per
     * session (Registration.ensure runs the builder once) so every query
     * over the session shares one handle; the FIRST registration of the
     * name in a session wins (the oracle-generated SQL and the expression
-    * must see the same table). */
+    * must see the same table), and a re-register with a DIFFERENT table
+    * fails loud with both provenances instead of silently keeping the
+    * first — which also makes the oracled query paths (they register the
+    * default) throw in a custom-table session rather than hash-compare
+    * against a default-chain oracle. */
   def register(spark: SparkSession,
       merges: Array[(String, String)] = BpeTokenizer.defaultMerges): Unit = {
+    requireSameTable(spark, "bpe_encode.register", merges)
     lazy val bc = spark.sparkContext.broadcast(merges)
     Registration.ensure(spark, "bpe_encode")(exprs => BpeEncode(exprs(0), bc))
   }
+
+  /** Register `bpe_encode_ids(text)` — the token-ID form over a (merges,
+    * vocab) pair; see [[BpeEncodeIds]]. Defaults pair
+    * [[BpeTokenizer.defaultMerges]] with the stand-in
+    * [[BpeTokenizer.defaultVocab]] (codepoint fallback ON, the byte-
+    * fallback convention); a deployment loads both artifacts via
+    * [[BpeTokenizer.fromMergesFile]] + [[BpeTokenizer.fromVocabFile]] and
+    * typically sets `codepointFallback = false` so ANY token absent from
+    * its vocab — not just a merged one — fails loud. Shares the session's
+    * merges-conflict guard with [[register]]: ids and strings must encode
+    * with the SAME merges table. */
+  def registerIds(spark: SparkSession,
+      merges: Array[(String, String)] = BpeTokenizer.defaultMerges,
+      vocab: Map[String, Int] = BpeTokenizer.defaultVocab,
+      codepointFallback: Boolean = true): Unit = {
+    requireSameTable(spark, "bpe_encode_ids.register", merges)
+    lazy val bcM = spark.sparkContext.broadcast(merges)
+    lazy val bcV = spark.sparkContext.broadcast(vocab)
+    Registration.ensure(spark, "bpe_encode_ids")(exprs =>
+      BpeEncodeIds(exprs(0), bcM, bcV, codepointFallback))
+  }
+}
+
+/**
+ * Token IDS from the same merge engine: [[BpeEncode]]'s subword strings
+ * mapped through a vocab (token -> id), returning `array<int>` — the form
+ * a training pipeline actually feeds a model. A token the vocab doesn't
+ * know fails LOUD (it means the merges and vocab artifacts don't belong
+ * together — every merge output is in the matching vocab by
+ * construction), except single-codepoint tokens when `codepointFallback`
+ * is on, which map to their codepoint — the byte-fallback convention, and
+ * what makes the stand-in default vocab total over arbitrary text.
+ *
+ * Same scale shape as [[BpeEncode]]: broadcast tables, whole-stage
+ * codegen via [[doGenCode]], bounded per-executor word->ids memo keyed by
+ * BOTH broadcast ids (the ids depend on the merges AND the vocab).
+ */
+case class BpeEncodeIds(
+    child: Expression,
+    bcMerges: Broadcast[Array[(String, String)]],
+    bcVocab: Broadcast[Map[String, Int]],
+    codepointFallback: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def prettyName: String = "bpe_encode_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids needs string, got ${other.simpleString(10)}")
+  }
+
+  @transient private lazy val patterns: Array[(String, String)] =
+    bcMerges.value.map { case (a, b) => (s" $a $b ", s" $a$b ") }
+
+  @transient private lazy val preTok =
+    java.util.regex.Pattern.compile(BpeTokenizer.preTokenRegex)
+
+  @transient private lazy val vocab = bcVocab.value
+
+  @transient private lazy val memo = BpeEncodeIds.memoFor(bcMerges.id, bcVocab.id)
+
+  private def idsOf(word: String): Array[Int] = {
+    val cached = memo.get(word)
+    if (cached != null) return cached
+    val toks = BpeEncode.mergeWordRaw(word, patterns)
+    val ids = new Array[Int](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      ids(i) = vocab.getOrElse(t, {
+        val cp = t.codePointAt(0)
+        if (codepointFallback && t.length == Character.charCount(cp)) cp
+        else throw new IllegalStateException(
+          s"bpe_encode_ids: token '$t' (merged from word '$word') is not in the " +
+            s"vocab (${vocab.size} entries) — merges/vocab mismatch; load the " +
+            "vocab.json that belongs to the merges.txt")
+      })
+      i += 1
+    }
+    if (memo.size >= BpeEncode.memoCap) memo.clear()
+    memo.put(word, ids)
+    ids
+  }
+
+  /** Hot path — called from both interpreted eval and generated code. */
+  def encodeIds(text: UTF8String): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = preTok.matcher(text.toString)
+    while (m.find()) {
+      val ids = idsOf(m.group())
+      var i = 0
+      while (i < ids.length) {
+        out += ids(i)
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encodeIds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, f => {
+      val ref = ctx.addReferenceObj("bpeEncodeIds", this, classOf[BpeEncodeIds].getName)
+      s"${ev.value} = $ref.encodeIds($f);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
+object BpeEncodeIds {
+  /** Executor-wide word->ids caches, one per (merges, vocab) broadcast
+    * pair, same bounded access-order LRU policy as [[BpeEncode]]'s. */
+  private val memos = new java.util.LinkedHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[String, Array[Int]]](
+      16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[String, java.util.concurrent.ConcurrentHashMap[String, Array[Int]]])
+        : Boolean = size > BpeEncode.maxMemoTables
+  }
+
+  private[graft] def memoFor(mergesId: Long,
+      vocabId: Long): java.util.concurrent.ConcurrentHashMap[String, Array[Int]] =
+    memos.synchronized {
+      memos.computeIfAbsent(s"$mergesId:$vocabId",
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]())
+    }
+
+  private[graft] def liveMemoTables: Int = memos.synchronized { memos.size }
 }
 
 /**
@@ -222,6 +403,71 @@ object BpeTokenizer {
     defaultMerges.foldLeft(col) { case (acc, (a, b)) =>
       s"replace($acc, ' $a $b ', ' $a$b ')"
     }
+
+  /** Stand-in vocab paired with [[defaultMerges]]: every merge OUTPUT maps
+    * to an id above the Unicode codepoint space (0x110000 + rank) so the
+    * codepoint fallback (single-codepoint token -> its codepoint) can
+    * never collide with a merge id — together they make the default
+    * `bpe_encode_ids` total over arbitrary text, the way a real vocab's
+    * byte fallback is. A LOADED vocab.json replaces this wholesale via
+    * [[fromVocabFile]]. ONE source of truth: the DuckDB oracle's mapping
+    * ([[duckVocabSql]]) is generated from this same map. */
+  val defaultVocab: Map[String, Int] =
+    defaultMerges.zipWithIndex.map { case ((a, b), i) => (a + b, 0x110000 + i) }.toMap
+
+  /** [[defaultVocab]] as a DuckDB VALUES CTE (`vocab(token, id)`) —
+    * consumers coalesce to `unicode(token)` for the codepoint fallback. */
+  def duckVocabSql: String =
+    "vocab AS (SELECT * FROM (VALUES " +
+      defaultVocab.toSeq.sortBy(_._2)
+        .map { case (t, i) => s"('$t', $i)" }.mkString(", ") +
+      ") v(token, id))"
+
+  /** Load a tokenizer's `vocab.json` (one JSON object, token -> integer
+    * id) through the Hadoop FileSystem, same deployment path as
+    * [[fromMergesFile]]. Fails loud on anything that would otherwise
+    * corrupt ids silently: non-JSON, a non-object root, a non-integer id,
+    * two tokens sharing one id (an undecodable vocab), or an empty
+    * table. */
+  def fromVocabFile(path: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val in = fs.open(p)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(content)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(s"$path: not valid JSON: ${e.getMessage}")
+      }
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException(
+        s"$path: vocab.json must be a single {\"token\": id} object")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val byId = scala.collection.mutable.HashMap.empty[Int, String]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue
+      if (!v.isIntegralNumber || !v.canConvertToInt)
+        throw new IllegalArgumentException(
+          s"$path: id for token '${e.getKey}' is not a 32-bit integer ($v)")
+      val id = v.asInt()
+      byId.get(id).foreach { other =>
+        throw new IllegalArgumentException(
+          s"$path: tokens '$other' and '${e.getKey}' share id $id — undecodable vocab")
+      }
+      byId(id) = e.getKey
+      out(e.getKey) = id
+    }
+    if (out.isEmpty)
+      throw new IllegalArgumentException(s"$path: no vocab entries found")
+    out.toMap
+  }
 
   /** Load a TRAINED tokenizer's merges table from a `merges.txt` — the
     * deployment path that swaps [[defaultMerges]] for the real thing

@@ -121,6 +121,28 @@ object TextPipeline {
         .orderBy(col("source"))
     }),
 
+    // TOKEN IDS — the form a training pipeline actually feeds a model:
+    // q48's subword strings mapped through a vocab (token -> id) by the
+    // native codegen'd [[graft.functions.BpeEncodeIds]], array<int> per
+    // document. Summarized per doc as (count, sum, min, max) of the id
+    // sequence — four independent checksums over the ids that any
+    // reordering, dropped token, or wrong mapping perturbs — because the
+    // driver compare hashes scalar cells. The DuckDB oracle re-derives
+    // the ids from the SAME generated vocab table (merge outputs) with
+    // `unicode(token)` as the codepoint fallback — byte-for-byte the
+    // expression's mapping. min/max coalesce to -1 on BOTH sides so a
+    // pre-token-less doc never emits engine-dependent NULL handling.
+    "q77_bpe_ids" -> ((s, dir) => {
+      graft.functions.BpeEncode.registerIds(s)
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "bpe_encode_ids(coalesce(text, '')) AS ids")
+        .selectExpr("doc_id", "size(ids) AS n_ids",
+          "aggregate(ids, cast(0 AS bigint), (a, x) -> a + x) AS id_sum",
+          "coalesce(array_min(ids), -1) AS id_min",
+          "coalesce(array_max(ids), -1) AS id_max")
+        .orderBy(col("doc_id"))
+    }),
+
     // Token statistics per source (token counting over whitespace).
     "q21_token_stats" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -999,8 +1021,9 @@ object TextPipeline {
        |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s FROM seed
        |  UNION ALL
        |  SELECT w, $chain FROM bpe WHERE $chain <> s),
-       |enc AS (SELECT w, len(string_split(trim(s), ' ')) AS n
+       |enct AS (SELECT w, string_split(trim(s), ' ') AS toks
        |  FROM bpe WHERE $chain = s),
+       |enc AS (SELECT w, len(toks) AS n FROM enct),
        |cnt AS (SELECT doc_id, cast(sum(n) AS BIGINT) AS n
        |  FROM pre JOIN enc USING (w) GROUP BY doc_id)""".stripMargin
   }
@@ -1025,6 +1048,26 @@ object TextPipeline {
          |  round(avg(n_bpe), 4) AS avg_bpe_tokens,
          |  max(n_bpe) AS max_bpe_tokens
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same merge chain, token STRINGS mapped through the generated
+    // vocab VALUES table with unicode() as the codepoint fallback —
+    // byte-for-byte the BpeEncodeIds mapping
+    "q77_bpe_ids" ->
+      s"""WITH RECURSIVE $duckBpeCtes,
+         |${graft.functions.BpeTokenizer.duckVocabSql},
+         |tok AS (SELECT doc_id, unnest(toks) AS t
+         |  FROM pre JOIN enct USING (w)),
+         |ids AS (SELECT doc_id, coalesce(v.id, unicode(t)) AS id
+         |  FROM tok LEFT JOIN vocab v ON v.token = t),
+         |g AS (SELECT doc_id, count(*)::INT AS n_ids,
+         |    sum(id)::BIGINT AS id_sum,
+         |    min(id)::INT AS id_min, max(id)::INT AS id_max
+         |  FROM ids GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(g.n_ids, 0) AS n_ids,
+         |  coalesce(g.id_sum, 0)::BIGINT AS id_sum,
+         |  coalesce(g.id_min, -1) AS id_min, coalesce(g.id_max, -1) AS id_max
+         |FROM documents d LEFT JOIN g USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q21_token_stats" ->
       s"""WITH d AS (SELECT source, len($duckToks) AS n_tokens,

@@ -101,6 +101,115 @@ class BpeSpec extends AnyFunSuite {
     assert(bad("#version: 0.2\n").contains("no merges"))
   }
 
+  // --- token ids (bpe_encode_ids) ---
+
+  private def encIds(text: String): Seq[Int] = {
+    BpeEncode.registerIds(spark)
+    import spark.implicits._
+    Seq(text).toDF("text").selectExpr("bpe_encode_ids(text) AS t")
+      .collect().head.getSeq[Int](0)
+  }
+
+  test("bpe_encode_ids: merge outputs map to vocab ids, singles to codepoints") {
+    // "the cat!" -> tokens [the, c, at, !]; defaultVocab ids are
+    // 0x110000 + rank ((th,e) is rank 1, (a,t) rank 12), singles fall
+    // back to their codepoint ('c' 99, '!' 33)
+    assert(encIds("the cat!") ==
+      Seq(0x110000 + 1, 99, 0x110000 + 12, 33))
+    // ids and strings tokenize identically: same count, aligned tokens
+    assert(encIds("standing") == Seq(0x110000 + 11, 0x110000 + 4, 0x110000 + 9))
+    assert(encIds("") == Seq.empty)
+  }
+
+  test("bpe_encode_ids: supplementary-plane fallback is the codepoint, not a unit") {
+    // one emoji = one pre-token (single mark), not in the vocab -> its
+    // CODEPOINT (0x1F600), never a surrogate half
+    assert(encIds("😀") == Seq(0x1F600))
+  }
+
+  test("fromVocabFile: loads vocab.json and drives bpe_encode_ids on a fresh session") {
+    val mf = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+    java.nio.file.Files.writeString(mf, "t h\nth e\ni n\nin g")
+    val vf = java.nio.file.Files.createTempFile("graft-vocab", ".json")
+    java.nio.file.Files.writeString(vf,
+      """{"th": 500, "the": 501, "in": 502, "ing": 503,
+        |"t": 1, "h": 2, "e": 3, "i": 4, "n": 5, "g": 6, "k": 10}""".stripMargin)
+    val merges = BpeTokenizer.fromMergesFile(mf.toString)
+    val vocab = BpeTokenizer.fromVocabFile(vf.toString)
+    assert(vocab("the") == 501 && vocab("k") == 10 && vocab.size == 11)
+    val s2 = spark.newSession()
+    // fallback OFF: the loaded vocab is total over this text, and any
+    // miss would be a real merges/vocab mismatch
+    BpeEncode.registerIds(s2, merges, vocab, codepointFallback = false)
+    import s2.implicits._
+    val got = Seq("thinking the").toDF("text").selectExpr("bpe_encode_ids(text) AS t")
+      .collect().head.getSeq[Int](0)
+    // th in k ing | the
+    assert(got == Seq(500, 502, 10, 503, 501))
+  }
+
+  test("bpe_encode_ids fails loud on a merges/vocab mismatch") {
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    val mf = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+    java.nio.file.Files.writeString(mf, "t h\nth e")
+    val merges = BpeTokenizer.fromMergesFile(mf.toString)
+    // vocab is missing the merged token 'the' -> loud error even with the
+    // codepoint fallback on (a MERGED token can never fall back)
+    val s2 = spark.newSession()
+    BpeEncode.registerIds(s2, merges, Map("th" -> 1, "t" -> 2, "h" -> 3, "e" -> 4))
+    import s2.implicits._
+    val e = intercept[Exception] {
+      Seq("the").toDF("text").selectExpr("bpe_encode_ids(text)").collect()
+    }
+    assert(chain(e).contains("merges/vocab mismatch"), chain(e))
+    assert(chain(e).contains("'the'"), chain(e))
+    // fallback OFF: even a missing SINGLE codepoint fails loud
+    val s3 = spark.newSession()
+    BpeEncode.registerIds(s3, merges, Map("th" -> 1, "the" -> 2),
+      codepointFallback = false)
+    val e3 = intercept[Exception] {
+      val d = s3.implicits.localSeqToDatasetHolder(Seq("tax")).toDF("text")
+      d.selectExpr("bpe_encode_ids(text)").collect()
+    }
+    assert(chain(e3).contains("merges/vocab mismatch"), chain(e3))
+  }
+
+  test("fromVocabFile fails loud on corrupt vocabs, with the reason") {
+    def bad(content: String): String = {
+      val f = java.nio.file.Files.createTempFile("graft-vocab-bad", ".json")
+      java.nio.file.Files.writeString(f, content)
+      intercept[IllegalArgumentException] {
+        BpeTokenizer.fromVocabFile(f.toString)
+      }.getMessage
+    }
+    assert(bad("not json").contains("not valid JSON"))
+    assert(bad("[1, 2]").contains("must be a single"))
+    assert(bad("""{"a": "one"}""").contains("not a 32-bit integer"))
+    assert(bad("""{"a": 1, "b": 1}""").contains("share id 1"))
+    assert(bad("{}").contains("no vocab entries"))
+  }
+
+  test("a conflicting re-register fails loud with both provenances") {
+    // first-registration-wins used to silently keep the first table; now
+    // a DIFFERENT table throws (same table stays idempotent) — which also
+    // makes the default-merges oracle paths (q48/q64/q73) fail loud in a
+    // session that registered a trained table, instead of hash-comparing
+    // against a default-chain DuckDB oracle
+    val s2 = spark.newSession()
+    val custom = Array(("x", "y"))
+    BpeEncode.register(s2, custom)
+    BpeEncode.register(s2, Array(("x", "y"))) // same content: fine
+    val e = intercept[IllegalStateException] {
+      BpeEncode.register(s2) // the default table — different
+    }
+    assert(e.getMessage.contains("custom table (1 merges"), e.getMessage)
+    assert(e.getMessage.contains("built-in default table (32 merges"), e.getMessage)
+    // the ids form shares the guard: same session, different merges -> loud
+    val e2 = intercept[IllegalStateException] { BpeEncode.registerIds(s2) }
+    assert(e2.getMessage.contains("bpe_encode_ids"), e2.getMessage)
+  }
+
   test("executor-wide word caches stay bounded across many merges broadcasts") {
     // each registered merges table caches under its broadcast id; a
     // long-lived executor must not accrete one cache per dead broadcast

@@ -181,6 +181,13 @@ class PlanAuditSpec extends AnyFunSuite {
     val p70 = plan("q70_repetition_flags")
     assert(!p70.contains("Join"), s"q70 joins for per-row facts:\n$p70")
     assert(!p70.contains("HashAggregate"), s"q70 aggregates per-row facts:\n$p70")
+    // q77's id sequence summaries are per-row facts too: a pure
+    // scan+project through the codegen'd bpe_encode_ids — no join, no
+    // aggregation exchange, no UDF
+    val p77 = plan("q77_bpe_ids")
+    assert(!p77.contains("Join"), s"q77 joins for per-row facts:\n$p77")
+    assert(!p77.contains("HashAggregate"), s"q77 aggregates per-row facts:\n$p77")
+    assert(!p77.contains("ScalaUDF"), s"q77 regressed to a ScalaUDF:\n$p77")
   }
 
   test("q75 token budget: offsets broadcast back, corpus never sort-merge joins") {
