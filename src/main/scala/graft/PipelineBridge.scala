@@ -71,7 +71,7 @@ object PipelineBridge {
   def persistedLshTopK(s: SparkSession, dir: String, path: String,
       numProbes: Int, k: Int): DataFrame =
     SparkEntry.buildIfStale(
-      similarity.AnnIndex.isCurrent(s, dir, path),
+      similarity.AnnIndex.definitelyStale(s, dir, path),
       similarity.AnnIndex.appendLsh(s, dir, path),
       similarity.AnnIndex.saveLsh(s, dir, path))(
       similarity.AnnIndex.lshTopK(s, dir, path, numProbes = numProbes, k = k))
@@ -80,7 +80,7 @@ object PipelineBridge {
   def persistedIvfTopK(s: SparkSession, dir: String, path: String,
       numProbes: Int, k: Int): DataFrame =
     SparkEntry.buildIfStale(
-      similarity.AnnIndex.isCurrent(s, dir, path),
+      similarity.AnnIndex.definitelyStale(s, dir, path),
       similarity.AnnIndex.appendIvf(s, dir, path),
       similarity.AnnIndex.saveIvf(s, dir, path))(
       similarity.AnnIndex.ivfTopK(s, dir, path, numProbes = numProbes, k = k))

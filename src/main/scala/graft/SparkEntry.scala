@@ -138,22 +138,33 @@ object SparkEntry {
     * the load path validates internally (and throws on missing/half-built/
     * stale), so the common steady-state lap runs exactly ONE validation —
     * the heal branch is the rare path and may re-scan. The heal itself is
-    * tiered: first confirm the index is actually NOT current (`isCur`) —
-    * a load that failed on a transient infrastructure error over a
-    * perfectly current index must re-raise, not heal, because the heal
-    * tiers clear and rewrite the metadata commit record and a concurrent
-    * reader in that window would see a metadata-less index and cascade
-    * into its own rebuild. Then try the INCREMENTAL APPEND (work
-    * proportional to the added data — the right cost when the corpus
-    * merely grew, the common production staleness), falling back to the
-    * full rebuild when the index is unreadable, the change wasn't a pure
-    * add, or the IVF drift bound refuses. */
-  private[graft] def buildIfStale(isCur: => Boolean, append: => Unit, rebuild: => Unit)(
-      load: => DataFrame): DataFrame =
+    * tiered: first require a DEFINITIVE staleness verdict
+    * (`definitelyStale` — commit record absent, or the validation itself
+    * concluded stale) — a load that failed on a transient infrastructure
+    * error over a perfectly current index must re-raise, not heal,
+    * because the heal tiers clear and rewrite the metadata commit record
+    * and a concurrent reader in that window would see a metadata-less
+    * index and cascade into its own rebuild. The verdict probe
+    * distinguishes "proved stale" from "could not run": when the same
+    * outage that failed the load also fails the probe, the ORIGINAL load
+    * failure re-raises (probe failure attached as suppressed) instead of
+    * healing on it (r12 ADVICE — the prior isCurrent probe swallowed
+    * probe failures into "not current" and healed anyway). Then try the
+    * INCREMENTAL APPEND (work proportional to the added data — the right
+    * cost when the corpus merely grew, the common production staleness),
+    * falling back to the full rebuild when the index is unreadable, the
+    * change wasn't a pure add, or the IVF drift bound refuses. */
+  private[graft] def buildIfStale(definitelyStale: => Boolean, append: => Unit,
+      rebuild: => Unit)(load: => DataFrame): DataFrame =
     try load
     catch {
       case scala.util.control.NonFatal(e) =>
-        if (isCur) throw e // current index, transient failure — don't heal
+        val stale =
+          try definitelyStale
+          catch {
+            case scala.util.control.NonFatal(pe) => e.addSuppressed(pe); throw e
+          }
+        if (!stale) throw e // no staleness proof — transient failure, don't heal
         try append
         catch { case scala.util.control.NonFatal(_) => rebuild }
         load
@@ -162,7 +173,7 @@ object SparkEntry {
   private def annPersisted(s: SparkSession, dir: String): DataFrame = {
     val path = annIndexPath(dir, "lsh_q58")
     buildIfStale(
-      graft.similarity.AnnIndex.isCurrent(s, dir, path),
+      graft.similarity.AnnIndex.definitelyStale(s, dir, path),
       graft.similarity.AnnIndex.appendLsh(s, dir, path),
       graft.similarity.AnnIndex.saveLsh(s, dir, path))(
       graft.similarity.AnnIndex.lshTopK(s, dir, path))
@@ -175,7 +186,7 @@ object SparkEntry {
   private def annIvfPersisted(s: SparkSession, dir: String): DataFrame = {
     val path = annIndexPath(dir, "ivf_q59")
     buildIfStale(
-      graft.similarity.AnnIndex.isCurrent(s, dir, path),
+      graft.similarity.AnnIndex.definitelyStale(s, dir, path),
       graft.similarity.AnnIndex.appendIvf(s, dir, path),
       graft.similarity.AnnIndex.saveIvf(s, dir, path))(
       graft.similarity.AnnIndex.ivfTopK(s, dir, path))

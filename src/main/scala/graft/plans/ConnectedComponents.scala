@@ -48,9 +48,11 @@ import org.apache.spark.sql.functions._
  * .cleanCheckpoints` is set (default false), and O(log n) full edge-set
  * copies per run would otherwise accrete in the checkpoint dir until the
  * filesystem filled. Only the CONVERGED iteration's checkpoint survives
- * the call (the returned mapping reads it); that one dir per run is
- * reclaimed by the cleaner conf above or the deployment's checkpoint-dir
- * hygiene.
+ * the call (the returned mapping reads it); when
+ * [[ensureReliableCheckpointDir]] itself created the checkpoint dir, an
+ * application-end listener deletes the whole per-context dir (converged
+ * files included) on shutdown — a deployment that set its own dir keeps
+ * its own hygiene (the cleaner conf above, or dir rotation).
  */
 object ConnectedComponents {
 
@@ -78,7 +80,36 @@ object ConnectedComponents {
         else if (s.sparkContext.isLocal)
           Some(s"${sys.props("java.io.tmpdir")}/graft_ckpt")
         else None
-      dir.foreach(s.sparkContext.setCheckpointDir)
+      dir.foreach { d =>
+        s.sparkContext.setCheckpointDir(d)
+        // WE created this context's UUID dir under the root, so WE reclaim
+        // it: the converged iteration's checkpoint (a full canonical
+        // edge-set copy) outlives its query by design — the returned
+        // mapping reads it — and the ContextCleaner only deletes
+        // checkpoint files under a conf that is off by default, so
+        // repeated runs would otherwise accrete one dir of edge data per
+        // context in /tmp (or the conf'd root) forever (r12 ADVICE). A
+        // deployment that set its OWN checkpoint dir before calling in
+        // keeps its own hygiene — this hook only ever fires for dirs this
+        // method created.
+        s.sparkContext.getCheckpointDir.foreach(ctxDir =>
+          s.sparkContext.addSparkListener(cleanupListener(s.sparkContext, ctxDir)))
+      }
+    }
+
+  /** Listener deleting `ctxDir` (this context's UUID-nested checkpoint
+    * dir) when the application ends — registered only for dirs
+    * [[ensureReliableCheckpointDir]] itself created. Deletion failures
+    * are swallowed: the JVM is exiting, there is nobody left to heal. */
+  private[graft] def cleanupListener(sc: org.apache.spark.SparkContext,
+      ctxDir: String): org.apache.spark.scheduler.SparkListener =
+    new org.apache.spark.scheduler.SparkListener {
+      override def onApplicationEnd(
+          e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+        try {
+          val p = new org.apache.hadoop.fs.Path(ctxDir)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+        } catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** (node, cluster) for every node that appears in `edges`, where

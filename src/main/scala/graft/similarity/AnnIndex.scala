@@ -210,6 +210,31 @@ object AnnIndex {
        catch { case _: Exception => false })
   }
 
+  /** The HEAL-TIER probe: true only on a DEFINITIVE staleness verdict —
+    * the commit record (metadata) is absent, which by the clearMeta/
+    * meta-LAST bracket covers every interrupted rebuild, or the
+    * validation itself concluded stale (requireCurrent's
+    * IllegalStateException, including unverifiable pre-fingerprint
+    * metadata). Anything that prevents the probe from RUNNING — an FS
+    * outage, metadata unreadable UNDER a present commit record, a failed
+    * fingerprint scan — PROPAGATES instead of defaulting to a verdict.
+    * [[isCurrent]] deliberately swallows those into `false`, which is
+    * right for a status display and WRONG for a heal decision: the heal
+    * tiers clear and rewrite the commit record, and doing that on a
+    * transient failure over a current index hands concurrent readers a
+    * metadata-less index and cascades rebuilds (r12 ADVICE — isCurrent's
+    * swallow meant the transient-failure guard never actually guarded,
+    * because the same outage that failed the load failed the probe). */
+  def definitelyStale(s: SparkSession, dir: String, path: String): Boolean = {
+    val success = new org.apache.hadoop.fs.Path(s"$path/assignments/_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) return true
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/metadata"))) return true
+    val meta = readMeta(s, path) // unreadable under a present record: propagate
+    try { requireCurrent(s, dir, path, meta); false }
+    catch { case _: IllegalStateException => true } // infra exceptions propagate
+  }
+
   /**
    * The adds-only guard shared by [[appendLsh]]/[[appendIvf]]: proves the
    * grown corpus is a PURE SUPERSET of the one the index was built over,

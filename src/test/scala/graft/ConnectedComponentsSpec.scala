@@ -112,6 +112,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("the self-created checkpoint dir is deleted at application end") {
+    // r12 ADVICE: the converged iteration's checkpoint and the per-context
+    // UUID dir accreted in /tmp across runs — when ensureReliable...
+    // itself created the dir, an application-end listener reclaims it.
+    // The listener is exercised directly (ending the shared test context
+    // would kill every later suite).
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-cleanup")
+    java.nio.file.Files.writeString(dir.resolve("rdd-1"), "edges")
+    val l = ConnectedComponents.cleanupListener(spark.sparkContext, dir.toString)
+    l.onApplicationEnd(org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+    assert(!java.nio.file.Files.exists(dir), "checkpoint dir must be deleted")
+    // deletion failures are swallowed (the JVM is exiting) — a second
+    // fire on the now-missing dir must not throw
+    l.onApplicationEnd(org.apache.spark.scheduler.SparkListenerApplicationEnd(0L))
+  }
+
   test("reliable-checkpoint mode is taken when a dir is set, and reclaims superseded files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile

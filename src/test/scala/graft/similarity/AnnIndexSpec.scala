@@ -313,7 +313,8 @@ class AnnIndexSpec extends AnyFunSuite {
     val boom = new RuntimeException("transient I/O")
     val e = intercept[RuntimeException] {
       graft.SparkEntry.buildIfStale(
-        isCur = true, append = { appends += 1 }, rebuild = { rebuilds += 1 })(
+        definitelyStale = false, append = { appends += 1 },
+        rebuild = { rebuilds += 1 })(
         throw boom)
     }
     assert(e eq boom, "must surface the ORIGINAL failure")
@@ -321,7 +322,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // and the stale path still heals: append first, rebuild on its failure
     var loads = 0
     val out = graft.SparkEntry.buildIfStale(
-      isCur = false,
+      definitelyStale = true,
       append = { appends += 1; throw new IllegalStateException("not a pure add") },
       rebuild = { rebuilds += 1 })({
       loads += 1
@@ -329,6 +330,45 @@ class AnnIndexSpec extends AnyFunSuite {
       spark.range(1).toDF()
     })
     assert(appends == 1 && rebuilds == 1 && out.count() == 1)
+  }
+
+  test("buildIfStale: a probe that cannot run re-raises the LOAD failure, never heals") {
+    // r12 ADVICE: the prior probe (isCurrent) swallowed its own failures
+    // into "not current", so the exact scenario the guard exists for — an
+    // FS outage failing load AND probe — healed anyway. A probe failure
+    // is not a staleness verdict: the original load error must surface,
+    // with the probe's error attached as suppressed for diagnosis.
+    var appends = 0
+    var rebuilds = 0
+    val loadBoom = new RuntimeException("load: transient I/O")
+    val probeBoom = new RuntimeException("probe: transient I/O")
+    val e = intercept[RuntimeException] {
+      graft.SparkEntry.buildIfStale(
+        definitelyStale = throw probeBoom,
+        append = { appends += 1 }, rebuild = { rebuilds += 1 })(
+        throw loadBoom)
+    }
+    assert(e eq loadBoom, "must surface the ORIGINAL load failure")
+    assert(e.getSuppressed.exists(_ eq probeBoom), "probe failure attached")
+    assert(appends == 0 && rebuilds == 0, "heal tiers must not run")
+  }
+
+  test("definitelyStale: verdicts on absence/staleness, propagation on probe failure") {
+    val path = s"$root/stale_probe"
+    // absent index: definitively stale (commit record missing)
+    assert(AnnIndex.definitelyStale(spark, sf, path))
+    AnnIndex.saveLsh(spark, sf, path)
+    assert(!AnnIndex.definitelyStale(spark, sf, path))
+    // corpus changed out from under the index: a definitive verdict
+    val corpus2 = java.nio.file.Files.createTempDirectory("graft-stale-corpus").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").limit(100)
+      .write.parquet(s"$corpus2/embeddings.parquet")
+    assert(AnnIndex.definitelyStale(spark, corpus2, path))
+    // a probe that cannot RUN (corpus dir vanished -> the fingerprint
+    // scan fails) propagates instead of voting stale
+    intercept[Exception] {
+      AnnIndex.definitelyStale(spark, "/nonexistent/corpus/dir", path)
+    }
   }
 
   test("IVF: loaded index needs no k-means fit (quantizer cache cold)") {
