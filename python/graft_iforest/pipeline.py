@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "run_query", "query_names", "exact_dedup", "minhash_near_dup",
-    "dedup_clusters", "split_assign", "mix_pipeline",
+    "dedup_clusters", "split_assign", "mix_pipeline", "weighted_take",
     "ann_topk_lsh", "ann_topk_ivf",
     "build_ann_index", "append_ann_index", "ann_index_current",
     "persisted_topk_lsh", "persisted_topk_ivf",
@@ -61,11 +61,32 @@ def split_assign(spark, data_dir):
     return run_query(spark, "q65_split_assign", data_dir)
 
 
-def mix_pipeline(spark, data_dir):
+def mix_pipeline(spark, data_dir, min_quality_e4=6100, rep_threshold=0.10,
+                 cap_k=5):
     """The end-to-end training-mix pipeline (q73): exact dedup, quality +
     repetition gates, per-(lang, source) cap, deterministic split, and BPE
-    token count — (doc_id, lang, source, split, n_tokens) for kept docs."""
-    return run_query(spark, "q73_mix_pipeline", data_dir)
+    token count — (doc_id, lang, source, split, n_tokens) for kept docs.
+
+    The gates are deployment-tunable: ``min_quality_e4`` is the quality
+    floor in quality_e4 units, ``rep_threshold`` the repetition gate's
+    char-coverage fraction, ``cap_k`` the per-(lang, source) document cap.
+    The defaults are the oracled constants, so the default call computes
+    exactly the hash-checked ``q73_mix_pipeline`` result."""
+    jdf = _bridge(spark).mixPipeline(
+        spark._jsparkSession, data_dir, int(min_quality_e4),
+        float(rep_threshold), int(cap_k))
+    return DataFrame(jdf, spark)
+
+
+def weighted_take(spark, data_dir, total_budget=15000):
+    """The temperature-weighted token take (q76): a total token budget is
+    split per language by the alpha=1/2 sampling weights, then each
+    language's documents are taken in deterministic md5-hash order while
+    its running token total fits its budget — (doc_id, lang, n_tokens,
+    cum_tokens, budget). The default budget is the oracled 15,000."""
+    jdf = _bridge(spark).weightedTake(
+        spark._jsparkSession, data_dir, int(total_budget))
+    return DataFrame(jdf, spark)
 
 
 def ann_topk_lsh(spark, data_dir, num_probes=5, k=5):

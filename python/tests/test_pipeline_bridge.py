@@ -157,6 +157,72 @@ def main():
         assert r["split"] == split_by_id[r["doc_id"]], \
             f"doc {r['doc_id']}: mix split {r['split']} != q65 {split_by_id[r['doc_id']]}"
 
+    # --- parameterized mix surface: the default call must equal the
+    # hash-checked named query EXACTLY, and non-default knobs must move
+    # the result the way the parameter semantics promise ---
+    mix_key = lambda r: (r["doc_id"], r["lang"], r["source"], r["split"],
+                         r["n_tokens"])
+    named = gp.run_query(spark, "q73_mix_pipeline", sf_dir).collect()
+    gp.release_caches(spark)
+    assert sorted(map(mix_key, mix)) == sorted(map(mix_key, named)), \
+        "bridge mix_pipeline at defaults diverged from q73_mix_pipeline"
+    default_ids = {r["doc_id"] for r in mix}
+    # gates disabled (floor 0, threshold no doc can exceed): strictly more
+    # docs survive, and the cap still binds
+    relaxed = gp.mix_pipeline(spark, sf_dir, min_quality_e4=0,
+                              rep_threshold=1e9, cap_k=5).collect()
+    gp.release_caches(spark)
+    relaxed_ids = {r["doc_id"] for r in relaxed}
+    # NOT superset of default_ids: disabling the gates changes WHICH docs
+    # win the per-domain cap (gated-out docs re-enter the rank), so only
+    # the counts are ordered, not the id sets
+    assert len(relaxed) >= len(mix), \
+        f"disabling the gates shrank the mix ({len(relaxed)} < {len(mix)})"
+    rel_domain = {}
+    for r in relaxed:
+        rel_domain[(r["lang"], r["source"])] = \
+            rel_domain.get((r["lang"], r["source"]), 0) + 1
+    assert max(rel_domain.values()) <= 5, "cap_k=5 violated with gates off"
+    # tighter cap at default gates: a subset chosen by the same
+    # deterministic rank — every kept id was kept at cap 5, and domains
+    # that had >= 2 docs keep exactly 2
+    capped2 = gp.mix_pipeline(spark, sf_dir, min_quality_e4=6100,
+                              rep_threshold=0.10, cap_k=2).collect()
+    gp.release_caches(spark)
+    assert {r["doc_id"] for r in capped2} <= default_ids, \
+        "cap_k=2 kept a doc the cap_k=5 run dropped"
+    c2_domain = {}
+    for r in capped2:
+        c2_domain[(r["lang"], r["source"])] = \
+            c2_domain.get((r["lang"], r["source"]), 0) + 1
+    assert max(c2_domain.values()) <= 2, "cap_k=2 violated"
+    for dom, n in per_domain.items():
+        if n >= 2:
+            assert c2_domain.get(dom) == 2, \
+                f"domain {dom} had {n} docs at cap 5 but {c2_domain.get(dom)} at cap 2"
+
+    # --- weighted take: defaults equal the named q76; a bigger budget
+    # extends each language's take without perturbing the prefix ---
+    take_key = lambda r: (r["doc_id"], r["lang"], r["n_tokens"],
+                          r["cum_tokens"])
+    take = gp.weighted_take(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    named_take = gp.run_query(spark, "q76_weighted_take", sf_dir).collect()
+    gp.release_caches(spark)
+    assert sorted(map(take_key, take)) == sorted(map(take_key, named_take)), \
+        "bridge weighted_take at defaults diverged from q76_weighted_take"
+    bigger = gp.weighted_take(spark, sf_dir, total_budget=30000).collect()
+    gp.release_caches(spark)
+    assert set(map(take_key, take)) <= set(map(take_key, bigger)), \
+        "doubling the budget dropped rows from the deterministic prefix"
+    # per-language budgets sum back to ~the total (half-up rounding leaves
+    # at most one unit per language)
+    budgets = {r["lang"]: r["budget"] for r in bigger}
+    assert abs(sum(budgets.values()) - 30000) <= len(budgets), \
+        f"per-language budgets {budgets} do not reconcile with 30000"
+    for r in bigger:
+        assert r["cum_tokens"] <= budgets[r["lang"]]
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names
@@ -171,8 +237,9 @@ def main():
     assert raised, "unknown query name did not raise"
 
     print("PY_PIPELINE_OK docs=%d dedup_groups=%d multi_clusters=%d ann_rows=%d "
-          "persisted_rows=%d mix_kept=%d"
-          % (n_docs, len(dedup), multi, len(ann), len(appended), len(mix)))
+          "persisted_rows=%d mix_kept=%d mix_nogate=%d mix_cap2=%d take_rows=%d"
+          % (n_docs, len(dedup), multi, len(ann), len(appended), len(mix),
+             len(relaxed), len(capped2), len(take)))
     spark.stop()
 
 

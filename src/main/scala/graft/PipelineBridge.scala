@@ -85,6 +85,26 @@ object PipelineBridge {
       similarity.AnnIndex.saveIvf(s, dir, path))(
       similarity.AnnIndex.ivfTopK(s, dir, path, numProbes = numProbes, k = k))
 
+  // --- Parameterized mix-shaping surface (the q73/q76 builders with the
+  // compile-time constants as arguments; defaults on the Scala side are
+  // the oracled values, so the named-query path is unchanged — Python
+  // callers pass all knobs explicitly because Py4J sees no defaults). ---
+
+  /** The q73 end-to-end training-mix pipeline with deployment-tunable
+    * gates: quality floor (quality_e4 units, oracled 6100), repetition
+    * threshold (char-coverage fraction, oracled 0.10), per-(lang, source)
+    * cap (oracled 5). */
+  def mixPipeline(s: SparkSession, dir: String, minQualityE4: Long,
+      repThreshold: Double, capK: Int): DataFrame =
+    queries.TextPipeline.mixPipeline(s, dir, minQualityE4, repThreshold, capK)
+
+  /** The q76 temperature-weighted token take with a caller-chosen total
+    * token budget (oracled 15,000): per-language budget_l = half-up
+    * weight_l x totalBudget, documents taken in deterministic md5-hash
+    * order while each language's running token total fits its budget. */
+  def weightedTake(s: SparkSession, dir: String, totalBudget: Long): DataFrame =
+    queries.TextPipeline.weightedTake(s, dir, totalBudget)
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this

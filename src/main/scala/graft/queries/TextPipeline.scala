@@ -409,37 +409,10 @@ object TextPipeline {
     // (the dedup groupBy and its keeper semi-join) before the bounded cap
     // aggregation; the final text join BROADCASTS the capped id set
     // (bounded by 5 x |domains|), so the corpus never shuffles for it.
-    "q73_mix_pipeline" -> ((s, dir) => {
-      graft.functions.BpeEncode.register(s)
-      val docs = t(s, dir, "documents")
-      val keepers = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      // both gates compute IN-ROW on the dedup survivors — one scan, no
-      // gate joins; the semi-join against the keeper set is the only
-      // exchange stage 1+2 pay
-      val kept = withRepetitionChars(
-          docs.select(col("doc_id"), col("lang"), col("source"),
-            col("n_chars"), col("text")),
-          withQuality = true)
-        .join(keepers, Seq("doc_id"), "left_semi")
-        .where(s"quality_e4 >= 6100 AND NOT $repetitivePred")
-      val capped = graft.plans.TopKPerKey.topK(
-        kept.selectExpr("lang", "source", "doc_id",
-          "-cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS double) AS neg_h"),
-        Seq("lang", "source"), "neg_h", "doc_id", 5, "neg_h", 4)
-        .select(col("lang"), col("source"), col("doc_id"))
-      docs.select(col("doc_id"), col("text"))
-        .join(broadcast(capped), Seq("doc_id"))
-        .selectExpr("doc_id", "lang", "source",
-          "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100 AS bucket",
-          "size(bpe_encode(coalesce(text, ''))) AS n_tokens")
-        .selectExpr("doc_id", "lang", "source",
-          "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'" +
-            " ELSE 'test' END AS split",
-          "n_tokens")
-        .orderBy(col("doc_id"))
-    }),
+    // Body lives in [[mixPipeline]] — this entry runs it at the ORACLED
+    // defaults; deployments tune the thresholds through that builder (and
+    // PipelineBridge.mixPipeline from Python).
+    "q73_mix_pipeline" -> ((s, dir) => mixPipeline(s, dir)),
 
     // TOKEN-BUDGET SAMPLING — q72's weights say how much of each language
     // to take; this MATERIALIZES such a take: per language, documents in
@@ -493,33 +466,10 @@ object TextPipeline {
     // are both #languages-row tables, joined to each other and broadcast
     // back in a single bounded join — the corpus never shuffles for
     // either, and no per-language corpus-slice window task exists.
-    "q76_weighted_take" -> ((s, dir) => {
-      val totalBudget = 15000L
-      val docs = Caches.persist(t(s, dir, "documents").selectExpr(
-        "doc_id", "lang", s"size($toks) AS n_tokens",
-        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)" +
-          " AS h"))
-      val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        .selectExpr("lang",
-          "cast(floor(sqrt(cast(n_docs AS double)) * 1e6) AS bigint) AS s6")
-      val total = perLang.agg(sum(col("s6")).as("s6_total"))
-      val budgets = perLang.join(broadcast(total))
-        .selectExpr("lang",
-          s"(2 * s6 * $totalBudget + s6_total) div (2 * s6_total) AS budget")
-      val g = graft.plans.RangedPrefixSum.prefixSumBy(
-        s, docs, "n_tokens", "gcum", "lang", "h", "doc_id")
-      val offsets = docs.groupBy(col("lang"))
-        .agg(sum(col("n_tokens")).as("t"))
-        .withColumn("off",
-          coalesce(sum(col("t")).over(Window.orderBy(col("lang"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("lang"), col("off"))
-      g.join(broadcast(offsets.join(budgets, Seq("lang"))), Seq("lang"))
-        .selectExpr("doc_id", "lang", "n_tokens", "gcum - off AS cum_tokens",
-          "budget")
-        .where("cum_tokens <= budget")
-        .orderBy(col("lang"), col("cum_tokens"))
-    }),
+    // Body lives in [[weightedTake]] — this entry runs it at the ORACLED
+    // total budget; deployments choose theirs through that builder (and
+    // PipelineBridge.weightedTake from Python).
+    "q76_weighted_take" -> ((s, dir) => weightedTake(s, dir)),
 
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
@@ -851,9 +801,95 @@ object TextPipeline {
     * text) the division is NULL in Spark but NaN in DuckDB — the gate
     * would then DROP the doc here (NOT NULL = NULL) and KEEP it in the
     * oracle. `chars > 0.10 * n_chars` is 0 > 0 = false in both. */
-  private[queries] val repetitivePred =
-    "(coalesce(top2_chars, 0) > 0.10 * n_chars" +
-      " OR coalesce(dup3_chars, 0) > 0.10 * n_chars)"
+  private[queries] def repetitivePredAt(threshold: Double): String =
+    s"(coalesce(top2_chars, 0) > $threshold * n_chars" +
+      s" OR coalesce(dup3_chars, 0) > $threshold * n_chars)"
+
+  /** [[repetitivePredAt]] at the oracled 0.10 threshold (from the corpus
+    * distribution: median top2 0.068, max 0.33) — the text q70/q73/q74
+    * and their DuckDB twins compare against. */
+  private[queries] val repetitivePred = repetitivePredAt(0.10)
+
+  /** The q73 end-to-end training-mix pipeline with the gate thresholds as
+    * PARAMETERS — the deployment surface (exposed to Python via
+    * [[graft.PipelineBridge.mixPipeline]], same pattern as the ANN knobs).
+    * Defaults are exactly the oracled constants, so the `q73_mix_pipeline`
+    * entry delegates here and the hash-checked query surface is unchanged.
+    *
+    * @param minQualityE4 keep docs with quality_e4 >= this (oracled 6100)
+    * @param repThreshold drop docs whose top-2-gram or dup-3-gram char
+    *                     coverage exceeds this fraction (oracled 0.10)
+    * @param capK         max docs kept per (lang, source) domain (oracled 5)
+    */
+  def mixPipeline(s: SparkSession, dir: String,
+      minQualityE4: Long = 6100L, repThreshold: Double = 0.10,
+      capK: Int = 5): DataFrame = {
+    require(capK >= 1, s"mixPipeline: capK must be >= 1, got $capK")
+    graft.functions.BpeEncode.register(s)
+    val docs = t(s, dir, "documents")
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // both gates compute IN-ROW on the dedup survivors — one scan, no
+    // gate joins; the semi-join against the keeper set is the only
+    // exchange stage 1+2 pay
+    val kept = withRepetitionChars(
+        docs.select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text")),
+        withQuality = true)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .where(s"quality_e4 >= $minQualityE4 AND NOT ${repetitivePredAt(repThreshold)}")
+    val capped = graft.plans.TopKPerKey.topK(
+      kept.selectExpr("lang", "source", "doc_id",
+        "-cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS double) AS neg_h"),
+      Seq("lang", "source"), "neg_h", "doc_id", capK, "neg_h", 4)
+      .select(col("lang"), col("source"), col("doc_id"))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(capped), Seq("doc_id"))
+      .selectExpr("doc_id", "lang", "source",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 100 AS bucket",
+        "size(bpe_encode(coalesce(text, ''))) AS n_tokens")
+      .selectExpr("doc_id", "lang", "source",
+        "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'" +
+          " ELSE 'test' END AS split",
+        "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q76 temperature-weighted token take with the TOTAL budget as a
+    * parameter (per-language budget_l = half-up weight_l x totalBudget) —
+    * the other half of the deployment surface [[mixPipeline]] opens.
+    * Default is the oracled 15,000, so the `q76_weighted_take` entry
+    * delegates here unchanged. */
+  def weightedTake(s: SparkSession, dir: String,
+      totalBudget: Long = 15000L): DataFrame = {
+    require(totalBudget >= 1L,
+      s"weightedTake: totalBudget must be >= 1, got $totalBudget")
+    val docs = Caches.persist(t(s, dir, "documents").selectExpr(
+      "doc_id", "lang", s"size($toks) AS n_tokens",
+      "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)" +
+        " AS h"))
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .selectExpr("lang",
+        "cast(floor(sqrt(cast(n_docs AS double)) * 1e6) AS bigint) AS s6")
+    val total = perLang.agg(sum(col("s6")).as("s6_total"))
+    val budgets = perLang.join(broadcast(total))
+      .selectExpr("lang",
+        s"(2 * s6 * $totalBudget + s6_total) div (2 * s6_total) AS budget")
+    val g = graft.plans.RangedPrefixSum.prefixSumBy(
+      s, docs, "n_tokens", "gcum", "lang", "h", "doc_id")
+    val offsets = docs.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .withColumn("off",
+        coalesce(sum(col("t")).over(Window.orderBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("off"))
+    g.join(broadcast(offsets.join(budgets, Seq("lang"))), Seq("lang"))
+      .selectExpr("doc_id", "lang", "n_tokens", "gcum - off AS cum_tokens",
+        "budget")
+      .where("cum_tokens <= budget")
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
 
   /** The q23 quality frame (doc_id, n_tokens, uniq_ratio, stop_ratio,
     * quality_e4) — shared by q23 (the scores) and q68 (arg-max canonical

@@ -246,6 +246,68 @@ class MixShapingSpec extends AnyFunSuite {
       s"flat lo $flatLo vs weighted lo ${byLang("lo").map(_._3).sum}")
   }
 
+  test("mixPipeline knobs: gates off re-admit exactly the gated docs, capK binds") {
+    // the q73 corpus again — every drop there was attributed to one gate,
+    // so each knob's effect is predictable doc-by-doc
+    val dup = (0 until 20).map(j => f"dupw$j%02d").mkString(" ")
+    val rep = "t00000 t00001 t00000 t00001 " +
+      (0 until 28).map(j => f"rep$j%03d").mkString(" ")
+    val lowq = (0 until 10).map(j => f"hub000 fil$j%03d").mkString(" ")
+    val dir = writeDocs(Seq(
+      (0L, dup, "en", "dup"), (1L, dup, "en", "dup"),
+      (2L, rep, "en", "bad"), (3L, lowq, "en", "bad")) ++
+      (4L to 15L).map(i =>
+        (i, (0 until 20).map(j => f"d$i%02dw$j%02d").mkString(" "), "en", "big")))
+    // gates disabled + cap above every domain: ONLY dedup drops anything —
+    // doc 1 (the dupe copy) is the sole casualty
+    val open = graft.queries.Caches.scoped {
+      graft.queries.TextPipeline.mixPipeline(spark, dir,
+        minQualityE4 = 0L, repThreshold = 1e9, capK = 100).collect()
+    }.map(_.getLong(0)).toSet
+    assert(open == (Set(0L, 2L, 3L) ++ (4L to 15L)), s"gates-off kept: $open")
+    // tighter cap at the oracled gates: the big domain keeps exactly its
+    // 2 hash-smallest (same deterministic rank the cap-5 run orders by)
+    val capped = graft.queries.Caches.scoped {
+      graft.queries.TextPipeline.mixPipeline(spark, dir, capK = 2).collect()
+    }.map(_.getLong(0)).toSet
+    import spark.implicits._
+    val expectBig = (4L to 15L).toDF("doc_id").selectExpr("doc_id",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) AS h")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).take(2).map(_._2).toSet
+    assert(capped == expectBig + 0L, s"capK=2 kept $capped != ${expectBig + 0L}")
+    // the default call IS the oracled q73 result
+    val viaBuilder = graft.queries.Caches.scoped {
+      graft.queries.TextPipeline.mixPipeline(spark, dir).collect()
+    }.map(_.toSeq).toSet
+    val viaEntry = run("q73_mix_pipeline", dir).map(_.toSeq).toSet
+    assert(viaBuilder == viaEntry, "builder defaults diverged from the q73 entry")
+  }
+
+  test("weightedTake scales each language's budget with the total") {
+    // the q76 corpus at double the budget: same 0.75/0.25 weights, so
+    // budgets become 22500/7500 -> 225 and 75 kept docs of 100 tokens
+    val mk = (lang: String, ids: Range) =>
+      ids.map(i => (i.toLong, Seq.fill(100)(s"w$i").mkString(" "), lang, "s"))
+    val dir = writeDocs(mk("hi", 0 until 900) ++ mk("lo", 900 until 1000))
+    val rows = graft.queries.Caches.scoped {
+      graft.queries.TextPipeline.weightedTake(spark, dir,
+        totalBudget = 30000L).collect()
+    }.map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    val byLang = rows.groupBy(_._2)
+    assert(byLang("hi").forall(_._4 == 22500L) && byLang("lo").forall(_._4 == 7500L),
+      s"budgets: ${rows.map(_._4).distinct.toSeq}")
+    assert(byLang("hi").length == 225 && byLang("lo").length == 75,
+      s"kept: hi ${byLang("hi").length}, lo ${byLang("lo").length}")
+    // the default-budget take is a strict prefix of the doubled one per
+    // language (deterministic hash order, monotone budgets)
+    val small = graft.queries.Caches.scoped {
+      graft.queries.TextPipeline.weightedTake(spark, dir).collect()
+    }.map(r => (r.getLong(0), r.getLong(3))).toSet
+    val bigSet = rows.map(r => (r._1, r._3)).toSet
+    assert(small.subsetOf(bigSet), "default take is not a prefix of the 2x take")
+  }
+
   // --- q72 temperature weights ---
 
   test("q72 alpha=1/2 weights: 9:1 corpus gives 0.75/0.25 and boosts 0.8333/2.5") {
