@@ -156,6 +156,21 @@ object AnnIndex {
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** The digest an index persisted BEFORE the checksum field existed
+    * (name:len:mtime only). Validation accepts it so a fleet upgrade does
+    * not flip every existing current index stale at once — the
+    * simultaneous full re-index storm that a digest-format change would
+    * otherwise cause on deploy. Appends still REQUIRE the checksummed
+    * listing ([[appendableNewRows]] refuses pre-chk listings), so the
+    * stronger per-file proof is mandatory exactly where a weaker one
+    * could corrupt the index rather than merely serve it. */
+  private[similarity] def legacyListingDigest(
+      entries: Seq[(String, Long, Long, String)]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.map { case (n, l, m, _) => s"$n:$l:$m" }.mkString("\n")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   /** The listing is ALSO persisted row-by-row (not only as a digest) under
     * `<path>/listing`, because [[appendLsh]]/[[appendIvf]] need to verify
     * per-file that nothing the index was built over changed — a digest can
@@ -178,8 +193,14 @@ object AnnIndex {
     // FILE-LISTING check first: zero data read, and it catches every
     // rewrite the 1% content sample is blind to (see corpusListing).
     val savedListing = (meta \ "corpusListing").extractOpt[String]
-    val liveListing = listingDigest(corpusListing(s, dir))
-    if (!savedListing.contains(liveListing))
+    val liveEntries = corpusListing(s, dir)
+    val liveListing = listingDigest(liveEntries)
+    // pre-checksum indexes persisted the 3-field digest; accept it for
+    // VALIDATION (the fingerprint check below still runs) so an upgrade
+    // doesn't storm the fleet with simultaneous rebuilds — appends alone
+    // insist on the checksummed listing (see legacyListingDigest).
+    if (!savedListing.contains(liveListing) &&
+        !savedListing.contains(legacyListingDigest(liveEntries)))
       throw new IllegalStateException(
         s"ANN index at $path is stale for corpus $dir: built over file listing " +
           s"$savedListing, corpus listing is now $liveListing — rebuild with saveLsh/saveIvf")

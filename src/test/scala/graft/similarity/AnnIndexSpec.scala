@@ -179,6 +179,55 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(assignSet(path) == assignSet(rebuilt))
   }
 
+  test("upgrade path: a pre-checksum index validates as current but refuses appends") {
+    // Simulate an index persisted BEFORE the listing gained its checksum
+    // field: metadata carries the legacy 3-field digest, the listing
+    // parquet has no chk column. Validation must ACCEPT it (a fleet
+    // upgrade must not flip every current index stale at once — the
+    // simultaneous re-index storm), while the append tier still refuses
+    // (its per-file adds-only proof needs the checksummed listing) and a
+    // REAL corpus change still reads stale through the legacy digest.
+    import org.apache.spark.sql.functions.col
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_legacy_corpus"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    all.filter(col("vec_id") < 400)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/lsh_legacy"
+    AnnIndex.saveLsh(spark, corpus, path, numTables = 6, probesPerTable = 64)
+    // downgrade the persisted shape to the pre-upgrade format
+    val legacy = AnnIndex.legacyListingDigest(AnnIndex.corpusListing(spark, corpus))
+    val js = JsonMethods.parse(
+      spark.read.text(s"$path/metadata").collect().map(_.getString(0)).mkString("\n"))
+    val downgraded = js.transformField {
+      case JField("corpusListing", _) => JField("corpusListing", JString(legacy))
+    }
+    import spark.implicits._
+    spark.createDataset(Seq(JsonMethods.compact(JsonMethods.render(downgraded))))
+      .repartition(1).write.mode("overwrite").text(s"$path/metadata")
+    val listing3 = spark.read.parquet(s"$path/listing")
+      .select("name", "len", "mtime").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.createDataset(listing3).toDF("name", "len", "mtime")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/listing")
+    // the pre-upgrade index VALIDATES and serves
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    assert(AnnIndex.lshTopK(spark, corpus, path, numProbes = 5, k = 5)
+      .collect().nonEmpty)
+    // pure growth: stale as usual — but the append tier refuses LOUDLY on
+    // the unverifiable listing instead of guessing adds-only
+    all.filter(col("vec_id") >= 400)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    assert(!AnnIndex.isCurrent(spark, corpus, path))
+    val e = intercept[IllegalStateException] { AnnIndex.appendLsh(spark, corpus, path) }
+    assert(e.getMessage.contains("pre-checksum"), e.getMessage)
+    // the rebuild fallback heals and re-persists the checksummed shape
+    AnnIndex.saveLsh(spark, corpus, path, numTables = 6, probesPerTable = 64)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    assert(spark.read.parquet(s"$path/listing").columns.contains("chk"))
+  }
+
   test("LSH append refuses when the change was not a pure add") {
     import org.apache.spark.sql.functions.col
     val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_notadd_corpus"
