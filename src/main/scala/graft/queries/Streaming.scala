@@ -184,19 +184,28 @@ object Streaming {
     // arrival order, and the batch gate SQL is the oracle verbatim. At
     // cluster scale the memory sink becomes a parquet/Kafka sink; nothing
     // else changes.
-    "q74_stream_mix_gate" -> ((s, dir) => {
-      val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe
-      val stream = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/documents*.parquet")
-      val kept = TextPipeline.withRepetitionChars(
-          stream.selectExpr("doc_id", "lang", "source", "n_chars", "text"),
-          withQuality = true)
-        .where(s"quality_e4 >= 6100 AND NOT ${TextPipeline.repetitivePred}")
-        .selectExpr("doc_id", "lang", "source", "quality_e4")
-      runToCompletion(s, kept, "stream_mix_gate", mode = "append")
-        .orderBy(col("doc_id"))
-    }),
+    "q74_stream_mix_gate" -> ((s, dir) =>
+      runToCompletion(s, mixGateStream(s, dir), "stream_mix_gate", mode = "append")
+        .orderBy(col("doc_id"))),
   )
+
+  /** The q74 gate as a STREAMING DataFrame over `dir`'s documents — the
+    * deployment surface an ingest job attaches its own sink to. The q74
+    * entry drains it to a memory sink for the oracle compare;
+    * [[graft.streaming.FileSinkSpec]] pins the production shape (append-
+    * mode parquet sink + checkpoint = exactly-once across restarts, new
+    * source files picked up incrementally). Stateless, so the kept set is
+    * independent of batch boundaries and arrival order. */
+  def mixGateStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe
+    val stream = s.readStream.schema(raw.schema)
+      .parquet(s"$dir/documents*.parquet")
+    TextPipeline.withRepetitionChars(
+        stream.selectExpr("doc_id", "lang", "source", "n_chars", "text"),
+        withQuality = true)
+      .where(s"quality_e4 >= 6100 AND NOT ${TextPipeline.repetitivePred}")
+      .selectExpr("doc_id", "lang", "source", "quality_e4")
+  }
 
   val oracles: Map[String, String] = Map(
     "q40_stream_window" ->
