@@ -394,7 +394,12 @@ object AnnIndex {
    * Appending changes no existing assignment row and the geometry is
    * byte-identical, so an appended index is BIT-FOR-BIT the index a full
    * rebuild on the grown corpus would produce (the hyperplanes depend
-   * only on (seed, dim) — AnnIndexSpec proves the equivalence).
+   * only on (seed, dim) — AnnIndexSpec proves the equivalence). Unlike
+   * [[appendIvf]] there is deliberately NO drift bound here: the
+   * TUNE_r13.txt lshdrift grid measured appends of 25/50/100% of trained
+   * rows on both corpora and found deltaAssign=0 (appended ≡ rebuilt,
+   * structurally) with flat recall and bucket-occupancy skew — a bound
+   * would refuse appends that are provably equivalent to rebuilds.
    *
    * Throws IllegalStateException when the index is unreadable (missing/
    * interrupted metadata) or the corpus change is not a pure add —

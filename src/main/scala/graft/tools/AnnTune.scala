@@ -9,13 +9,13 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * scan fraction (and, for voted/budgeted LSH, the pre-vote pool) for a
  * grid of LSH/IVF knobs against driver-side exhaustive top-k. Not part of
  * the query surface — run with
- * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|ivf|ivfwide|both]"`
+ * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|both]"`
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
   private val modes =
     Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide",
-      "ivfdrift", "both")
+      "ivfdrift", "lshdrift", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -242,6 +242,72 @@ object AnnTune {
             p.delete()
           }
           rm(new java.io.File(trainDir))
+        }
+      }
+    }
+    if (which == "lshdrift") {
+      // LSH APPEND-DRIFT measurement (r13): LSH geometry (hyperplanes) is
+      // a pure function of (seed, dim) — appendLsh SHOULD be structurally
+      // drift-free, unlike IVF whose frozen centroids decay (ivfdrift).
+      // This mode turns that argument into numbers instead of trust: for
+      // appended fraction f, build a persisted index over the first
+      // N/(1+f) vec_ids, grow the corpus by new part files, appendLsh the
+      // rest, and compare against a FRESH rebuild over the full corpus —
+      //  - deltaAssign: symmetric difference of (vec_id, tb) assignment
+      //    sets (0 = the appended index is bit-identical structure);
+      //  - recall@5 of the appended index on the full corpus;
+      //  - bucket-occupancy distribution of the appended index (mean,
+      //    max bucket share, top-1%-of-buckets share): occupancy skew
+      //    amplification under append-heavy growth is the cost knee that
+      //    would warrant an appendLsh bound the way ivfdrift's recall
+      //    knee bounded appendIvf.
+      for (f <- Seq(0.0, 0.25, 0.5, 1.0)) {
+        val cutoff = math.round(total / (1.0 + f))
+        val work = java.nio.file.Files
+          .createTempDirectory(s"graft-lshdrift-$f-").toString
+        try {
+          val corpus = s"$work/corpus"
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .where(s"vec_id < $cutoff")
+            .write.parquet(s"$corpus/embeddings.parquet")
+          val appended = s"$work/appended"
+          graft.similarity.AnnIndex.saveLsh(spark, corpus, appended)
+          if (f > 0) {
+            spark.read.parquet(s"$dir/embeddings.parquet")
+              .where(s"vec_id >= $cutoff")
+              .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+            graft.similarity.AnnIndex.appendLsh(spark, corpus, appended)
+          }
+          val rebuilt = s"$work/rebuilt"
+          graft.similarity.AnnIndex.saveLsh(spark, corpus, rebuilt)
+          def assigns(p: String): Set[(Long, Int)] =
+            spark.read.parquet(s"$p/assignments")
+              .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+          val a = assigns(appended)
+          val b = assigns(rebuilt)
+          val delta = (a diff b).size + (b diff a).size
+          val occ = a.groupBy(_._2).map(_._2.size.toLong).toSeq.sorted
+          val rows = occ.sum
+          val maxShare = occ.last.toDouble / rows
+          val top1Share = occ.takeRight(math.max(1, occ.size / 100))
+            .sum.toDouble / rows
+          val ann = graft.similarity.AnnIndex
+            .lshTopK(spark, corpus, appended, nProbes, k)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+          val recall = (0 until nProbes).map(q =>
+            ann.getOrElse(q.toLong, Set.empty[Long])
+              .intersect(brute(q.toLong)).size.toDouble / k).sum / nProbes
+          println(f"lshdrift appended=${(f * 100).toInt}%d%% trained=$cutoff of $total " +
+            f"deltaAssign=$delta recall@$k=$recall%.3f " +
+            f"occ[buckets=${occ.size} mean=${rows.toDouble / occ.size}%.1f " +
+            f"maxShare=$maxShare%.4f top1pctShare=$top1Share%.4f]")
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm))
+            p.delete()
+          }
+          rm(new java.io.File(work))
         }
       }
     }
