@@ -404,6 +404,13 @@ class AnnIndexSpec extends AnyFunSuite {
 
   test("definitelyStale: verdicts on absence/staleness, propagation on probe failure") {
     val path = s"$root/stale_probe"
+    // $root is a FIXED tmpdir, so a prior run of this suite in the same
+    // boot leaves the index behind — clear it so the absence verdict
+    // below is actually about absence, not about last run's artifact
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(path))
     // absent index: definitively stale (commit record missing)
     assert(AnnIndex.definitelyStale(spark, sf, path))
     AnnIndex.saveLsh(spark, sf, path)
