@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "run_query", "query_names", "exact_dedup", "minhash_near_dup",
     "dedup_clusters", "split_assign", "mix_pipeline", "weighted_take",
+    "mix_take",
     "ann_topk_lsh", "ann_topk_ivf",
     "build_ann_index", "append_ann_index", "ann_index_current",
     "persisted_topk_lsh", "persisted_topk_ivf",
@@ -86,6 +87,21 @@ def weighted_take(spark, data_dir, total_budget=15000):
     cum_tokens, budget). The default budget is the oracled 15,000."""
     jdf = _bridge(spark).weightedTake(
         spark._jsparkSession, data_dir, int(total_budget))
+    return DataFrame(jdf, spark)
+
+
+def mix_take(spark, data_dir, min_quality_e4=6100, rep_threshold=0.10,
+             cap_k=5, total_budget=15000):
+    """The full mixture materialization (q78): :func:`mix_pipeline`'s
+    cleaned, gated, capped survivors fed into the temperature-weighted
+    budgeted take — (doc_id, lang, source, split, n_tokens, cum_tokens,
+    budget) for the sampled mix. The alpha=1/2 weights are computed over
+    the SURVIVORS' language counts and the budget is denominated in BPE
+    tokens. Defaults are the oracled constants, so the default call
+    computes exactly the hash-checked ``q78_mix_take`` result."""
+    jdf = _bridge(spark).mixTake(
+        spark._jsparkSession, data_dir, int(min_quality_e4),
+        float(rep_threshold), int(cap_k), int(total_budget))
     return DataFrame(jdf, spark)
 
 

@@ -223,6 +223,36 @@ def main():
     for r in bigger:
         assert r["cum_tokens"] <= budgets[r["lang"]]
 
+    # --- full mixture materialization (q78): defaults equal the named
+    # query; every sampled row is a mix_pipeline survivor row; budgets
+    # reconcile with the total and bound each language's running sum ---
+    full_key = lambda r: (r["doc_id"], r["lang"], r["source"], r["split"],
+                          r["n_tokens"], r["cum_tokens"], r["budget"])
+    sampled = gp.mix_take(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    named_sampled = gp.run_query(spark, "q78_mix_take", sf_dir).collect()
+    gp.release_caches(spark)
+    assert sorted(map(full_key, sampled)) == sorted(map(full_key, named_sampled)), \
+        "bridge mix_take at defaults diverged from q78_mix_take"
+    surv_rows = set(map(mix_key, mix))
+    for r in sampled:
+        assert mix_key(r) in surv_rows, \
+            f"mix_take emitted doc {r['doc_id']} outside the mix survivors"
+    take_budgets = {r["lang"]: r["budget"] for r in sampled}
+    assert abs(sum(take_budgets.values()) - 15000) <= len(take_budgets), \
+        f"mix_take budgets {take_budgets} do not reconcile with 15000"
+    for r in sampled:
+        assert r["cum_tokens"] <= take_budgets[r["lang"]]
+    # a smaller total budget keeps a sub-prefix of the default take: the
+    # hash order and the running sums are budget-independent, so every
+    # (doc_id, cum_tokens) it emits must appear in the default take
+    small_take = gp.mix_take(spark, sf_dir, total_budget=5000).collect()
+    gp.release_caches(spark)
+    default_pairs = {(r["doc_id"], r["cum_tokens"]) for r in sampled}
+    assert small_take and all(
+        (r["doc_id"], r["cum_tokens"]) in default_pairs for r in small_take), \
+        "a third of the budget is not a sub-prefix of the default take"
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names

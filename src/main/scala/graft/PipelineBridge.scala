@@ -105,6 +105,15 @@ object PipelineBridge {
   def weightedTake(s: SparkSession, dir: String, totalBudget: Long): DataFrame =
     queries.TextPipeline.weightedTake(s, dir, totalBudget)
 
+  /** The q78 full mixture materialization: [[mixPipeline]]'s survivors fed
+    * into the weighted budgeted take, all four knobs tunable (defaults =
+    * the oracled constants; weights computed over SURVIVOR language
+    * counts, budget denominated in BPE tokens). */
+  def mixTake(s: SparkSession, dir: String, minQualityE4: Long,
+      repThreshold: Double, capK: Int, totalBudget: Long): DataFrame =
+    queries.TextPipeline.mixTake(s, dir, minQualityE4, repThreshold, capK,
+      totalBudget)
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this

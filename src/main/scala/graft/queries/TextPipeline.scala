@@ -471,6 +471,19 @@ object TextPipeline {
     // PipelineBridge.weightedTake from Python).
     "q76_weighted_take" -> ((s, dir) => weightedTake(s, dir)),
 
+    // FULL MIXTURE MATERIALIZATION — the q73 pipeline's survivors fed
+    // into the q76 weighted take, composed as ONE plan (weights over the
+    // SURVIVOR language counts, budget in TRUE BPE tokens): dedup -> in-
+    // row gates -> bounded domain cap -> split -> alpha-weighted
+    // per-language token budgets -> deterministic hash-order take. The
+    // oracle chains q73's CTEs verbatim into q76's take CTEs, so the
+    // composition seams (gates shifting language counts shifting budgets)
+    // are hash-checked, not assumed from the fragments' stage-wise green.
+    // Body lives in [[mixTake]] — this entry runs the ORACLED defaults;
+    // deployments tune all four knobs there (and
+    // PipelineBridge.mixTake from Python).
+    "q78_mix_take" -> ((s, dir) => mixTake(s, dir)),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -823,7 +836,14 @@ object TextPipeline {
     */
   def mixPipeline(s: SparkSession, dir: String,
       minQualityE4: Long = 6100L, repThreshold: Double = 0.10,
-      capK: Int = 5): DataFrame = {
+      capK: Int = 5): DataFrame =
+    mixKept(s, dir, minQualityE4, repThreshold, capK).orderBy(col("doc_id"))
+
+  /** [[mixPipeline]] without the presentation sort — the composition
+    * surface ([[mixTake]] range-repartitions it immediately; an orderBy
+    * here would buy nothing and cost an exchange). */
+  private def mixKept(s: SparkSession, dir: String,
+      minQualityE4: Long, repThreshold: Double, capK: Int): DataFrame = {
     require(capK >= 1, s"mixPipeline: capK must be >= 1, got $capK")
     graft.functions.BpeEncode.register(s)
     val docs = t(s, dir, "documents")
@@ -853,7 +873,6 @@ object TextPipeline {
         "CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'" +
           " ELSE 'test' END AS split",
         "n_tokens")
-      .orderBy(col("doc_id"))
   }
 
   /** The q76 temperature-weighted token take with the TOTAL budget as a
@@ -887,6 +906,56 @@ object TextPipeline {
     g.join(broadcast(offsets.join(budgets, Seq("lang"))), Seq("lang"))
       .selectExpr("doc_id", "lang", "n_tokens", "gcum - off AS cum_tokens",
         "budget")
+      .where("cum_tokens <= budget")
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
+  /** The q78 FULL MIXTURE MATERIALIZATION — [[mixKept]]'s cleaned, gated,
+    * capped survivor set (q73) fed into the temperature-weighted budgeted
+    * take (q76), as one plan: the end state a training-data run ships.
+    * Two composition points differ deliberately from running the
+    * fragments side by side:
+    *   - the alpha=1/2 weights are computed over the SURVIVORS' language
+    *     counts, not the raw corpus — the mixture being sampled is the
+    *     cleaned one, and a language whose docs were mostly gated away
+    *     should not keep its pre-gate budget share;
+    *   - the budget is denominated in TRUE BPE tokens (the n_tokens the
+    *     pipeline already computed for survivors), not whitespace tokens
+    *     — budgets mean model-input tokens.
+    * Scale shape: [[mixKept]]'s two corpus shuffles, then everything is
+    * bounded — the survivor set re-uses its BPE counts (no re-encode),
+    * ONE global RangedPrefixSum over the (lang, h, doc_id) order, and the
+    * #languages-row offsets+budgets table reaches it through a single
+    * broadcast join (plan-pinned: no corpus sort-merge join, no
+    * per-language corpus-slice window task). */
+  def mixTake(s: SparkSession, dir: String,
+      minQualityE4: Long = 6100L, repThreshold: Double = 0.10,
+      capK: Int = 5, totalBudget: Long = 15000L): DataFrame = {
+    require(totalBudget >= 1L,
+      s"mixTake: totalBudget must be >= 1, got $totalBudget")
+    val kept = Caches.persist(
+      mixKept(s, dir, minQualityE4, repThreshold, capK).selectExpr(
+        "doc_id", "lang", "source", "split", "n_tokens",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint)" +
+          " AS h"))
+    val perLang = kept.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .selectExpr("lang",
+        "cast(floor(sqrt(cast(n_docs AS double)) * 1e6) AS bigint) AS s6")
+    val total = perLang.agg(sum(col("s6")).as("s6_total"))
+    val budgets = perLang.join(broadcast(total))
+      .selectExpr("lang",
+        s"(2 * s6 * $totalBudget + s6_total) div (2 * s6_total) AS budget")
+    val g = graft.plans.RangedPrefixSum.prefixSumBy(
+      s, kept, "n_tokens", "gcum", "lang", "h", "doc_id")
+    val offsets = kept.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .withColumn("off",
+        coalesce(sum(col("t")).over(Window.orderBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("off"))
+    g.join(broadcast(offsets.join(budgets, Seq("lang"))), Seq("lang"))
+      .selectExpr("doc_id", "lang", "source", "split", "n_tokens",
+        "gcum - off AS cum_tokens", "budget")
       .where("cum_tokens <= budget")
       .orderBy(col("lang"), col("cum_tokens"))
   }
@@ -1335,6 +1404,49 @@ object TextPipeline {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
          |  FROM h)
          |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens, b.budget
+         |FROM c JOIN b USING (lang)
+         |WHERE cum_tokens <= budget
+         |ORDER BY lang, cum_tokens""".stripMargin,
+
+    // q73's survivor CTEs (verbatim) feeding q76's budget/take CTEs —
+    // with the weights over SURVIVOR language counts and the running sum
+    // over the survivors' BPE token counts
+    "q78_mix_take" ->
+      s"""WITH RECURSIVE $duckBpeCtes,
+         |$duckQualityCtes,
+         |$duckRepCtes,
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (SELECT d.doc_id, d.lang, d.source
+         |  FROM documents d
+         |  JOIN keepers USING (doc_id)
+         |  JOIN qual USING (doc_id)
+         |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+         |  WHERE qual.quality_e4 >= 6100 AND NOT $duckRepPred),
+         |kh AS (SELECT lang, source, doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM kept),
+         |kr AS (SELECT lang, source, doc_id, hv,
+         |    row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id) AS rn
+         |  FROM kh),
+         |surv AS (SELECT doc_id, lang, source,
+         |    CASE WHEN hv % 100 < 90 THEN 'train'
+         |         WHEN hv % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+         |    coalesce(cnt.n, 0) AS n_tokens, hv
+         |  FROM kr LEFT JOIN cnt USING (doc_id)
+         |  WHERE rn <= 5),
+         |pl AS (SELECT lang, count(*)::BIGINT AS n_docs,
+         |    CAST(floor(sqrt(count(*)::DOUBLE) * 1e6) AS BIGINT) AS s6
+         |  FROM surv GROUP BY lang),
+         |tot AS (SELECT sum(s6)::BIGINT AS s6_total FROM pl),
+         |b AS (SELECT lang,
+         |    CAST((2 * s6 * 15000 + s6_total) // (2 * s6_total) AS BIGINT) AS budget
+         |  FROM pl, tot),
+         |c AS (SELECT doc_id, lang, source, split, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY hv, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+         |  FROM surv)
+         |SELECT c.doc_id, c.lang, c.source, c.split, c.n_tokens, c.cum_tokens,
+         |  b.budget
          |FROM c JOIN b USING (lang)
          |WHERE cum_tokens <= budget
          |ORDER BY lang, cum_tokens""".stripMargin,

@@ -308,6 +308,71 @@ class MixShapingSpec extends AnyFunSuite {
     assert(small.subsetOf(bigSet), "default take is not a prefix of the 2x take")
   }
 
+  test("q78 mix take: weights see the CLEANED mix, take is the maximal hash prefix") {
+    // lang "hi": 12 clean docs; lang "lo": 3 clean + 9 low-quality docs
+    // (the q73 quality-gate casualty shape: "hub000 filler" alternation
+    // scores 5800 < 6100). RAW language counts are 12 vs 12 — equal s6,
+    // budgets 7500/7500 — but SURVIVOR counts are 12 vs 3:
+    //   s6(hi) = floor(sqrt(12)*1e6) = 3464101, s6(lo) = 1732050,
+    //   total 5196151 -> budget(hi) = 10000, budget(lo) = 5000 (half-up).
+    // The emitted budgets are direct evidence the alpha weights are
+    // computed AFTER the gates, over the mixture actually being sampled.
+    // fixed-width words: with every token the same length L the largest
+    // 2-gram coverage is (2L+1)/(20L+19) < 0.10 structurally — mixed
+    // widths can tip the repetition gate (e.g. 13/129 = 0.1008)
+    val clean = (lang: String, i: Long) =>
+      (i, (0 until 20).map(j => f"$lang%s$i%02dw$j%02d").mkString(" "), lang, s"s$i")
+    val lowq = (i: Long) =>
+      (i, (0 until 10).map(j => f"hub0000 q$i%02df$j%03d").mkString(" "), "lo", s"s$i")
+    val dir = writeDocs((0L until 12L).map(clean("hi", _)) ++
+      (12L until 15L).map(clean("lo", _)) ++ (15L until 24L).map(lowq))
+    val surv = run("q73_mix_pipeline", dir)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getInt(4)))
+    assert(surv.map(_._2).groupBy(identity).view.mapValues(_.length).toMap ==
+      Map("hi" -> 12, "lo" -> 3), s"survivors: ${surv.toSeq}")
+    val take = run("q78_mix_take", dir)
+    assert(take.map(r => (r.getString(1), r.getLong(6))).toMap ==
+      Map("hi" -> 10000L, "lo" -> 5000L),
+      "budgets don't reflect the survivor language counts")
+    // every taken row is a q73 survivor row, column for column, and at
+    // the default budget every survivor fits (total BPE tokens << 10000)
+    val survSet = surv.toSet
+    assert(take.forall(r => survSet.contains((r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getInt(4)))),
+      "q78 emitted a row q73 does not contain")
+    assert(take.length == surv.length, "a survivor fell out of the slack take")
+    // a TIGHT budget (300 -> budgets 200/100) forces the cutoff: the take
+    // must be exactly the maximal prefix of each language's survivors in
+    // deterministic (md5-hash, doc_id) order whose inclusive cum fits.
+    // The bounds are token-count-agnostic: a 20-word doc of 7-char words
+    // holds between 20 (one token per word) and 160 (8 spaced symbols per
+    // word, no merge fires) BPE tokens — so hi's first doc always FITS its
+    // 200 budget, and hi's 12 survivors (>= 240 tokens) always EXCEED it.
+    import spark.implicits._
+    val hOf = surv.map(_._1).toSeq.toDF("doc_id").selectExpr("doc_id",
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tightBudget = Map("hi" -> 200L, "lo" -> 100L)
+    val expected = surv.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      var cum = 0L
+      docs.sortBy(d => (hOf(d._1), d._1)).toSeq.flatMap { d =>
+        cum += d._5
+        if (cum <= tightBudget(lang)) Some((d._1, cum)) else None
+      }
+    }.toSet
+    val tight = graft.queries.Caches.scoped {
+      graft.queries.TextPipeline.mixTake(spark, dir, totalBudget = 300L).collect()
+    }
+    assert(tight.map(r => (r.getString(1), r.getLong(6))).toSet
+      .subsetOf(Set("hi" -> 200L, "lo" -> 100L)), "tight budgets off")
+    assert(tight.map(r => (r.getLong(0), r.getLong(5))).toSet == expected,
+      s"tight take is not the maximal hash-order prefix: " +
+        s"got ${tight.map(r => (r.getLong(0), r.getLong(5))).toSet}, want $expected")
+    assert(tight.exists(_.getString(1) == "hi"), "hi's first doc fell out")
+    assert(tight.length < take.length, "the tight budget dropped nothing")
+  }
+
   // --- q72 temperature weights ---
 
   test("q72 alpha=1/2 weights: 9:1 corpus gives 0.75/0.25 and boosts 0.8333/2.5") {

@@ -220,6 +220,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q73 planned a non-equi join:\n$p")
   }
 
+  test("q78 mix take: composition keeps the cap bounded and the take broadcast") {
+    // q73's pinned stages must SURVIVE composition into the take — the
+    // bounded cap aggregation and the broadcast survivor join — and the
+    // take side must stay q76's shape: offsets+budgets (#languages rows)
+    // reach the prefix-summed survivors through broadcast. The ONLY
+    // corpus-by-corpus join anywhere is the dedup keeper semi-join
+    // (mixKept's documented second shuffle); a second sort-merge join
+    // would mean the survivors shuffled to meet a bounded table.
+    val p = plan("q78_mix_take")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q78 lost the bounded cap aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q78 has no broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q78 planned a cartesian:\n$p")
+    // the ONE nested-loop join is the 1-row s6_total scalar attach to the
+    // #languages-row weight table (bounded x bounded, by construction) —
+    // a second would mean an unkeyed join touched something corpus-sized
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"q78 nested-loop joins beyond the 1-row total attach:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"q78 sort-merge joins beyond the dedup keeper semi-join:\n$p")
+  }
+
   test("q54 fixed-hyperplane ANN: broadcast bucket equi-join + bounded top-k") {
     val p = plan("q54_ann_fixed")
     // the candidate prune must be a broadcast HASH join on the bucket key —
