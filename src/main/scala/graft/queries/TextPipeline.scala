@@ -46,6 +46,17 @@ object TextPipeline {
     """transform(array_distinct(split(text, ' ')),
       |  tk -> cast(conv(substring(md5(tk), 1, 8), 16, 10) AS bigint))""".stripMargin
 
+  /** PII patterns, written in the Java-regex ∩ RE2 compatible subset
+    * (character classes, bounded repetition, `\b`, no lookaround) so the
+    * SAME pattern string drives Spark's codegen'd `regexp_replace`/
+    * `regexp_count` and the DuckDB oracle's RE2 engine — one source of
+    * truth, leftmost-first semantics in both. Redaction order is part of
+    * the contract (emails, then IPs, then phones, each counted on the
+    * text as it stands when that pass runs). */
+  private[queries] val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[queries] val phonePat = "\\+?\\d[\\d -]{7,}\\d"
+
   /** Native codegen'd cosine (graft.functions.CosineSimilarity) — same
     * summation order as the HOF form and the DuckDB oracle, bit-identical
     * results, but a fused compiled loop instead of interpreted lambdas. */
@@ -483,6 +494,72 @@ object TextPipeline {
     // deployments tune all four knobs there (and
     // PipelineBridge.mixTake from Python).
     "q78_mix_take" -> ((s, dir) => mixTake(s, dir)),
+
+    // PII REDACTION — the scrub pass every training-data pipeline runs
+    // before anything else sees the text: emails, IPv4 addresses, and
+    // phone numbers replaced with typed placeholder tokens, with per-
+    // category match counts for audit. The synthetic corpus contains no
+    // PII at all (zero '@', zero digits in any text), which would make
+    // the scrubber a hash-green NO-OP — so the query first plants a
+    // deterministic doc_id-derived contact line IDENTICALLY in both
+    // engines (pure string concat, no randomness) and then verifies the
+    // scrubber finds and removes exactly that. What's under test
+    // cross-engine is the operator itself: the shared regex patterns
+    // ([[emailPat]]/[[ipv4Pat]]/[[phonePat]]), the redaction order, and
+    // the counts. Pure scan+project — zero joins, zero shuffles,
+    // codegen'd regexp exprs in-row (plan-pinned like q70); residual_pii
+    // re-scans the clean text for all three patterns and must be 0.
+    "q79_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").selectExpr("doc_id",
+        "concat(text, ' contact user', cast(doc_id AS string)," +
+          " '@mail.example.com or +1 555-01'," +
+          " lpad(cast(doc_id % 100 AS string), 2, '0')," +
+          " ' host 10.0.', cast(doc_id % 250 AS string), '.17') AS text")
+      planted
+        .withColumn("n_emails", regexp_count(col("text"), lit(emailPat)).cast("long"))
+        .withColumn("t1", regexp_replace(col("text"), emailPat, "<EMAIL>"))
+        .withColumn("n_ips", regexp_count(col("t1"), lit(ipv4Pat)).cast("long"))
+        .withColumn("t2", regexp_replace(col("t1"), ipv4Pat, "<IP>"))
+        .withColumn("n_phones", regexp_count(col("t2"), lit(phonePat)).cast("long"))
+        .withColumn("clean_text", regexp_replace(col("t2"), phonePat, "<PHONE>"))
+        .withColumn("residual_pii",
+          (regexp_count(col("clean_text"), lit(emailPat))
+            + regexp_count(col("clean_text"), lit(ipv4Pat))
+            + regexp_count(col("clean_text"), lit(phonePat))).cast("long"))
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "residual_pii", "clean_text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // DUPLICATED-SHINGLE SPAN FRACTION — the document-level form of the
+    // substring-duplication diagnostic from Lee et al. 2021 ("Deduplicating
+    // Training Data Makes Language Models Better", §4): for each document,
+    // what fraction of its distinct word-3-gram shingles also appear in at
+    // least one OTHER document. Exact dedup (q20) sees identical docs and
+    // MinHash (q25) sees high-Jaccard pairs; this measures partial overlap
+    // mass per document — the boilerplate/quotation signal that decides
+    // span-level (not doc-level) dedup budgets.
+    //
+    // Scale shape: explode to (doc_id, shingle) [distinct within doc by
+    // construction], ONE shingle-keyed groupBy for document frequency
+    // (map-side partial: one (shingle, count) row per partition crosses
+    // the wire), ONE shingle-keyed shuffle join back, ONE doc_id groupBy.
+    // All linear in corpus shingle count, no O(n^2) surface; hot common
+    // shingles skew the join key, which AQE's skew-join split handles
+    // (the frequency side is tiny per key — a single row). The fraction
+    // is emitted integer-scaled (e6, bigint floor-div) to stay out of the
+    // cross-engine double-rounding divergence class q23 documents.
+    "q80_dup_shingle_frac" -> ((s, dir) => {
+      val exploded = Caches.persist(
+        docShingles(s, dir).selectExpr("doc_id", "explode(sh) AS shingle"))
+      val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      exploded.join(freq, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .selectExpr("doc_id", "n_shingles", "n_dup",
+          "(n_dup * 1000000L) div n_shingles AS dup_frac_e6")
+        .orderBy(col("doc_id"))
+    }),
 
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
