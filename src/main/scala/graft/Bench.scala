@@ -104,7 +104,19 @@ object Bench {
     // were single-run sums — not like-for-like; the `repeats` field marks
     // which semantics a given artifact used).
     val total = results.map(_._2._1).sum
-    def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Full JSON string escape including control chars: exception messages
+    // carry newlines (Spark AnalysisException embeds plan trees), and one
+    // raw newline inside the errors map invalidates the whole artifact
+    // line — that was BENCH_r13's `parsed: null`.
+    def jstr(v: String) = "\"" + v.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errs = errors.map { case (k, (n, msg)) =>
       jstr(k) + s""":{"failures":$n,"first":${jstr(msg)}}"""
     }.mkString("{", ",", "}")

@@ -17,14 +17,13 @@ import org.apache.spark.sql.streaming.Trigger
  */
 object Streaming {
 
-  /** Raw streaming read of events with the nano-ts fixup applied. */
+  /** Raw streaming read of events with the timestamp fixup applied
+    * (nanos-as-long and TIMESTAMP_NTZ variants — see [[Tables.streamTsFixup]]). */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet") // schema probe; not an action
     // FileStreamSource needs a directory or glob, not a literal file path
     val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events*.parquet")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else stream
+    Tables.streamTsFixup(stream)
   }
 
   /** Run a streaming aggregation to completion and return the result.

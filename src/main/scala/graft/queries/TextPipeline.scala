@@ -1528,6 +1528,52 @@ object TextPipeline {
          |WHERE cum_tokens <= budget
          |ORDER BY lang, cum_tokens""".stripMargin,
 
+    // The same plant → count → replace → count chain; DuckDB's RE2 and
+    // Spark's Java regex agree on these patterns by construction (shared
+    // Java∩RE2 subset, leftmost-first in both — see the pattern scaladoc).
+    // regexp_replace needs the 'g' flag (DuckDB replaces first-only by
+    // default; Spark replaces all).
+    "q79_pii_redact" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id::VARCHAR
+         |      || '@mail.example.com or +1 555-01'
+         |      || lpad((doc_id % 100)::VARCHAR, 2, '0')
+         |      || ' host 10.0.' || (doc_id % 250)::VARCHAR || '.17' AS text
+         |  FROM documents),
+         |s1 AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '$emailPat'))::BIGINT AS n_emails,
+         |    regexp_replace(text, '$emailPat', '<EMAIL>', 'g') AS t1
+         |  FROM planted),
+         |s2 AS (SELECT doc_id, n_emails,
+         |    len(regexp_extract_all(t1, '$ipv4Pat'))::BIGINT AS n_ips,
+         |    regexp_replace(t1, '$ipv4Pat', '<IP>', 'g') AS t2
+         |  FROM s1),
+         |s3 AS (SELECT doc_id, n_emails, n_ips,
+         |    len(regexp_extract_all(t2, '$phonePat'))::BIGINT AS n_phones,
+         |    regexp_replace(t2, '$phonePat', '<PHONE>', 'g') AS clean_text
+         |  FROM s2)
+         |SELECT doc_id, n_emails, n_ips, n_phones,
+         |  (len(regexp_extract_all(clean_text, '$emailPat'))
+         |   + len(regexp_extract_all(clean_text, '$ipv4Pat'))
+         |   + len(regexp_extract_all(clean_text, '$phonePat')))::BIGINT
+         |    AS residual_pii,
+         |  clean_text
+         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // Document frequency over the SAME distinct-shingle sets as q25/q27
+    // (shared duckShingleDocs CTE), summed back per document. sum(CASE)
+    // is HUGEINT in DuckDB — cast to BIGINT to match Spark's long.
+    "q80_dup_shingle_frac" ->
+      s"""WITH sh_docs AS ($duckShingleDocs),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_docs),
+         |freq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |g AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+         |  FROM ex JOIN freq USING (shingle) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_dup,
+         |  ((n_dup * 1000000) // n_shingles)::BIGINT AS dup_frac_e6
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "q26_simhash" ->
       s"""SELECT doc_id, simhash FROM ($duckSimhashDocs) ORDER BY doc_id""".stripMargin,
 
