@@ -539,23 +539,32 @@ object TextPipeline {
     // mass per document — the boilerplate/quotation signal that decides
     // span-level (not doc-level) dedup budgets.
     //
-    // Scale shape: explode to (doc_id, shingle) [distinct within doc by
-    // construction], ONE shingle-keyed groupBy for document frequency
-    // (map-side partial: one (shingle, count) row per partition crosses
-    // the wire), ONE shingle-keyed shuffle join back, ONE doc_id groupBy.
-    // All linear in corpus shingle count, no O(n^2) surface; hot common
-    // shingles skew the join key, which AQE's skew-join split handles
-    // (the frequency side is tiny per key — a single row). The fraction
-    // is emitted integer-scaled (e6, bigint floor-div) to stay out of the
+    // Scale shape — NO shingle-keyed join back. Shingles are distinct
+    // within a doc, so n_dup = n_shingles − (# of this doc's shingles with
+    // df = 1); and a df = 1 shingle belongs to exactly ONE document, which
+    // the frequency aggregation can carry for free as min(doc_id). That
+    // turns the naive explode → count → join-back → re-group (two corpus-
+    // shingle-sized exchanges plus a skew-prone hot-key join) into:
+    // in-row size(sh) for n_shingles, ONE shingle-keyed groupBy
+    // (map-side partial), ONE doc-keyed count over its df = 1 rows
+    // (≤ one row per distinct shingle in, ≤ one per doc out), and a final
+    // doc-keyed join of the corpus against that compact per-doc table.
+    // Hot common shingles stop mattering entirely: they collapse in the
+    // partial aggregation and never hit a join key. The fraction is
+    // emitted integer-scaled (e6, bigint floor-div) to stay out of the
     // cross-engine double-rounding divergence class q23 documents.
     "q80_dup_shingle_frac" -> ((s, dir) => {
-      val exploded = Caches.persist(
-        docShingles(s, dir).selectExpr("doc_id", "explode(sh) AS shingle"))
-      val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      exploded.join(freq, Seq("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      val docs = Caches.persist(docShingles(s, dir))
+      val uniqPerDoc = docs.selectExpr("doc_id", "explode(sh) AS shingle")
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+        .where(col("df") === 1)
+        .groupBy(col("owner"))
+        .agg(count(lit(1)).as("n_uniq"))
+      docs.selectExpr("doc_id", "size(sh) AS n_shingles")
+        .join(uniqPerDoc, col("doc_id") === col("owner"), "left")
+        .selectExpr("doc_id", "cast(n_shingles AS bigint) AS n_shingles",
+          "cast(n_shingles - coalesce(n_uniq, 0L) AS bigint) AS n_dup")
         .selectExpr("doc_id", "n_shingles", "n_dup",
           "(n_dup * 1000000L) div n_shingles AS dup_frac_e6")
         .orderBy(col("doc_id"))

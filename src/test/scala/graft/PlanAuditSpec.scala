@@ -190,6 +190,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p77.contains("ScalaUDF"), s"q77 regressed to a ScalaUDF:\n$p77")
   }
 
+  test("q79 scrub is pure scan+project; q80 never joins on the shingle key") {
+    // q79's redaction chain is per-row regexp work — no join, no
+    // aggregation exchange, no UDF (the regexp exprs are codegen'd)
+    val p79 = plan("q79_pii_redact")
+    assert(!p79.contains("Join"), s"q79 joins for per-row facts:\n$p79")
+    assert(!p79.contains("HashAggregate"), s"q79 aggregates per-row facts:\n$p79")
+    assert(!p79.contains("ScalaUDF"), s"q79 regressed to a ScalaUDF:\n$p79")
+    // q80 must keep the df=1 ownership form: document frequency collapses
+    // in ONE shingle-keyed aggregation and the only join is the compact
+    // doc-keyed left join — a join carrying the shingle key would re-ship
+    // the corpus-shingle rows and reintroduce the hot-key skew the
+    // rewrite removed (9.6 s -> 3.6 s at sf0.1)
+    val p80 = plan("q80_dup_shingle_frac")
+    val joinLines = p80.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty, s"q80 lost its doc-keyed join:\n$p80")
+    assert(joinLines.forall(l => !l.contains("shingle")),
+      s"q80 joins on the shingle key:\n${joinLines.mkString("\n")}")
+  }
+
   test("q75 token budget: offsets broadcast back, corpus never sort-merge joins") {
     // the per-language start offsets are a #languages-row table — they
     // must broadcast to the prefix-summed corpus, never shuffle it; the

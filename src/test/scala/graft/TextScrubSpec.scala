@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * q79 (PII redaction) and q80 (duplicated-shingle span fraction)
+ * semantics, beyond the cross-engine hash gate:
+ *
+ *  - q79 plants exactly one email, one IPv4, and one phone per document
+ *    (the synthetic corpus itself contains neither '@' nor digits), so
+ *    the per-category counts are exactly 1 and the post-scrub re-scan
+ *    must find nothing.
+ *  - q80's production form never joins on the shingle key: it uses the
+ *    identity n_dup = n_shingles − |{shingles with df = 1}|, where each
+ *    df = 1 shingle's single owner rides along as min(doc_id). This spec
+ *    pins that form equal to the naive count→join-back→re-group form on
+ *    the real corpus.
+ */
+class TextScrubSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q79 finds exactly the planted PII and leaves no residual") {
+    val rows = graft.queries.Caches.scoped(
+      SparkEntry.queries("q79_pii_redact")(spark, sf)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("n_emails") === 1, 0).otherwise(1)).as("bad_email"),
+          sum(when(col("n_ips") === 1, 0).otherwise(1)).as("bad_ip"),
+          sum(when(col("n_phones") === 1, 0).otherwise(1)).as("bad_phone"),
+          sum(col("residual_pii")).as("residual"),
+          sum(when(col("clean_text").contains("<EMAIL>")
+            && col("clean_text").contains("<IP>")
+            && col("clean_text").contains("<PHONE>"), 0).otherwise(1))
+            .as("missing_placeholder"))
+        .head())
+    assert(rows.getLong(0) > 0)
+    assert(rows.getLong(1) == 0, s"docs without exactly one email: ${rows.getLong(1)}")
+    assert(rows.getLong(2) == 0, s"docs without exactly one ip: ${rows.getLong(2)}")
+    assert(rows.getLong(3) == 0, s"docs without exactly one phone: ${rows.getLong(3)}")
+    assert(rows.getLong(4) == 0, s"residual PII after scrub: ${rows.getLong(4)}")
+    assert(rows.getLong(5) == 0, s"docs missing a placeholder: ${rows.getLong(5)}")
+  }
+
+  test("q80's df=1 ownership form equals the naive shingle join-back form") {
+    val got = graft.queries.Caches.scoped(
+      SparkEntry.queries("q80_dup_shingle_frac")(spark, sf).collect().toSeq)
+
+    // Naive reference: explode, document frequency, join back on the
+    // shingle key, re-group per doc. Deliberately the shape the production
+    // query avoids.
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .where("size(tk) >= 3")
+      .selectExpr("doc_id",
+        """array_distinct(transform(sequence(1, size(tk) - 2),
+          |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
+          |              element_at(tk, i + 2)))) AS sh""".stripMargin)
+    val exploded = docs.selectExpr("doc_id", "explode(sh) AS shingle")
+    val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val want = exploded.join(freq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .selectExpr("doc_id", "n_shingles", "n_dup",
+        "(n_dup * 1000000L) div n_shingles AS dup_frac_e6")
+      .orderBy(col("doc_id"))
+      .collect().toSeq
+
+    assert(got == want)
+    // the corpus actually exercises both branches
+    assert(got.exists(_.getLong(2) > 0), "no doc with any duplicated shingle")
+    assert(got.exists(r => r.getLong(2) < r.getLong(1)),
+      "no doc with any unique shingle")
+  }
+}
