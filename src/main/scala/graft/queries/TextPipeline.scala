@@ -570,6 +570,78 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // CROSS-DOCUMENT DUPLICATED-CHUNK REMOVAL — the boilerplate scrub of
+    // Lee et al. 2021 §3 / CCNet: segment every document into fixed
+    // 8-token chunks, drop each chunk whose exact text occurs in >= 2
+    // DISTINCT documents, and reassemble the survivors in order. q63
+    // FLAGS contaminated docs and q80 MEASURES overlap mass; this is the
+    // op that actually rewrites the corpus (so emptied docs must survive
+    // as empty strings, not vanish — keep_reason for the mix gates).
+    //
+    // Scale shape: chunking is in-row (one posexplode of the corpus);
+    // document frequency is ONE chunk-keyed groupBy (count distinct
+    // doc_id — two-phase partial agg); the dup set is FILTERED to
+    // df >= 2 before the anti-join, so the join's build side is only the
+    // actual boilerplate chunks, not the corpus chunk set. A chunk can
+    // repeat within one document (unlike q80's distinct shingles), so the
+    // df=1 ownership trick does not apply — the anti-join is the honest
+    // form, linear in corpus chunks, hot boilerplate keys handled by AQE
+    // skew split. Reassembly sorts each doc's own surviving chunk list —
+    // bounded per row, no window.
+    "q81_chunk_dedup" -> ((s, dir) => {
+      val chunks = Caches.persist(
+        t(s, dir, "documents")
+          .selectExpr("doc_id", "split(text, ' ') AS tk")
+          .selectExpr("doc_id",
+            "transform(sequence(0, cast(ceil(size(tk) / 8.0) AS int) - 1), " +
+              "i -> struct(cast(i AS bigint) AS pos, " +
+              "array_join(slice(tk, i * 8 + 1, 8), ' ') AS chunk)) AS cs")
+          .selectExpr("doc_id", "inline(cs)"))
+      val dup = chunks.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 2)
+        .select(col("chunk"))
+      val kept = chunks.join(dup, Seq("chunk"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          collect_list(struct(col("pos"), col("chunk"))).as("pcs"))
+        .selectExpr("doc_id", "n_kept",
+          "array_join(transform(array_sort(pcs), x -> x.chunk), ' ') AS kept_text")
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "cast(ceil(size(split(text, ' ')) / 8.0) AS bigint) AS n_chunks")
+        .join(kept, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_chunks",
+          "cast(n_chunks - coalesce(n_kept, 0L) AS bigint) AS n_removed",
+          "coalesce(kept_text, '') AS clean_text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // VOCABULARY COVERAGE — tokenizer-training prep: the global word
+    // frequency table, truncated to the top V = 25 words (rank by count
+    // desc, word asc — fully deterministic), each with its cumulative
+    // share of ALL corpus tokens (integer-scaled e6). The corpus
+    // collapses in ONE word-keyed groupBy (map-side partial: vocabulary
+    // rows cross the wire, not tokens); top-V is TakeOrderedAndProject
+    // (no global sort of the corpus); the rank/cumsum window runs AFTER
+    // the limit, over exactly V rows — a bounded single-partition window,
+    // not a corpus-global one. The token total is a 1-row broadcast.
+    "q83_vocab_coverage" -> ((s, dir) => {
+      val freq = Caches.persist(
+        t(s, dir, "documents")
+          .selectExpr("explode(split(text, ' ')) AS word")
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt")))
+      val total = freq.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("word"))
+      freq.orderBy(col("cnt").desc, col("word")).limit(25)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_cnt",
+          sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .selectExpr("cast(rank AS bigint) AS rank", "word", "cnt",
+          "(cum_cnt * 1000000L) div total AS cum_frac_e6")
+        .orderBy(col("rank"))
+    }),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -1568,6 +1640,43 @@ object TextPipeline {
          |    AS residual_pii,
          |  clean_text
          |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // Same chunking (1-based inclusive list slice == Spark's slice(tk,
+    // start, 8), both clamp the tail), NOT IN for the anti-join (chunk is
+    // never null), string_agg ORDER BY pos for the reassembly.
+    "q81_chunk_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |c AS (SELECT doc_id, i AS pos,
+         |    array_to_string(tk[8*i+1:8*i+8], ' ') AS chunk
+         |  FROM d, unnest(generate_series(0,
+         |    CAST(ceil(len(tk) / 8.0) AS INT) - 1)) AS t(i)),
+         |dup AS (SELECT chunk FROM c GROUP BY chunk
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+         |  FROM c WHERE chunk NOT IN (SELECT chunk FROM dup)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(ceil(len(d.tk) / 8.0) AS BIGINT) AS n_chunks,
+         |  (CAST(ceil(len(d.tk) / 8.0) AS BIGINT) - coalesce(k.n_kept, 0))::BIGINT
+         |    AS n_removed,
+         |  coalesce(k.kept_text, '') AS clean_text
+         |FROM d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same deterministic (count desc, word asc) order on both sides; the
+    // cumulative sum runs over the already-truncated 25-row table.
+    "q83_vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |f AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word),
+         |tt AS (SELECT sum(cnt)::BIGINT AS total FROM f),
+         |top AS (SELECT word, cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, word) AS rank
+         |  FROM f ORDER BY cnt DESC, word LIMIT 25)
+         |SELECT rank::BIGINT AS rank, word, cnt,
+         |  ((sum(cnt) OVER (ORDER BY rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
+         |    // total)::BIGINT AS cum_frac_e6
+         |FROM top, tt ORDER BY rank""".stripMargin,
 
     // Document frequency over the SAME distinct-shingle sets as q25/q27
     // (shared duckShingleDocs CTE), summed back per document. sum(CASE)

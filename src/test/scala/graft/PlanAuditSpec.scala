@@ -209,6 +209,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q80 joins on the shingle key:\n${joinLines.mkString("\n")}")
   }
 
+  test("q81 anti-joins a filtered dup set; q83 top-V is TakeOrdered, not a global sort") {
+    // q81's removal must stay a left-anti equi-join against the df>=2
+    // subset (never a cartesian/NLJ), and reassembly must sort per-row
+    // chunk lists, not run a corpus window
+    val p81 = plan("q81_chunk_dedup")
+    assert(p81.contains("LeftAnti"), s"q81 lost the anti-join:\n$p81")
+    assert(!p81.contains("CartesianProduct") && !p81.contains("BroadcastNestedLoopJoin"),
+      s"q81 planned an unbounded join:\n$p81")
+    assert(!p81.contains("Window"), s"q81 reassembles via a corpus window:\n$p81")
+    // q83's truncation must plan as TakeOrderedAndProject over the
+    // vocabulary aggregate — a global Sort of the corpus (or of the full
+    // word table feeding the window before the limit) is the regression
+    val p83 = plan("q83_vocab_coverage")
+    assert(p83.contains("TakeOrderedAndProject"),
+      s"q83 top-V is not TakeOrderedAndProject:\n$p83")
+  }
+
   test("q75 token budget: offsets broadcast back, corpus never sort-merge joins") {
     // the per-language start offsets are a #languages-row table — they
     // must broadcast to the prefix-summed corpus, never shuffle it; the

@@ -44,6 +44,55 @@ class TextScrubSpec extends AnyFunSuite {
     assert(rows.getLong(5) == 0, s"docs missing a placeholder: ${rows.getLong(5)}")
   }
 
+  test("q81 reassembly is lossless for untouched docs and counts match the semi form") {
+    val out = graft.queries.Caches.scoped(
+      SparkEntry.queries("q81_chunk_dedup")(spark, sf).collect().toSeq)
+    assert(out.exists(_.getLong(2) > 0), "corpus has no cross-doc duplicate chunk")
+
+    // Untouched docs (n_removed = 0) must reassemble to EXACTLY the
+    // original text — chunk → array_join round-trip loses nothing.
+    val orig = graft.queries.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val untouched = out.filter(_.getLong(2) == 0)
+    assert(untouched.nonEmpty, "every doc lost a chunk — plant too strong to test reassembly")
+    for (r <- untouched)
+      assert(r.getString(3) == orig(r.getLong(0)),
+        s"doc ${r.getLong(0)} reassembly is lossy")
+
+    // Independent recount: n_removed per doc via the SEMI form (count the
+    // doc's positions whose chunk sits in the df>=2 set) instead of the
+    // production anti-join.
+    val chunks = graft.queries.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS tk")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(0, cast(ceil(size(tk) / 8.0) AS int) - 1), " +
+          "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))) AS chunk")
+    val dup = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df")).where(col("df") >= 2)
+      .select(col("chunk"))
+    val removedBySemi = chunks.join(dup, Seq("chunk"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- out)
+      assert(r.getLong(2) == removedBySemi.getOrElse(r.getLong(0), 0L),
+        s"doc ${r.getLong(0)}: anti and semi forms disagree")
+  }
+
+  test("q83 coverage is monotone, truncated for real, and ends below 100%") {
+    val rows = graft.queries.Caches.scoped(
+      SparkEntry.queries("q83_vocab_coverage")(spark, sf).collect().toSeq)
+    assert(rows.map(_.getLong(0)) == (1L to 25L),
+      "ranks are not 1..25 in order")
+    assert(rows.map(_.getLong(3)) == rows.map(_.getLong(3)).sorted,
+      "cumulative coverage is not monotone")
+    assert(rows.sliding(2).forall(p => p.head.getLong(2) >= p.last.getLong(2)),
+      "counts are not non-increasing by rank")
+    // vocabulary is 31 words — the 25-row table must NOT reach 100%
+    assert(rows.last.getLong(3) < 1000000L,
+      s"truncated table claims full coverage: ${rows.last.getLong(3)}")
+  }
+
   test("q80's df=1 ownership form equals the naive shingle join-back form") {
     val got = graft.queries.Caches.scoped(
       SparkEntry.queries("q80_dup_shingle_frac")(spark, sf).collect().toSeq)
