@@ -68,7 +68,13 @@ object TextPipeline {
     * inlined — recomputing `split()` per element inside the filter
     * (measured 4.7 s -> 0.6 s for 5k docs at sf0.1). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    shinglesOf(t(s, dir, "documents"))
+
+  /** The same distinct-shingle projection over an arbitrary documents
+    * slice (doc_id, text, ...) — shared with the incremental-dedup index,
+    * which fingerprints corpus and delta sides separately. */
+  private[queries] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", s"$toks AS tk")
       .where("size(tk) >= 3")
       .selectExpr("doc_id", s"$shingles AS sh")
@@ -895,11 +901,11 @@ object TextPipeline {
     * partial min. Band key = the raw 3-minhash tuple — no re-hashing
     * needed; the candidate self-join is hash-partitioned on
     * (band index, k0, k1, k2), never an all-pairs product. */
-  private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    // persisted: referenced by both self-join sides and both jaccard
-    // sides; size is bounded (one shingle array per doc). Released by
-    // the consumer via Caches.releaseAll after the terminal action.
-    val docs = Caches.persist(docShingles(s, dir))
+  /** MinHash signature bands (12 hashes = 4 bands × 3 rows; h_j =
+    * (h1 + j·h2) mod 2³², minima over the doc's shingle md5s) for a
+    * (doc_id, sh) DataFrame. Shared by the near-dup self-join and the
+    * incremental-dedup index, which persists exactly these band keys. */
+  private[queries] def minhashBands(docs: DataFrame): DataFrame = {
     val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("m", md5(col("s")))
       .withColumn("h1", expr("cast(conv(substring(m, 1, 8), 16, 10) AS bigint)"))
@@ -908,23 +914,37 @@ object TextPipeline {
         expr(s"pmod(h1 + $j * h2, 4294967296)").as(s"h$j")): _*)
     val sigAggs = (0 until 12).map(j => min(col(s"h$j")).as(s"m$j"))
     val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    val bands = sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
+    sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
         struct(col(s"m${3 * b}").as("k0"), col(s"m${3 * b + 1}").as("k1"),
           col(s"m${3 * b + 2}").as("k2"))): _*))
         .as(Seq("b", "k")))
       .select(col("doc_id"), col("b"), col("k.k0"), col("k.k1"), col("k.k2"))
-    val bandsP = Caches.persist(bands) // both sides of the candidate self-join
+  }
+
+  /** Same double-alias jaccard as the DuckDB oracle: the candidate pair
+    * set joined back to both sides' shingle arrays, rounded to 4 places
+    * BEFORE thresholding so both engines cut on the same digits. */
+  private[queries] def jaccardOf(cand: DataFrame, left: DataFrame, right: DataFrame,
+      leftId: String, rightId: String): DataFrame =
+    cand
+      .join(left.as("da"), col(leftId) === col("da.doc_id"))
+      .join(right.as("db"), col(rightId) === col("db.doc_id"))
+      .select(col(leftId), col(rightId),
+        round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
+          " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+
+  private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // persisted: referenced by both self-join sides and both jaccard
+    // sides; size is bounded (one shingle array per doc). Released by
+    // the consumer via Caches.releaseAll after the terminal action.
+    val docs = Caches.persist(docShingles(s, dir))
+    val bandsP = Caches.persist(minhashBands(docs)) // both sides of the candidate self-join
     val cand = bandsP.withColumnRenamed("doc_id", "a_id")
       .join(bandsP.withColumnRenamed("doc_id", "b_id"), Seq("b", "k0", "k1", "k2"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    cand
-      .join(docs.as("da"), col("a_id") === col("da.doc_id"))
-      .join(docs.as("db"), col("b_id") === col("db.doc_id"))
-      .select(col("a_id"), col("b_id"),
-        round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
-          " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+    jaccardOf(cand, docs, docs, "a_id", "b_id")
       .filter(col("jaccard") >= 0.5)
   }
 
@@ -1218,10 +1238,15 @@ object TextPipeline {
   private[queries] val duckRepPred =
     "(coalesce(top2_chars, 0) > 0.10 * d.n_chars" +
       " OR coalesce(dup3_chars, 0) > 0.10 * d.n_chars)"
-  private val duckShingleDocs =
+  /** The distinct-shingle projection over an arbitrary (doc_id, text)
+    * relation — mirrors [[shinglesOf]]; q84's oracle runs it over its
+    * planted corpus∪delta CTE instead of the raw table. */
+  private[queries] def duckShingleDocsFrom(table: String): String =
     s"""SELECT doc_id, list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
        |    i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])) AS sh
-       |  FROM documents WHERE len($duckToks) >= 3""".stripMargin
+       |  FROM $table WHERE len($duckToks) >= 3""".stripMargin
+
+  private val duckShingleDocs = duckShingleDocsFrom("documents")
   private val duckSimhashDocs =
     s"""SELECT doc_id, cast(list_sum(list_transform(generate_series(0, 31), j ->
        |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
@@ -1239,9 +1264,11 @@ object TextPipeline {
   /** The shared MinHash-LSH pair CTE chain (mirrors [[minhashNearDupPairs]]
     * clause for clause) — `pairs` is (a_id, b_id, jaccard), pre-threshold;
     * q25 selects it directly, q66 closes it transitively. */
-  private lazy val duckNearDupCtes =
-    s"""docs AS ($duckShingleDocs),
-       |hashed AS (SELECT doc_id,
+  /** The minhash signature → band-key CTE chain over a `docs (doc_id, sh)`
+    * CTE — mirrors [[minhashBands]]; shared by the self-join pair chain
+    * and the incremental-dedup (q84) oracle. */
+  private[queries] lazy val duckBandsCtes =
+    s"""hashed AS (SELECT doc_id,
        |    ('0x' || substr(md5(sg), 1, 8))::BIGINT AS h1,
        |    ('0x' || substr(md5(sg), 9, 8))::BIGINT AS h2
        |  FROM docs, unnest(sh) AS u(sg)),
@@ -1252,7 +1279,11 @@ object TextPipeline {
        |bands AS (SELECT doc_id, b,
        |    $duckSigList[3*b + 1] AS k0, $duckSigList[3*b + 2] AS k1,
        |    $duckSigList[3*b + 3] AS k2
-       |  FROM sigs, generate_series(0, 3) AS g(b)),
+       |  FROM sigs, generate_series(0, 3) AS g(b))""".stripMargin
+
+  private lazy val duckNearDupCtes =
+    s"""docs AS ($duckShingleDocs),
+       |$duckBandsCtes,
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |  FROM bands x JOIN bands y ON x.b = y.b AND x.k0 = y.k0 AND x.k1 = y.k1
        |    AND x.k2 = y.k2 AND x.doc_id < y.doc_id),

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Incremental-dedup index semantics (q84 covers the cross-engine hash):
+ * planted delta docs (doc_id % 10 = 7 carrying corpus doc (id−7)'s text)
+ * must come back 'exact' with exactly that keeper, and judging a delta
+ * must be a pure READ of the store — build once, judge twice, bit-equal
+ * verdicts, no store file touched.
+ */
+class DedupIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def storeFiles(root: String): Map[String, Long] =
+    Files.walk(Paths.get(root)).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map((p: Path) => p.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+
+  test("planted copies judge exact with the right keeper; judging never writes the store") {
+    val path = graft.queries.DedupIndex.build(spark, sf)
+    graft.queries.Caches.releaseAll()
+    val first = graft.queries.Caches.scoped(
+      graft.queries.DedupIndex.deltaVerdicts(spark, sf).collect().toSeq)
+    assert(first.nonEmpty)
+
+    // every planted doc is an exact dup of its source, nothing else is
+    for (r <- first) {
+      val id = r.getLong(0)
+      if (id % 10 == 7) {
+        assert(r.getInt(1) == 1, s"planted doc $id not judged exact")
+        assert(r.getLong(2) == id - 7, s"doc $id keeper ${r.getLong(2)} != ${id - 7}")
+        assert(r.getString(5) == "exact")
+      } else {
+        assert(r.getInt(1) == 0, s"unplanted doc $id judged exact")
+        assert(r.getString(5) != "exact")
+      }
+    }
+    // verdict consistency with the evidence columns
+    for (r <- first) r.getString(5) match {
+      case "exact"  => assert(r.getInt(1) == 1)
+      case "near"   => assert(r.getInt(1) == 0 && r.getLong(3) > 0
+        && r.getLong(4) % 10 < 7, s"near match ${r.getLong(4)} is not a corpus doc")
+      case "unique" => assert(r.getInt(1) == 0 && r.getLong(3) == 0
+        && r.getLong(2) == -1 && r.getLong(4) == -1)
+    }
+    // a planted copy is also a trivially-near candidate of its source —
+    // the band join must have surfaced it (jaccard 1.0)
+    assert(first.filter(_.getLong(0) % 10 == 7).forall(r => r.getLong(3) >= 1),
+      "planted copy missing from its own band bucket")
+
+    // incremental contract: a second judge run reads the same store
+    // (no file rewritten, no new files) and returns identical verdicts
+    val before = storeFiles(path)
+    val second = graft.queries.Caches.scoped(
+      graft.queries.DedupIndex.deltaVerdicts(spark, sf).collect().toSeq)
+    assert(second == first, "re-judging the same delta changed verdicts")
+    assert(storeFiles(path) == before, "judging the delta wrote to the store")
+  }
+}
