@@ -107,6 +107,27 @@ object DedupIndex {
       .orderBy(col("doc_id"))
   }
 
+  /** Absorb the judged delta's KEPT docs (verdict 'unique' — exact and
+    * near dups are dropped; that is the dedup policy) into the store so
+    * the next batch is judged against them. Append-only: existing store
+    * files are never rewritten, and the exact table's fp-uniqueness
+    * invariant holds structurally — a 'unique' verdict means the fp is
+    * not in the store, and within-batch duplicates collapse in the
+    * groupBy before the append. */
+  def absorb(s: SparkSession, dir: String): Unit = {
+    val path = root(dir)
+    val keptIds = deltaVerdicts(s, dir)
+      .where("verdict = 'unique'").select(col("doc_id"))
+    val kept = Caches.persist(deltaDocs(s, dir).join(keptIds, Seq("doc_id")))
+    kept.selectExpr("md5(text) AS fp", "doc_id")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .write.mode("append").parquet(s"$path/exact")
+    val sh = Caches.persist(TextPipeline.shinglesOf(kept))
+    sh.write.mode("append").parquet(s"$path/shingles")
+    TextPipeline.minhashBands(sh).write.mode("append").parquet(s"$path/bands")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_delta_dedup" -> ((s, dir) => { build(s, dir); deltaVerdicts(s, dir) })
   )

@@ -63,4 +63,38 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(second == first, "re-judging the same delta changed verdicts")
     assert(storeFiles(path) == before, "judging the delta wrote to the store")
   }
+
+  test("absorbing kept docs makes them visible to the next judge, append-only") {
+    val idx = graft.queries.DedupIndex
+    val path = idx.build(spark, sf)
+    graft.queries.Caches.releaseAll()
+    val first = graft.queries.Caches.scoped(
+      idx.deltaVerdicts(spark, sf).collect().toSeq)
+    val uniques = first.filter(_.getString(5) == "unique").map(_.getLong(0)).toSet
+    assert(uniques.nonEmpty, "no unique docs to absorb — test has no teeth")
+    val preAbsorb = storeFiles(path)
+
+    graft.queries.Caches.scoped { idx.absorb(spark, sf); () }
+    // append-only: every pre-existing store file is untouched
+    val postAbsorb = storeFiles(path)
+    // _SUCCESS markers (and their .crc sidecars) are rewritten by any
+    // append commit — only the data files must be untouched
+    for ((f, t) <- preAbsorb if !f.contains("_SUCCESS"))
+      assert(postAbsorb.get(f).contains(t), s"absorb rewrote store file $f")
+
+    // the same batch re-judged: every previously-kept doc now matches
+    // ITSELF exactly (its fp is in the store), nothing is 'unique'
+    val rejudged = graft.queries.Caches.scoped(
+      idx.deltaVerdicts(spark, sf).collect().toSeq)
+    for (r <- rejudged) {
+      assert(r.getString(5) != "unique",
+        s"doc ${r.getLong(0)} still unique after its batch was absorbed")
+      if (uniques.contains(r.getLong(0)))
+        assert(r.getInt(1) == 1 && r.getLong(2) <= r.getLong(0),
+          s"absorbed doc ${r.getLong(0)} not matched exactly (keeper ${r.getLong(2)})")
+    }
+    // rebuild so sibling tests (any order) see the pristine corpus store
+    idx.build(spark, sf)
+    graft.queries.Caches.releaseAll()
+  }
 }

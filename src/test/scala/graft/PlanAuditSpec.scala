@@ -226,6 +226,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q83 top-V is not TakeOrderedAndProject:\n$p83")
   }
 
+  test("q84 delta judging is equi-joins only against the store") {
+    // exact lookup = md5 equi-join, candidates = 4-part band-key
+    // equi-join, jaccard = doc-id equi-joins — an unbounded join here
+    // means the delta is being compared against the whole corpus
+    val p = plan("q84_delta_dedup")
+    assert(!p.contains("CartesianProduct"), s"q84 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q84 planned a nested-loop join:\n$p")
+  }
+
   test("q75 token budget: offsets broadcast back, corpus never sort-merge joins") {
     // the per-language start offsets are a #languages-row table — they
     // must broadcast to the prefix-summed corpus, never shuffle it; the
