@@ -173,6 +173,28 @@ def persisted_topk_ivf(spark, data_dir, index_path, num_probes=5, k=5):
     return DataFrame(jdf, spark)
 
 
+def build_dedup_index(spark, data_dir):
+    """Fingerprint the corpus slice into the persisted incremental-dedup
+    index (exact md5 table, MinHash band keys, shingle sets); returns the
+    index path."""
+    return _bridge(spark).buildDedupIndex(spark._jsparkSession, data_dir)
+
+
+def dedup_delta_verdicts(spark, data_dir):
+    """Judge the delta slice against the store: one row per delta doc
+    with verdict 'exact' | 'near' | 'unique' and the matching evidence
+    (exact keeper, near-dup count, best near match). Pure read of the
+    store — never rebuilds."""
+    jdf = _bridge(spark).dedupDeltaVerdicts(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def absorb_dedup_delta(spark, data_dir):
+    """Append the judged delta's kept ('unique') docs into the store so
+    the next batch is judged against them. Append-only."""
+    _bridge(spark).absorbDedupDelta(spark._jsparkSession, data_dir)
+
+
 def release_caches(spark):
     """Unpersist every cache a query build registered (the consumer side
     of the library's cache protocol) — call after each terminal action."""

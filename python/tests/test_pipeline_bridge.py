@@ -253,6 +253,32 @@ def main():
         (r["doc_id"], r["cum_tokens"]) in default_pairs for r in small_take), \
         "a third of the budget is not a sub-prefix of the default take"
 
+    # --- incremental dedup index: build -> judge -> absorb -> re-judge ---
+    gp.build_dedup_index(spark, sf_dir)
+    gp.release_caches(spark)
+    verdicts = gp.dedup_delta_verdicts(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert verdicts, "no delta verdicts"
+    for r in verdicts:
+        # planted copies (doc_id % 10 == 7 carries corpus doc id-7's
+        # text) must judge exact against exactly that keeper
+        if r["doc_id"] % 10 == 7:
+            assert r["verdict"] == "exact" and r["exact_keeper"] == r["doc_id"] - 7, \
+                f"planted doc {r['doc_id']} judged {r['verdict']}/{r['exact_keeper']}"
+    uniq_ids = {r["doc_id"] for r in verdicts if r["verdict"] == "unique"}
+    assert uniq_ids, "nothing judged unique — absorb test has no teeth"
+    gp.absorb_dedup_delta(spark, sf_dir)
+    gp.release_caches(spark)
+    rejudged = gp.dedup_delta_verdicts(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert all(r["verdict"] != "unique" for r in rejudged), \
+        "absorbed batch still has unique docs on re-judge"
+    assert all(r["exact_dup"] == 1 for r in rejudged if r["doc_id"] in uniq_ids), \
+        "absorbed doc not matched exactly against itself"
+    # restore the pristine corpus-only store for any later consumer
+    gp.build_dedup_index(spark, sf_dir)
+    gp.release_caches(spark)
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names

@@ -114,6 +114,25 @@ object PipelineBridge {
     queries.TextPipeline.mixTake(s, dir, minQualityE4, repThreshold, capK,
       totalBudget)
 
+  // --- Incremental-dedup index lifecycle (the q84 deployment shape:
+  // fingerprint the corpus once, judge each incoming batch against the
+  // store, absorb the kept docs so the next batch sees them). ---
+
+  /** Fingerprint the corpus slice into the persisted dedup index;
+    * returns the index path. */
+  def buildDedupIndex(s: SparkSession, dir: String): String =
+    queries.DedupIndex.build(s, dir)
+
+  /** Judge the delta slice against the store: one row per delta doc with
+    * exact/near/unique verdict and the matching evidence. Pure read of
+    * the store. */
+  def dedupDeltaVerdicts(s: SparkSession, dir: String): DataFrame =
+    queries.DedupIndex.deltaVerdicts(s, dir)
+
+  /** Append the judged delta's kept ('unique') docs into the store. */
+  def absorbDedupDelta(s: SparkSession, dir: String): Unit =
+    queries.DedupIndex.absorb(s, dir)
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this
