@@ -74,6 +74,29 @@ object Advanced {
         .orderBy(col("user_mod"))
     }),
 
+    // Unpivot (melt) — q38's inverse reshape: the four lineitem measure
+    // columns folded into (measure, value) rows, then per-measure stats.
+    // Plans as a single Expand over the scan (each input row emits 4
+    // narrow rows) feeding one hash aggregation — one corpus pass, no
+    // join, no shuffle beyond the 4-group agg.
+    "q85_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          variableColumnName = "measure",
+          valueColumnName = "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"),
+          round(min(col("value")), 2).as("min_value"),
+          round(max(col("value")), 2).as("max_value"))
+        .orderBy(col("measure"))
+    }),
+
     // Explicit GROUPING SETS (neither rollup nor cube): priority totals,
     // status totals, and the grand total in one pass over orders.
     "q39_grouping_sets" -> ((s, dir) => {
@@ -197,6 +220,24 @@ object Advanced {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY priority, status""".stripMargin,
+
+    // Unpivot ≡ UNION ALL of one SELECT per measure; Spark's unpivot
+    // emits the measure's COLUMN NAME in the variable column, mirrored
+    // here as string literals.
+    "q85_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
 
     "q42_array_funcs" ->
       """SELECT vec_id, len(embedding) AS dim,
