@@ -97,6 +97,58 @@ object Advanced {
         .orderBy(col("measure"))
     }),
 
+    // Funnel: users progressing through view → click → purchase IN EVENT
+    // ORDER (strictly cumulative: a click only counts once a view has
+    // been seen, a purchase only once a qualifying click has). One
+    // shuffle+sort per user — the three cumulative-max windows share the
+    // same (user_id | ts, event_id) partitioning/ordering, so Catalyst
+    // plans ONE exchange and one sort feeding three chained Window
+    // operators; per-user state is three ints, never a collected event
+    // list. The (ts, event_id) ordering makes ties deterministic in both
+    // engines.
+    "q86_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("seen_view",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+        .withColumn("seen_vc",
+          max(when(col("event_type") === "click" && col("seen_view") === 1, 1)
+            .otherwise(0)).over(w))
+        .withColumn("seen_vcp",
+          max(when(col("event_type") === "purchase" && col("seen_vc") === 1, 1)
+            .otherwise(0)).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("seen_view")).as("v"), max(col("seen_vc")).as("vc"),
+          max(col("seen_vcp")).as("vcp"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("v")).as("n_view"),
+          sum(col("vc")).as("n_view_click"),
+          sum(col("vcp")).as("n_full_funnel"))
+    }),
+
+    // Retention cohorts: users bucketed by first-active day, counted on
+    // each later active day as a day offset. (user, day) pairs collapse
+    // FIRST (distinct — map-side partial), the cohort day is a
+    // whole-partition min window over that already-collapsed set (no
+    // join back to raw events), and the final (cohort × offset) grid is
+    // bounded by the date span squared, not by data volume.
+    "q87_retention" -> ((s, dir) => {
+      // date_trunc (timestamp), not to_date: DATE columns round-trip as
+      // pandas datetime64 on the Spark side but date objects on the
+      // DuckDB side of the compare — q36 set the precedent
+      val days = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+      days
+        .withColumn("cohort_day",
+          min(col("day")).over(Window.partitionBy(col("user_id"))))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("offset_days"))
+        .agg(count(lit(1)).as("n_active_users"))
+        .orderBy(col("cohort_day"), col("offset_days"))
+    }),
+
     // Explicit GROUPING SETS (neither rollup nor cube): priority totals,
     // status totals, and the grand total in one pass over orders.
     "q39_grouping_sets" -> ((s, dir) => {
@@ -220,6 +272,41 @@ object Advanced {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY priority, status""".stripMargin,
+
+    // The same three chained cumulative-max windows, layered as CTEs
+    // (a window expression can't reference a same-SELECT alias).
+    "q86_funnel" ->
+      """WITH f1 AS (SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_view
+        |  FROM events),
+        |f2 AS (SELECT *,
+        |    max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_vc
+        |  FROM f1),
+        |f3 AS (SELECT *,
+        |    max(CASE WHEN event_type = 'purchase' AND seen_vc = 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_vcp
+        |  FROM f2),
+        |u AS (SELECT user_id, max(seen_view) AS v, max(seen_vc) AS vc,
+        |    max(seen_vcp) AS vcp
+        |  FROM f3 GROUP BY user_id)
+        |SELECT count(*)::BIGINT AS n_users, sum(v)::BIGINT AS n_view,
+        |  sum(vc)::BIGINT AS n_view_click, sum(vcp)::BIGINT AS n_full_funnel
+        |FROM u""".stripMargin,
+
+    "q87_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |d AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM days)
+        |SELECT cohort_day, datediff('day', cohort_day, day) AS offset_days,
+        |  count(*)::BIGINT AS n_active_users
+        |FROM d GROUP BY cohort_day, datediff('day', cohort_day, day)
+        |ORDER BY cohort_day, offset_days""".stripMargin,
 
     // Unpivot ≡ UNION ALL of one SELECT per measure; Spark's unpivot
     // emits the measure's COLUMN NAME in the variable column, mirrored

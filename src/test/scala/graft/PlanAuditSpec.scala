@@ -226,6 +226,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q83 top-V is not TakeOrderedAndProject:\n$p83")
   }
 
+  test("q86 funnel: one sort feeds all three windows; q87 retention never joins") {
+    // the three cumulative flags share (user_id | ts, event_id) — one
+    // exchange + ONE sort chains three Window operators; a second Sort
+    // means the shared ordering was lost, an extra Exchange means a
+    // window re-partitioned the events
+    val p86 = plan("q86_funnel")
+    assert("\\bWindow\\b".r.findAllIn(p86).size == 3, s"q86 window count:\n$p86")
+    assert("\\bSort\\b".r.findAllIn(p86).size == 1, s"q86 re-sorts:\n$p86")
+    assert("\\bExchange\\b".r.findAllIn(p86).size <= 2,
+      s"q86 extra exchange (windows or agg re-partitioned):\n$p86")
+    // the cohort day is a whole-partition window over the collapsed
+    // (user, day) set — the join-back-to-events form is the regression
+    val p87 = plan("q87_retention")
+    assert(!p87.contains("Join"), s"q87 joins for the cohort day:\n$p87")
+  }
+
   test("q84 delta judging is equi-joins only against the store") {
     // exact lookup = md5 equi-join, candidates = 4-part band-key
     // equi-join, jaccard = doc-id equi-joins — an unbounded join here
