@@ -97,6 +97,47 @@ object Advanced {
         .orderBy(col("measure"))
     }),
 
+    // Per-group Pearson correlation / sample covariance / stddev from
+    // EXPLICIT raw moment sums (n, Σx, Σy, Σx², Σy², Σxy) combined with
+    // the same closed-form expressions on both sides — NOT the builtin
+    // corr/covar aggregates, whose internal update algorithms (Welford
+    // vs raw-moment) round differently across engines. Map-side partial
+    // aggregation ships six doubles per group per partition; the
+    // combination is well-conditioned here (quantity and price variances
+    // are large relative to cancellation error), and rounding to 4
+    // places absorbs the summation-order ulps.
+    "q88_corr_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sx"),
+          sum(col("l_extendedprice")).as("sy"),
+          sum(col("l_quantity") * col("l_quantity")).as("sxx"),
+          sum(col("l_extendedprice") * col("l_extendedprice")).as("syy"),
+          sum(col("l_quantity") * col("l_extendedprice")).as("sxy"))
+        .selectExpr("l_returnflag", "n",
+          "round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)" +
+            " * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price",
+          "round((sxy - sx * sy / n) / (n - 1), 2) AS covar_qty_price",
+          "round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty",
+          "round(sqrt((syy - sy * sy / n) / (n - 1)), 2) AS stddev_price")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // HLL++ approximate distinct — THE count-distinct at 100 TB (exact
+    // distinct shuffles every key; the sketch ships a fixed-size
+    // register set per group per partition). Not cross-engine
+    // oracle-able (DuckDB's approx_distinct is a different sketch), so
+    // this is a rows-only entry; ModulesSpec gates the estimate against
+    // the exact count at 3x the configured rsd on the real corpus.
+    "q89_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // Funnel: users progressing through view → click → purchase IN EVENT
     // ORDER (strictly cumulative: a click only counts once a view has
     // been seen, a purchase only once a qualifying click has). One
@@ -272,6 +313,23 @@ object Advanced {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         |ORDER BY priority, status""".stripMargin,
+
+    // Same explicit moment-sum formulas; only the per-partition
+    // summation order differs, absorbed by the rounding.
+    "q88_corr_stats" ->
+      """WITH m AS (SELECT l_returnflag, count(*)::BIGINT AS n,
+        |    sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |    sum(l_quantity * l_quantity) AS sxx,
+        |    sum(l_extendedprice * l_extendedprice) AS syy,
+        |    sum(l_quantity * l_extendedprice) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)
+        |    * sqrt(n * syy - sy * sy)), 4) AS corr_qty_price,
+        |  round((sxy - sx * sy / n) / (n - 1), 2) AS covar_qty_price,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
+        |  round(sqrt((syy - sy * sy / n) / (n - 1)), 2) AS stddev_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     // The same three chained cumulative-max windows, layered as CTEs
     // (a window expression can't reference a same-SELECT alias).

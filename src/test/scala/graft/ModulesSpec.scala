@@ -13,6 +13,21 @@ class ModulesSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("q89 HLL estimate stays within 3x rsd of the exact distinct count") {
+    // rsd = 0.02 in the query; HLL++'s standard error bound — 3 sigma
+    // covers ~99.7% of register configurations, and the input is fixed,
+    // so this is deterministic, not flaky
+    val rows = graft.queries.Caches.scoped(
+      SparkEntry.queries("q89_approx_distinct")(spark, sf).collect().toSeq)
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(exact > 0)
+      assert(math.abs(approx - exact).toDouble / exact <= 3 * 0.02,
+        s"${r.getString(0)}: approx $approx vs exact $exact outside 3x rsd")
+    }
+  }
+
   test("AnnLsh: every reported neighbor has the correct cosine and rank order") {
     val result = AnnLsh.annTopK(spark, sf).collect()
     assert(result.nonEmpty)
