@@ -173,6 +173,30 @@ def persisted_topk_ivf(spark, data_dir, index_path, num_probes=5, k=5):
     return DataFrame(jdf, spark)
 
 
+def scrub(spark, data_dir, categories):
+    """Parameterized PII/pattern redaction over the documents table.
+
+    ``categories`` is an ordered list of ``(name, java_regex,
+    replacement)`` triples, applied in order (each category's matches are
+    counted on the text as it stands when that pass runs). Returns one
+    row per doc with per-category ``n_<name>`` counts, a ``residual_pii``
+    re-scan across all patterns, and the ``clean_text``.
+    """
+    sc = spark.sparkContext
+    gw = sc._gateway
+    def jarray(vals):
+        arr = gw.new_array(gw.jvm.java.lang.String, len(vals))
+        for i, v in enumerate(vals):
+            arr[i] = v
+        return arr
+    jdf = _bridge(spark).scrub(
+        spark._jsparkSession, data_dir,
+        jarray([c[0] for c in categories]),
+        jarray([c[1] for c in categories]),
+        jarray([c[2] for c in categories]))
+    return DataFrame(jdf, spark)
+
+
 def build_dedup_index(spark, data_dir):
     """Fingerprint the corpus slice into the persisted incremental-dedup
     index (exact md5 table, MinHash band keys, shingle sets); returns the

@@ -253,6 +253,21 @@ def main():
         (r["doc_id"], r["cum_tokens"]) in default_pairs for r in small_take), \
         "a third of the budget is not a sub-prefix of the default take"
 
+    # --- parameterized scrub: a custom pattern over the raw corpus ---
+    scrubbed = gp.scrub(spark, sf_dir, [
+        ("spark", r"\bspark\b", "<TOOL>"),
+        ("digits", r"\d+", "<NUM>"),
+    ]).collect()
+    gp.release_caches(spark)
+    assert len(scrubbed) == n_docs
+    n_spark_docs = sum(1 for r in scrubbed if r["n_spark"] > 0)
+    expected_spark = docs.filter("text rlike '\\\\bspark\\\\b'").count()
+    assert n_spark_docs == expected_spark, \
+        f"scrub found 'spark' in {n_spark_docs} docs, pyspark rlike says {expected_spark}"
+    assert all(r["residual_pii"] == 0 for r in scrubbed), \
+        "custom scrub left residual matches"
+    assert all("spark" not in r["clean_text"] for r in scrubbed if r["n_spark"] > 0)
+
     # --- incremental dedup index: build -> judge -> absorb -> re-judge ---
     gp.build_dedup_index(spark, sf_dir)
     gp.release_caches(spark)

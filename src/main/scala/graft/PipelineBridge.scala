@@ -114,6 +114,19 @@ object PipelineBridge {
     queries.TextPipeline.mixTake(s, dir, minQualityE4, repThreshold, capK,
       totalBudget)
 
+  /** The q79 redaction chain over the RAW documents table with a
+    * caller-chosen pattern set: parallel arrays of (category name, Java
+    * regex, replacement token), applied in order, per-category counts +
+    * residual re-scan in the output. Py4J-friendly (no Scala tuples). */
+  def scrub(s: SparkSession, dir: String, names: Array[String],
+      patterns: Array[String], replacements: Array[String]): DataFrame = {
+    require(names.length == patterns.length && names.length == replacements.length,
+      "names/patterns/replacements must be parallel arrays")
+    queries.TextPipeline.scrubChain(
+      queries.Tables.t(s, dir, "documents").select("doc_id", "text"),
+      names.toSeq.lazyZip(patterns.toSeq).lazyZip(replacements.toSeq).map((_, _, _)))
+  }
+
   // --- Incremental-dedup index lifecycle (the q84 deployment shape:
   // fingerprint the corpus once, judge each incoming batch against the
   // store, absorb the kept docs so the next batch sees them). ---

@@ -521,18 +521,10 @@ object TextPipeline {
           " '@mail.example.com or +1 555-01'," +
           " lpad(cast(doc_id % 100 AS string), 2, '0')," +
           " ' host 10.0.', cast(doc_id % 250 AS string), '.17') AS text")
-      planted
-        .withColumn("n_emails", regexp_count(col("text"), lit(emailPat)).cast("long"))
-        .withColumn("t1", regexp_replace(col("text"), emailPat, "<EMAIL>"))
-        .withColumn("n_ips", regexp_count(col("t1"), lit(ipv4Pat)).cast("long"))
-        .withColumn("t2", regexp_replace(col("t1"), ipv4Pat, "<IP>"))
-        .withColumn("n_phones", regexp_count(col("t2"), lit(phonePat)).cast("long"))
-        .withColumn("clean_text", regexp_replace(col("t2"), phonePat, "<PHONE>"))
-        .withColumn("residual_pii",
-          (regexp_count(col("clean_text"), lit(emailPat))
-            + regexp_count(col("clean_text"), lit(ipv4Pat))
-            + regexp_count(col("clean_text"), lit(phonePat))).cast("long"))
-        .select("doc_id", "n_emails", "n_ips", "n_phones", "residual_pii", "clean_text")
+      scrubChain(planted, Seq(
+        ("emails", emailPat, "<EMAIL>"),
+        ("ips", ipv4Pat, "<IP>"),
+        ("phones", phonePat, "<PHONE>")))
         .orderBy(col("doc_id"))
     }),
 
@@ -946,6 +938,33 @@ object TextPipeline {
       .distinct()
     jaccardOf(cand, docs, docs, "a_id", "b_id")
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** The parameterized redaction chain over a (doc_id, text) DataFrame:
+    * each (name, pattern, replacement) applied IN ORDER, its matches
+    * counted on the text as it stands when that pass runs (order is part
+    * of the contract — an IP inside an already-redacted email is not
+    * re-counted), then a residual re-scan of the clean text across ALL
+    * patterns. Pure scan+project — every regexp is a codegen'd builtin;
+    * zero joins, zero shuffles. q79 is this chain with the email/ip/phone
+    * defaults and the deterministic plant; deployments call it with their
+    * own pattern set via [[graft.PipelineBridge.scrub]]. */
+  private[graft] def scrubChain(docs: DataFrame,
+      specs: Seq[(String, String, String)]): DataFrame = {
+    require(specs.nonEmpty, "scrubChain needs at least one pattern")
+    val redacted = specs.zipWithIndex.foldLeft(docs.withColumn("t0", col("text"))) {
+      case (df, ((name, pat, repl), i)) =>
+        df.withColumn(s"n_$name", regexp_count(col(s"t$i"), lit(pat)).cast("long"))
+          .withColumn(s"t${i + 1}", regexp_replace(col(s"t$i"), pat, repl))
+    }
+    val cleanCol = s"t${specs.size}"
+    val residual = specs.map { case (_, pat, _) =>
+      regexp_count(col(cleanCol), lit(pat))
+    }.reduce(_ + _).cast("long")
+    redacted
+      .withColumn("residual_pii", residual)
+      .select(col("doc_id") +: specs.map { case (name, _, _) => col(s"n_$name") }
+        :+ col("residual_pii") :+ col(cleanCol).as("clean_text"): _*)
   }
 
   /** Adds per-doc Gopher-style repetition character counts to `df` (which
