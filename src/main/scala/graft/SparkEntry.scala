@@ -227,9 +227,10 @@ object SparkEntry {
     * quantizer, q58_ann_persisted / q59_ann_ivf_persisted replay those
     * buckets/lists from a persisted index, q60_ann_budgeted is the same
     * gaussian bucketing under an occupancy budget, q62_ann_quantized the
-    * same bucketing with int8-scored candidates, q89_approx_distinct is
-    * Spark's HLL++ sketch (DuckDB's approx_distinct is a different
-    * sketch) — none are expressible as deterministic cross-engine SQL;
+    * same bucketing with int8-scored candidates, q89_approx_distinct and
+    * q90_approx_percentile are Spark's HLL++ / Greenwald-Khanna sketches
+    * (DuckDB's equivalents are different sketches) — none are
+    * expressible as deterministic cross-engine SQL;
     * all are asserted in ScalaTest specs instead, the persisted paths
     * bit-for-bit against the live ones in AnnIndexSpec, the
     * budgeted/quantized points and the HLL error gate in ModulesSpec). */

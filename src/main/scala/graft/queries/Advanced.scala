@@ -138,6 +138,23 @@ object Advanced {
         .orderBy(col("event_type"))
     }),
 
+    // Quantile sketch — the percentile that runs at 100 TB (exact
+    // percentiles sort every group; the Greenwald-Khanna summary ships a
+    // bounded buffer per group per partition). Like q89, not
+    // cross-engine oracle-able (DuckDB's approx_quantile is t-digest),
+    // so rows-only + a ModulesSpec gate against the exact percentiles,
+    // which sit alongside in the output. accuracy=10000 bounds rank
+    // error at 1/10000 of the group.
+    "q90_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
+            .as("approx_p"),
+          expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_p"))
+        .orderBy(col("event_type"))
+    }),
+
     // Funnel: users progressing through view → click → purchase IN EVENT
     // ORDER (strictly cumulative: a click only counts once a view has
     // been seen, a purchase only once a qualifying click has). One

@@ -28,6 +28,34 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 approx percentiles hit the target RANK within GK tolerance") {
+    // Greenwald-Khanna's guarantee is on RANK, not value (a heavy tail
+    // moves p99 values a lot per rank step): the empirical CDF position
+    // of each approx value must sit within 1/accuracy + one rank step of
+    // its target percentile.
+    val rows = graft.queries.Caches.scoped(
+      SparkEntry.queries("q90_approx_percentile")(spark, sf).collect().toSeq)
+    assert(rows.nonEmpty)
+    val groups = graft.queries.Tables.t(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val targets = Seq(0.5, 0.95, 0.99)
+    for (r <- rows) {
+      val vals = groups(r.getString(0))
+      val approx = r.getSeq[Double](1)
+      assert(approx.size == 3)
+      for ((a, p) <- approx.zip(targets)) {
+        val cdf = vals.count(_ <= a).toDouble / vals.size
+        // 1/accuracy sketch rank error + 2 ranks of discretization slack
+        val tol = 1.0 / 10000 + 2.0 / vals.size
+        assert(math.abs(cdf - p) <= tol,
+          s"${r.getString(0)} p$p: approx $a sits at cdf $cdf (n=${vals.size})")
+      }
+    }
+  }
+
   test("AnnLsh: every reported neighbor has the correct cosine and rank order") {
     val result = AnnLsh.annTopK(spark, sf).collect()
     assert(result.nonEmpty)
