@@ -586,6 +586,13 @@ object TextPipeline {
     // form, linear in corpus chunks, hot boilerplate keys handled by AQE
     // skew split. Reassembly sorts each doc's own surviving chunk list —
     // bounded per row, no window.
+    //
+    // Only FULL 8-token chunks participate in the dup set (Lee et al.
+    // dedup fixed-length windows): a sub-8-token tail fragment — often a
+    // single common word — duplicating across documents is noise, not
+    // boilerplate, and tails are kept unconditionally. A tail can never
+    // string-equal a full chunk (different token counts), so the
+    // anti-join needs no length predicate.
     "q81_chunk_dedup" -> ((s, dir) => {
       val chunks = Caches.persist(
         t(s, dir, "documents")
@@ -593,9 +600,11 @@ object TextPipeline {
           .selectExpr("doc_id",
             "transform(sequence(0, cast(ceil(size(tk) / 8.0) AS int) - 1), " +
               "i -> struct(cast(i AS bigint) AS pos, " +
-              "array_join(slice(tk, i * 8 + 1, 8), ' ') AS chunk)) AS cs")
+              "array_join(slice(tk, i * 8 + 1, 8), ' ') AS chunk, " +
+              "i * 8 + 8 <= size(tk) AS is_full)) AS cs")
           .selectExpr("doc_id", "inline(cs)"))
-      val dup = chunks.groupBy(col("chunk"))
+      val dup = chunks.where(col("is_full"))
+        .groupBy(col("chunk"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .where(col("df") >= 2)
         .select(col("chunk"))
@@ -612,6 +621,30 @@ object TextPipeline {
           "cast(n_chunks - coalesce(n_kept, 0L) AS bigint) AS n_removed",
           "coalesce(kept_text, '') AS clean_text")
         .orderBy(col("doc_id"))
+    }),
+
+    // COMMON-CHUNK DIAGNOSTIC — the "find the boilerplate" pass that
+    // precedes q81's removal: the 20 most widespread FULL 8-token chunks
+    // by distinct-document frequency, with total occurrence counts
+    // (tails excluded for the same reason q81 excludes them from its dup
+    // set). Deterministic order (df desc, chunk asc); same chunking as
+    // q81. The corpus collapses in ONE chunk-keyed aggregation; top-20
+    // plans as TakeOrderedAndProject, never a global sort of the chunk
+    // table.
+    "q82_common_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS tk")
+        .selectExpr("doc_id",
+          "explode(filter(transform(sequence(0, cast(ceil(size(tk) / 8.0) AS int) - 1), " +
+            "i -> CASE WHEN i * 8 + 8 <= size(tk) " +
+            "THEN array_join(slice(tk, i * 8 + 1, 8), ' ') END), " +
+            "c -> c IS NOT NULL)) AS chunk")
+        .groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("n_occurrences"))
+        .where(col("df") >= 2)
+        .orderBy(col("df").desc, col("chunk"))
+        .limit(20)
     }),
 
     // VOCABULARY COVERAGE — tokenizer-training prep: the global word
@@ -1693,14 +1726,16 @@ object TextPipeline {
 
     // Same chunking (1-based inclusive list slice == Spark's slice(tk,
     // start, 8), both clamp the tail), NOT IN for the anti-join (chunk is
-    // never null), string_agg ORDER BY pos for the reassembly.
+    // never null), string_agg ORDER BY pos for the reassembly; only full
+    // 8-token chunks feed the dup set.
     "q81_chunk_dedup" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |c AS (SELECT doc_id, i AS pos,
-         |    array_to_string(tk[8*i+1:8*i+8], ' ') AS chunk
+         |    array_to_string(tk[8*i+1:8*i+8], ' ') AS chunk,
+         |    8*i+8 <= len(tk) AS is_full
          |  FROM d, unnest(generate_series(0,
          |    CAST(ceil(len(tk) / 8.0) AS INT) - 1)) AS t(i)),
-         |dup AS (SELECT chunk FROM c GROUP BY chunk
+         |dup AS (SELECT chunk FROM c WHERE is_full GROUP BY chunk
          |  HAVING count(DISTINCT doc_id) >= 2),
          |kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
          |    string_agg(chunk, ' ' ORDER BY pos) AS kept_text
@@ -1712,6 +1747,18 @@ object TextPipeline {
          |  coalesce(k.kept_text, '') AS clean_text
          |FROM d LEFT JOIN kept k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q82_common_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id,
+        |    array_to_string(tk[8*i+1:8*i+8], ' ') AS chunk
+        |  FROM d, unnest(generate_series(0,
+        |    CAST(ceil(len(tk) / 8.0) AS INT) - 1)) AS t(i)
+        |  WHERE 8*i+8 <= len(tk))
+        |SELECT chunk, count(DISTINCT doc_id)::BIGINT AS df,
+        |  count(*)::BIGINT AS n_occurrences
+        |FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY df DESC, chunk LIMIT 20""".stripMargin,
 
     // Same deterministic (count desc, word asc) order on both sides; the
     // cumulative sum runs over the already-truncated 25-row table.

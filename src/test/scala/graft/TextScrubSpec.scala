@@ -61,14 +61,16 @@ class TextScrubSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)} reassembly is lossy")
 
     // Independent recount: n_removed per doc via the SEMI form (count the
-    // doc's positions whose chunk sits in the df>=2 set) instead of the
-    // production anti-join.
+    // doc's positions whose chunk sits in the full-chunk df>=2 set)
+    // instead of the production anti-join.
     val chunks = graft.queries.Tables.t(spark, sf, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS tk")
       .selectExpr("doc_id",
         "explode(transform(sequence(0, cast(ceil(size(tk) / 8.0) AS int) - 1), " +
-          "i -> array_join(slice(tk, i * 8 + 1, 8), ' '))) AS chunk")
-    val dup = chunks.groupBy(col("chunk"))
+          "i -> struct(array_join(slice(tk, i * 8 + 1, 8), ' ') AS chunk, " +
+          "i * 8 + 8 <= size(tk) AS is_full))) AS c")
+      .selectExpr("doc_id", "c.chunk AS chunk", "c.is_full AS is_full")
+    val dup = chunks.where(col("is_full")).groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("df")).where(col("df") >= 2)
       .select(col("chunk"))
     val removedBySemi = chunks.join(dup, Seq("chunk"), "left_semi")
