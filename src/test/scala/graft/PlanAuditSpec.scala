@@ -220,10 +220,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p81.contains("Window"), s"q81 reassembles via a corpus window:\n$p81")
     // q83's truncation must plan as TakeOrderedAndProject over the
     // vocabulary aggregate — a global Sort of the corpus (or of the full
-    // word table feeding the window before the limit) is the regression
+    // word table feeding the window before the limit) is the regression;
+    // q82's top-20 boilerplate cut holds the same bar over the chunk table
     val p83 = plan("q83_vocab_coverage")
     assert(p83.contains("TakeOrderedAndProject"),
       s"q83 top-V is not TakeOrderedAndProject:\n$p83")
+    val p82 = plan("q82_common_chunks")
+    assert(p82.contains("TakeOrderedAndProject"),
+      s"q82 top-20 is not TakeOrderedAndProject:\n$p82")
   }
 
   test("q86 funnel: one sort feeds all three windows; q87 retention never joins") {
