@@ -128,17 +128,93 @@ object DedupIndex {
     TextPipeline.minhashBands(sh).write.mode("append").parquet(s"$path/bands")
   }
 
+  /** q91: the same delta judged as a STREAM against the persisted store —
+    * the shape a continuously-ingesting pipeline runs. Streaming
+    * constraints dictate the plan: only ONE stateful aggregation is
+    * allowed per query, so the minhash signature is computed IN-ROW
+    * (array HOFs over the shingle array — identical values to the batch
+    * explode + groupBy-min path, since both take the same per-shingle
+    * (h1 + j·h2) mod 2³² minima), candidate generation and jaccard
+    * verification are stateless stream-static equi-joins against the
+    * store, and the three evidence kinds (seen / exact / near) union
+    * into a single per-doc aggregation. Verdict assembly and ordering
+    * run on the materialized batch result. Bit-identical to
+    * [[deltaVerdicts]] (spec-pinned) and shares q84's oracle verbatim. */
+  def streamDeltaVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val path = root(dir)
+    val raw = s.read.parquet(s"$dir/documents.parquet") // schema probe
+    val srcTexts = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("src_id"), col("text").as("src_text"))
+    val delta = s.readStream.schema(raw.schema).parquet(s"$dir/documents*.parquet")
+      .where("doc_id % 10 >= 7").select(col("doc_id"), col("text"))
+      .join(srcTexts,
+        col("src_id") === col("doc_id") - lit(7) && col("doc_id") % 10 === 7,
+        "left")
+      .selectExpr("doc_id", "coalesce(src_text, text) AS text")
+
+    val seen = delta.selectExpr("doc_id", "'seen' AS kind",
+      "cast(null AS bigint) AS keeper", "cast(null AS bigint) AS c_id")
+    val exact = delta.selectExpr("doc_id", "md5(text) AS fp")
+      .join(s.read.parquet(s"$path/exact"), Seq("fp"))
+      .selectExpr("doc_id", "'exact' AS kind", "keeper",
+        "cast(null AS bigint) AS c_id")
+
+    val hs = "transform(sh, t -> struct(" +
+      "cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint) AS h1, " +
+      "cast(conv(substring(md5(t), 9, 8), 16, 10) AS bigint) AS h2))"
+    val sigs = TextPipeline.shinglesOf(delta)
+      .selectExpr("doc_id", "sh", s"$hs AS hs")
+      .selectExpr("doc_id" +: "sh" +: (0 until 12).map(j =>
+        s"array_min(transform(hs, h -> pmod(h.h1 + $j * h.h2, 4294967296))) AS m$j"): _*)
+    val bandArr = (0 until 4).map(b =>
+      s"struct($b AS b, m${3 * b} AS k0, m${3 * b + 1} AS k1, m${3 * b + 2} AS k2)")
+      .mkString("array(", ", ", ")")
+    val near = sigs.selectExpr("doc_id", "sh", s"explode($bandArr) AS band")
+      .selectExpr("doc_id", "sh", "band.b AS b",
+        "band.k0 AS k0", "band.k1 AS k1", "band.k2 AS k2")
+      .join(s.read.parquet(s"$path/bands").withColumnRenamed("doc_id", "c_id"),
+        Seq("b", "k0", "k1", "k2"))
+      .join(s.read.parquet(s"$path/shingles")
+          .select(col("doc_id").as("c_id2"), col("sh").as("csh")),
+        col("c_id") === col("c_id2"))
+      .where(expr("round(cast(size(array_intersect(sh, csh)) AS double)" +
+        " / size(array_union(sh, csh)), 4) >= 0.5"))
+      .selectExpr("doc_id", "'near' AS kind",
+        "cast(null AS bigint) AS keeper", "c_id")
+
+    // one stateful aggregation; collect_set both dedupes a candidate
+    // that matched on several bands and stays bounded by the per-doc
+    // candidate count
+    val agg = seen.unionByName(exact).unionByName(near)
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("kind") === "exact", col("keeper"))).as("keeper"),
+        collect_set(when(col("kind") === "near", col("c_id"))).as("near_set"))
+
+    Streaming.runToCompletion(s, agg, "delta_dedup")
+      .selectExpr("doc_id",
+        "cast(keeper IS NOT NULL AS int) AS exact_dup",
+        "coalesce(keeper, -1L) AS exact_keeper",
+        "cast(size(near_set) AS bigint) AS n_near",
+        "coalesce(array_min(near_set), -1L) AS near_match",
+        "CASE WHEN keeper IS NOT NULL THEN 'exact' " +
+          "WHEN size(near_set) > 0 THEN 'near' " +
+          "ELSE 'unique' END AS verdict")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q84_delta_dedup" -> ((s, dir) => { build(s, dir); deltaVerdicts(s, dir) })
+    "q84_delta_dedup" -> ((s, dir) => { build(s, dir); deltaVerdicts(s, dir) }),
+    "q91_stream_delta_dedup" -> ((s, dir) => { build(s, dir); streamDeltaVerdicts(s, dir) })
   )
 
-  val oracles: Map[String, String] = Map(
-    // DuckDB recomputes the whole flow from scratch: the planted
-    // corpus∪delta source, one shared shingle/band chain over it (the
-    // planted copy and its source have identical text, hence identical
-    // bands), candidates restricted to delta×corpus pairs, the same
-    // rounded-jaccard cut, the same exact-md5 lookup.
-    "q84_delta_dedup" ->
+  // DuckDB recomputes the whole flow from scratch: the planted
+  // corpus∪delta source, one shared shingle/band chain over it (the
+  // planted copy and its source have identical text, hence identical
+  // bands), candidates restricted to delta×corpus pairs, the same
+  // rounded-jaccard cut, the same exact-md5 lookup. q91 (the streaming
+  // form) must land on the same verdicts, so it shares this oracle
+  // verbatim.
+  private lazy val deltaOracle: String =
       s"""WITH src AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7
          |  UNION ALL
@@ -175,5 +251,9 @@ object DedupIndex {
          |FROM d LEFT JOIN ex USING (fp)
          |LEFT JOIN near ON near.d_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q84_delta_dedup" -> deltaOracle,
+    "q91_stream_delta_dedup" -> deltaOracle
   )
 }

@@ -55,7 +55,7 @@ object Streaming {
       case fqcn => fqcn
     }
 
-  private def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
+  private[queries] def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val table = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val key = "spark.sql.shuffle.partitions"

@@ -64,6 +64,18 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(storeFiles(path) == before, "judging the delta wrote to the store")
   }
 
+  test("streaming delta verdicts are bit-equal to the batch judge") {
+    val idx = graft.queries.DedupIndex
+    idx.build(spark, sf)
+    graft.queries.Caches.releaseAll()
+    val batch = graft.queries.Caches.scoped(
+      idx.deltaVerdicts(spark, sf).collect().toSeq)
+    val stream = graft.queries.Caches.scoped(
+      idx.streamDeltaVerdicts(spark, sf).collect().toSeq)
+    assert(stream == batch,
+      "streaming judge diverged from the batch judge on the same store")
+  }
+
   test("absorbing kept docs makes them visible to the next judge, append-only") {
     val idx = graft.queries.DedupIndex
     val path = idx.build(spark, sf)
