@@ -64,6 +64,24 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(storeFiles(path) == before, "judging the delta wrote to the store")
   }
 
+  test("buildIfStale skips a current store, rebuilds after an absorb") {
+    val idx = graft.queries.DedupIndex
+    val path = idx.build(spark, sf)
+    graft.queries.Caches.releaseAll()
+    val before = storeFiles(path)
+    assert(idx.isCurrent(spark, sf))
+    idx.buildIfStale(spark, sf)
+    assert(storeFiles(path) == before, "buildIfStale rebuilt a current store")
+
+    // an absorb extends the store past the pristine corpus-only state the
+    // oracled queries judge against — buildIfStale must rebuild
+    graft.queries.Caches.scoped { idx.absorb(spark, sf); () }
+    assert(!idx.isCurrent(spark, sf), "absorbed store still reads as pristine")
+    idx.buildIfStale(spark, sf)
+    graft.queries.Caches.releaseAll()
+    assert(idx.isCurrent(spark, sf), "rebuild did not restore a current store")
+  }
+
   test("streaming delta verdicts are bit-equal to the batch judge") {
     val idx = graft.queries.DedupIndex
     idx.build(spark, sf)
@@ -90,8 +108,10 @@ class DedupIndexSpec extends AnyFunSuite {
     // append-only: every pre-existing store file is untouched
     val postAbsorb = storeFiles(path)
     // _SUCCESS markers (and their .crc sidecars) are rewritten by any
-    // append commit — only the data files must be untouched
-    for ((f, t) <- preAbsorb if !f.contains("_SUCCESS"))
+    // append commit, and meta/ is the mutable commit record absorb
+    // updates by design — the append-only contract is on the DATA files
+    // of exact/, bands/, and shingles/
+    for ((f, t) <- preAbsorb if !f.contains("_SUCCESS") && !f.contains("/meta/"))
       assert(postAbsorb.get(f).contains(t), s"absorb rewrote store file $f")
 
     // the same batch re-judged: every previously-kept doc now matches
