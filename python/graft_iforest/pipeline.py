@@ -219,6 +219,25 @@ def absorb_dedup_delta(spark, data_dir):
     _bridge(spark).absorbDedupDelta(spark._jsparkSession, data_dir)
 
 
+def dedup_stream_delta_verdicts(spark, data_dir):
+    """The same judge run as a stream over the delta (stream-static joins
+    against the store) — bit-equal to :func:`dedup_delta_verdicts`."""
+    jdf = _bridge(spark).dedupStreamDeltaVerdicts(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def dedup_index_current(spark, data_dir):
+    """True iff the dedup store exists, matches the live corpus content,
+    and has not been extended by an absorb."""
+    return bool(_bridge(spark).isDedupIndexCurrent(spark._jsparkSession, data_dir))
+
+
+def build_dedup_index_if_stale(spark, data_dir):
+    """Build the dedup store only when missing, stale, or absorbed-into;
+    returns the index path."""
+    return _bridge(spark).buildDedupIndexIfStale(spark._jsparkSession, data_dir)
+
+
 def release_caches(spark):
     """Unpersist every cache a query build registered (the consumer side
     of the library's cache protocol) — call after each terminal action."""

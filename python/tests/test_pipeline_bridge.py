@@ -290,9 +290,18 @@ def main():
         "absorbed batch still has unique docs on re-judge"
     assert all(r["exact_dup"] == 1 for r in rejudged if r["doc_id"] in uniq_ids), \
         "absorbed doc not matched exactly against itself"
-    # restore the pristine corpus-only store for any later consumer
-    gp.build_dedup_index(spark, sf_dir)
+    # the absorbed store must read as non-current; if-stale restores it
+    assert not gp.dedup_index_current(spark, sf_dir)
+    gp.build_dedup_index_if_stale(spark, sf_dir)
     gp.release_caches(spark)
+    assert gp.dedup_index_current(spark, sf_dir)
+    # the streaming judge agrees with the batch judge on the same store
+    stream_v = gp.dedup_stream_delta_verdicts(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    batch_v = gp.dedup_delta_verdicts(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert sorted(map(tuple, stream_v)) == sorted(map(tuple, batch_v)), \
+        "streaming judge diverged from batch judge via the Python surface"
 
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)

@@ -142,6 +142,21 @@ object PipelineBridge {
   def dedupDeltaVerdicts(s: SparkSession, dir: String): DataFrame =
     queries.DedupIndex.deltaVerdicts(s, dir)
 
+  /** The same judge run as a STREAM over the delta (stream-static joins
+    * against the store, in-row minhash signatures) — bit-equal to
+    * [[dedupDeltaVerdicts]]. */
+  def dedupStreamDeltaVerdicts(s: SparkSession, dir: String): DataFrame =
+    queries.DedupIndex.streamDeltaVerdicts(s, dir)
+
+  /** True iff the dedup store exists, matches the live corpus content,
+    * and has not been extended by an absorb. */
+  def isDedupIndexCurrent(s: SparkSession, dir: String): Boolean =
+    queries.DedupIndex.isCurrent(s, dir)
+
+  /** Build the dedup store only when missing/stale/absorbed-into. */
+  def buildDedupIndexIfStale(s: SparkSession, dir: String): String =
+    queries.DedupIndex.buildIfStale(s, dir)
+
   /** Append the judged delta's kept ('unique') docs into the store. */
   def absorbDedupDelta(s: SparkSession, dir: String): Unit =
     queries.DedupIndex.absorb(s, dir)
