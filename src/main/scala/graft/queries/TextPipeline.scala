@@ -929,21 +929,32 @@ object TextPipeline {
   /** MinHash signature bands (12 hashes = 4 bands × 3 rows; h_j =
     * (h1 + j·h2) mod 2³², minima over the doc's shingle md5s) for a
     * (doc_id, sh) DataFrame. Shared by the near-dup self-join and the
-    * incremental-dedup index, which persists exactly these band keys. */
+    * incremental-dedup index, which persists exactly these band keys.
+    *
+    * Computed IN-ROW (array HOFs over the shingle array) rather than
+    * explode + groupBy(doc_id): the minima never need to cross rows, so
+    * the aggregation form pays a corpus-wide exchange — partial-combined
+    * to ~one row per doc per partition, but still a full shuffle stage —
+    * to compute what every row holds locally. Identical values by
+    * construction (same per-shingle (h1 + j·h2) mod 2³² minima; the
+    * streaming judge q91 runs this exact form and is spec-pinned
+    * bit-equal to the store built from it). The aggregate barrier also
+    * kept CollapseProject from inlining the md5 chain multiplicatively —
+    * the materialized `hs` projection below serves that role now (one
+    * md5 per shingle, reused by all 12 minima). */
   private[queries] def minhashBands(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("m", md5(col("s")))
-      .withColumn("h1", expr("cast(conv(substring(m, 1, 8), 16, 10) AS bigint)"))
-      .withColumn("h2", expr("cast(conv(substring(m, 9, 8), 16, 10) AS bigint)"))
-      .select(col("doc_id") +: (0 until 12).map(j =>
-        expr(s"pmod(h1 + $j * h2, 4294967296)").as(s"h$j")): _*)
-    val sigAggs = (0 until 12).map(j => min(col(s"h$j")).as(s"m$j"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-    sigs.select(col("doc_id"), posexplode(array((0 until 4).map(b =>
-        struct(col(s"m${3 * b}").as("k0"), col(s"m${3 * b + 1}").as("k1"),
-          col(s"m${3 * b + 2}").as("k2"))): _*))
-        .as(Seq("b", "k")))
-      .select(col("doc_id"), col("b"), col("k.k0"), col("k.k1"), col("k.k2"))
+    val hs = "transform(sh, t -> struct(" +
+      "cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint) AS h1, " +
+      "cast(conv(substring(md5(t), 9, 8), 16, 10) AS bigint) AS h2))"
+    val bandArr = (0 until 4).map(b =>
+      s"struct($b AS b, m${3 * b} AS k0, m${3 * b + 1} AS k1, m${3 * b + 2} AS k2)")
+      .mkString("array(", ", ", ")")
+    docs.selectExpr("doc_id", s"$hs AS hs")
+      .selectExpr("doc_id" +: (0 until 12).map(j =>
+        s"array_min(transform(hs, h -> pmod(h.h1 + $j * h.h2, 4294967296))) AS m$j"): _*)
+      .selectExpr("doc_id", s"explode($bandArr) AS band")
+      .selectExpr("doc_id", "band.b AS b",
+        "band.k0 AS k0", "band.k1 AS k1", "band.k2 AS k2")
   }
 
   /** Same double-alias jaccard as the DuckDB oracle: the candidate pair
