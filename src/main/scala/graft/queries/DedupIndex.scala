@@ -173,9 +173,9 @@ object DedupIndex {
     * the shape a continuously-ingesting pipeline runs. Streaming
     * constraints dictate the plan: only ONE stateful aggregation is
     * allowed per query, so the minhash signature is computed IN-ROW
-    * (array HOFs over the shingle array — identical values to the batch
-    * explode + groupBy-min path, since both take the same per-shingle
-    * (h1 + j·h2) mod 2³² minima), candidate generation and jaccard
+    * (the codegen'd [[graft.functions.MinhashSignature]], the same
+    * per-shingle (h1 + j·h2) mod 2³² minima the batch path and the
+    * DuckDB oracle take), candidate generation and jaccard
     * verification are stateless stream-static equi-joins against the
     * store, and the three evidence kinds (seen / exact / near) union
     * into a single per-doc aggregation. Verdict assembly and ordering
@@ -200,15 +200,11 @@ object DedupIndex {
       .selectExpr("doc_id", "'exact' AS kind", "keeper",
         "cast(null AS bigint) AS c_id")
 
-    val hs = "transform(sh, t -> struct(" +
-      "cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint) AS h1, " +
-      "cast(conv(substring(md5(t), 9, 8), 16, 10) AS bigint) AS h2))"
+    graft.functions.MinhashSignature.register(s)
     val sigs = TextPipeline.shinglesOf(delta)
-      .selectExpr("doc_id", "sh", s"$hs AS hs")
-      .selectExpr("doc_id" +: "sh" +: (0 until 12).map(j =>
-        s"array_min(transform(hs, h -> pmod(h.h1 + $j * h.h2, 4294967296))) AS m$j"): _*)
+      .selectExpr("doc_id", "sh", "minhash_sig(sh) AS ms")
     val bandArr = (0 until 4).map(b =>
-      s"struct($b AS b, m${3 * b} AS k0, m${3 * b + 1} AS k1, m${3 * b + 2} AS k2)")
+      s"struct($b AS b, ms[${3 * b}] AS k0, ms[${3 * b + 1}] AS k1, ms[${3 * b + 2}] AS k2)")
       .mkString("array(", ", ", ")")
     val near = sigs.selectExpr("doc_id", "sh", s"explode($bandArr) AS band")
       .selectExpr("doc_id", "sh", "band.b AS b",
