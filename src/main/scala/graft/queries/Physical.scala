@@ -67,6 +67,46 @@ object Physical {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("source"))
     }),
+
+    // ORC round-trip, partitioned by lang — the same lossless-layout
+    // contract as q56 over Spark's other columnar format (interchange
+    // with Hive/Trino estates that standardize on ORC). The read-back
+    // filter must prune to the two lang directories (PartitionFilters on
+    // the ORC scan, pinned in PlanAuditSpec) and the aggregate must match
+    // the oracle computed straight off the parquet source.
+    "q94_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${outRoot(dir)}/docs_orc_by_lang"
+      s.read.parquet(s"$dir/documents.parquet")
+        .write.mode("overwrite").partitionBy("lang").orc(out)
+      s.read.orc(out)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // JSON-lines round-trip — the interchange format crawl dumps and
+    // annotation pipelines actually arrive in. Written from the orders
+    // table, read back with an EXPLICIT schema (schema-on-read, no
+    // inference pass — at 100 TB an inference pre-scan doubles the read),
+    // then aggregated; doubles survive because Spark emits shortest
+    // round-trip decimals. The timestamp column stays out deliberately:
+    // JSON timestamp round-trips are format-option territory, and the
+    // lossless-layout contract here is about the columnar payload.
+    "q95_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"${outRoot(dir)}/orders_jsonl"
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,5 +124,20 @@ object Physical {
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q94_orc_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de')
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+
+    "q95_jsonl_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 }

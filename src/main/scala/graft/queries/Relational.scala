@@ -334,6 +334,34 @@ object Relational {
           (unix_timestamp(col("click_ts")) - unix_timestamp(col("p_ts"))).as("gap_seconds"))
         .orderBy(col("click_id"))
     }),
+
+    // Bloom-prefiltered join (semi-join reduction) — the runtime-filter
+    // pattern for the case AQE's thresholds don't cover: the dimension's
+    // FILTERED key set is too large to broadcast as a hash relation at
+    // 100 TB, but its Bloom sketch (MBs at 1% fpp) is not. One pass over
+    // the filtered dimension builds the sketch (public stat.bloomFilter —
+    // a distributed aggregation; the driver sees only the sketch), the
+    // fact scan probes it in-row (native codegen'd
+    // [[graft.functions.BloomMightContainLong]]), and only maybe-matching
+    // facts enter the join exchange. The SHUFFLE_MERGE hint pins the
+    // exact join to the shuffle form this pattern exists for (a
+    // broadcastable dim wouldn't need the bloom); false positives are
+    // removed by that exact join, so the result — and the oracle — are
+    // identical to the plain join. BloomPrefilterSpec measures the prune
+    // and pins the probe below the exchange.
+    "q92_bloom_prefilter" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bloom = graft.functions.BloomMightContainLong.build(
+        dim, "c_custkey", expectedItems = 1 << 18, fpp = 0.01)
+      t(s, dir, "orders")
+        .where(graft.functions.BloomMightContainLong.probe(bloom, col("o_custkey")))
+        .join(dim.hint("SHUFFLE_MERGE"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -560,5 +588,13 @@ object Relational {
         |  WHERE c.event_type = 'click')
         |WHERE rn = 1
         |ORDER BY click_id""".stripMargin,
+
+    "q92_bloom_prefilter" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_acctbal > 9000
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -673,6 +673,116 @@ object TextPipeline {
         .orderBy(col("rank"))
     }),
 
+    // TF-IDF top terms per document — distinctive-term extraction, the
+    // feature a quality/topic classifier trains on. idf is the LINEAR
+    // form N/df (documented choice, not log): score = tf * (N/df) is two
+    // correctly-rounded IEEE ops on exact integer inputs, so both engines
+    // produce bit-identical doubles — a log-idf would hang the oracle on
+    // libm's last-ulp differences. Scale shape: tf is ONE partial-
+    // aggregated (doc, term) groupBy (the corpus' only exchange); the
+    // vocabulary df table is BOUNDED (distinct terms), its ids come from
+    // RangedRank (no single-task corpus window) and both df and the
+    // term-string recovery JOIN BROADCAST; top-3-per-doc is the bounded
+    // TopKPerKey aggregation. tf itself is not re-joined into the output
+    // — score encodes it (tf = score * df / N), so the only corpus-wide
+    // exchanges are the tf groupBy and the top-k partial.
+    "q93_tfidf_terms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = Caches.persist(
+        docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+      val vocab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val vocabIds = Caches.persist(
+        graft.plans.RangedRank.rankBy(s, vocab, "term")
+          .withColumnRenamed("rn", "term_id"))
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val scored = tf.join(broadcast(vocabIds), "term")
+        .crossJoin(broadcast(n))
+        .selectExpr("doc_id", "term_id", "tf * (n_docs / df) AS score")
+      graft.plans.TopKPerKey.topK(scored, "doc_id", "score", "term_id", 3, "score")
+        .join(broadcast(vocabIds.select(col("term_id"), col("term"), col("df"))),
+          "term_id")
+        .select(col("doc_id"), col("term"), col("df"), col("score"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // Label-centroid geometry — mean-pooled class centroids and their
+    // pairwise cosines, the diagnostic behind "are my topic labels
+    // separable in embedding space" (and the seed step of a semantic-
+    // mixture balancer). Determinism across engines is engineered, not
+    // hoped: each float is scaled to an integer (floor(x*1e6 + 0.5) —
+    // exact in both engines), per-(label, position) sums are EXACT
+    // integer aggregation (order-independent, the q72 trick), and the
+    // cosine runs over those sums in fixed index order — since cosine is
+    // scale-invariant, sum and mean give the same angle, so the count
+    // division (a float op that would reorder rounding) never happens.
+    // Scale shape: one posexplode scan + one partial-aggregated groupBy
+    // keyed (label, pos) — output bounded at |labels| x dim — and the
+    // pairwise stage is a |labels|^2 product of a broadcast-sized table.
+    "q96_label_centroids" -> ((s, dir) => {
+      graft.functions.CosineSimilarity.register(s)
+      val cents = t(s, dir, "embeddings")
+        .selectExpr("label",
+          "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint)) AS se")
+        .select(col("label"), posexplode(col("se")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+        .selectExpr("label", "transform(ps, p -> cast(p.sv AS double)) AS c")
+      val a = cents.select(col("label").as("label_a"), col("c").as("ae"))
+      val b = cents.select(col("label").as("label_b"), col("c").as("be"))
+      a.crossJoin(broadcast(b)).where(col("label_a") < col("label_b"))
+        .selectExpr("label_a", "label_b",
+          "round(cosine_similarity(ae, be), 4) AS cos")
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
+    // Cross-corpus FUZZY decontamination — q63 flags exact shingle
+    // overlap with the benchmark slice; real eval leakage is usually a
+    // lightly-edited copy that exact overlap underestimates. This is the
+    // MinHash-LSH candidate join in its TWO-CORPUS form: train-side band
+    // keys probe the EVAL side's bands, so unlike q25's self-join the
+    // corpus never joins itself — the eval band table is bounded (eval
+    // sets are small by construction) and BROADCASTS, making candidate
+    // generation a map-side probe over the train scan. Candidates verify
+    // with exact shingle Jaccard (same rounded-before-threshold contract
+    // as q25), and each contaminated train doc reports its single best
+    // eval match through the bounded k=1 TopKPerKey aggregation (ties:
+    // min eval_id) — the drop list a decontamination pass executes.
+    "q97_cross_decontam" -> ((s, dir) => {
+      val all = Caches.persist(docShingles(s, dir))
+      val bandsAll = Caches.persist(minhashBands(all))
+      val trainBands = bandsAll.filter(col("doc_id") % 20 =!= 0)
+        .withColumnRenamed("doc_id", "train_id")
+      val evalBands = bandsAll.filter(col("doc_id") % 20 === 0)
+        .withColumnRenamed("doc_id", "eval_id")
+      val cand = trainBands
+        .join(broadcast(evalBands), Seq("b", "k0", "k1", "k2"))
+        .select(col("train_id"), col("eval_id")).distinct()
+      val hits = jaccardOf(cand, all, all, "train_id", "eval_id")
+        .filter(col("jaccard") >= 0.5)
+      graft.plans.TopKPerKey.topK(hits, "train_id", "jaccard", "eval_id", 1, "jaccard")
+        .select(col("train_id"), col("eval_id"), col("jaccard"))
+        .orderBy(col("train_id"))
+    }),
+
+    // Deterministic stratified document sample — per-language keep
+    // fractions (down-sample the dominant language, keep the rest whole),
+    // decided by the SAME md5 bucket mechanism as the q65 splits: a doc
+    // is kept iff its hash bucket falls under its language's e4 fraction.
+    // Pure scan + in-row predicate — no join, no aggregation, no shuffle
+    // besides the presentation sort (plan-pinned) — and re-running on a
+    // grown corpus keeps every previously-kept doc (hash-stable), the
+    // property that makes incremental pipeline re-runs reproducible.
+    "q98_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          "cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS bigint) % 10000 AS bucket")
+        .where("bucket < CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END")
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -1782,6 +1892,77 @@ object TextPipeline {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
          |    // total)::BIGINT AS cum_frac_e6
          |FROM top, tt ORDER BY rank""".stripMargin,
+
+    // Same linear-idf arithmetic as the Spark side (tf * (N::double/df)),
+    // so scores are bit-identical; the window rank mirrors TopKPerKey's
+    // (score desc, term asc) total order.
+    "q93_tfidf_terms" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfc AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM tk GROUP BY doc_id, term),
+        |vocab AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tfc.term AS term, df,
+        |    tf * (n_docs / df) AS score
+        |  FROM tfc JOIN vocab ON tfc.term = vocab.term CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, df, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, df, round(score, 4) AS score, rn::INT AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    // Same scaled-integer sums (exact, order-independent) and the same
+    // fixed-index-order cosine as the Spark side — bit-identical doubles.
+    "q96_label_centroids" ->
+      s"""WITH se AS (SELECT label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS se
+         |  FROM embeddings),
+         |px AS (SELECT label, i AS pos, se[i] AS v
+         |  FROM se, unnest(generate_series(1, len(se))) AS u(i)),
+         |sums AS (SELECT label, pos, sum(v)::BIGINT AS sv
+         |  FROM px GROUP BY label, pos),
+         |cents AS (SELECT label,
+         |    list_transform(list(sv ORDER BY pos), x -> x::DOUBLE) AS e
+         |  FROM sums GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  round(${duckCos("a", "b")}, 4) AS cos
+         |FROM cents a, cents b
+         |WHERE a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin,
+
+    // The q25 band chain in its two-corpus form: train bands probe eval
+    // bands (doc_id % 20 splits the slices), same rounded-before-
+    // threshold jaccard, window arg-max mirrors TopKPerKey's
+    // (score desc, id asc) order.
+    "q97_cross_decontam" ->
+      s"""WITH docs AS ($duckShingleDocs),
+         |$duckBandsCtes,
+         |cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+         |  FROM bands t JOIN bands e ON t.b = e.b AND t.k0 = e.k0
+         |    AND t.k1 = e.k1 AND t.k2 = e.k2
+         |  WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0),
+         |j AS (SELECT train_id, eval_id,
+         |    round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
+         |  FROM cand JOIN docs da ON da.doc_id = train_id
+         |    JOIN docs db ON db.doc_id = eval_id),
+         |f AS (SELECT train_id, eval_id, jaccard,
+         |    row_number() OVER (PARTITION BY train_id
+         |      ORDER BY jaccard DESC, eval_id) AS rn
+         |  FROM j WHERE jaccard >= 0.5)
+         |SELECT train_id, eval_id, jaccard FROM f WHERE rn = 1
+         |ORDER BY train_id""".stripMargin,
+
+    "q98_stratified_sample" ->
+      """SELECT doc_id, lang,
+        |  cast('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 10000 AS bucket
+        |FROM documents
+        |WHERE cast('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 10000
+        |  < CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END
+        |ORDER BY doc_id""".stripMargin,
 
     // Document frequency over the SAME distinct-shingle sets as q25/q27
     // (shared duckShingleDocs CTE), summed back per document. sum(CASE)

@@ -390,6 +390,73 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q44_theta_join").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q92 bloom probe filters the fact scan and the exact join stays merge") {
+    // The semi-join reduction's whole point: the sketch probe must sit in
+    // the fact side's Filter (pruning BEFORE the join exchange) and the
+    // exact join must remain the shuffle form the pattern exists for — a
+    // broadcast join here would mean the dim was hash-relation-sized and
+    // the bloom was dead weight.
+    val p = plan("q92_bloom_prefilter")
+    assert(p.contains("bloommightcontainlong"),
+      s"q92 lost the bloom probe:\n$p")
+    assert(p.contains("SortMergeJoin"), s"q92 exact join is not merge:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q92 probe regressed to a UDF:\n$p")
+  }
+
+  test("q93 tf-idf: vocabulary joins broadcast, top-k is bounded, no rank window") {
+    val p = plan("q93_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"), s"q93 vocab join not broadcast:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"q93 top-k lost the bounded agg:\n$p")
+    // no row_number window anywhere — the top-3 is the bounded aggregation
+    assert(!p.contains("row_number"), s"q93 ranks via a window:\n$p")
+    // every Window node must be RangedRank's partition-LOCAL cumsum
+    // (partitioned by the physical gp_pid), never a corpus-wide spec
+    val windows = """Window \[[^\n]*""".r.findAllIn(p).toSeq
+    assert(windows.forall(_.contains("gp_pid")),
+      s"q93 has a non-local window:\n${windows.mkString("\n")}")
+    // the only one-row funnel allowed is the scalar N = count(documents)
+    // aggregate; the vocabulary itself must never pass through one task
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      s"q93 funnels more than the scalar count through one task:\n$p")
+  }
+
+  test("q94 ORC read-back scan prunes partitions") {
+    val p = plan("q94_orc_roundtrip")
+    assert(p.toLowerCase.contains("orc"), s"q94 read-back is not ORC:\n$p")
+    val pf = """PartitionFilters: \[[^\]]*lang[^\]]*\]""".r
+    assert(pf.findFirstIn(p).isDefined,
+      s"q94 read-back does not prune lang partitions:\n$p")
+  }
+
+  test("q96 pairwise centroid stage is a broadcast product of a bounded table") {
+    val p = plan("q96_label_centroids")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q96 pairwise stage is not the broadcast product:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q96 shuffles the bounded centroid table:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q96 planned a cartesian:\n$p")
+  }
+
+  test("q97 cross-corpus decontam: eval bands broadcast, no self-join product") {
+    // The two-corpus shape's whole point: train bands must PROBE a
+    // broadcast eval band table (map-side candidate generation), never
+    // shuffle corpus-against-corpus or degenerate to a product.
+    val p = plan("q97_cross_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q97 band candidate join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q97 planned a product join:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"q97 best-match lost the bounded agg:\n$p")
+    assert(!p.contains("row_number"), s"q97 ranks via a window:\n$p")
+  }
+
+  test("q98 stratified sample is a pure in-row gate: no join, no aggregation") {
+    val p = plan("q98_stratified_sample")
+    assert(!p.contains("Join"), s"q98 grew a join:\n$p")
+    assert(!p.contains("HashAggregate"), s"q98 grew an aggregation:\n$p")
+    assert(!p.contains("Window"), s"q98 grew a window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
