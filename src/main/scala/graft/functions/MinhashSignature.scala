@@ -59,6 +59,11 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
     new GenericArrayData(mins)
   }
 
+  // h1/h2 are assembled with multiply-accumulate, not `(x & 0xffL) << s`
+  // chains: Janino misparses a parenthesized mask followed by a shift
+  // ("(d[1] & 0xffL) << 16 is not a type") and the whole projection
+  // silently falls back to interpreted mode — the exact regression this
+  // expression exists to avoid. MinhashSigSpec pins CODEGEN_ONLY.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n")
@@ -66,6 +71,7 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val d = ctx.freshName("d")
+      val b = ctx.freshName("b")
       val h1 = ctx.freshName("h1")
       val h2 = ctx.freshName("h2")
       val h = ctx.freshName("h")
@@ -77,10 +83,11 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
          |  if ($a.isNullAt($i)) continue;
          |  byte[] $d = org.apache.commons.codec.digest.DigestUtils.md5(
          |    $a.getUTF8String($i).getBytes());
-         |  long $h1 = (($d[0] & 0xffL) << 24) | (($d[1] & 0xffL) << 16)
-         |    | (($d[2] & 0xffL) << 8) | ($d[3] & 0xffL);
-         |  long $h2 = (($d[4] & 0xffL) << 24) | (($d[5] & 0xffL) << 16)
-         |    | (($d[6] & 0xffL) << 8) | ($d[7] & 0xffL);
+         |  long $h1 = 0L; long $h2 = 0L;
+         |  for (int $b = 0; $b < 4; $b++) {
+         |    $h1 = $h1 * 256L + ($d[$b] & 0xffL);
+         |    $h2 = $h2 * 256L + ($d[$b + 4] & 0xffL);
+         |  }
          |  for (int $j = 0; $j < 12; $j++) {
          |    long $h = ($h1 + $j * $h2) % 4294967296L;
          |    if ($h < $mins[$j]) $mins[$j] = $h;

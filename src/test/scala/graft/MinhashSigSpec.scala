@@ -37,6 +37,28 @@ class MinhashSigSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: native ${r.getSeq[Long](1)} != hof ${r.getSeq[Long](2)}")
   }
 
+  test("generated code actually compiles (no silent interpreter fallback)") {
+    // UnsafeProjection codegen failures normally downgrade to interpreted
+    // mode with only a WARN — an earlier doGenCode emitted
+    // `(d[1] & 0xffL) << 16` chains that Janino rejects, so every
+    // "native codegen" run was interpreted. CODEGEN_ONLY turns that
+    // silent perf cliff into a test failure.
+    graft.functions.MinhashSignature.register(spark)
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val out = spark.sql(
+        "SELECT minhash_sig(array('a b c', 'd e f', 'g h i')) AS ms").collect()
+      assert(out.head.getSeq[Long](0).size == 12)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("null and empty inputs behave") {
     graft.functions.MinhashSignature.register(spark)
     import spark.implicits._
