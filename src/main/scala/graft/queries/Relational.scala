@@ -362,6 +362,56 @@ object Relational {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
+
+    // MERGE/upsert semantics at the engine level — the incremental-load
+    // primitive table formats (Iceberg/Delta) expose as MERGE INTO,
+    // expressed as one full-outer join + coalesce: matched target rows
+    // take the delta's values ('update'), unmatched delta rows append
+    // ('insert'), untouched target rows pass through ('keep'). The delta
+    // here is derived from orders itself (5% price revisions + 5% new
+    // keys) so the query is self-contained and oracled. Scale shape: ONE
+    // key-partitioned shuffle join — in production the delta is usually
+    // small enough that AQE converts its side to a broadcast and the
+    // 100 TB target never shuffles; either way there is exactly one
+    // exchange and no driver materialization.
+    "q100_merge_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val delta = orders.where(col("o_orderkey") % 100 < 5)
+        .select(col("o_orderkey").as("d_orderkey"),
+          (col("o_totalprice") * lit(1.1)).as("d_totalprice"),
+          lit("P").as("d_status"))
+        .unionAll(orders.where(col("o_orderkey") % 100 >= 95)
+          .select((col("o_orderkey") + lit(1000000000L)).as("d_orderkey"),
+            col("o_totalprice").as("d_totalprice"), lit("N").as("d_status")))
+      orders.join(delta, col("o_orderkey") === col("d_orderkey"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("d_orderkey")).as("orderkey"),
+          round(coalesce(col("d_totalprice"), col("o_totalprice")), 2).as("totalprice"),
+          coalesce(col("d_status"), col("o_orderstatus")).as("status"),
+          when(col("o_orderkey").isNull, lit("insert"))
+            .when(col("d_orderkey").isNull, lit("keep"))
+            .otherwise(lit("update")).as("action"))
+        .orderBy(col("orderkey"))
+    }),
+
+    // Distribution-analytics window pack: ntile quartiles, percent_rank,
+    // cume_dist, lag/lead — the remaining ANSI window functions q07/q08/
+    // q15/q45 don't cover. All windows are PARTITIONED by customer (hash-
+    // partitionable, no global sort), ordered deterministically by
+    // (o_orderdate, o_orderkey); percent_rank/cume_dist are exact small-
+    // integer ratios, so the doubles agree cross-engine bit-for-bit.
+    "q101_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -596,5 +646,37 @@ object Relational {
         |WHERE c_acctbal > 9000
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // 1.1 is cast to DOUBLE explicitly — DuckDB types the bare literal
+    // DECIMAL(2,1) and a decimal multiply would round differently from
+    // Spark's double multiply before the round(2).
+    "q100_merge_upsert" ->
+      """WITH delta AS (
+        |  SELECT o_orderkey AS d_orderkey,
+        |    o_totalprice * CAST(1.1 AS DOUBLE) AS d_totalprice,
+        |    'P' AS d_status
+        |  FROM orders WHERE o_orderkey % 100 < 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_totalprice, 'N'
+        |  FROM orders WHERE o_orderkey % 100 >= 95)
+        |SELECT coalesce(o_orderkey, d_orderkey) AS orderkey,
+        |  round(coalesce(d_totalprice, o_totalprice), 2) AS totalprice,
+        |  coalesce(d_status, o_orderstatus) AS status,
+        |  CASE WHEN o_orderkey IS NULL THEN 'insert'
+        |       WHEN d_orderkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM orders FULL OUTER JOIN delta ON o_orderkey = d_orderkey
+        |ORDER BY orderkey""".stripMargin,
+
+    "q101_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
   )
 }

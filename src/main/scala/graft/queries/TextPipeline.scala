@@ -783,6 +783,91 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval (k1=1.2, b=0.75) for a FIXED query — the ranked
+    // lexical search a corpus-exploration / eval-retrieval pass runs.
+    // For a fixed small term set no inverted index is needed: per-term
+    // tf and doc length are IN-ROW expressions over one corpus scan, the
+    // corpus-level stats (N, Σdl, per-term df) are ONE single-row
+    // aggregate broadcast back, and the answer is a global top-10
+    // (TakeOrderedAndProject — per-partition heaps, no full sort). So:
+    // two scans, zero corpus shuffles, no explode — where a naive
+    // BM25 materializes the full (doc, term) posting table. The score is
+    // EXACT e4 integer arithmetic end-to-end (linear N/df idf, same
+    // documented choice as q93; k1 enters as 12/10, b as 2500/7500 e4)
+    // — per-term contributions are integers, so the cross-term sum is
+    // order-independent and the oracle hashes bit-identically.
+    "q99_bm25_search" -> ((s, dir) => {
+      val terms = Seq("spark", "merge", "window")
+      val base = t(s, dir, "documents").selectExpr(
+        Seq("doc_id", "cast(size(split(text, ' ')) AS bigint) AS dl") ++
+          terms.zipWithIndex.map { case (tm, i) =>
+            s"cast(size(filter(split(text, ' '), x -> x = '$tm')) AS bigint) AS tf$i"
+          }: _*)
+      val statCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      base.crossJoin(broadcast(stats))
+        .withColumn("norm_e4",
+          expr("2500 + (7500 * dl * 10000) div (sum_dl * 10000 div n)"))
+        .withColumn("score_e4", expr(terms.indices.map(i =>
+          s"(CASE WHEN tf$i > 0 THEN (tf$i * 22000 * n * 10000) div " +
+            s"((tf$i * 10000 + (12 * norm_e4) div 10) * df$i) ELSE 0 END)")
+          .mkString(" + ")))
+        .where(col("score_e4") > 0)
+        .select(col("doc_id"), col("dl"), col("score_e4"))
+        .orderBy(col("score_e4").desc, col("doc_id")).limit(10)
+    }),
+
+    // Asymmetric shingle CONTAINMENT — the dedup signal Jaccard misses:
+    // a short doc quoted wholesale inside a much longer one scores high
+    // |A∩B|/|A| but low Jaccard, so q25's near-dup pass never sees it.
+    // Candidate generation is a df-capped inverted index (the prefix-
+    // filtering idea): only shingles with 2 <= df <= 20 block, so
+    // boilerplate shingles (high df) never explode the self-join and
+    // unique shingles (df=1) generate nothing — per-shingle fanout is
+    // bounded by df^2 <= 400 regardless of corpus size, and the df cap
+    // is what keeps this O(n) at 100 TB. Verification computes the exact
+    // containment over the FULL shingle sets of each candidate pair
+    // (both directions kept — containment is directional), rounded
+    // before the 0.8 threshold, q25's same tie-safety contract.
+    "q102_containment" -> ((s, dir) =>
+      containmentOf(docShingles(s, dir)).orderBy(col("a"), col("b"))),
+
+    // Overlapping sliding-window chunking — the RAG/pretraining layout
+    // where consecutive 2048-token chunks share a 1024-token overlap so
+    // no span is ever split without context. Window = 2 x stride exactly,
+    // so the chunks covering global token position p are p div 1024 and
+    // p div 1024 - 1 — strictly non-negative arithmetic (no negative
+    // div/floor divergence). Per doc: global offset from the SAME
+    // RangedPrefixSum as q64 (range-partitioned running sum, no global
+    // window), then one bounded explode (n/stride + 2 chunk rows per
+    // doc) and one chunk-keyed groupBy — the corpus' only exchanges are
+    // the prefix-sum range partition and that groupBy, both key-
+    // partitioned at any scale.
+    "q103_overlap_chunks" -> ((s, dir) => {
+      graft.functions.BpeEncode.register(s)
+      val stride = 1024
+      val toksPerDoc = t(s, dir, "documents")
+        .selectExpr("doc_id",
+          "cast(size(bpe_encode(coalesce(text, ''))) AS bigint) AS n_tokens")
+      graft.plans.RangedPrefixSum.prefixSumBy(s, toksPerDoc, "n_tokens", "fin", "doc_id")
+        .where(col("n_tokens") > 0)
+        .selectExpr("doc_id", "n_tokens", "fin - n_tokens AS so")
+        .selectExpr("doc_id", "n_tokens", "so",
+          s"explode(sequence(greatest(cast(0 AS bigint), so div $stride - 1)," +
+            s" (so + n_tokens - 1) div $stride)) AS chunk_id")
+        .selectExpr("doc_id", "chunk_id",
+          s"least(so + n_tokens, (chunk_id + 2) * $stride)" +
+            s" - greatest(so, chunk_id * $stride) AS overlap_tokens")
+        .groupBy(col("chunk_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("overlap_tokens")).as("chunk_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("chunk_id"))
+    }),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -1075,6 +1160,34 @@ object TextPipeline {
       .select(col(leftId), col(rightId),
         round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
           " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+
+  /** Directional shingle-containment pairs over a (doc_id, sh) table —
+    * the q102 core, parameterized so specs can drive handcrafted corpora.
+    * Candidates block on shingles with df in [dfMin, dfMax] (df-capped
+    * inverted index: boilerplate never fans out, unique shingles generate
+    * nothing); each ordered candidate pair verifies exact
+    * |Sa ∩ Sb| / |Sa| over the full sets, rounded before the threshold. */
+  def containmentOf(shDocs: DataFrame, dfMin: Long = 2, dfMax: Long = 20,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = Caches.persist(shDocs)
+    val ex = Caches.persist(
+      sh.select(col("doc_id"), explode(col("sh")).as("shingle")))
+    val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(dfMin, dfMax))
+      .select(col("shingle"))
+    val exR = Caches.persist(ex.join(rare, "shingle"))
+    val cand = exR.select(col("shingle"), col("doc_id").as("a"))
+      .join(exR.select(col("shingle"), col("doc_id").as("b")), "shingle")
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
+      .selectExpr("a", "b",
+        "round(cast(size(array_intersect(sa, sb)) AS double)" +
+          " / cast(size(sa) AS double), 4) AS containment")
+      .where(col("containment") >= threshold)
+  }
 
   private def minhashNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     // persisted: referenced by both self-join sides and both jaccard
@@ -1963,6 +2076,78 @@ object TextPipeline {
         |WHERE cast('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 10000
         |  < CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Same exact e4 integer BM25 as the Spark side (k1=12/10, b=2500/
+    // 7500 e4, linear N/df idf) — every per-term contribution is an
+    // integer, so the cross-term sum hashes identically.
+    "q99_bm25_search" -> {
+      val terms = Seq("spark", "merge", "window")
+      val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$tm'))::BIGINT AS tf$i"
+      }.mkString(",\n    ")
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i")
+        .mkString(",\n    ")
+      val scoreSum = terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN (tf$i * 22000 * n * 10000) // " +
+          s"((tf$i * 10000 + (12 * (2500 + (7500 * dl * 10000) // " +
+          s"(sum_dl * 10000 // n))) // 10) * df$i) ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH base AS (SELECT doc_id,
+         |    len(string_split(text, ' '))::BIGINT AS dl,
+         |    $tfCols
+         |  FROM documents),
+         |st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sum_dl,
+         |    $dfCols
+         |  FROM base),
+         |sc AS (SELECT doc_id, dl,
+         |    ($scoreSum)::BIGINT AS score_e4
+         |  FROM base CROSS JOIN st)
+         |SELECT doc_id, dl, score_e4 FROM sc
+         |WHERE score_e4 > 0
+         |ORDER BY score_e4 DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    // Same df-capped inverted-index blocking and full-set containment,
+    // rounded before the threshold.
+    "q102_containment" ->
+      s"""WITH sh_docs AS ($duckShingleDocs),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_docs),
+         |rare AS (SELECT shingle FROM
+         |    (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle)
+         |  WHERE df BETWEEN 2 AND 20),
+         |exr AS (SELECT doc_id, shingle FROM ex JOIN rare USING (shingle)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM exr x JOIN exr y USING (shingle) WHERE x.doc_id != y.doc_id),
+         |c AS (SELECT a, b,
+         |    round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |      / len(da.sh)::DOUBLE, 4) AS containment
+         |  FROM cand JOIN sh_docs da ON da.doc_id = a
+         |    JOIN sh_docs db ON db.doc_id = b)
+         |SELECT a, b, containment FROM c
+         |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin,
+
+    // q64's running-sum offsets (cast from DuckDB's HUGEINT window sum
+    // before the // arithmetic), then the same non-negative chunk-range
+    // expansion and chunk-keyed rollup.
+    "q103_overlap_chunks" ->
+      s"""WITH RECURSIVE $duckBpeCtes,
+         |t AS (SELECT d.doc_id, cast(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id),
+         |c2 AS (SELECT doc_id, n_tokens,
+         |    cast(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS so
+         |  FROM t),
+         |ch AS (SELECT doc_id, n_tokens, so,
+         |    unnest(generate_series(greatest(0, so // 1024 - 1),
+         |      (so + n_tokens - 1) // 1024)) AS chunk_id
+         |  FROM c2 WHERE n_tokens > 0)
+         |SELECT chunk_id, count(*)::BIGINT AS n_docs,
+         |  sum(least(so + n_tokens, (chunk_id + 2) * 1024)
+         |    - greatest(so, chunk_id * 1024))::BIGINT AS chunk_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM ch GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
     // Document frequency over the SAME distinct-shingle sets as q25/q27
     // (shared duckShingleDocs CTE), summed back per document. sum(CASE)

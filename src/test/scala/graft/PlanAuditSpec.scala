@@ -457,6 +457,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"q98 grew a window:\n$p")
   }
 
+  test("q99 bm25: in-row tf (no explode), broadcast stats, bounded top-10") {
+    val p = plan("q99_bm25_search")
+    // a naive BM25 materializes the (doc, term) posting table via explode
+    // + groupBy; the fixed-query form must stay scan-shaped
+    assert(!p.contains("Generate"), s"q99 explodes a posting table:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q99 shuffle-joins the stats:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q99 lost the bounded top-k:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"q99 stats row is not broadcast:\n$p")
+  }
+
+  test("q100 merge upsert is exactly one full-outer key join") {
+    val p = plan("q100_merge_upsert")
+    assert(p.contains("FullOuter"), s"q100 lost the full-outer merge join:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size == 1,
+      s"q100 should merge through ONE join:\n$p")
+  }
+
+  test("q101/q103 never move the corpus through one partition") {
+    // q101's windows are customer-partitioned; q103's global offsets come
+    // from RangedPrefixSum — an unpartitioned Window in either would plan
+    // Exchange SinglePartition
+    for (q <- Seq("q101_window_analytics", "q103_overlap_chunks")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q funnels the table through one task:\n$p")
+    }
+  }
+
+  test("q102 containment blocking stays equi-join only") {
+    val p = plan("q102_containment")
+    assert(!p.contains("CartesianProduct"), s"q102 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q102 planned a nested-loop join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
