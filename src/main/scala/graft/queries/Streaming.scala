@@ -88,6 +88,55 @@ object Streaming {
     s.table(table)
   }
 
+  /** Stage the events table as four time-range parquet files plus one
+    * far-future SENTINEL row, with strictly increasing file mtimes in
+    * range order — the multi-batch, watermark-advancing feed an OUTER
+    * stream-stream join needs. Unmatched left rows only emit once the
+    * watermark passes their join window, and a watermark only moves
+    * between micro-batches; a single-file source is one batch, so a
+    * left-outer join over it would emit no unmatched rows at all. The
+    * sentinel (ts = max + 240 h, event_type 'sentinel' — filtered from
+    * both join sides but seen by both watermark operators, which sit
+    * BEFORE the type filters) pushes the final watermark past every
+    * click's window so terminal state flushes. On a real cluster the
+    * stream reads the live event log and new arrivals play the sentinel's
+    * role; this staging exists only to make a bounded replay behave like
+    * one. */
+  private def stagedEventsDir(s: SparkSession, dir: String, eventType: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val out = s"${sys.props("java.io.tmpdir")}/graft_staged_${eventType}_$h"
+    val ev = Tables.t(s, dir, "events")
+    ev.where(col("event_type") === eventType)
+      .repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(out)
+    val fs = new java.io.File(out)
+    def parts = fs.listFiles().filter(f => f.getName.startsWith("part-"))
+    val base = System.currentTimeMillis() - 3600000L
+    val ranges = parts.sortBy(_.getName)
+    ranges.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+    // TWO sentinel files, two micro-batches beyond the data: the
+    // watermark only moves BETWEEN batches, and an outer row's null
+    // emission lands in the batch after the one whose watermark closed
+    // its window — with a single sentinel exactly the max-ts click stays
+    // unemitted (observed). Sentinel ts derives from the UNFILTERED
+    // events max so both per-type feeds advance past the same instant;
+    // its user_id −1 never matches, and the left sentinel's own
+    // unmatched emission is dropped by the query's output filter.
+    var seen = ranges.map(_.getName).toSet
+    for (i <- 1 to 2) {
+      Tables.t(s, dir, "events").agg(max(col("ts")).as("mts"))
+        .selectExpr("cast(-1 AS bigint) AS event_id",
+          s"mts + INTERVAL ${240 * i} HOURS AS ts", "cast(-1 AS bigint) AS user_id",
+          s"'$eventType' AS event_type", "cast(0.0 AS double) AS value",
+          "cast(null AS string) AS props")
+        .coalesce(1).write.mode("append").parquet(out)
+      val fresh = parts.filterNot(f => seen.contains(f.getName))
+      fresh.foreach(_.setLastModified(base + 1000000L * i))
+      seen ++= fresh.map(_.getName)
+    }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour event-time windows per event type.
@@ -153,6 +202,44 @@ object Streaming {
       val joined = clicks.join(purchases,
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTES"))
       runToCompletion(s, joined, "stream_stream_join", mode = "append")
+        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    // Stream-stream LEFT OUTER interval join — q52's attribution shape
+    // plus the rows q52 cannot produce: clicks that never converted,
+    // emitted with a null purchase once the watermark proves no match
+    // can still arrive (c_ts + 10 min < watermark). State stays bounded
+    // exactly as in the inner form; the left side's rows are additionally
+    // held until their window closes, which is why the watermark must
+    // keep moving — see [[stagedEventsDir]] for the multi-batch sentinel
+    // feed that makes a bounded replay exercise the eviction path. The
+    // batch LEFT JOIN oracle applies because emission (match or null) is
+    // decided purely by event time, never by batch boundaries.
+    "q104_stream_outer_join" -> ((s, dir) => {
+      // Each side is its OWN staged feed (clicks topic / purchases
+      // topic — the real deployment shape). An in-stream
+      // `filter(event_type = ...)` over one shared feed does NOT work:
+      // Catalyst pushes the type predicate below the EventTimeWatermark
+      // operator (it doesn't reference ts), so sentinel rows are
+      // filtered before the watermark collector sees them, the click
+      // side's clock stalls at its LAST REAL CLICK minus the delay, and
+      // exactly the final click's null row never emits (observed).
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src(eventType: String) = Tables.streamTsFixup(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(stagedEventsDir(s, dir, eventType)))
+      val clicks = src("click").withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val purchases = src("purchase").withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val joined = clicks.join(purchases,
+        expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTES"),
+        "left_outer")
+      runToCompletion(s, joined, "stream_outer_join", mode = "append")
+        .where(col("click_id") >= 0) // drop the left sentinel's own row
         .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
         .orderBy(col("click_id"), col("purchase_id"))
     }),
@@ -255,6 +342,14 @@ object Streaming {
       """SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m_ts
         |FROM events
         |ORDER BY user_id, event_type, m_ts""".stripMargin,
+
+    "q104_stream_outer_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
 
     // the BATCH gate SQL verbatim (shared CTE fragments with q70/q73) —
     // stateless streaming must reproduce it exactly
