@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.iforest.IForest
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, DedupIndex, Physical, Relational, Streaming, TextPipeline}
+import graft.queries.{Advanced, DedupIndex, Graph, Physical, Relational, StatsStore, Streaming, TextPipeline}
 import graft.similarity.{AnnIvf, AnnLsh}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -195,7 +195,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++
-      Physical.queries ++ DedupIndex.queries ++ Map(
+      Physical.queries ++ DedupIndex.queries ++ Graph.queries ++ StatsStore.queries ++ Map(
       "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
       "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
       "q49_ann_ivf" -> ((s: SparkSession, dir: String) => AnnIvf.annTopK(s, dir)),
@@ -236,7 +236,7 @@ object SparkEntry {
     * budgeted/quantized points and the HLL error gate in ModulesSpec). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++
-      Physical.oracles ++ DedupIndex.oracles ++ Map(
+      Physical.oracles ++ DedupIndex.oracles ++ Graph.oracles ++ StatsStore.oracles ++ Map(
       "q30_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  round(list_avg(list_transform(generate_series(1, length(text)),

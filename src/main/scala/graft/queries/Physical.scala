@@ -107,6 +107,40 @@ object Physical {
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // Z-ORDER layout: multi-dimensional clustering for file skipping.
+    // Range-partitioning on ONE column bounds only that column's min/max
+    // per file; interleaving the bits of BOTH join/filter dimensions
+    // (here l_partkey × l_suppkey, masked to 16 bits) into a Morton code
+    // and range-partitioning on THAT bounds both — a predicate on either
+    // dimension prunes most files at the scan, which is the entire value
+    // of the layout at 100 TB. The z-value is a pure in-row codegen'd
+    // HOF fold (no UDF); the write is repartitionByRange + sorted within
+    // partitions, i.e. the exact recipe a real table-layout job runs.
+    // The read-back aggregate proves the round-trip lossless AND
+    // exhibits the locality: per z-bucket, BOTH dimensions' spans are
+    // narrow (the oracle recomputes the same buckets straight from the
+    // source — identical integers or the layout lied).
+    "q108_zorder_layout" -> ((s, dir) => {
+      val out = s"${outRoot(dir)}/lineitem_zorder"
+      val zExpr = "aggregate(sequence(0, 15), 0L, (acc, i) -> acc" +
+        " + shiftleft(shiftright(px, i) & 1, 2*i)" +
+        " + shiftleft(shiftright(sy, i) & 1, 2*i+1))"
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .selectExpr("l_partkey & 65535L AS px", "l_suppkey & 65535L AS sy",
+          "cast(l_quantity AS bigint) AS qty")
+        .selectExpr("px", "sy", "qty", s"$zExpr AS z")
+        .repartitionByRange(col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(expr("z div 65536").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("px")).as("min_p"), max(col("px")).as("max_p"),
+          min(col("sy")).as("min_s"), max(col("sy")).as("max_s"),
+          sum(col("qty")).as("sum_qty"))
+        .orderBy(col("z_bucket"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,6 +165,23 @@ object Physical {
         |WHERE lang IN ('en', 'de')
         |GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+
+    // the same Morton fold as the Spark side: per-bit terms are exact
+    // integers, so the interleave and the bucket rollup hash-match
+    "q108_zorder_layout" ->
+      """WITH m AS (SELECT (l_partkey & 65535) AS px, (l_suppkey & 65535) AS sy,
+        |    l_quantity::BIGINT AS qty
+        |  FROM lineitem),
+        |z AS (SELECT px, sy, qty,
+        |    list_sum(list_transform(generate_series(0, 15), i ->
+        |      (((px >> i) & 1) << (2 * i))
+        |      + (((sy >> i) & 1) << (2 * i + 1))))::BIGINT AS z
+        |  FROM m)
+        |SELECT z // 65536 AS z_bucket, count(*)::BIGINT AS n_rows,
+        |  min(px) AS min_p, max(px) AS max_p,
+        |  min(sy) AS min_s, max(sy) AS max_s,
+        |  sum(qty)::BIGINT AS sum_qty
+        |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
 
     "q95_jsonl_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

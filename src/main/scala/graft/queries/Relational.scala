@@ -408,8 +408,12 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"),
         round(percent_rank().over(w), 6).as("pct_rank"),
         round(cume_dist().over(w), 6).as("cume"),
-        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
-        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"))
+        // partition-edge lag/lead are NULL — sentinel them: the driver's
+        // value compare reads a null float as NaN, and NaN != NaN
+        coalesce(round(lag(col("o_totalprice"), 1).over(w), 2), lit(-1.0))
+          .as("prev_price"),
+        coalesce(round(lead(col("o_totalprice"), 1).over(w), 2), lit(-1.0))
+          .as("next_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
   )
@@ -673,8 +677,8 @@ object Relational {
         |  ntile(4) OVER w AS quartile,
         |  round(percent_rank() OVER w, 6) AS pct_rank,
         |  round(cume_dist() OVER w, 6) AS cume,
-        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-        |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price
+        |  coalesce(round(lag(o_totalprice, 1) OVER w, 2), -1.0) AS prev_price,
+        |  coalesce(round(lead(o_totalprice, 1) OVER w, 2), -1.0) AS next_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,

@@ -240,7 +240,13 @@ object Streaming {
         "left_outer")
       runToCompletion(s, joined, "stream_outer_join", mode = "append")
         .where(col("click_id") >= 0) // drop the left sentinel's own row
-        .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+        // unmatched clicks carry a NULL purchase — sentinel it to −1:
+        // null-free outputs are the oracle-compare contract (a null long
+        // reads back as NaN, and NaN != NaN), and −1 restores the same
+        // nulls-first ordering the raw column had
+        .select(col("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          col("c_user").as("user_id"))
         .orderBy(col("click_id"), col("purchase_id"))
     }),
 
@@ -344,12 +350,13 @@ object Streaming {
         |ORDER BY user_id, event_type, m_ts""".stripMargin,
 
     "q104_stream_outer_join" ->
-      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+      """SELECT c.event_id AS click_id,
+        |  coalesce(p.event_id, -1) AS purchase_id, c.user_id
         |FROM events c LEFT JOIN events p
         |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |WHERE c.event_type = 'click'
-        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     // the BATCH gate SQL verbatim (shared CTE fragments with q70/q73) —
     // stateless streaming must reproduce it exactly

@@ -113,6 +113,34 @@ object TextPipeline {
         .orderBy(col("keeper"))
     }),
 
+    // NORMALIZED dedup: exact dedup is case/whitespace/punctuation
+    // brittle — a crawl re-fetch that upper-cases a header or doubles
+    // spaces defeats md5(text). The normalization chain (lowercase,
+    // non-alphanumerics to space, collapse runs, trim) is applied IN-ROW
+    // before the same hash-groupBy as q20, so the operator costs exactly
+    // one extra projection — no new exchange, map-side partial agg
+    // unchanged. The corpus is word-soup with no planted case noise, so
+    // noisy copies are PLANTED deterministically (doc_id % 9 = 4 gains a
+    // shifted-id copy with upper case, tripled spaces, punctuation and
+    // padding — the same both-engines planting device as q84): every
+    // planted pair MUST collapse to one group, and any group the chain
+    // fails to collapse diverges from the oracle's hash.
+    "q105_norm_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val noisy = base.where("doc_id % 9 = 4")
+        .selectExpr("doc_id + 10000000 AS doc_id",
+          "concat('  ', upper(replace(text, ' ', '   ')), ' .!? ') AS text")
+      base.unionByName(noisy)
+        .selectExpr("doc_id",
+          "md5(trim(regexp_replace(regexp_replace(lower(text), " +
+            "'[^a-z0-9 ]', ' '), ' +', ' '))) AS norm_fp")
+        .groupBy(col("norm_fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > 1)
+        .select(col("norm_fp"), col("keeper"), col("n_docs"))
+        .orderBy(col("keeper"))
+    }),
+
     // TRUE BPE token counting: the same regex pre-tokenization as before
     // (letter runs, digit runs, single marks), now followed by ranked
     // pair merges from a broadcast merges table — the native codegen'd
@@ -868,6 +896,25 @@ object TextPipeline {
         .orderBy(col("chunk_id"))
     }),
 
+    // SPARSE all-pairs cosine similarity (APSS, the Bayardo et al. 2007
+    // problem) over shingle-level tf-idf vectors — the lexical
+    // similarity search that complements the dense-embedding q28/q29:
+    // pairs scoring high here share distinctive VOCABULARY even when no
+    // embedding exists. Weights are binary-tf x integer idf (idf_e4 =
+    // min(N·1e4 div df, 1e6) — the cap is the standard rare-term damper
+    // AND what keeps w² sums inside int64 at any N). Candidate
+    // generation reuses q102's df-capped inverted index (2 ≤ df ≤ 20
+    // blocks; per-shingle fanout ≤ df² ≤ 400 — never O(n²)); the exact
+    // dot product then runs pair-driven over the FULL weight vectors of
+    // candidates only (two candidate-bounded joins keyed (doc, shingle)),
+    // and norms are one per-doc aggregation. All integer sums, one
+    // sqrt/divide at the end, rounded before the threshold — hash-
+    // identical cross-engine.
+    "q109_sparse_cosine" -> ((s, dir) =>
+      sparseCosineOf(docShingles(s, dir),
+        t(s, dir, "documents").agg(count(lit(1)).as("n")))
+        .orderBy(col("a"), col("b"))),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -1167,6 +1214,38 @@ object TextPipeline {
     * inverted index: boilerplate never fans out, unique shingles generate
     * nothing); each ordered candidate pair verifies exact
     * |Sa ∩ Sb| / |Sa| over the full sets, rounded before the threshold. */
+  /** q109's APSS core over an arbitrary (doc_id, sh) table. `nDocs` is a
+    * 1-row (n BIGINT) frame (kept as a frame, not a collected long, so
+    * the corpus count never becomes a driver action here). */
+  def sparseCosineOf(shDocs: DataFrame, nDocs: DataFrame, dfMin: Long = 2,
+      dfMax: Long = 20, threshold: Double = 0.5): DataFrame = {
+    val sh = Caches.persist(shDocs)
+    val ex = Caches.persist(
+      sh.select(col("doc_id"), explode(col("sh")).as("shingle")))
+    val dfT = Caches.persist(ex.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
+    val w = Caches.persist(ex.join(dfT, "shingle").crossJoin(broadcast(nDocs))
+      .selectExpr("doc_id", "shingle", "least((n * 10000L) div df, 1000000L) AS w"))
+    val norms = Caches.persist(
+      w.groupBy(col("doc_id")).agg(sum(expr("w * w")).as("nrm")))
+    val rare = dfT.where(col("df").between(dfMin, dfMax)).select(col("shingle"))
+    val exR = Caches.persist(ex.join(rare, "shingle"))
+    val cand = exR.select(col("shingle"), col("doc_id").as("a"))
+      .join(exR.select(col("shingle"), col("doc_id").as("b")), "shingle")
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val dot = cand
+      .join(w.selectExpr("doc_id AS a", "shingle", "w AS wa"), Seq("a"))
+      .join(w.selectExpr("doc_id AS b", "shingle", "w AS wb"), Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(sum(expr("wa * wb")).as("dot"))
+    dot
+      .join(norms.selectExpr("doc_id AS a", "nrm AS na"), Seq("a"))
+      .join(norms.selectExpr("doc_id AS b", "nrm AS nb"), Seq("b"))
+      .selectExpr("a", "b",
+        "round(cast(dot AS double) / (sqrt(cast(na AS double))" +
+          " * sqrt(cast(nb AS double))), 4) AS cosine")
+      .where(col("cosine") >= threshold)
+  }
+
   def containmentOf(shDocs: DataFrame, dfMin: Long = 2, dfMax: Long = 20,
       threshold: Double = 0.8): DataFrame = {
     val sh = Caches.persist(shDocs)
@@ -1615,6 +1694,23 @@ object TextPipeline {
     "q20_exact_dedup" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+
+    // same planting, same normalization chain ('g' flag: DuckDB
+    // regexp_replace is first-match unless global)
+    "q105_norm_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    '  ' || upper(replace(text, ' ', '   ')) || ' .!? '
+        |  FROM documents WHERE doc_id % 9 = 4),
+        |n AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
+        |  FROM src)
+        |SELECT norm_fp, min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM n GROUP BY norm_fp HAVING count(*) > 1
+        |ORDER BY keeper""".stripMargin,
 
     "q48_bpe_tokens" ->
       s"""WITH RECURSIVE $duckBpeCtes,
@@ -2148,6 +2244,35 @@ object TextPipeline {
          |    - greatest(so, chunk_id * 1024))::BIGINT AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM ch GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+    // Same capped integer idf, same blocked candidates, same one-sqrt
+    // finalization — the cosine is rounded BEFORE the threshold on both
+    // sides (q25's tie-safety contract).
+    "q109_sparse_cosine" ->
+      s"""WITH sh_docs AS ($duckShingleDocs),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_docs),
+         |nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |dfq AS (SELECT shingle, count(*)::BIGINT AS df FROM ex GROUP BY shingle),
+         |w AS (SELECT doc_id, ex.shingle,
+         |    least((nd.n * 10000) // df, 1000000) AS w
+         |  FROM ex JOIN dfq ON ex.shingle = dfq.shingle CROSS JOIN nd),
+         |norms AS (SELECT doc_id, sum(w * w)::BIGINT AS nrm FROM w GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM dfq WHERE df BETWEEN 2 AND 20),
+         |exr AS (SELECT doc_id, shingle FROM ex JOIN rare USING (shingle)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM exr x JOIN exr y USING (shingle) WHERE x.doc_id < y.doc_id),
+         |dotq AS (SELECT a, b, sum(wa.w * wb.w)::BIGINT AS dot
+         |  FROM cand
+         |  JOIN w wa ON wa.doc_id = a
+         |  JOIN w wb ON wb.doc_id = b AND wb.shingle = wa.shingle
+         |  GROUP BY a, b),
+         |sc AS (SELECT a, b,
+         |    round(dot::DOUBLE / (sqrt(na.nrm::DOUBLE) * sqrt(nb.nrm::DOUBLE)), 4)
+         |      AS cosine
+         |  FROM dotq JOIN norms na ON na.doc_id = a
+         |  JOIN norms nb ON nb.doc_id = b)
+         |SELECT a, b, cosine FROM sc WHERE cosine >= 0.5
+         |ORDER BY a, b""".stripMargin,
 
     // Document frequency over the SAME distinct-shingle sets as q25/q27
     // (shared duckShingleDocs CTE), summed back per document. sum(CASE)

@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * The round-14 operator pack beyond the oracled hashes: [[graft.queries
+ * .StatsStore]] merge algebra and staleness, [[graft.queries.Graph]]
+ * fixed-point PageRank semantics on hand graphs, the q108 Morton
+ * interleave + its locality guarantee, q109 sparse-cosine fixture
+ * behavior, and the q105 planting invariant.
+ */
+class IncrementalOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import graft.queries.{Caches, Graph, StatsStore, TextPipeline}
+
+  test("StatsStore merged partials equal a one-pass full aggregate exactly") {
+    StatsStore.build(spark, sf)
+    assert(StatsStore.isCurrent(spark, sf), "fresh build must be current")
+    val merged = StatsStore.mergedStats(spark, sf).collect()
+    val full = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        sum(col("n_chars") * col("n_chars")).as("s2"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .selectExpr("lang", "source", "n_docs", "total_chars",
+        "(total_chars * 1000000L) div n_docs AS mean_e6",
+        "((n_docs * s2 - total_chars * total_chars) * 1000L)" +
+          " div (n_docs * n_docs) AS var_e3",
+        "min_chars", "max_chars")
+      .orderBy(col("lang"), col("source")).collect()
+    assert(merged.toSeq == full.toSeq,
+      s"merge drifted from recompute:\n${merged.take(3).mkString("\n")}")
+  }
+
+  test("StatsStore staleness: a foreign fingerprint forces rebuild") {
+    StatsStore.buildIfStale(spark, sf)
+    import spark.implicits._
+    Seq("bogus:fp").toDF("fp").coalesce(1)
+      .write.mode("overwrite").parquet(s"${StatsStore.root(sf)}/meta")
+    assert(!StatsStore.isCurrent(spark, sf), "foreign fingerprint read as current")
+    StatsStore.buildIfStale(spark, sf)
+    assert(StatsStore.isCurrent(spark, sf), "rebuild must restore currency")
+  }
+
+  test("pagerank: symmetric 2-cycle holds equal mass; sinks drain truncation only") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L).toDF("node")
+    // A→B and B→A, each the node's only out-edge → wfrac = 1e6 both ways
+    val ef = Seq((0L, 1L, 1000000L), (1L, 0L, 1000000L)).toDF("src", "dst", "wfrac")
+    val pr = Caches.scoped(
+      Graph.pagerankOf(nodes, ef, 2L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(pr(0L) == pr(1L), s"symmetric cycle diverged: $pr")
+    // mass conservation: teleport + damped inflow keeps each at base
+    // (5e11) minus only integer-truncation dust
+    assert(math.abs(pr(0L) - 500000000000L) < 10L, s"mass leaked: $pr")
+  }
+
+  test("pagerank: a node fed by two sources outranks its feeders") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    // 1→0 and 2→0 only; 0 has no out-edges (dangling — absorbs then
+    // leaks mass to the teleport floor, which is fine: ordering is the
+    // semantic under test)
+    val ef = Seq((1L, 0L, 1000000L), (2L, 0L, 1000000L)).toDF("src", "dst", "wfrac")
+    val pr = Caches.scoped(
+      Graph.pagerankOf(nodes, ef, 3L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(pr(0L) > pr(1L) && pr(0L) > pr(2L), s"hub not ranked above feeders: $pr")
+    assert(pr(1L) == pr(2L), s"identical feeders diverged: $pr")
+  }
+
+  test("q106 on sf0.001: 25 nations, all positive, total mass bounded by scale") {
+    val rows = Caches.scoped(
+      queries.Graph.queries("q106_pagerank")(spark, sf).collect())
+    assert(rows.length == 25)
+    val prs = rows.map(_.getLong(2))
+    assert(prs.forall(_ > 0L))
+    assert(prs.sum <= 1000000000000L, "rank mass exceeded the scale unit")
+  }
+
+  test("Morton interleave: known bit patterns") {
+    val z = spark.sql(
+      """SELECT aggregate(sequence(0, 15), 0L, (acc, i) -> acc
+        |  + shiftleft(shiftright(px, i) & 1, 2*i)
+        |  + shiftleft(shiftright(sy, i) & 1, 2*i+1)) AS z
+        |FROM VALUES (3L, 1L), (0L, 0L), (65535L, 65535L) AS t(px, sy)
+        |ORDER BY z""".stripMargin).collect().map(_.getLong(0)).toSeq
+    // (0,0)→0; (3,1): px bits {0,1}→z bits {0,2}=5, sy bit {0}→z bit {1}=2 → 7;
+    // (65535,65535) → all 32 low bits set
+    assert(z == Seq(0L, 7L, 4294967295L), s"interleave wrong: $z")
+  }
+
+  test("q108 locality: a 16-bit z-bucket bounds BOTH dimensions to 256-wide spans") {
+    val rows = Caches.scoped(
+      queries.Physical.queries("q108_zorder_layout")(spark, sf).collect())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minP, maxP) = (r.getLong(2), r.getLong(3))
+      val (minS, maxS) = (r.getLong(4), r.getLong(5))
+      // z div 65536 fixes the top 8 bits of each 16-bit dimension, so
+      // within a bucket each dimension varies only in its low 8 bits
+      assert(maxP - minP < 256, s"partkey span ${maxP - minP} in bucket ${r.getLong(0)}")
+      assert(maxS - minS < 256, s"suppkey span ${maxS - minS} in bucket ${r.getLong(0)}")
+    }
+  }
+
+  test("sparse cosine: identical shingle sets score 1.0; disjoint sets never pair") {
+    import spark.implicits._
+    val sh = Seq(
+      1L -> Seq("a b c", "b c d"),
+      2L -> Seq("a b c", "b c d"), // identical to 1
+      3L -> Seq("x y z", "y z w")  // disjoint vocabulary
+    ).toDF("doc_id", "sh")
+    val n = Seq(3L).toDF("n")
+    val out = Caches.scoped(
+      TextPipeline.sparseCosineOf(sh, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    assert(out == Set((1L, 2L, 1.0)), s"got $out")
+  }
+
+  test("q109 finds every small exact-dup pair at cosine 1.0") {
+    // exact dups share ALL shingles; groups of ≤ 20 keep every shingle's
+    // df within the blocking band, so the pair MUST surface at exactly
+    // 1.0. sf0.1 is the smallest corpus with planted exact dups (the
+    // sf0.001/sf0.01 documents tables are all-unique).
+    val sf = "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dupPairs = Caches.scoped(
+      docs.selectExpr("doc_id", "md5(text) AS h", "size(split(text, ' ')) AS nt")
+        .where("nt >= 3")
+        .groupBy(col("h"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .where("size(ids) BETWEEN 2 AND 20")
+        .selectExpr("explode(transform(sequence(1, size(ids) - 1)," +
+          " i -> struct(array_min(ids) AS a, array_sort(ids)[i] AS b))) AS p")
+        .selectExpr("p.a", "p.b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(dupPairs.nonEmpty, "fixture corpus lost its planted exact dups")
+    val found = Caches.scoped(
+      queries.TextPipeline.queries("q109_sparse_cosine")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    val missing = dupPairs.filterNot(p => found.contains((p._1, p._2, 1.0)))
+    assert(missing.isEmpty, s"dup pairs missing or not 1.0: ${missing.take(5)}")
+  }
+
+  test("q105 keepers are always base-corpus ids and planting is absorbed") {
+    val rows = Caches.scoped(
+      queries.TextPipeline.queries("q105_norm_dedup")(spark, sf).collect())
+    assert(rows.nonEmpty)
+    // keeper = min id of the group; every planted copy's source has a
+    // smaller (base) id, so no keeper can be a planted id
+    assert(rows.forall(_.getLong(1) < 10000000L), "planted id won the keeper slot")
+    val planted = spark.read.parquet(s"$sf/documents.parquet")
+      .where("doc_id % 9 = 4").count()
+    val absorbed = rows.map(r => r.getLong(2) - 1).sum
+    assert(absorbed >= planted,
+      s"only $absorbed members absorbed for $planted planted copies")
+  }
+}
