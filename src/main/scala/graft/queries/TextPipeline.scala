@@ -915,6 +915,55 @@ object TextPipeline {
         t(s, dir, "documents").agg(count(lit(1)).as("n")))
         .orderBy(col("a"), col("b"))),
 
+    // 2-D SKYLINE (Pareto frontier) of quality vs length: keep a doc iff
+    // its quality STRICTLY beats every strictly-shorter doc's — "is this
+    // document better than anything cheaper" is the curation question
+    // behind per-budget selection. The textbook skyline is O(n²)
+    // domination tests or a global sort; the scale-right decomposition
+    // here is (1) collapse the corpus to one (length → max quality) row
+    // per DISTINCT length — a partial-aggregated groupBy whose output is
+    // bounded by the length domain, not the corpus — then (2) a running
+    // max over that BOUNDED table (single-task window over hundreds of
+    // rows, by construction not a corpus window), broadcast back for an
+    // in-row keep test. The corpus is scanned once and shuffled only by
+    // the bounded groupBy.
+    "q110_skyline" -> ((s, dir) => {
+      val q = Caches.persist(docQuality(s, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality_e4")))
+      val perLen = q.groupBy(col("n_tokens")).agg(max(col("quality_e4")).as("len_max"))
+      val wl = Window.orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = perLen.withColumn("shorter_max",
+        coalesce(max(col("len_max")).over(wl), lit(-1L)))
+      q.join(broadcast(frontier.select(col("n_tokens"), col("shorter_max"))),
+          Seq("n_tokens"))
+        .where(col("quality_e4") > col("shorter_max"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_e4"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+    }),
+
+    // Per-language QUANTILE NORMALIZATION of the quality score — raw
+    // quality distributions differ by language, so a single global
+    // threshold over- or under-prunes some languages; decile ranks within
+    // language are the comparable currency. ntile runs in a language-
+    // PARTITIONED window (key-partitioned state, no global sort) with a
+    // fully deterministic order (quality, doc_id); the output is the
+    // bounded |lang| × 10 decile table whose counts and boundaries pin
+    // the entire assignment.
+    "q111_quantile_norm" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality_e4"), col("doc_id"))
+      docQuality(s, dir, withLang = true)
+        .select(col("lang"), col("doc_id"), col("quality_e4"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("quality_e4")).as("min_q"),
+          max(col("quality_e4")).as("max_q"),
+          sum(col("quality_e4")).as("sum_q"))
+        .orderBy(col("lang"), col("decile"))
+    }),
+
     // Winnowing document fingerprints: character 8-gram Rabin-Karp
     // rolling hashes (Horner, mod 1e9+7 — pure integer math, identical in
     // both engines), then min-in-window-of-4 selection — fused into the
@@ -1216,9 +1265,22 @@ object TextPipeline {
     * |Sa ∩ Sb| / |Sa| over the full sets, rounded before the threshold. */
   /** q109's APSS core over an arbitrary (doc_id, sh) table. `nDocs` is a
     * 1-row (n BIGINT) frame (kept as a frame, not a collected long, so
-    * the corpus count never becomes a driver action here). */
+    * the corpus count never becomes a driver action here).
+    *
+    * `minShared` is the MIN-OVERLAP candidate rule (record-linkage
+    * blocking's standard second stage): a pair is verified only when it
+    * shares at least `minShared` df-banded shingles. On corpora whose
+    * vocabulary is small relative to size, single-shingle collisions
+    * alone approach all-pairs (measured at sf0.1: 1.12M of 12.5M possible
+    * pairs collide on ≥1 banded shingle, but only 10k on ≥3 — and the
+    * cosine-0.5 survivors share dozens), so the overlap count is what
+    * keeps verification candidate-bounded. The rule is part of the
+    * operator's candidate CONTRACT (the oracle applies it identically);
+    * its recall loss is confined to pairs with ≤ 2 distinctive shingles
+    * in common — below any plausible 0.5-cosine for documents with ≥ 5
+    * tokens. */
   def sparseCosineOf(shDocs: DataFrame, nDocs: DataFrame, dfMin: Long = 2,
-      dfMax: Long = 20, threshold: Double = 0.5): DataFrame = {
+      dfMax: Long = 20, threshold: Double = 0.5, minShared: Long = 3): DataFrame = {
     val sh = Caches.persist(shDocs)
     val ex = Caches.persist(
       sh.select(col("doc_id"), explode(col("sh")).as("shingle")))
@@ -1232,7 +1294,9 @@ object TextPipeline {
     val cand = exR.select(col("shingle"), col("doc_id").as("a"))
       .join(exR.select(col("shingle"), col("doc_id").as("b")), "shingle")
       .where(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("a"), col("b"))
     val dot = cand
       .join(w.selectExpr("doc_id AS a", "shingle", "w AS wa"), Seq("a"))
       .join(w.selectExpr("doc_id AS b", "shingle", "w AS wb"), Seq("b", "shingle"))
@@ -1247,7 +1311,7 @@ object TextPipeline {
   }
 
   def containmentOf(shDocs: DataFrame, dfMin: Long = 2, dfMax: Long = 20,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, minShared: Long = 3): DataFrame = {
     val sh = Caches.persist(shDocs)
     val ex = Caches.persist(
       sh.select(col("doc_id"), explode(col("sh")).as("shingle")))
@@ -1255,10 +1319,17 @@ object TextPipeline {
       .where(col("df").between(dfMin, dfMax))
       .select(col("shingle"))
     val exR = Caches.persist(ex.join(rare, "shingle"))
+    // min-overlap candidate rule (same rationale as sparseCosineOf —
+    // single-shingle collisions approach all-pairs on small-vocabulary
+    // corpora): verify only pairs sharing >= minShared banded shingles.
+    // Recall loss is confined to subjects with < ceil(minShared/0.8)
+    // distinct shingles, i.e. sub-6-token documents.
     val cand = exR.select(col("shingle"), col("doc_id").as("a"))
       .join(exR.select(col("shingle"), col("doc_id").as("b")), "shingle")
       .where(col("a") =!= col("b"))
-      .select(col("a"), col("b")).distinct()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("a"), col("b"))
     cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
@@ -1506,18 +1577,21 @@ object TextPipeline {
     * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
     * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
     * Spark and DuckDB round in opposite directions (caught at sf0.1). */
-  private def docQuality(s: SparkSession, dir: String): DataFrame =
+  private def docQuality(s: SparkSession, dir: String,
+      withLang: Boolean = false): DataFrame = {
+    val keep = if (withLang) Seq("doc_id", "lang") else Seq("doc_id")
     t(s, dir, "documents")
-      .selectExpr("doc_id",
+      .selectExpr(keep ++ Seq(
         s"size($toks) AS n",
         s"size(array_distinct($toks)) AS d",
-        s"size(filter($toks, x -> x IN ('the', 'a'))) AS st")
-      .selectExpr("doc_id", "n AS n_tokens",
+        s"size(filter($toks, x -> x IN ('the', 'a'))) AS st"): _*)
+      .selectExpr(keep ++ Seq("n AS n_tokens",
         "round(cast(d AS double) / n, 4) AS uniq_ratio",
         "round(cast(st AS double) / n, 4) AS stop_ratio",
         // quality*1e4 = (4000d + 3000(n-st))/n + 30*least(n,100), half-up
         "(2 * (4000 * d + 3000 * (n - st) + 30 * least(n, 100) * n) + n) div (2 * n)" +
-          " AS quality_e4")
+          " AS quality_e4"): _*)
+  }
 
   /** SimHash near-dup candidate pairs (adjacent docs in simhash order,
     * <= 12 of 32 bits apart) — shared by q32 (the pairs) and q69 (the
@@ -2213,8 +2287,9 @@ object TextPipeline {
          |    (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle)
          |  WHERE df BETWEEN 2 AND 20),
          |exr AS (SELECT doc_id, shingle FROM ex JOIN rare USING (shingle)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM exr x JOIN exr y USING (shingle) WHERE x.doc_id != y.doc_id),
+         |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM exr x JOIN exr y USING (shingle) WHERE x.doc_id != y.doc_id
+         |  GROUP BY a, b HAVING count(*) >= 3),
          |c AS (SELECT a, b,
          |    round(len(list_intersect(da.sh, db.sh))::DOUBLE
          |      / len(da.sh)::DOUBLE, 4) AS containment
@@ -2245,6 +2320,33 @@ object TextPipeline {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM ch GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
 
+    // the same bounded per-length collapse, strict-preceding running max
+    // and strict-> keep test
+    "q110_skyline" ->
+      s"""WITH $duckQualityCtes,
+         |pl AS (SELECT n_tokens, max(quality_e4) AS len_max
+         |  FROM qual GROUP BY n_tokens),
+         |fr AS (SELECT n_tokens, coalesce(max(len_max) OVER (ORDER BY n_tokens
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS shorter_max
+         |  FROM pl)
+         |SELECT q.doc_id, q.n_tokens, q.quality_e4
+         |FROM qual q JOIN fr USING (n_tokens)
+         |WHERE q.quality_e4 > fr.shorter_max
+         |ORDER BY q.n_tokens, q.doc_id""".stripMargin,
+
+    // ANSI ntile (extra rows to the leading buckets) over the identical
+    // deterministic order — decile counts and boundaries must agree
+    "q111_quantile_norm" ->
+      s"""WITH $duckQualityCtes,
+         |d AS (SELECT dd.lang, q.doc_id, q.quality_e4,
+         |    ntile(10) OVER (PARTITION BY dd.lang
+         |      ORDER BY q.quality_e4, q.doc_id)::BIGINT AS decile
+         |  FROM qual q JOIN documents dd ON dd.doc_id = q.doc_id)
+         |SELECT lang, decile, count(*)::BIGINT AS n_docs,
+         |  min(quality_e4) AS min_q, max(quality_e4) AS max_q,
+         |  sum(quality_e4)::BIGINT AS sum_q
+         |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+
     // Same capped integer idf, same blocked candidates, same one-sqrt
     // finalization — the cosine is rounded BEFORE the threshold on both
     // sides (q25's tie-safety contract).
@@ -2259,8 +2361,9 @@ object TextPipeline {
          |norms AS (SELECT doc_id, sum(w * w)::BIGINT AS nrm FROM w GROUP BY doc_id),
          |rare AS (SELECT shingle FROM dfq WHERE df BETWEEN 2 AND 20),
          |exr AS (SELECT doc_id, shingle FROM ex JOIN rare USING (shingle)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM exr x JOIN exr y USING (shingle) WHERE x.doc_id < y.doc_id),
+         |cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM exr x JOIN exr y USING (shingle) WHERE x.doc_id < y.doc_id
+         |  GROUP BY a, b HAVING count(*) >= 3),
          |dotq AS (SELECT a, b, sum(wa.w * wb.w)::BIGINT AS dot
          |  FROM cand
          |  JOIN w wa ON wa.doc_id = a

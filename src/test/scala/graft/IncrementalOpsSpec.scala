@@ -108,16 +108,30 @@ class IncrementalOpsSpec extends AnyFunSuite {
 
   test("sparse cosine: identical shingle sets score 1.0; disjoint sets never pair") {
     import spark.implicits._
+    // three shared shingles — the min-overlap candidate floor exactly
     val sh = Seq(
-      1L -> Seq("a b c", "b c d"),
-      2L -> Seq("a b c", "b c d"), // identical to 1
-      3L -> Seq("x y z", "y z w")  // disjoint vocabulary
+      1L -> Seq("a b c", "b c d", "c d e"),
+      2L -> Seq("a b c", "b c d", "c d e"), // identical to 1
+      3L -> Seq("x y z", "y z w", "z w v")  // disjoint vocabulary
     ).toDF("doc_id", "sh")
     val n = Seq(3L).toDF("n")
     val out = Caches.scoped(
       TextPipeline.sparseCosineOf(sh, n).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
     assert(out == Set((1L, 2L, 1.0)), s"got $out")
+  }
+
+  test("sparse cosine min-overlap: a 2-shingle collision is never verified") {
+    import spark.implicits._
+    // docs 1 and 2 share exactly TWO banded shingles (cosine would be
+    // 1.0) — below the minShared=3 candidate floor, so no pair emits
+    val sh = Seq(
+      1L -> Seq("a b c", "b c d"),
+      2L -> Seq("a b c", "b c d")
+    ).toDF("doc_id", "sh")
+    val out = Caches.scoped(
+      TextPipeline.sparseCosineOf(sh, Seq(2L).toDF("n")).collect())
+    assert(out.isEmpty, s"sub-floor pair leaked: ${out.mkString(",")}")
   }
 
   test("q109 finds every small exact-dup pair at cosine 1.0") {
