@@ -493,6 +493,57 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q102 planned a nested-loop join:\n$p")
   }
 
+  test("q105 normalized dedup is one two-phase aggregation, no join") {
+    // the normalization chain is in-row; the only exchange beyond the
+    // output sort is the hash-groupBy — a join or window here means the
+    // chain stopped being a projection
+    val p = plan("q105_norm_dedup")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), s"q105 gained a join:\n$p")
+    assert(!p.contains("Window"), s"q105 gained a window:\n$p")
+  }
+
+  test("q106/q109 never plan a cartesian or nested-loop join") {
+    // q106's iteration joins are explicit broadcasts over |nation|-sized
+    // tables; q109's candidate and verification joins are all keyed
+    for (q <- Seq("q106_pagerank", "q109_sparse_cosine")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      // the 1-row corpus-count frame broadcasts as a BNLJ by design;
+      // anything joining real columns through one is the regression
+      assert(!"BroadcastNestedLoopJoin .*Inner, \\(".r.unanchored.matches(p),
+        s"$q planned a conditioned nested-loop join:\n$p")
+    }
+  }
+
+  test("q106 iteration ranks flow through broadcast joins") {
+    val p = plan("q106_pagerank")
+    assert(p.contains("BroadcastHashJoin"), s"q106 lost its broadcast loops:\n$p")
+  }
+
+  test("q108 read-back aggregate is two-phase with no UDF or window") {
+    val p = plan("q108_zorder_layout")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("ScalaUDF"), s"q108 interleave fell out of codegen:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q110 frontier broadcasts back; only the BOUNDED per-length table windows") {
+    val p = plan("q110_skyline")
+    assert(p.contains("BroadcastHashJoin"), s"q110 frontier not broadcast:\n$p")
+    // the single-partition exchange is legal here ONLY because its input
+    // is the per-distinct-length aggregate (bounded by the length domain)
+    // — the corpus side must still aggregate two-phase before it
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q111 decile window is language-partitioned, never single-partition") {
+    val p = plan("q111_quantile_norm")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"q111 funnels the corpus through one task:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
