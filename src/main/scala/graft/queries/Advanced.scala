@@ -164,6 +164,24 @@ object Advanced {
     // operators; per-user state is three ints, never a collected event
     // list. The (ts, event_id) ordering makes ties deterministic in both
     // engines.
+    // SLIDING (hopping) event-time windows in batch — q40's tumbling
+    // windows with overlap: 1-hour windows every 15 minutes, so each
+    // event belongs to exactly 4 windows and a spike is visible at
+    // 15-minute resolution with a full hour of context. Spark's
+    // `window()` expands in-row (a 4-element generator, epoch-aligned
+    // origin) before the keyed aggregation — no self-join against a
+    // window table. The oracle expands the same 4 epoch-grid starts with
+    // generate_series and must land on identical per-window aggregates.
+    "q115_sliding_window" -> ((s, dir) => {
+      Tables.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "q86_funnel" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -347,6 +365,19 @@ object Advanced {
         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
         |  round(sqrt((syy - sy * sy / n) / (n - 1)), 2) AS stddev_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // each event's 4 containing windows: the epoch-aligned 15-min grid
+    // slot it lands in, minus 0..3 slides
+    "q115_sliding_window" ->
+      """WITH e AS (SELECT event_type, value, ts,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + ((epoch_us(ts) // 1000000 // 900) * 900 - k * 900)
+        |        * INTERVAL 1 SECOND AS window_start
+        |  FROM events, unnest(generate_series(0, 3)) AS u(k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     // The same three chained cumulative-max windows, layered as CTEs
     // (a window expression can't reference a same-SELECT alias).

@@ -141,6 +141,54 @@ object Physical {
           sum(col("qty")).as("sum_qty"))
         .orderBy(col("z_bucket"))
     }),
+
+    // SCHEMA EVOLUTION: a long-lived table's batches rarely share one
+    // schema — later crawls add columns. Two batches are written with
+    // DIFFERENT schemas (batch 2 adds quality_e2), then read as ONE
+    // dataset with mergeSchema=true: parquet's per-file footer schemas
+    // union at read time, early files surface the new column as NULL.
+    // The aggregate coalesces the evolved column (null-free output
+    // contract) and must equal the oracle's CASE-split recompute off the
+    // source — proving the merged read is lossless in both directions.
+    // At 100 TB, mergeSchema's footer-union pass is why the read stays
+    // one job instead of a per-schema union choreography.
+    "q112_schema_merge" -> ((s, dir) => {
+      val out = s"${outRoot(dir)}/docs_evolving"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.where("doc_id % 2 = 0")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/b1")
+      docs.where("doc_id % 2 = 1")
+        .selectExpr("doc_id", "lang", "n_chars", "n_chars % 97 AS quality_e2")
+        .write.mode("overwrite").parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(coalesce(col("quality_e2"), lit(0L))).as("sum_quality"),
+          sum(when(col("quality_e2").isNull, 1L).otherwise(0L)).as("n_pre_evolution"))
+        .orderBy(col("lang"))
+    }),
+
+    // CSV round-trip — the reference engine's own input format as an
+    // oracled write→read→aggregate query (CsvPipelineSpec covers the
+    // inference/null-marker read path; this pins the lossless layout
+    // contract like q94/q95 do for ORC/JSONL). Read back with an
+    // EXPLICIT schema: at scale a header-inference pre-scan doubles the
+    // read, and CSV types are a read-time declaration anyway.
+    "q113_csv_roundtrip" -> ((s, dir) => {
+      val out = s"${outRoot(dir)}/orders_csv"
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      src.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(src.schema).option("header", "true").csv(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"))
+        .orderBy(col("o_orderstatus"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +230,24 @@ object Physical {
         |  min(sy) AS min_s, max(sy) AS max_s,
         |  sum(qty)::BIGINT AS sum_qty
         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
+
+    // batch 1 (even ids) predates the evolved column: its rows count as
+    // pre-evolution and contribute 0 quality, exactly what the merged
+    // read's NULLs coalesce to
+    "q112_schema_merge" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 97 ELSE 0 END)::BIGINT
+        |    AS sum_quality,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_pre_evolution
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q113_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q95_jsonl_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -915,6 +915,47 @@ object TextPipeline {
         t(s, dir, "documents").agg(count(lit(1)).as("n")))
         .orderBy(col("a"), col("b"))),
 
+    // WINNOWING-based fuzzy decontamination — the third decontamination
+    // modality: q63 flags exact n-gram overlap with a benchmark and q97
+    // MinHash-bands cross-corpus near-dups; winnowing fingerprints
+    // (Schleimer et al. 2003, the MOSS algorithm) catch verbatim SPANS
+    // inside otherwise-different documents — the "benchmark question
+    // pasted into a web page" contamination shape, robust to surrounding
+    // edits because the min-in-window selection is position-local. The
+    // benchmark slice is doc_id % 97 = 0; corpus docs with doc_id % 97 =
+    // 1 are PLANTED as copies of their bench neighbor (the q84 device) so
+    // all three verdict paths are exercised cross-engine at every SF.
+    // Scale: fingerprints are df-banded (2..20) before the inverted join
+    // — boilerplate 8-gram hashes never fan out (the q102/q109 rule) —
+    // and the join is bench-driven (1/97 of the corpus).
+    "q114_winnow_decontam" -> ((s, dir) => {
+      graft.functions.WinnowFingerprints.register(s)
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val src = base
+        .join(base.selectExpr("doc_id + 1 AS p_id", "text AS p_text"),
+          col("p_id") === col("doc_id") && col("doc_id") % 97 === 1, "left")
+        .selectExpr("doc_id",
+          "CASE WHEN doc_id % 97 = 1 AND p_text IS NOT NULL THEN p_text" +
+            " ELSE text END AS text")
+      val ex = Caches.persist(src
+        .selectExpr("doc_id", "lower(regexp_replace(text, '[^a-z0-9]', '')) AS tx")
+        .where("length(tx) >= 11")
+        .selectExpr("doc_id",
+          "explode(array_distinct(winnow_fingerprints(tx, 8, 4))) AS fp"))
+      val band = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 20)).select(col("fp"))
+      val exB = Caches.persist(ex.join(band, "fp"))
+      val bench = exB.where("doc_id % 97 = 0")
+        .selectExpr("doc_id AS bench_id", "fp")
+      exB.where("doc_id % 97 != 0")
+        .join(bench, "fp")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("fp")).as("n_shared_fp"),
+          min(col("bench_id")).as("bench_match"))
+        .where(col("n_shared_fp") >= 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // 2-D SKYLINE (Pareto frontier) of quality vs length: keep a doc iff
     // its quality STRICTLY beats every strictly-shorter doc's — "is this
     // document better than anything cheaper" is the curation question
@@ -2319,6 +2360,38 @@ object TextPipeline {
          |    - greatest(so, chunk_id * 1024))::BIGINT AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM ch GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+    // q51's exact rolling-hash + min-in-window chain over the planted
+    // source, then the same df-band and bench-driven inverted join
+    "q114_winnow_decontam" ->
+      """WITH src AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 97 = 1 AND o.text IS NOT NULL THEN o.text
+        |         ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents o
+        |    ON o.doc_id = d.doc_id - 1 AND d.doc_id % 97 = 1),
+        |n AS (SELECT doc_id,
+        |    lower(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS t
+        |  FROM src),
+        |r AS (SELECT doc_id, list_transform(generate_series(1, length(t) - 7), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 7),
+        |      j -> CAST(ascii(substr(t, i + j, 1)) AS BIGINT))),
+        |      (acc, c) -> (acc * 257 + c) % 1000000007)) AS rh
+        |  FROM n WHERE length(t) >= 11),
+        |w AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(rh) - 3),
+        |    i -> list_min(rh[i:i+3]))) AS wins
+        |  FROM r),
+        |ex AS (SELECT doc_id, unnest(wins) AS fp FROM w),
+        |dfq AS (SELECT fp, count(*) AS df FROM ex GROUP BY fp),
+        |band AS (SELECT fp FROM dfq WHERE df BETWEEN 2 AND 20),
+        |exb AS (SELECT doc_id, fp FROM ex JOIN band USING (fp)),
+        |bench AS (SELECT doc_id AS bench_id, fp FROM exb WHERE doc_id % 97 = 0),
+        |m AS (SELECT c.doc_id, count(DISTINCT c.fp)::BIGINT AS n_shared_fp,
+        |    min(b.bench_id) AS bench_match
+        |  FROM exb c JOIN bench b ON b.fp = c.fp
+        |  WHERE c.doc_id % 97 != 0 GROUP BY c.doc_id)
+        |SELECT doc_id, n_shared_fp, bench_match FROM m
+        |WHERE n_shared_fp >= 2 ORDER BY doc_id""".stripMargin,
 
     // the same bounded per-length collapse, strict-preceding running max
     // and strict-> keep test
