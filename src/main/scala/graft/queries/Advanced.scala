@@ -164,6 +164,36 @@ object Advanced {
     // operators; per-user state is three ints, never a collected event
     // list. The (ts, event_id) ordering makes ties deterministic in both
     // engines.
+    // Event-sequence TRANSITION mining (first-order Markov counts): for
+    // each user's event stream in time order, count type→type
+    // transitions and their median-free timing stats — the path-analysis
+    // primitive behind funnels-you-didn't-predefine ("where do users go
+    // after an error?"). One lag window per user (key-partitioned, the
+    // q86 shape) then a bounded |types|² rollup; transition probability
+    // is exact fixed-point against the source type's total outflow.
+    "q116_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val steps = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("gap_s",
+          expr("unix_micros(lead(ts, 1) OVER (PARTITION BY user_id" +
+            " ORDER BY ts, event_id)) div 1000000" +
+            " - unix_micros(ts) div 1000000"))
+        .where(col("next_type").isNotNull)
+      val counts = steps.groupBy(col("event_type").as("from_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(col("gap_s")).as("sum_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+      val outflow = counts.groupBy(col("from_type"))
+        .agg(sum(col("n_transitions")).as("n_out"))
+      counts.join(broadcast(outflow), "from_type")
+        .selectExpr("from_type", "next_type", "n_transitions",
+          "(n_transitions * 1000000L) div n_out AS prob_e6",
+          "sum_gap_s div n_transitions AS mean_gap_s", "max_gap_s")
+        .orderBy(col("from_type"), col("next_type"))
+    }),
+
     // SLIDING (hopping) event-time windows in batch — q40's tumbling
     // windows with overlap: 1-hour windows every 15 minutes, so each
     // event belongs to exactly 4 windows and a spike is visible at
@@ -365,6 +395,27 @@ object Advanced {
         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
         |  round(sqrt((syy - sy * sy / n) / (n - 1)), 2) AS stddev_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // identical per-user lag chain; integer epoch-second gaps so the
+    // timing sums are exact cross-engine
+    "q116_transitions" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |    lead(event_type, 1) OVER w AS next_type,
+        |    epoch_us(lead(ts, 1) OVER w) // 1000000
+        |      - epoch_us(ts) // 1000000 AS gap_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT event_type AS from_type, next_type,
+        |    count(*)::BIGINT AS n_transitions,
+        |    sum(gap_s)::BIGINT AS sum_gap_s, max(gap_s)::BIGINT AS max_gap_s
+        |  FROM s WHERE next_type IS NOT NULL GROUP BY from_type, next_type),
+        |o AS (SELECT from_type, sum(n_transitions)::BIGINT AS n_out
+        |  FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.next_type, c.n_transitions,
+        |  (c.n_transitions * 1000000) // o.n_out AS prob_e6,
+        |  c.sum_gap_s // c.n_transitions AS mean_gap_s, c.max_gap_s
+        |FROM c JOIN o ON o.from_type = c.from_type
+        |ORDER BY c.from_type, c.next_type""".stripMargin,
 
     // each event's 4 containing windows: the epoch-aligned 15-min grid
     // slot it lands in, minus 0..3 slides

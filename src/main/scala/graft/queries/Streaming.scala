@@ -267,6 +267,26 @@ object Streaming {
         .orderBy(col("user_id"), col("event_type"), col("m_ts"))
     }),
 
+    // Sliding event-time windows on the STREAM — q115's hopping
+    // aggregation (1-hour windows every 15 minutes) as a streaming
+    // query: the in-row 4-window expansion happens before the keyed
+    // state, so state is per-(window, type) exactly like q40's tumbling
+    // form, just 4x the window keys. Complete mode + AvailableNow makes
+    // the batch oracle apply verbatim (shared with q115); on a live feed
+    // the same plan runs append-mode with the watermark evicting closed
+    // windows.
+    "q117_stream_sliding" -> ((s, dir) => {
+      val agg = eventStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+      runToCompletion(s, agg, "stream_sliding")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // STREAMING MIX GATE — the q73 quality + repetition gates applied to
     // documents AS THEY ARRIVE: the same in-row expressions
     // (RepetitionChars + the q23 score, zero state, zero shuffles) gate a
@@ -357,6 +377,19 @@ object Streaming {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // q115's batch oracle verbatim — complete-mode streaming over a
+    // bounded replay must reproduce the batch hopping-window aggregates
+    "q117_stream_sliding" ->
+      """WITH e AS (SELECT event_type, value, ts,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + ((epoch_us(ts) // 1000000 // 900) * 900 - k * 900)
+        |        * INTERVAL 1 SECOND AS window_start
+        |  FROM events, unnest(generate_series(0, 3)) AS u(k))
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     // the BATCH gate SQL verbatim (shared CTE fragments with q70/q73) —
     // stateless streaming must reproduce it exactly
