@@ -189,6 +189,28 @@ object Physical {
           max(col("o_custkey")).as("max_cust"))
         .orderBy(col("o_orderstatus"))
     }),
+
+    // Custom DataSource V2 round-trip: documents written to the graftbin
+    // binary format through the DSv2 write path (one part file per task,
+    // truncate-on-overwrite), read back through the DSv2 scan with a
+    // PUSHED doc_id filter (evaluated at frame level before payload
+    // decode) and a PRUNED projection (the text column's bytes are
+    // skipped, never decoded — GraftBinSpec pins both contracts on the
+    // plan and the q118 pin asserts them here). The aggregate must equal
+    // the oracle straight off the parquet source: custom-format IO is
+    // lossless or this hash diverges.
+    "q118_graftbin_roundtrip" -> ((s, dir) => {
+      val out = s"${outRoot(dir)}/docs_graftbin"
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.format(graft.sources.GraftBin.format).mode("overwrite").save(out)
+      s.read.format(graft.sources.GraftBin.format).load(out)
+        .where(col("doc_id") >= 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,6 +263,12 @@ object Physical {
         |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pre_evolution
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q118_graftbin_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id >= 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q113_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
