@@ -287,6 +287,30 @@ object Streaming {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // The custom DSv2 connector as a STREAMING source: documents staged
+    // into the graftbin binary format (its own batch writer), then read
+    // back incrementally through GraftBinMicroBatchStream — each
+    // micro-batch plans the part files not yet consumed (set-difference
+    // offsets, immune to arrival order), the ingestion model a crawler
+    // dump directory actually has. Complete-mode aggregate over a bounded
+    // replay ⇒ the batch oracle applies verbatim; the same plan tails a
+    // growing directory in production (GraftBinStreamSpec pins the
+    // incremental file-discovery path).
+    "q119_stream_graftbin" -> ((s, dir) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val staged = s"${sys.props("java.io.tmpdir")}/graft_binstream_$h"
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .write.format(graft.sources.GraftBin.format).mode("overwrite").save(staged)
+      val agg = s.readStream.format(graft.sources.GraftBin.format).load(staged)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(expr("length(text)")).as("sum_len"))
+      runToCompletion(s, agg, "stream_graftbin")
+        .orderBy(col("lang"))
+    }),
+
     // STREAMING MIX GATE — the q73 quality + repetition gates applied to
     // documents AS THEY ARRIVE: the same in-row expressions
     // (RepetitionChars + the q23 score, zero state, zero shuffles) gate a
@@ -377,6 +401,13 @@ object Streaming {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the whole graftbin write → stream-read → aggregate chain must land
+    // on the parquet source's numbers
+    "q119_stream_graftbin" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(length(text))::BIGINT AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q115's batch oracle verbatim — complete-mode streaming over a
     // bounded replay must reproduce the batch hopping-window aggregates

@@ -98,7 +98,7 @@ class GraftBinTable(path: String) extends Table
   override def schema(): StructType = GraftBin.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBinScanBuilder(path)
@@ -140,6 +140,11 @@ class GraftBinScan(path: String, required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftBinMicroBatchStream(path, required, pushed,
+      new GraftBin.SerializableConf(GraftBin.hadoopConf()))
 
   // surfaces in `.explain` via BatchScanExec's description — the plan pin
   // asserts against this string
@@ -230,6 +235,63 @@ class GraftBinReader(file: String, required: StructType, pushed: Array[Filter],
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+// ----------------------------------------------------------- streaming read
+
+/** Offset = the SET of part files already consumed (serialized as a JSON
+  * array). A count-of-files offset would silently skip or replay data when
+  * a late-arriving file sorts before an already-consumed name; set
+  * difference is immune to arrival order. Each micro-batch plans exactly
+  * the files present now but not in the start offset — the same
+  * file-granularity incremental model as Spark's own FileStreamSource,
+  * re-expressed through the DSv2 streaming API. */
+class GraftBinMicroBatchStream(path: String, required: StructType,
+    pushed: Array[Filter], conf: GraftBin.SerializableConf)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".graftbin"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = GraftBinOffset(Seq.empty)
+  override def latestOffset(): Offset = GraftBinOffset(listFiles())
+  override def deserializeOffset(json: String): Offset =
+    GraftBinOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftBinOffset].files.toSet
+    end.asInstanceOf[GraftBinOffset].files
+      .filterNot(seen).sorted
+      .map(f => GraftBinPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftBinReaderFactory(required, pushed, conf)
+}
+
+case class GraftBinOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  // single-line JSON: the checkpoint OffsetSeqLog is line-oriented
+  override def json(): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JArray(files.map(org.json4s.JString(_)).toList))
+}
+
+object GraftBinOffset {
+  def fromJson(s: String): GraftBinOffset = GraftBinOffset(
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(f) => f }
+      case _ => Seq.empty
+    })
 }
 
 // --------------------------------------------------------------- write side
