@@ -21,6 +21,8 @@ __all__ = [
     "ann_topk_lsh", "ann_topk_ivf",
     "build_ann_index", "append_ann_index", "ann_index_current",
     "persisted_topk_lsh", "persisted_topk_ivf",
+    "build_stats_store", "stats_store_current", "build_stats_store_if_stale",
+    "merged_stats", "pagerank",
     "release_caches",
 ]
 
@@ -236,6 +238,35 @@ def build_dedup_index_if_stale(spark, data_dir):
     """Build the dedup store only when missing, stale, or absorbed-into;
     returns the index path."""
     return _bridge(spark).buildDedupIndexIfStale(spark._jsparkSession, data_dir)
+
+
+def build_stats_store(spark, data_dir):
+    """Aggregate the corpus slice into persisted per-(lang, source)
+    moment-sum partials (q107's store); returns the store path."""
+    return _bridge(spark).buildStatsStore(spark._jsparkSession, data_dir)
+
+
+def stats_store_current(spark, data_dir):
+    """True iff the stats store exists and matches the live corpus."""
+    return bool(_bridge(spark).isStatsStoreCurrent(spark._jsparkSession, data_dir))
+
+
+def build_stats_store_if_stale(spark, data_dir):
+    """Build the stats store only when missing or stale; returns path."""
+    return _bridge(spark).buildStatsStoreIfStale(spark._jsparkSession, data_dir)
+
+
+def merged_stats(spark, data_dir):
+    """Persisted corpus partials merged with the live delta's partials —
+    finalized per-(lang, source) stats, exactly a full recompute."""
+    jdf = _bridge(spark).mergedStats(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def pagerank(spark, data_dir):
+    """Fixed-point integer PageRank over the nation trade graph (q106)."""
+    jdf = _bridge(spark).pagerank(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
 
 
 def release_caches(spark):

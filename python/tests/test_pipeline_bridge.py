@@ -303,6 +303,27 @@ def main():
     assert sorted(map(tuple, stream_v)) == sorted(map(tuple, batch_v)), \
         "streaming judge diverged from batch judge via the Python surface"
 
+    # --- incremental stats store: merged partials == full recompute ---
+    gp.build_stats_store_if_stale(spark, sf_dir)
+    gp.release_caches(spark)
+    assert gp.stats_store_current(spark, sf_dir)
+    merged = {(r["lang"], r["source"]): (r["n_docs"], r["total_chars"],
+              r["mean_e6"], r["var_e3"], r["min_chars"], r["max_chars"])
+              for r in gp.merged_stats(spark, sf_dir).collect()}
+    gp.release_caches(spark)
+    full = {(r["lang"], r["source"]): (r["n"], r["s1"])
+            for r in docs.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s1"))
+            .collect()}
+    assert set(merged) == set(full), "stats store lost a (lang, source) group"
+    for k, (n, s1) in full.items():
+        assert merged[k][0] == n and merged[k][1] == s1,             f"merged stats diverged from pyspark recompute at {k}"
+
+    # --- pagerank: 25 nations, positive exact-integer ranks ---
+    pr = gp.pagerank(spark, sf_dir).collect()
+    gp.release_caches(spark)
+    assert len(pr) == 25 and all(r["pr"] > 0 for r in pr)
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names

@@ -161,6 +161,34 @@ object PipelineBridge {
   def absorbDedupDelta(s: SparkSession, dir: String): Unit =
     queries.DedupIndex.absorb(s, dir)
 
+  // --- Incremental-stats store lifecycle (q107: persisted moment-sum
+  // partials per (lang, source), merged with each batch's own partials —
+  // the O(batch) stats refresh). ---
+
+  /** Aggregate the corpus slice into persisted moment-sum partials;
+    * returns the store path. */
+  def buildStatsStore(s: SparkSession, dir: String): String =
+    queries.StatsStore.build(s, dir)
+
+  /** True iff the stats store exists and matches the live corpus. */
+  def isStatsStoreCurrent(s: SparkSession, dir: String): Boolean =
+    queries.StatsStore.isCurrent(s, dir)
+
+  /** Build the stats store only when missing or stale. */
+  def buildStatsStoreIfStale(s: SparkSession, dir: String): String =
+    queries.StatsStore.buildIfStale(s, dir)
+
+  /** Persisted corpus partials merged with the live delta's partials —
+    * finalized per-(lang, source) stats, exactly equal to a full
+    * recompute (integer moment sums). */
+  def mergedStats(s: SparkSession, dir: String): DataFrame =
+    queries.StatsStore.mergedStats(s, dir)
+
+  /** q106's PageRank over the nation trade graph (fixed-point integer
+    * ranks, exact across engines). */
+  def pagerank(s: SparkSession, dir: String): DataFrame =
+    queries.Graph.pagerank(s, dir)
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this
