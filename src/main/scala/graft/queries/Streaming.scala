@@ -311,6 +311,41 @@ object Streaming {
         .orderBy(col("lang"))
     }),
 
+    // The connector's STREAMING SINK closing the loop: a parquet document
+    // stream written into graftbin through GraftBinStreamingWrite (epoch-
+    // named part files — a crash-replayed micro-batch recreates the SAME
+    // files, so restart is idempotent without a commit log; spec-pinned),
+    // then read back through the batch scan and aggregated. Sink and
+    // checkpoint are cleared per run so the query is self-contained; the
+    // whole stream→binary-sink→scan chain must land on the parquet
+    // source's numbers.
+    "q120_stream_to_graftbin" -> ((s, dir) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val sink = s"${sys.props("java.io.tmpdir")}/graft_binsink_$h"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_binsink_ckpt_$h"
+      for (d <- Seq(sink, ckpt)) {
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm)
+          x.delete()
+        }
+        rm(new java.io.File(d))
+      }
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val q = s.readStream.schema(raw.schema).parquet(s"$dir/documents*.parquet")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .writeStream.format(graft.sources.GraftBin.format)
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format(graft.sources.GraftBin.format).load(sink)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
     // STREAMING MIX GATE — the q73 quality + repetition gates applied to
     // documents AS THEY ARRIVE: the same in-row expressions
     // (RepetitionChars + the q23 score, zero state, zero shuffles) gate a
@@ -401,6 +436,12 @@ object Streaming {
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
         |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // the stream → graftbin-sink → batch-scan loop against the source
+    "q120_stream_to_graftbin" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the whole graftbin write → stream-read → aggregate chain must land
     // on the parquet source's numbers

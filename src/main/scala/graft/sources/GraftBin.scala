@@ -98,7 +98,8 @@ class GraftBinTable(path: String) extends Table
   override def schema(): StructType = GraftBin.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftBinScanBuilder(path)
@@ -310,7 +311,69 @@ class GraftBinWriteBuilder(path: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new GraftBinBatchWrite(path, doTruncate,
         new GraftBin.SerializableConf(GraftBin.hadoopConf()))
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftBinStreamingWrite(path,
+        new GraftBin.SerializableConf(GraftBin.hadoopConf()))
   }
+}
+
+/** Streaming SINK: each epoch's tasks write part files named by
+  * (epochId, partitionId) — a replayed micro-batch after a crash
+  * re-creates the SAME file names with the same content
+  * (create(overwrite=true)), so the sink is idempotent and the
+  * checkpoint's epoch replay gives exactly-once file contents without a
+  * commit log. Append-mode only (the natural mode for an ingestion
+  * sink); the directory is then a valid graftbin table for the batch
+  * and micro-batch readers. */
+class GraftBinStreamingWrite(path: String, conf: GraftBin.SerializableConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.conf)
+    fs.mkdirs(p)
+    new GraftBinStreamingWriterFactory(path, conf)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftBinStreamingWriterFactory(path: String,
+    conf: GraftBin.SerializableConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftBinEpochWriter(path, epochId, partitionId, conf.conf)
+}
+
+class GraftBinEpochWriter(dir: String, epochId: Long, partitionId: Int,
+    conf: Configuration) extends DataWriter[InternalRow] {
+  private val p = new Path(dir, f"part-e$epochId%05d-$partitionId%05d.graftbin")
+  private val out = new DataOutputStream(
+    new java.io.BufferedOutputStream(p.getFileSystem(conf).create(p, true), 1 << 16))
+
+  private def writeUtf8(s: UTF8String): Unit =
+    if (s == null) out.writeInt(-1)
+    else { val b = s.getBytes; out.writeInt(b.length); out.write(b) }
+
+  override def write(r: InternalRow): Unit = {
+    out.writeLong(r.getLong(0))
+    writeUtf8(if (r.isNullAt(1)) null else r.getUTF8String(1))
+    writeUtf8(if (r.isNullAt(2)) null else r.getUTF8String(2))
+    out.writeLong(r.getLong(3))
+  }
+  override def commit(): WriterCommitMessage = { out.close(); GraftBinCommit(p.toString) }
+  override def abort(): Unit = {
+    out.close()
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+  override def close(): Unit = ()
 }
 
 class GraftBinBatchWrite(path: String, doTruncate: Boolean,
