@@ -164,6 +164,32 @@ object Advanced {
     // operators; per-user state is three ints, never a collected event
     // list. The (ts, event_id) ordering makes ties deterministic in both
     // engines.
+    // Typed Dataset API: KeyValueGroupedDataset.cogroup — the per-key
+    // two-sided reconciliation primitive (conceptually a full-outer
+    // join + two aggregations fused into one co-partitioned pass; the
+    // imperative per-key body is what you reach for when the per-group
+    // logic stops being expressible as aggregates). Both sides shuffle
+    // once on the key, groups stream through the lambda — nothing
+    // collects. Money sums are per-element-rounded INTEGER CENTS so the
+    // fold is order-independent (within-group iteration order is
+    // partition order, so a double sum would be nondeterministic — and
+    // unhashable cross-engine).
+    "q121_cogroup_recon" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      val events = t(s, dir, "events")
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      orders.groupByKey(_._1).cogroup(events.groupByKey(_._1)) { (k, os, es) =>
+        var no = 0L; var oc = 0L
+        os.foreach { o => no += 1; oc += math.round(o._2 * 100) }
+        var ne = 0L; var ec = 0L
+        es.foreach { e => ne += 1; ec += math.round(e._2 * 100) }
+        Iterator((k, no, ne, oc, ec))
+      }.toDF("custkey", "n_orders", "n_events", "order_cents", "event_cents")
+        .orderBy(col("custkey"))
+    }),
+
     // Event-sequence TRANSITION mining (first-order Markov counts): for
     // each user's event stream in time order, count type→type
     // transitions and their median-free timing stats — the path-analysis
@@ -395,6 +421,21 @@ object Advanced {
         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
         |  round(sqrt((syy - sy * sy / n) / (n - 1)), 2) AS stddev_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // the declarative equivalent: two pre-aggregates full-outer joined —
+    // per-element cents rounding mirrors the typed fold exactly
+    "q121_cogroup_recon" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*)::BIGINT AS no,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS oc
+        |  FROM orders GROUP BY k),
+        |e AS (SELECT user_id AS k, count(*)::BIGINT AS ne,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS ec
+        |  FROM events GROUP BY k)
+        |SELECT coalesce(o.k, e.k) AS custkey,
+        |  coalesce(no, 0) AS n_orders, coalesce(ne, 0) AS n_events,
+        |  coalesce(oc, 0) AS order_cents, coalesce(ec, 0) AS event_cents
+        |FROM o FULL OUTER JOIN e ON o.k = e.k
+        |ORDER BY custkey""".stripMargin,
 
     // identical per-user lag chain; integer epoch-second gaps so the
     // timing sums are exact cross-engine
