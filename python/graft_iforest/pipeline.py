@@ -22,7 +22,7 @@ __all__ = [
     "build_ann_index", "append_ann_index", "ann_index_current",
     "persisted_topk_lsh", "persisted_topk_ivf",
     "build_stats_store", "stats_store_current", "build_stats_store_if_stale",
-    "merged_stats", "pagerank",
+    "merged_stats", "absorb_stats_delta", "stored_stats", "pagerank",
     "release_caches",
 ]
 
@@ -260,6 +260,18 @@ def merged_stats(spark, data_dir):
     """Persisted corpus partials merged with the live delta's partials —
     finalized per-(lang, source) stats, exactly a full recompute."""
     jdf = _bridge(spark).mergedStats(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def absorb_stats_delta(spark, data_dir):
+    """Append the delta's partials into the stats store permanently; the
+    store then covers corpus + delta on its own."""
+    _bridge(spark).absorbStatsDelta(spark._jsparkSession, data_dir)
+
+
+def stored_stats(spark, data_dir):
+    """Finalized stats from the store alone (no live delta read)."""
+    jdf = _bridge(spark).storedStats(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

@@ -184,6 +184,15 @@ object PipelineBridge {
   def mergedStats(s: SparkSession, dir: String): DataFrame =
     queries.StatsStore.mergedStats(s, dir)
 
+  /** Append the delta's partials into the stats store permanently; the
+    * store then covers corpus ∪ delta on its own. */
+  def absorbStatsDelta(s: SparkSession, dir: String): Unit =
+    queries.StatsStore.absorb(s, dir)
+
+  /** Finalized stats from the store alone (no live delta read). */
+  def storedStats(s: SparkSession, dir: String): DataFrame =
+    queries.StatsStore.storedStats(s, dir)
+
   /** q106's PageRank over the nation trade graph (fixed-point integer
     * ranks, exact across engines). */
   def pagerank(s: SparkSession, dir: String): DataFrame =

@@ -78,13 +78,45 @@ object StatsStore {
   def buildIfStale(s: SparkSession, dir: String): String =
     if (isCurrent(s, dir)) root(dir) else build(s, dir)
 
+  /** ABSORB: append the delta's partials into the store so the stats
+    * advance permanently — afterwards the store alone covers corpus ∪
+    * delta, and the next batch merges against it without re-reading
+    * either. Append-only (no store rewrite); the meta fingerprint is NOT
+    * updated to the corpus slice (the store no longer equals it), so
+    * `isCurrent` correctly reads false and the oracled q107 path — which
+    * needs the pristine corpus-only store — rebuilds via buildIfStale.
+    * The partials table stays #batches × #groups rows; a periodic
+    * `build` compacts it back to #groups. */
+  def absorb(s: SparkSession, dir: String): Unit = {
+    val path = root(dir)
+    partials(deltaDocs(s, dir))
+      .write.mode("append").parquet(s"$path/partials")
+    import s.implicits._
+    Seq("absorbed").toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Finalized stats from the STORE ALONE (no live delta) — the read a
+    * dashboard does between batches. After absorb, this equals the full
+    * corpus ∪ delta recompute exactly (spec-pinned). */
+  def storedStats(s: SparkSession, dir: String): DataFrame =
+    finalize(s.read.parquet(s"${root(dir)}/partials"))
+
   /** Persisted corpus partials ∪ live delta partials → merge → finalize.
     * The merge groupBy runs over 2×#groups rows; the only corpus-scale
     * stage is the delta's own aggregation. */
   def mergedStats(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${root(dir)}/partials")
-      .unionByName(partials(deltaDocs(s, dir)))
-      .groupBy(col("lang"), col("source"))
+    finalize(s.read.parquet(s"${root(dir)}/partials")
+      .unionByName(partials(deltaDocs(s, dir))))
+
+  /** Merge a partials frame (any number of batch layers per group) and
+    * derive the finalized stats. The fixed-point scales (mean ×1e6,
+    * variance ×1e3) keep n·Σx² − (Σx)² × scale inside int64 at the
+    * tested SFs; beyond them the session's ANSI mode turns overflow into
+    * a LOUD error rather than a silent wrap — widen to DECIMAL before
+    * raising the scales. */
+  private def finalize(p: DataFrame): DataFrame =
+    p.groupBy(col("lang"), col("source"))
       .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
         sum(col("s2")).as("s2"), min(col("mn")).as("mn"),
         max(col("mx")).as("mx"))

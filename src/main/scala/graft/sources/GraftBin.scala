@@ -325,7 +325,11 @@ class GraftBinWriteBuilder(path: String, info: LogicalWriteInfo)
   * checkpoint's epoch replay gives exactly-once file contents without a
   * commit log. Append-mode only (the natural mode for an ingestion
   * sink); the directory is then a valid graftbin table for the batch
-  * and micro-batch readers. */
+  * and micro-batch readers. SINGLE-WRITER directory contract: epoch
+  * names are unique within one query's checkpoint lineage — two
+  * concurrent streams (or a stream plus batch writes) into the same
+  * directory can collide on names, exactly as with Spark's built-in
+  * file sink; give each writer its own directory. */
 class GraftBinStreamingWrite(path: String, conf: GraftBin.SerializableConf)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 

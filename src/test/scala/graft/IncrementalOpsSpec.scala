@@ -35,6 +35,20 @@ class IncrementalOpsSpec extends AnyFunSuite {
       s"merge drifted from recompute:\n${merged.take(3).mkString("\n")}")
   }
 
+  test("StatsStore absorb: the store alone then equals the full recompute") {
+    StatsStore.build(spark, sf)
+    StatsStore.absorb(spark, sf)
+    // absorbed store != pristine corpus slice — must read stale
+    assert(!StatsStore.isCurrent(spark, sf), "absorbed store read as current")
+    val stored = StatsStore.storedStats(spark, sf).collect()
+    val direct = Caches.scoped(
+      queries.StatsStore.queries("q107_incremental_stats")(spark, sf).collect())
+    // q107 rebuilds the pristine store and merges the delta live — the
+    // absorbed store's own numbers must be identical
+    assert(stored.toSeq == direct.toSeq,
+      s"absorb drifted from live merge:\n${stored.take(3).mkString("\n")}")
+  }
+
   test("StatsStore staleness: a foreign fingerprint forces rebuild") {
     StatsStore.buildIfStale(spark, sf)
     import spark.implicits._

@@ -544,6 +544,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q111 funnels the corpus through one task:\n$p")
   }
 
+  test("q114 winnow decontam joins stay keyed; no cartesian") {
+    val p = plan("q114_winnow_decontam")
+    assert(!p.contains("CartesianProduct"), s"q114 planned a cartesian:\n$p")
+  }
+
+  test("q115 sliding windows expand in-row and aggregate two-phase") {
+    // window(slide) is a generator over the event row — a join against a
+    // window table here would be the scale regression
+    val p = plan("q115_sliding_window")
+    assert(!p.contains("Join"), s"q115 gained a window-table join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q116 transition lag chain is user-partitioned, never single-partition") {
+    val p = plan("q116_transitions")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"q116 funnels events through one task:\n$p")
+  }
+
+  test("q121 cogroup stays a co-partitioned pass: one exchange per side, no join") {
+    val p = plan("q121_cogroup_recon")
+    assert(p.contains("CoGroup"), s"q121 lost the CoGroup operator:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q121 funnels a side through one task:\n$p")
+  }
+
+  test("q118 custom-source scan shows pushed filter and pruned read schema") {
+    val p = plan("q118_graftbin_roundtrip")
+    assert(p.contains("GreaterThanOrEqual(doc_id,100)"),
+      s"doc_id filter not pushed into the graftbin scan:\n$p")
+    assert(p.contains("ReadSchema: doc_id,lang,n_chars"),
+      s"text not pruned from the graftbin scan:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
