@@ -211,6 +211,54 @@ object Physical {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("lang"))
     }),
+
+    // DIRTY-DATA ingestion: real crawl/export CSVs contain malformed
+    // lines, and at 100 TB a single bad row must neither kill the job
+    // (FAILFAST) nor silently vanish (DROPMALFORMED without accounting).
+    // PERMISSIVE mode + columnNameOfCorruptRecord quarantines each bad
+    // line INTO the dataset, so the pipeline can count, sample, and
+    // route them while clean rows flow on. Three unambiguously-corrupt
+    // lines (wrong arity / non-numeric key) are PLANTED alongside a
+    // clean CSV dump; the aggregate must account for every planted line
+    // and the clean rows must reproduce the source numbers exactly.
+    "q122_corrupt_records" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = s"${outRoot(dir)}/orders_dirty_csv"
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      src.write.mode("overwrite").option("header", "false").csv(out)
+      import s.implicits._
+      Seq("one,two,three,4.0,EXTRA,COLUMNS",
+          "not_a_number,77,O,12.34",
+          "99,also_not_a_number,F,56.78")
+        .toDF("value").coalesce(1).write.mode("append").text(out)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      // the aggregate references EVERY data column: CSV corrupt-record
+      // detection happens during parsing, and the parser only parses the
+      // columns the query references (CSV column pruning) — an aggregate
+      // over o_totalprice alone would never parse the planted bad keys
+      // and count zero corrupt records (observed)
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .agg(sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+            .as("n_clean"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          round(sum(when(col("_corrupt_record").isNull, col("o_totalprice"))), 2)
+            .as("clean_revenue"),
+          sum(when(col("_corrupt_record").isNull, col("o_orderkey")))
+            .as("clean_key_sum"),
+          sum(when(col("_corrupt_record").isNull, col("o_custkey")))
+            .as("clean_cust_sum"),
+          sum(when(col("_corrupt_record").isNull,
+            length(col("o_orderstatus")))).as("clean_status_len"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -263,6 +311,15 @@ object Physical {
         |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pre_evolution
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // clean rows = the source; corrupt = exactly the 3 planted lines
+    "q122_corrupt_records" ->
+      """SELECT count(*)::BIGINT AS n_clean, 3::BIGINT AS n_corrupt,
+        |  round(sum(o_totalprice), 2) AS clean_revenue,
+        |  sum(o_orderkey)::BIGINT AS clean_key_sum,
+        |  sum(o_custkey)::BIGINT AS clean_cust_sum,
+        |  sum(length(o_orderstatus))::BIGINT AS clean_status_len
+        |FROM orders""".stripMargin,
 
     "q118_graftbin_roundtrip" ->
       """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
