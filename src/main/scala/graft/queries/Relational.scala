@@ -374,6 +374,47 @@ object Relational {
     // small enough that AQE converts its side to a broadcast and the
     // 100 TB target never shuffles; either way there is exactly one
     // exchange and no driver materialization.
+    // SCD TYPE-2 history merge — q100's Type-1 upsert keeps only the
+    // latest value; a Type-2 dimension keeps EVERY version with validity
+    // intervals, which is what an auditable warehouse dimension (and a
+    // training-data provenance table) actually needs. History v1 = the
+    // customer snapshot; the incoming batch plants deterministic changes
+    // (custkey % 7 = 3 re-segments, % 11 = 5 gains balance — both both-
+    // engines arithmetic) and new keys (% 13 = 1, shifted ids). The
+    // merge closes changed current rows (v_to = 2, is_current = 0),
+    // inserts their new versions and the brand-new keys at v_from = 2,
+    // and passes unchanged rows through. Versions are integers and money
+    // is integer cents, so every comparison and row is exact. One
+    // key-partitioned join + one anti-join — the change detection never
+    // leaves the key's partition.
+    "q123_scd2_merge" -> ((s, dir) => {
+      val cur = t(s, dir, "customer")
+        .selectExpr("c_custkey AS k", "c_mktsegment AS seg",
+          "cast(round(c_acctbal * 100) AS bigint) AS bal_c")
+      val inc = cur.selectExpr("k",
+        "CASE WHEN k % 7 = 3 THEN 'MOVED' ELSE seg END AS seg",
+        "bal_c + CASE WHEN k % 11 = 5 THEN 10000L ELSE 0L END AS bal_c")
+        .unionByName(cur.where("k % 13 = 1")
+          .selectExpr("k + 10000000 AS k", "'NEWSEG' AS seg", "bal_c"))
+      val joined = Caches.persist(cur
+        .join(inc.selectExpr("k", "seg AS i_seg", "bal_c AS i_bal"), Seq("k"), "full_outer"))
+      val unchanged = joined.where("seg = i_seg AND bal_c = i_bal")
+        .selectExpr("k", "seg", "bal_c", "1L AS v_from", "999L AS v_to",
+          "1L AS is_current")
+      val changedOld = joined
+        .where("seg IS NOT NULL AND i_seg IS NOT NULL" +
+          " AND (seg != i_seg OR bal_c != i_bal)")
+      val closed = changedOld.selectExpr("k", "seg", "bal_c", "1L AS v_from",
+        "2L AS v_to", "0L AS is_current")
+      val reopened = changedOld.selectExpr("k", "i_seg AS seg", "i_bal AS bal_c",
+        "2L AS v_from", "999L AS v_to", "1L AS is_current")
+      val born = joined.where("seg IS NULL")
+        .selectExpr("k", "i_seg AS seg", "i_bal AS bal_c", "2L AS v_from",
+          "999L AS v_to", "1L AS is_current")
+      unchanged.unionByName(closed).unionByName(reopened).unionByName(born)
+        .orderBy(col("k"), col("v_from"))
+    }),
+
     "q100_merge_upsert" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val delta = orders.where(col("o_orderkey") % 100 < 5)
@@ -654,6 +695,35 @@ object Relational {
     // 1.1 is cast to DOUBLE explicitly — DuckDB types the bare literal
     // DECIMAL(2,1) and a decimal multiply would round differently from
     // Spark's double multiply before the round(2).
+    // the same planting, comparison and four-way union as CTEs
+    "q123_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |inc AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 3 THEN 'MOVED' ELSE seg END AS seg,
+        |    bal_c + CASE WHEN k % 11 = 5 THEN 10000 ELSE 0 END AS bal_c
+        |  FROM cur
+        |  UNION ALL
+        |  SELECT k + 10000000, 'NEWSEG', bal_c FROM cur WHERE k % 13 = 1),
+        |j AS (SELECT coalesce(cur.k, inc.k) AS k, cur.seg AS seg,
+        |    cur.bal_c AS bal_c, inc.seg AS i_seg, inc.bal_c AS i_bal
+        |  FROM cur FULL OUTER JOIN inc ON cur.k = inc.k)
+        |SELECT k, seg, bal_c, 1 AS v_from, 999 AS v_to, 1 AS is_current
+        |  FROM j WHERE seg = i_seg AND bal_c = i_bal
+        |UNION ALL
+        |SELECT k, seg, bal_c, 1, 2, 0 FROM j
+        |  WHERE seg IS NOT NULL AND i_seg IS NOT NULL
+        |    AND (seg != i_seg OR bal_c != i_bal)
+        |UNION ALL
+        |SELECT k, i_seg, i_bal, 2, 999, 1 FROM j
+        |  WHERE seg IS NOT NULL AND i_seg IS NOT NULL
+        |    AND (seg != i_seg OR bal_c != i_bal)
+        |UNION ALL
+        |SELECT k, i_seg, i_bal, 2, 999, 1 FROM j WHERE seg IS NULL
+        |ORDER BY k, v_from""".stripMargin,
+
     "q100_merge_upsert" ->
       """WITH delta AS (
         |  SELECT o_orderkey AS d_orderkey,
