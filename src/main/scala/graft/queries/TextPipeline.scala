@@ -73,7 +73,7 @@ object TextPipeline {
   /** The same distinct-shingle projection over an arbitrary documents
     * slice (doc_id, text, ...) — shared with the incremental-dedup index,
     * which fingerprints corpus and delta sides separately. */
-  private[queries] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .selectExpr("doc_id", s"$toks AS tk")
       .where("size(tk) >= 3")

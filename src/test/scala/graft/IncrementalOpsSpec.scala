@@ -173,6 +173,32 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"dup pairs missing or not 1.0: ${missing.take(5)}")
   }
 
+  test("q109 blocking recall: candidates are sound AND find >= 95% of brute-force truth") {
+    // Truth = sparseCosineOf with blocking disabled (df band unbounded,
+    // minShared 1 ⇒ candidates are ALL pairs sharing any shingle — a
+    // superset of every pair with nonzero dot, so this IS the exact
+    // brute-force answer at the bounded spec corpus).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sh = TextPipeline.shinglesOf(docs.select(col("doc_id"), col("text")))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val truth = Caches.scoped(
+      TextPipeline.sparseCosineOf(sh, nDocs, dfMin = 1L, dfMax = Long.MaxValue,
+        minShared = 1L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val found = Caches.scoped(
+      queries.TextPipeline.queries("q109_sparse_cosine")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(found.subsetOf(truth),
+      s"blocked path invented pairs: ${(found -- truth).take(5)}")
+    assert(truth.nonEmpty, "no true pairs — recall gate has no teeth")
+    val recall = found.size.toDouble / truth.size
+    info(f"q109 blocking recall: ${found.size}/${truth.size} = $recall%.3f")
+    // measured 1.000 on sf0.001 AND sf0.1 (28/28, 256/256); gate at 0.95
+    // so a corpus regeneration that genuinely moves the df landscape
+    // surfaces as a review, not a flaky red
+    assert(recall >= 0.95, f"blocking recall $recall%.3f below the 0.95 gate")
+  }
+
   test("q105 keepers are always base-corpus ids and planting is absorbed") {
     val rows = Caches.scoped(
       queries.TextPipeline.queries("q105_norm_dedup")(spark, sf).collect())
