@@ -88,6 +88,100 @@ object GraftBin {
 
   private[sources] def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
+
+  // ---- file-statistics manifest: data skipping at planning time ----
+
+  /** Write a manifest shard recording per-file (min doc_id, max doc_id,
+    * rows) for one commit — line-oriented JSON under `_manifest/`.
+    * Deterministic shard names make streaming-epoch replays idempotent. */
+  private[sources] def writeManifest(conf: Configuration, dir: String,
+      shard: String, entries: Seq[GraftBinCommit]): Unit = {
+    val p = new Path(dir, s"_manifest/$shard.json")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    val body = entries.map { e =>
+      org.json4s.jackson.JsonMethods.compact(org.json4s.JObject(
+        "file" -> org.json4s.JString(new Path(e.file).getName),
+        "min" -> org.json4s.JLong(e.minId),
+        "max" -> org.json4s.JLong(e.maxId),
+        "rows" -> org.json4s.JLong(e.rows)))
+    }.mkString("", "\n", "\n")
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readManifest(conf: Configuration, dir: String): Map[String, (Long, Long)] = {
+    val p = new Path(dir, "_manifest")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Map.empty
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".json")).flatMap { st =>
+      val in = fs.open(st.getPath)
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      in.close()
+      lines.filter(_.nonEmpty).flatMap { line =>
+        org.json4s.jackson.JsonMethods.parse(line) match {
+          case o: org.json4s.JObject =>
+            val m = o.obj.toMap
+            (m.get("file"), m.get("min"), m.get("max")) match {
+              case (Some(org.json4s.JString(f)), Some(min: org.json4s.JValue),
+                  Some(max: org.json4s.JValue)) =>
+                def l(v: org.json4s.JValue): Option[Long] = v match {
+                  case org.json4s.JLong(x) => Some(x)
+                  case org.json4s.JInt(x) => Some(x.toLong)
+                  case _ => None
+                }
+                for (mn <- l(min); mx <- l(max)) yield f -> (mn, mx)
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+    }.toMap
+  }
+
+  /** doc_id bounds implied by the pushed filters: (lower, upper),
+    * inclusive, None = unbounded. */
+  private def filterBounds(pushed: Array[Filter]): (Option[Long], Option[Long]) = {
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    def tighterLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tighterHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    pushed.foreach {
+      case EqualTo("doc_id", v: java.lang.Long) => tighterLo(v); tighterHi(v)
+      case GreaterThan("doc_id", v: java.lang.Long) => tighterLo(v + 1)
+      case GreaterThanOrEqual("doc_id", v: java.lang.Long) => tighterLo(v)
+      case LessThan("doc_id", v: java.lang.Long) => tighterHi(v - 1)
+      case LessThanOrEqual("doc_id", v: java.lang.Long) => tighterHi(v)
+      case _ =>
+    }
+    (lo, hi)
+  }
+
+  /** The data files a scan with `pushed` must read: every `.graftbin`
+    * file in the directory MINUS those whose manifest [min, max] doc_id
+    * range provably cannot satisfy the pushed bounds. Files with no
+    * manifest entry (hand-copied, pre-manifest) are always kept —
+    * skipping is an optimization, never a correctness bet. This is the
+    * same min/max zone-map pruning parquet row groups give, lifted to
+    * whole files at PLANNING time: at 100 TB the driver plans thousands
+    * of tasks instead of millions before a byte of data is read. */
+  private[graft] def pruneFiles(conf: Configuration, dir: String,
+      pushed: Array[Filter]): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".graftbin"))
+      .map(_.getPath).sortBy(_.getName)
+    val stats = readManifest(conf, dir)
+    val (lo, hi) = filterBounds(pushed)
+    files.filter { f =>
+      stats.get(f.getName) match {
+        case Some((mn, mx)) =>
+          lo.forall(_ <= mx) && hi.forall(_ >= mn)
+        case None => true
+      }
+    }.map(_.toString).toSeq
+  }
 }
 
 class GraftBinTable(path: String) extends Table
@@ -153,15 +247,9 @@ class GraftBinScan(path: String, required: StructType, pushed: Array[Filter])
     s"graftbin $path PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.map(_.name).mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = GraftBin.hadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Array.empty
-    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".graftbin"))
-      .sortBy(_.getPath.getName)
-      .map(st => GraftBinPartition(st.getPath.toString): InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftBin.pruneFiles(GraftBin.hadoopConf(), path, pushed)
+      .map(f => GraftBinPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftBinReaderFactory(required, pushed,
@@ -270,8 +358,9 @@ class GraftBinMicroBatchStream(path: String, required: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[GraftBinOffset].files.toSet
+    val keep = GraftBin.pruneFiles(conf.conf, path, pushed).toSet
     end.asInstanceOf[GraftBinOffset].files
-      .filterNot(seen).sorted
+      .filterNot(seen).filter(keep).sorted
       .map(f => GraftBinPartition(f): InputPartition).toArray
   }
 
@@ -343,7 +432,11 @@ class GraftBinStreamingWrite(path: String, conf: GraftBin.SerializableConf)
     new GraftBinStreamingWriterFactory(path, conf)
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case c: GraftBinCommit if c.rows > 0 => c }.toSeq
+    if (entries.nonEmpty)
+      GraftBin.writeManifest(conf.conf, path, f"epoch-$epochId%05d", entries)
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -361,17 +454,24 @@ class GraftBinEpochWriter(dir: String, epochId: Long, partitionId: Int,
   private val out = new DataOutputStream(
     new java.io.BufferedOutputStream(p.getFileSystem(conf).create(p, true), 1 << 16))
 
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+  private var rows = 0L
+
   private def writeUtf8(s: UTF8String): Unit =
     if (s == null) out.writeInt(-1)
     else { val b = s.getBytes; out.writeInt(b.length); out.write(b) }
 
   override def write(r: InternalRow): Unit = {
-    out.writeLong(r.getLong(0))
+    val id = r.getLong(0)
+    minId = math.min(minId, id); maxId = math.max(maxId, id); rows += 1
+    out.writeLong(id)
     writeUtf8(if (r.isNullAt(1)) null else r.getUTF8String(1))
     writeUtf8(if (r.isNullAt(2)) null else r.getUTF8String(2))
     out.writeLong(r.getLong(3))
   }
-  override def commit(): WriterCommitMessage = { out.close(); GraftBinCommit(p.toString) }
+  override def commit(): WriterCommitMessage =
+    { out.close(); GraftBinCommit(p.toString, minId, maxId, rows) }
   override def abort(): Unit = {
     out.close()
     val fs = p.getFileSystem(conf)
@@ -391,7 +491,16 @@ class GraftBinBatchWrite(path: String, doTruncate: Boolean,
     new GraftBinWriterFactory(path, conf)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // shard name derives from the committed file set, so re-running the
+    // same job overwrites its own manifest instead of stacking shards
+    val entries = messages.collect { case c: GraftBinCommit if c.rows > 0 => c }.toSeq
+    if (entries.nonEmpty) {
+      val shard = "batch-" + Integer.toHexString(
+        entries.map(e => new Path(e.file).getName).sorted.mkString(",").hashCode)
+      GraftBin.writeManifest(conf.conf, path, shard, entries)
+    }
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -401,7 +510,8 @@ class GraftBinWriterFactory(path: String, conf: GraftBin.SerializableConf)
     new GraftBinWriter(path, partitionId, conf.conf)
 }
 
-case class GraftBinCommit(file: String) extends WriterCommitMessage
+case class GraftBinCommit(file: String, minId: Long, maxId: Long,
+    rows: Long) extends WriterCommitMessage
 
 class GraftBinWriter(dir: String, partitionId: Int, conf: Configuration)
     extends DataWriter[InternalRow] {
@@ -411,19 +521,25 @@ class GraftBinWriter(dir: String, partitionId: Int, conf: Configuration)
   private val p = new Path(dir, f"part-$partitionId%05d.graftbin")
   private val out = new DataOutputStream(
     new java.io.BufferedOutputStream(p.getFileSystem(conf).create(p, true), 1 << 16))
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+  private var rows = 0L
 
   private def writeUtf8(s: UTF8String): Unit =
     if (s == null) out.writeInt(-1)
     else { val b = s.getBytes; out.writeInt(b.length); out.write(b) }
 
   override def write(r: InternalRow): Unit = {
-    out.writeLong(r.getLong(0))
+    val id = r.getLong(0)
+    minId = math.min(minId, id); maxId = math.max(maxId, id); rows += 1
+    out.writeLong(id)
     writeUtf8(if (r.isNullAt(1)) null else r.getUTF8String(1))
     writeUtf8(if (r.isNullAt(2)) null else r.getUTF8String(2))
     out.writeLong(r.getLong(3))
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); GraftBinCommit(p.toString) }
+  override def commit(): WriterCommitMessage =
+    { out.close(); GraftBinCommit(p.toString, minId, maxId, rows) }
   override def abort(): Unit = {
     out.close()
     val fs = p.getFileSystem(conf)

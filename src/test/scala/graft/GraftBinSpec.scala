@@ -77,6 +77,38 @@ class GraftBinSpec extends AnyFunSuite {
     assert(spark.read.format(fmt).load(out).count() == 4L)
   }
 
+  test("manifest data skipping: planning prunes files whose id range cannot match") {
+    import org.apache.spark.sql.sources.{GreaterThan, Filter}
+    val out = tmp("skipping")
+    import spark.implicits._
+    // range-partitioned on doc_id → files carry disjoint id ranges in
+    // the commit-time manifest
+    (1L to 100L).map(i => (i, "en", s"t$i", i)).toDF("doc_id", "lang", "text", "n_chars")
+      .repartitionByRange(4, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      .write.format(fmt).mode("overwrite").save(out)
+    val conf = spark.sessionState.newHadoopConf()
+    val all = graft.sources.GraftBin.pruneFiles(conf, out, Array.empty)
+    assert(all.size == 4, s"expected 4 part files, got ${all.size}")
+    val pruned = graft.sources.GraftBin.pruneFiles(conf, out,
+      Array[Filter](GreaterThan("doc_id", java.lang.Long.valueOf(90L))))
+    assert(pruned.size < all.size,
+      s"manifest did not prune: ${pruned.size} of ${all.size} files planned")
+    // pruning is an optimization, never a correctness bet: the filtered
+    // read over the pruned plan returns exactly the matching rows
+    val got = spark.read.format(fmt).load(out).where(col("doc_id") > 90L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (91L to 100L).toSeq, s"pruned scan lost rows: $got")
+    // a file with no manifest entry is always kept
+    val stray = new java.io.File(out, "part-stray.graftbin")
+    val donor = new java.io.File(out).listFiles()
+      .find(_.getName.endsWith(".graftbin")).get
+    java.nio.file.Files.copy(donor.toPath, stray.toPath)
+    val withStray = graft.sources.GraftBin.pruneFiles(conf, out,
+      Array[Filter](GreaterThan("doc_id", java.lang.Long.valueOf(1000L))))
+    assert(withStray.exists(_.endsWith("part-stray.graftbin")),
+      "unknown file was skipped — skipping became a correctness bet")
+  }
+
   test("reordered input columns resolve by name against the table schema") {
     // Spark's DSv2 write path resolves the incoming projection by NAME to
     // the table schema before it reaches the writer (the WriteBuilder's
