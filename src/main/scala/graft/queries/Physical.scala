@@ -259,6 +259,35 @@ object Physical {
           sum(when(col("_corrupt_record").isNull,
             length(col("o_orderstatus")))).as("clean_status_len"))
     }),
+
+    // COMPACTION — the table-maintenance job every file-based store
+    // needs at 100 TB: streaming ingestion (one part file per epoch per
+    // task) accretes small files until listing and per-file task
+    // overhead dominate; periodically rewriting N small files into a few
+    // large ones restores scan efficiency. Staged here as 16 small
+    // graftbin files → read → repartition(2) → rewrite (the connector's
+    // truncate-on-overwrite write regenerates the statistics manifest
+    // for the new layout); the aggregate over the compacted table must
+    // reproduce the source exactly — compaction is pure layout, zero
+    // data movement visible to readers. The rewrite lands in a SECOND
+    // directory: atomic in-place swap needs a metastore pointer, which a
+    // bare directory store intentionally does not fake.
+    "q124_compact_roundtrip" -> ((s, dir) => {
+      val small = s"${outRoot(dir)}/docs_graftbin_small"
+      val compacted = s"${outRoot(dir)}/docs_graftbin_compacted"
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .repartition(16)
+        .write.format(graft.sources.GraftBin.format).mode("overwrite").save(small)
+      s.read.format(graft.sources.GraftBin.format).load(small)
+        .repartition(2)
+        .write.format(graft.sources.GraftBin.format).mode("overwrite").save(compacted)
+      s.read.format(graft.sources.GraftBin.format).load(compacted)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(expr("length(text)")).as("sum_len"))
+        .orderBy(col("lang"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -310,6 +339,12 @@ object Physical {
         |    AS sum_quality,
         |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
         |    AS n_pre_evolution
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // compaction is invisible to readers: the source's numbers verbatim
+    "q124_compact_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+        |  sum(length(text))::BIGINT AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // clean rows = the source; corrupt = exactly the 3 planted lines
