@@ -164,6 +164,50 @@ object Advanced {
     // operators; per-user state is three ints, never a collected event
     // list. The (ts, event_id) ordering makes ties deterministic in both
     // engines.
+    // Recency-weighted activity score with a HALF-LIFE decay — the
+    // feature-engineering shape behind "how active is this user lately".
+    // A float EWMA would hash-diverge on libm pow ulps; a half-life of
+    // exactly one event-step makes the decay a RIGHT SHIFT: score =
+    // Σ value_cents div 2^age over the user's last 20 events (age 0 =
+    // most recent). Pure integer fold, deterministic everywhere; the
+    // rank window is user-partitioned, and the 2^age table never
+    // exceeds bit 19.
+    "q125_decay_score" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("cast(round(value * 100) AS bigint) AS v_cents"))
+        .withColumn("age", row_number().over(w) - lit(1))
+        .where(col("age") < 20)
+        .groupBy(col("user_id"))
+        .agg(sum(expr("v_cents div shiftleft(1L, age)")).as("decay_cents"),
+          count(lit(1)).as("n_recent"),
+          max(col("ts")).as("last_seen"))
+        .orderBy(col("user_id"))
+    }),
+
+    // DATE-SPINE gap filling — reporting's most common silent bug: a day
+    // with zero events simply vanishes from a groupBy, and downstream
+    // charts interpolate over the hole. The spine (every calendar day in
+    // the observed range) is generated with sequence + explode from ONE
+    // bounds row — broadcast-sized — and the daily aggregate LEFT-joins
+    // onto it, zero-filled. At scale the spine stays tiny no matter how
+    // large events grows; only the daily rollup touches the corpus.
+    "q126_date_spine" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(expr("date_trunc('day', ts)").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+      val spine = ev.agg(min(expr("date_trunc('day', ts)")).as("d0"),
+          max(expr("date_trunc('day', ts)")).as("d1"))
+        .selectExpr("explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day")
+      spine.join(daily, Seq("day"), "left")
+        .selectExpr("day", "coalesce(n_events, 0L) AS n_events",
+          "coalesce(sum_value, cast(0.0 AS double)) AS sum_value")
+        .orderBy(col("day"))
+    }),
+
     // Typed Dataset API: KeyValueGroupedDataset.cogroup — the per-key
     // two-sided reconciliation primitive (conceptually a full-outer
     // join + two aggregations fused into one co-partitioned pass; the
@@ -421,6 +465,33 @@ object Advanced {
         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_qty,
         |  round(sqrt((syy - sy * sy / n) / (n - 1)), 2) AS stddev_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // same shift-decay fold: v // 2^age summed over the 20 newest
+    "q125_decay_score" ->
+      """WITH r AS (SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) - 1 AS age
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(v_cents // (1::BIGINT << age))::BIGINT AS decay_cents,
+        |  count(*)::BIGINT AS n_recent, max(ts) AS last_seen
+        |FROM r WHERE age < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the same one-bounds-row spine, left-joined and zero-filled
+    "q126_date_spine" ->
+      """WITH b AS (SELECT min(date_trunc('day', ts)) AS d0,
+        |    max(date_trunc('day', ts)) AS d1 FROM events),
+        |spine AS (SELECT unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY))::TIMESTAMP AS day FROM b),
+        |daily AS (SELECT date_trunc('day', ts) AS day,
+        |    count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY day)
+        |SELECT s.day, coalesce(d.n_events, 0)::BIGINT AS n_events,
+        |  coalesce(d.sum_value, 0.0) AS sum_value
+        |FROM spine s LEFT JOIN daily d ON d.day = s.day
+        |ORDER BY s.day""".stripMargin,
 
     // the declarative equivalent: two pre-aggregates full-outer joined —
     // per-element cents rounding mirrors the typed fold exactly
