@@ -915,6 +915,51 @@ object TextPipeline {
         t(s, dir, "documents").agg(count(lit(1)).as("n")))
         .orderBy(col("a"), col("b"))),
 
+    // NEAREST-CENTROID CLASSIFICATION + confusion matrix — q96 asks "are
+    // the label centroids separable"; this asks the operational question
+    // "how often does nearest-centroid assignment get the label right,
+    // and which labels confuse". Centroids are INTEGER-MEAN vectors
+    // (per-position scaled sums floor-div the label count — floor via
+    // exact double division, identical on both engines, and the mean
+    // keeps every Σcm² inside int64 at any corpus size where Σcv² would
+    // overflow); vec×centroid dots are exact integer sums, one
+    // sqrt/divide at the end (the q109 finalization), argmax by
+    // (cosine desc, label) rank. Scale shape: one posexplode pass, a
+    // |labels|×dim centroid table BROADCAST into the dot join, and the
+    // per-vec rank window partitioned by vec_id.
+    "q127_centroid_classify" -> ((s, dir) => {
+      val se = Caches.persist(t(s, dir, "embeddings")
+        .selectExpr("vec_id", "label",
+          "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5)" +
+            " AS bigint)) AS se"))
+      val px = Caches.persist(se
+        .select(col("vec_id"), col("label"), posexplode(col("se")).as(Seq("pos", "v"))))
+      val nl = se.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val cm = Caches.persist(px.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("cv"))
+        .join(broadcast(nl), "label")
+        .selectExpr("label AS c_label", "pos",
+          "cast(floor(cast(cv AS double) / n) AS bigint) AS cm"))
+      val cn = cm.groupBy(col("c_label")).agg(sum(expr("cm * cm")).as("cn"))
+      val vn = px.groupBy(col("vec_id")).agg(sum(expr("v * v")).as("vn"))
+      val sc = px.select(col("vec_id"), col("pos"), col("v"))
+        .join(broadcast(cm), Seq("pos"))
+        .groupBy(col("vec_id"), col("c_label"))
+        .agg(sum(expr("v * cm")).as("dot"))
+        .join(vn, "vec_id")
+        .join(broadcast(cn), "c_label")
+        .selectExpr("vec_id", "c_label",
+          "round(cast(dot AS double) / (sqrt(cast(vn AS double))" +
+            " * sqrt(cast(cn AS double))), 4) AS cos")
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("c_label"))
+      sc.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(se.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+        .groupBy(col("true_label"), col("c_label").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    }),
+
     // WINNOWING-based fuzzy decontamination — the third decontamination
     // modality: q63 flags exact n-gram overlap with a benchmark and q97
     // MinHash-bands cross-corpus near-dups; winnowing fingerprints
@@ -2360,6 +2405,42 @@ object TextPipeline {
          |    - greatest(so, chunk_id * 1024))::BIGINT AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM ch GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+    // identical integer-mean centroids (floor via exact double division
+    // on both engines), exact integer dots, one-sqrt finalization,
+    // (cos desc, label) argmax
+    "q127_centroid_classify" ->
+      """WITH se AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS se
+        |  FROM embeddings),
+        |px AS (SELECT vec_id, label, i AS pos, se[i] AS v
+        |  FROM se, unnest(generate_series(1, len(se))) AS u(i)),
+        |nl AS (SELECT label, count(*)::BIGINT AS n FROM se GROUP BY label),
+        |cm AS (SELECT c.label AS c_label, c.pos,
+        |    CAST(floor(cv::DOUBLE / n) AS BIGINT) AS cm
+        |  FROM (SELECT label, pos, sum(v)::BIGINT AS cv
+        |        FROM px GROUP BY label, pos) c
+        |  JOIN nl ON nl.label = c.label),
+        |cn AS (SELECT c_label, sum(cm * cm)::BIGINT AS cn FROM cm GROUP BY c_label),
+        |vn AS (SELECT vec_id, sum(v * v)::BIGINT AS vn FROM px GROUP BY vec_id),
+        |sc AS (SELECT d.vec_id, d.c_label,
+        |    round(dot::DOUBLE / (sqrt(vn.vn::DOUBLE) * sqrt(cn.cn::DOUBLE)), 4) AS cos
+        |  FROM (SELECT px.vec_id, cm.c_label, sum(v * cm)::BIGINT AS dot
+        |        FROM px JOIN cm ON cm.pos = px.pos
+        |        GROUP BY px.vec_id, cm.c_label) d
+        |  JOIN vn ON vn.vec_id = d.vec_id
+        |  JOIN cn ON cn.c_label = d.c_label),
+        |pick AS (SELECT vec_id, c_label,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, c_label) AS rn
+        |  FROM sc)
+        |SELECT t.label AS true_label, p.c_label AS pred_label,
+        |  count(*)::BIGINT AS n
+        |FROM pick p JOIN embeddings t ON t.vec_id = p.vec_id
+        |WHERE p.rn = 1
+        |GROUP BY true_label, pred_label
+        |ORDER BY true_label, pred_label""".stripMargin,
 
     // q51's exact rolling-hash + min-in-window chain over the planted
     // source, then the same df-band and bench-driven inverted join
