@@ -208,6 +208,45 @@ object Advanced {
         .orderBy(col("day"))
     }),
 
+    // LINEAR INTERPOLATION over per-user gap days — the step past q126's
+    // zero-fill: a day with no events gets the value the line between its
+    // neighboring observed days passes through (sensor/metric series
+    // backfill). Gap generation is PAIR-based, not spine×observed: one
+    // lead() window per user pairs consecutive observed days, and only
+    // actual gaps explode — so the work is O(observed + emitted), never
+    // O(days²). The ONE corpus-scale exchange is the (user, day) rollup;
+    // the window's user_id re-exchange runs on the already-reduced daily
+    // frame (≤ users × days rows). Cross-engine exactness: cents
+    // are per-row-rounded integers and the interpolant is the convex form
+    // (v0·(d1−d) + v1·(d−d0)) div (d1−d0) — every factor nonnegative, so
+    // Spark's truncating `div` and DuckDB's flooring `//` agree exactly
+    // (with v1−v0 factored out they would diverge on negative slopes).
+    "q129_interpolate" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), expr("date_trunc('day', ts)").as("day"))
+        .agg(sum(expr("cast(round(value * 100) AS bigint)")).as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val seg = daily
+        .withColumn("next_day", lead(col("day"), 1).over(w))
+        .withColumn("next_cents", lead(col("cents"), 1).over(w))
+      val observed = seg.select(col("user_id"), col("day"), col("cents"),
+        lit(false).as("interpolated"))
+      val gaps = seg
+        .where(col("next_day").isNotNull &&
+          expr("datediff(next_day, day) > 1"))
+        .selectExpr("user_id", "day AS d0", "cents AS v0",
+          "next_day AS d1", "next_cents AS v1")
+        .selectExpr("user_id",
+          "explode(sequence(d0 + INTERVAL 1 DAY, d1 - INTERVAL 1 DAY," +
+            " INTERVAL 1 DAY)) AS day",
+          "d0", "v0", "d1", "v1")
+        .selectExpr("user_id", "day",
+          "(v0 * datediff(d1, day) + v1 * datediff(day, d0))" +
+            " div datediff(d1, d0) AS cents",
+          "cast(true AS boolean) AS interpolated")
+      observed.unionByName(gaps).orderBy(col("user_id"), col("day"))
+    }),
+
     // Typed Dataset API: KeyValueGroupedDataset.cogroup — the per-key
     // two-sided reconciliation primitive (conceptually a full-outer
     // join + two aggregations fused into one co-partitioned pass; the
@@ -492,6 +531,32 @@ object Advanced {
         |  coalesce(d.sum_value, 0.0) AS sum_value
         |FROM spine s LEFT JOIN daily d ON d.day = s.day
         |ORDER BY s.day""".stripMargin,
+
+    // same pair-based gap generation; // on the all-nonnegative convex
+    // numerator matches Spark's div exactly
+    "q129_interpolate" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        |  FROM events GROUP BY 1, 2),
+        |seg AS (SELECT user_id, day, cents,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day,
+        |    lead(cents) OVER (PARTITION BY user_id ORDER BY day)
+        |      AS next_cents
+        |  FROM daily),
+        |gaps AS (SELECT user_id,
+        |    unnest(generate_series(day + INTERVAL 1 DAY,
+        |      next_day - INTERVAL 1 DAY, INTERVAL 1 DAY)) AS day,
+        |    day AS d0, cents AS v0, next_day AS d1, next_cents AS v1
+        |  FROM seg WHERE next_day IS NOT NULL
+        |    AND date_diff('day', day, next_day) > 1)
+        |SELECT user_id, day, cents, false AS interpolated FROM daily
+        |UNION ALL
+        |SELECT user_id, day,
+        |  ((v0 * date_diff('day', day, d1) + v1 * date_diff('day', d0, day))
+        |    // date_diff('day', d0, d1))::BIGINT AS cents,
+        |  true AS interpolated
+        |FROM gaps
+        |ORDER BY user_id, day""".stripMargin,
 
     // the declarative equivalent: two pre-aggregates full-outer joined —
     // per-element cents rounding mirrors the typed fold exactly

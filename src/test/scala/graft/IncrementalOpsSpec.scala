@@ -212,4 +212,62 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(absorbed >= planted,
       s"only $absorbed members absorbed for $planted planted copies")
   }
+
+  test("trianglesOf: K4 yields its 4 triangles; C4 yields none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: all 6 canonical edges → C(4,3) = 4 triangles,
+    // each vertex in exactly 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val tris = Graph.trianglesOf(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)),
+      s"K4 triangles wrong: $tris")
+    // the 4-cycle has wedges but no closures
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.trianglesOf(c4).count() == 0, "C4 fabricated a triangle")
+  }
+
+  test("q128 participation on sf0.001 is consistent and bounded") {
+    val rows = Caches.scoped(
+      queries.Graph.queries("q128_triangle_backbone")(spark, sf).collect())
+    assert(rows.length == 20, s"top-20 cut returned ${rows.length}")
+    // sorted by (n desc, part asc) with a total order
+    val counts = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(counts.sliding(2).forall { case Array((n1, p1), (n2, p2)) =>
+      n1 > n2 || (n1 == n2 && p1 < p2) }, "participation order broken")
+    assert(counts.forall(_._1 > 0))
+  }
+
+  test("q129: gaps are filled exactly, interpolants are convex-bounded") {
+    val rows = Caches.scoped(
+      queries.Advanced.queries("q129_interpolate")(spark, sf).collect())
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getBoolean(3)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val days = rs.map(_._2.getTime).sorted
+      // span is dense: every day between a user's first and last is present
+      assert((days.last - days.head) / 86400000L == days.length - 1L,
+        s"user $u series has holes after interpolation")
+    }
+    // every interpolated value sits within [min, max] of its observed
+    // neighbors (convexity of the integer interpolant)
+    byUser.foreach { case (u, rs) =>
+      val srt = rs.sortBy(_._2.getTime)
+      var lastObs = Option.empty[Long]
+      var pend = List.empty[Long]
+      srt.foreach { case (_, _, v, interp) =>
+        if (interp) pend ::= v
+        else {
+          for (p <- pend; lo <- lastObs) {
+            assert(p >= math.min(lo, v) && p <= math.max(lo, v),
+              s"user $u interpolant $p outside [$lo, $v]")
+          }
+          pend = Nil
+          lastObs = Some(v)
+        }
+      }
+      assert(pend.isEmpty, s"user $u series ends interpolated")
+    }
+  }
 }

@@ -579,6 +579,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text not pruned from the graftbin scan:\n$p")
   }
 
+  test("q128 backbone cut is TakeOrdered; triangle joins broadcast the bounded edges") {
+    val p = plan("q128_triangle_backbone")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q128 backbone pays a global sort instead of a top-M heap:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"q128 triangle stage lost its broadcasts — an edge-set exchange would scale with the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q128 shuffles the bounded edge set:\n$p")
+  }
+
+  test("q129 never joins: one rollup, one reduced-frame window, a union") {
+    val p = plan("q129_interpolate")
+    assert(!p.contains("Join"), s"q129 grew a join — gap fill must stay pair-based:\n$p")
+    assert(p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"q129 rollup lost its map-side partial:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
