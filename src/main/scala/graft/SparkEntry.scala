@@ -217,6 +217,12 @@ object SparkEntry {
       // identical to q31 on both gated corpora (ModulesSpec).
       "q62_ann_quantized" -> ((s: SparkSession, dir: String) =>
         AnnLsh.annTopK(s, dir, quantized = true)),
+      // Product-quantization ANN (Jégou et al. 2011): 16-byte codes,
+      // per-probe ADC lookup tables over a compressed exhaustive scan,
+      // exact re-rank of the top n/16 pool. The memory-bound scale path —
+      // see AnnPq's doc and the ModulesSpec recall gates.
+      "q130_ann_pq" -> ((s: SparkSession, dir: String) =>
+        graft.similarity.AnnPq.annTopK(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
@@ -227,8 +233,9 @@ object SparkEntry {
     * quantizer, q58_ann_persisted / q59_ann_ivf_persisted replay those
     * buckets/lists from a persisted index, q60_ann_budgeted is the same
     * gaussian bucketing under an occupancy budget, q62_ann_quantized the
-    * same bucketing with int8-scored candidates, q89_approx_distinct and
-    * q90_approx_percentile are Spark's HLL++ / Greenwald-Khanna sketches
+    * same bucketing with int8-scored candidates, q130_ann_pq re-ranks a
+    * pool selected by k-means product-quantizer codes, q89_approx_distinct
+    * and q90_approx_percentile are Spark's HLL++ / Greenwald-Khanna sketches
     * (DuckDB's equivalents are different sketches) — none are
     * expressible as deterministic cross-engine SQL;
     * all are asserted in ScalaTest specs instead, the persisted paths

@@ -85,15 +85,19 @@ object AnnIvf {
   private val corpusCounts =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
+  /** Memoized corpus row count (signature-stamped like the quantizers) —
+    * shared with [[AnnPq]]'s adaptive re-rank resolution. */
+  private[similarity] def corpusCount(s: SparkSession, dir: String): Long = {
+    val sig = corpusSignature(s, dir)
+    corpusCounts.compute(dir, (d, prev) =>
+      if (prev != null && prev._1 == sig) prev
+      else (sig, s.read.parquet(s"$d/embeddings.parquet").count()))._2
+  }
+
   /** Resolve (nlist, nprobe) where 0 means corpus-adaptive. */
   private[graft] def resolveKnobs(
       s: SparkSession, dir: String, nlist: Int, nprobe: Int): (Int, Int) = {
-    lazy val n: Long = {
-      val sig = corpusSignature(s, dir)
-      corpusCounts.compute(dir, (d, prev) =>
-        if (prev != null && prev._1 == sig) prev
-        else (sig, s.read.parquet(s"$d/embeddings.parquet").count()))._2
-    }
+    lazy val n: Long = corpusCount(s, dir)
     val rl = if (nlist > 0) nlist else autoNlist(n)
     val rp = if (nprobe > 0) nprobe else math.max(1, rl / 7)
     (rl, rp)

@@ -9,13 +9,13 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * scan fraction (and, for voted/budgeted LSH, the pre-vote pool) for a
  * grid of LSH/IVF knobs against driver-side exhaustive top-k. Not part of
  * the query surface — run with
- * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|both]"`
+ * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|pq|both]"`
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
   private val modes =
     Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide",
-      "ivfdrift", "lshdrift", "both")
+      "ivfdrift", "lshdrift", "pq", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -331,6 +331,36 @@ object AnnTune {
       } evalOne(s"ivf nlist=$nlist nprobe=$nprobe",
         AnnIvf.candidates(spark, dir, nProbes, nlist, nprobe),
         AnnIvf.annTopK(spark, dir, nProbes, k, nlist, nprobe))
+    }
+    if (which == "pq") {
+      // PQ sweep: codebook geometry (m subspaces × kc codes) × rerank
+      // depth. The "scan" column here is the EXACT-distance fraction
+      // (rerank pool / corpus per probe) — the ADC pass reads every row
+      // by construction (that is PQ's deal: exhaustive but 8-byte rows),
+      // so the number that must stay bounded is the float-rehydration
+      // pool, not a pruning fraction.
+      import graft.similarity.AnnPq
+      for {
+        (m, kc) <- Seq((8, 16), (16, 16))
+        rr <- Seq(16, 32, 64, 128)
+      } {
+        val scan = AnnPq.compressedScan(spark, dir, nProbes, m, kc)
+        val pool = graft.plans.TopKPerKey.topK(
+          scan, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
+        evalOne(s"pq m=$m k=$kc rerank=$rr",
+          pool, AnnPq.annTopK(spark, dir, nProbes, k, rr, m, kc))
+      }
+      // shipped point (m=16, k=16, rerank=n/16) across five k-means
+      // initializations — the 5-seed-minimum discipline every shipped
+      // ANN default follows
+      for (seed <- Seq(4099L, 17L, 293L, 7919L, 104729L)) {
+        val scan = AnnPq.compressedScan(spark, dir, nProbes, 16, 16, seed)
+        val rr = math.max(64, total / 16)
+        val pool = graft.plans.TopKPerKey.topK(
+          scan, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
+        evalOne(s"pq ship m=16 k=16 rerank=$rr seed=$seed",
+          pool, AnnPq.annTopK(spark, dir, nProbes, k, 0, 16, 16, seed))
+      }
     }
     spark.stop()
   }

@@ -335,6 +335,45 @@ class ModulesSpec extends AnyFunSuite {
       assert(recall >= 0.85, f"quantized LSH recall@5 $recall%.3f below the 0.85 floor")
     }
 
+  for (dir <- gatedSfs)
+    test(s"AnnPq: recall@5 >= 0.85 at exact-rerank <= 0.15; reported cosines exact ($dir)") {
+      // PQ's scan economics differ from LSH/IVF: the ADC pass touches
+      // EVERY row by construction (16-byte codes, m table lookups — the
+      // memory-bound deal), so the gated fraction is the FLOAT-REHYDRATED
+      // re-rank pool, n/16 with a floor of 64 (0.128 of sf0.001's 500,
+      // 0.064 of sf0.1's 2000). At the shipped point (m=16, k=16,
+      // rerank=n/16) the gate seed measures 0.984 (sf0.001) / 0.960
+      // (sf0.1); 5-seed minima 0.912 / 0.920 (TUNE_r14.txt pq grids) —
+      // m=8's halved codes need a 2x deeper pool for ~15 recall points
+      // less at equal pool (0.816 vs 0.984 at rerank=64 on sf0.001),
+      // which is why 16 subspaces ship. Deterministic at the gate seed.
+      val nProbes = 25
+      val ann = graft.similarity.AnnPq.annTopK(spark, dir, numProbes = nProbes, k = 5)
+        .collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = meanRecall(dir, ann, nProbes, 5)
+      val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val rr = math.max(64L, total / 16L)
+      val pool = graft.plans.TopKPerKey.topK(
+        graft.similarity.AnnPq.compressedScan(spark, dir, numProbes = nProbes),
+        "q_id", "adc", "neighbor_id", rr.toInt, "adc", roundTo = 9)
+      val frac = scanFraction(dir, pool, nProbes)
+      info(f"AnnPq recall@5 over $nProbes probes: $recall%.3f at exact-rerank fraction $frac%.3f")
+      logRecall(dir, "pq", recall, frac, nProbes, 5)
+      assert(recall >= 0.85, f"PQ recall@5 $recall%.3f below the 0.85 floor")
+      assert(frac <= 0.15, f"PQ re-ranked $frac%.3f of the corpus, above the 0.15 ceiling")
+      // the re-rank contract: REPORTED cosines are exact, never ADC
+      // estimates — ADC only selects the pool
+      val emb = embMap(dir)
+      val reported = graft.similarity.AnnPq.annTopK(spark, dir, numProbes = nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      reported.foreach { case (q, n, cos) =>
+        val truth = cosineOf(emb(q), emb(n))
+        assert(math.abs(cos - truth) < 5e-5,
+          f"q$q->n$n reported $cos%.6f vs exact $truth%.6f — ADC leaked into the ranking")
+      }
+    }
+
   test("QuantizeVec: int8 ranking trade vs exact cosine is measured, not guessed") {
     // q61 ranks on CosineSimilarityI8 over QuantizeVec output (a true
     // array<tinyint>; per-vector scales cancel in the cosine ratio). The

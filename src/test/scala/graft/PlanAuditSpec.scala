@@ -596,6 +596,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q129 rollup lost its map-side partial:\n$p")
   }
 
+  test("q130 PQ: broadcast fan-out, bounded top-k aggs, broadcast re-rank, no SMJ") {
+    val p = plan("q130_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q130's compressed scan lost the broadcast probe fan-out:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"q130 lost a bounded TopKPerKey aggregation (pool cut or final cut):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q130's re-rank rehydration must join the broadcast pool, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q130 shuffles the corpus for a broadcast-sized side:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
