@@ -358,7 +358,98 @@ object Streaming {
     "q74_stream_mix_gate" -> ((s, dir) =>
       runToCompletion(s, mixGateStream(s, dir), "stream_mix_gate", mode = "append")
         .orderBy(col("doc_id"))),
+
+    // FOREACHBATCH UPSERT — the "batch APIs inside a stream" shape the
+    // stateful operators can't express: each micro-batch MERGES its rows
+    // into a persistent latest-state-per-user table (the classic CDC /
+    // device-shadow materialization). The merge is a pure max over
+    // struct(ts, event_id, ...) — associative and commutative — so the
+    // final state is INDEPENDENT of batch boundaries and arrival order,
+    // and the batch arg-max oracle applies verbatim. State versions are
+    // WRITE-NEW-THEN-SWITCH (v0, v1, ... subdirs; the reader takes the
+    // max complete version): overwriting the dir being read is the
+    // classic self-overwrite corruption, and versioned dirs are the
+    // poor-man's form of the transactional commit a real table format
+    // provides. Per-user state is ONE struct row — at 100 TB the merge
+    // is a key-partitioned aggregate of batch-sized input against a
+    // state table that grows with |users|, never with the stream.
+    "q131_stream_upsert" -> ((s, dir) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val staged = s"${sys.props("java.io.tmpdir")}/graft_upsert_feed_$h"
+      val stateRoot = s"${sys.props("java.io.tmpdir")}/graft_upsert_state_$h"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_upsert_ckpt_$h"
+      // 4 time-ranged feed files, mtime-ordered so the 4 micro-batches
+      // replay roughly in time order (correctness does NOT depend on it —
+      // that is the point of the associative merge; the spec shuffles
+      // arrival order to pin exactly this)
+      Tables.t(s, dir, "events")
+        .repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(staged)
+      val parts = new java.io.File(staged).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - 3600000L
+      parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(base + i * 1000L) }
+      for (d <- Seq(stateRoot, ckpt)) {
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm)
+          x.delete()
+        }
+        rm(new java.io.File(d))
+      }
+      val schema = s.read.parquet(staged).schema
+      val stream = Tables.streamTsFixup(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(staged))
+      upsertRun(s, stream, stateRoot, ckpt)
+    }),
   )
+
+  /** One latest-state row per user from a frame of events (or of already-
+    * reduced state rows — the merge input is the union of both). */
+  private def latestPerUser(df: DataFrame): DataFrame = df
+    .select(col("user_id"), struct(col("ts"), col("event_id"),
+      col("event_type"),
+      expr("cast(round(value * 100) AS bigint)").as("cents")).as("st"))
+    .groupBy(col("user_id")).agg(max(col("st")).as("st"))
+
+  /** Highest complete state version under `root`, −1 when none. */
+  private[graft] def stateVersion(root: String): Int = {
+    val d = new java.io.File(root)
+    if (!d.isDirectory) -1
+    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.drop(1).toInt).toOption)
+      .foldLeft(-1)(math.max)
+  }
+
+  /** Drive the foreachBatch merge to completion and read the final state.
+    * State rows re-enter [[latestPerUser]] already reduced (their struct
+    * IS the max), so merging state with a batch is the same aggregate
+    * over the union. */
+  private[graft] def upsertRun(s: SparkSession, stream: DataFrame,
+      stateRoot: String, ckpt: String): DataFrame = {
+    // explicit Scala function value: an inline lambda is ambiguous
+    // between the Scala and Java foreachBatch overloads on 2.13
+    val merge: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val reduced = latestPerUser(batch)
+        val cur = stateVersion(stateRoot)
+        val merged =
+          if (cur < 0) reduced
+          else reduced.unionByName(s.read.parquet(s"$stateRoot/v$cur"))
+            .groupBy(col("user_id")).agg(max(col("st")).as("st"))
+        merged.write.mode("overwrite").parquet(s"$stateRoot/v${cur + 1}")
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(merge)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$stateRoot/v${stateVersion(stateRoot)}")
+      .select(col("user_id"), col("st.ts").as("last_ts"),
+        col("st.event_id").as("last_event_id"),
+        col("st.event_type").as("last_type"), col("st.cents").as("last_cents"))
+      .orderBy(col("user_id"))
+  }
 
   /** The q74 gate as a STREAMING DataFrame over `dir`'s documents — the
     * deployment surface an ingest job attaches its own sink to. The q74
@@ -379,6 +470,18 @@ object Streaming {
   }
 
   val oracles: Map[String, String] = Map(
+    // the merge is an arg-max by (ts, event_id); row_number expresses the
+    // same total order
+    "q131_stream_upsert" ->
+      """WITH r AS (SELECT user_id, ts, event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, cents AS last_cents
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
     "q40_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
