@@ -121,6 +121,15 @@ def ann_topk_ivf(spark, data_dir, num_probes=5, k=5):
     return DataFrame(jdf, spark)
 
 
+def ann_topk_pq(spark, data_dir, num_probes=5, k=5, rerank=0):
+    """Product-quantization top-k (q130): compressed ADC scan over 16-byte
+    codes, exact re-rank of the top pool. ``rerank<=0`` uses the
+    corpus-adaptive n/16 depth."""
+    jdf = _bridge(spark).annPqTopK(
+        spark._jsparkSession, data_dir, int(num_probes), int(k), int(rerank))
+    return DataFrame(jdf, spark)
+
+
 def build_ann_index(spark, data_dir, index_path, method="lsh"):
     """Build (or rebuild) a persisted ANN index for ``data_dir``'s
     embeddings at ``index_path`` — the deployment shape where the index

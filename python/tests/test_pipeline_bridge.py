@@ -97,6 +97,21 @@ def main():
             f"probe {q}: ranks not descending in cosine"
         assert all(r["neighbor_id"] != q for r in rows)
 
+    # --- PQ ANN (q130-shape): compressed-scan + exact re-rank from Python ---
+    pq = gp.ann_topk_pq(spark, sf_dir, num_probes=5, k=5).collect()
+    gp.release_caches(spark)
+    assert pq, "PQ ANN returned no rows"
+    pq_by_q = {}
+    for r in pq:
+        pq_by_q.setdefault(r["q_id"], []).append(r)
+    assert set(pq_by_q) == set(range(5))
+    for q, rows in pq_by_q.items():
+        ordered = sorted(rows, key=lambda r: r["rn"])
+        cosines = [r["cosine"] for r in ordered]
+        assert all(a >= b for a, b in zip(cosines, cosines[1:])), \
+            f"PQ probe {q}: ranks not descending in cosine"
+        assert all(r["neighbor_id"] != q for r in rows)
+
     # --- persisted ANN tier: build, grow the corpus, APPEND, probe ---
     import shutil
     import tempfile

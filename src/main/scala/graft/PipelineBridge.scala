@@ -32,6 +32,12 @@ object PipelineBridge {
   def annIvfTopK(s: SparkSession, dir: String, numProbes: Int, k: Int): DataFrame =
     similarity.AnnIvf.annTopK(s, dir, numProbes = numProbes, k = k)
 
+  /** Product-quantization variant (q130). rerank <= 0 resolves to the
+    * corpus-adaptive n/16 pool — see [[similarity.AnnPq]]. */
+  def annPqTopK(s: SparkSession, dir: String, numProbes: Int, k: Int,
+      rerank: Int): DataFrame =
+    similarity.AnnPq.annTopK(s, dir, numProbes = numProbes, k = k, rerank = rerank)
+
   // --- Persisted/appendable ANN index tier (the q58/q59 deployment
   // shape: the index lives next to the data, query sessions validate and
   // load instead of rebuilding). Explicit build/append/probe methods for

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -136,16 +137,33 @@ object Graph {
     * corpus. (In an unbounded-edge regime you'd orient edges by degree
     * and pay the m^1.5; the backbone cap is the declared contract here,
     * applied identically by the oracle.) */
-  def triangleBackbone(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic top-M co-purchase backbone (canonical a < b
+    * edges) — the corpus-scale stage shared by q128 and q132. */
+  private def coPurchaseBackbone(s: SparkSession, dir: String): DataFrame = {
     val os = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val edges = os.as("x").join(os.as("y"),
+    os.as("x").join(os.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
       .agg(count(lit(1)).as("w"))
       .orderBy(col("w").desc, col("a"), col("b"))
       .limit(backboneM)
       .select(col("a"), col("b"))
+  }
+
+  /** The backbone cut as a DuckDB CTE chain (os → e0 → e), kept next to
+    * [[coPurchaseBackbone]] so both q128's and q132's oracles inherit the
+    * identical cut. */
+  private def backboneCte: String =
+    s"""os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |    FROM lineitem),
+       |e0 AS (SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS w
+       |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM e0 ORDER BY w DESC, a, b LIMIT $backboneM)"""
+      .stripMargin
+
+  def triangleBackbone(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseBackbone(s, dir)
     trianglesOf(edges).selectExpr("explode(array(x, y, z)) AS p_partkey")
       .groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n_triangles"))
@@ -153,9 +171,66 @@ object Graph {
       .limit(20)
   }
 
+  // ---- q132: semi-supervised label propagation on the backbone ----
+
+  private val lpIters = 3
+
+  /** q132: label propagation (Zhu & Ghahramani 2002's hard-label variant)
+    * over the co-purchase backbone — 20% of backbone parts are SEEDED
+    * with their true brand (p_partkey % 5 = 0) and every other part
+    * adopts, for [[lpIters]] synchronous rounds, the most common label
+    * among its labeled neighbors (ties to the smallest label; unlabeled
+    * neighbors don't vote; a node with no labeled neighbor stays
+    * unlabeled; seeds are CLAMPED). Output is the per-label histogram
+    * with seed counts — the community/diffusion primitive next to q106
+    * (centrality), q66 (reachability) and q128 (motifs).
+    *
+    * Scale shape: the only corpus-scale stage is the shared backbone cut
+    * ([[coPurchaseBackbone]]); the iteration state is one label per
+    * BACKBONE node and each round is (bounded directed edges) ⋈
+    * broadcast(labeled nodes) → a per-(node, label) count and an argmax
+    * window over the bounded node set — like q106's loop, no round
+    * touches the corpus. Everything is counts and string labels: no
+    * floats anywhere, so cross-engine exactness is structural. */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = Caches.persist(coPurchaseBackbone(s, dir))
+    // undirected: each edge carries votes both ways
+    val dirEdges = Caches.persist(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
+    val nodes = dirEdges.select(col("src").as("node")).distinct()
+    val brands = Tables.t(s, dir, "part")
+      .select(col("p_partkey").as("node"), col("p_brand"))
+    var lab = nodes.join(broadcast(brands), Seq("node"))
+      .select(col("node"),
+        (col("node") % 5 === 0).as("is_seed"),
+        when(col("node") % 5 === 0, col("p_brand")).as("label"))
+    for (_ <- 1 to lpIters) {
+      val votes = dirEdges
+        .join(broadcast(lab.where(col("label").isNotNull)
+          .select(col("node").as("voter"), col("label"))),
+          col("src") === col("voter"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("cnt").desc, col("label"))
+      val best = votes.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("dst").as("node"), col("label").as("new_label"))
+      lab = Caches.persist(lab.join(best, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          when(col("is_seed"), col("label"))
+            .otherwise(coalesce(col("new_label"), col("label"))).as("label")))
+    }
+    lab.groupBy(coalesce(col("label"), lit("unlabeled")).as("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seeds"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_pagerank" -> ((s, dir) => pagerank(s, dir)),
-    "q128_triangle_backbone" -> ((s, dir) => triangleBackbone(s, dir))
+    "q128_triangle_backbone" -> ((s, dir) => triangleBackbone(s, dir)),
+    "q132_label_prop" -> ((s, dir) => labelProp(s, dir))
   )
 
   // The oracle chains pr0..pr5 CTEs generated from the same constants —
@@ -192,14 +267,10 @@ object Graph {
 
   val oracles: Map[String, String] = Map(
     "q106_pagerank" -> pagerankOracle,
-    // same deterministic backbone cut ((w desc, a, b), LIMIT M), same
-    // canonical wedge-close triple join
+    // same deterministic backbone cut ((w desc, a, b), LIMIT M — shared
+    // CTE generator), same canonical wedge-close triple join
     "q128_triangle_backbone" ->
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-         |    FROM lineitem),
-         |e0 AS (SELECT x.p AS a, y.p AS b, count(*)::BIGINT AS w
-         |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
-         |e AS (SELECT a, b FROM e0 ORDER BY w DESC, a, b LIMIT $backboneM),
+      s"""WITH $backboneCte,
          |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |  FROM e e1 JOIN e e2 ON e2.a = e1.b
          |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
@@ -207,6 +278,39 @@ object Graph {
          |  UNION ALL SELECT z FROM t)
          |SELECT pk AS p_partkey, count(*)::BIGINT AS n_triangles
          |FROM p GROUP BY pk
-         |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin
+         |ORDER BY n_triangles DESC, p_partkey LIMIT 20""".stripMargin,
+
+    // same synchronous rounds: votes from the PREVIOUS round's labeled
+    // nodes only, argmax by (cnt desc, label), seeds clamped
+    "q132_label_prop" -> labelPropOracle
   )
+
+  private lazy val labelPropOracle: String = {
+    val iterCtes = (1 to lpIters).map { k =>
+      s"""lp$k AS (SELECT l.node, l.is_seed,
+         |    CASE WHEN l.is_seed THEN l.label
+         |         ELSE coalesce(b.new_label, l.label) END AS label
+         |  FROM lp${k - 1} l LEFT JOIN (
+         |    SELECT dst AS node, label AS new_label FROM (
+         |      SELECT de.dst, v.label, count(*) AS cnt,
+         |        row_number() OVER (PARTITION BY de.dst
+         |          ORDER BY count(*) DESC, v.label) AS rn
+         |      FROM de JOIN lp${k - 1} v
+         |        ON v.node = de.src AND v.label IS NOT NULL
+         |      GROUP BY de.dst, v.label) x WHERE rn = 1) b
+         |  ON b.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $backboneCte,
+       |de AS (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM de),
+       |lp0 AS (SELECT n.node, (n.node % 5 = 0) AS is_seed,
+       |    CASE WHEN n.node % 5 = 0 THEN p.p_brand END AS label
+       |  FROM nodes n JOIN part p ON p.p_partkey = n.node),
+       |$iterCtes
+       |SELECT coalesce(label, 'unlabeled') AS label,
+       |  count(*)::BIGINT AS n_nodes,
+       |  sum(CASE WHEN is_seed THEN 1 ELSE 0 END)::BIGINT AS n_seeds
+       |FROM lp$lpIters GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

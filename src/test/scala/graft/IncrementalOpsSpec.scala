@@ -239,6 +239,26 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(counts.forall(_._1 > 0))
   }
 
+  test("q132: seeds stay clamped, propagation reaches non-seeds, totals conserve") {
+    val rows = Caches.scoped(
+      queries.Graph.queries("q132_label_prop")(spark, sf).collect())
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalNodes = rows.map(_._2).sum
+    val totalSeeds = rows.map(_._3).sum
+    assert(totalNodes > 0 && totalSeeds > 0)
+    // the unlabeled bucket can hold no seeds (seeds are labeled by def)
+    rows.find(_._1 == "unlabeled").foreach { case (_, _, s) =>
+      assert(s == 0L, "a seed ended up unlabeled — clamping broken")
+    }
+    // propagation must actually label non-seeds: labeled nodes > seeds
+    val labeledNodes = rows.filterNot(_._1 == "unlabeled").map(_._2).sum
+    assert(labeledNodes > totalSeeds,
+      s"no non-seed adopted a label ($labeledNodes labeled vs $totalSeeds seeds)")
+    // seed fraction: every 5th partkey seeds, so ~20% of backbone nodes
+    assert(totalSeeds >= totalNodes / 10 && totalSeeds <= totalNodes / 3,
+      s"seed count $totalSeeds implausible for $totalNodes nodes (~20% expected)")
+  }
+
   test("q129: gaps are filled exactly, interpolants are convex-bounded") {
     val rows = Caches.scoped(
       queries.Advanced.queries("q129_interpolate")(spark, sf).collect())
