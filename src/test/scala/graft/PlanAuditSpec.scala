@@ -608,6 +608,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q130 shuffles the corpus for a broadcast-sized side:\n$p")
   }
 
+  test("q132 LP rounds broadcast the label table; only the backbone touches the corpus") {
+    val p = plan("q132_label_prop")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q132 backbone cut lost the top-M heap:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= lpRoundsInPlan,
+      s"an LP round stopped broadcasting its bounded label table:\n$p")
+  }
+
+  // q132 runs 3 rounds, each joining broadcast(labeled) once, plus the
+  // seed join against broadcast(part-brands)
+  private val lpRoundsInPlan = 4
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
