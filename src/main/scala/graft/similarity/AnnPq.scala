@@ -45,6 +45,13 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
  * ANN variants) q130 is rows-only for the driver; ModulesSpec gates
  * recall@5 against exhaustive brute force on BOTH gated corpora, plus
  * ADC-estimator sanity on the compressed scan itself.
+ *
+ * Known residual: unlike LSH/IVF, the PQ tier has no PERSISTED form yet —
+ * the codes table and codebooks would slot into [[AnnIndex]]'s
+ * metadata/geometry/assignments layout (codes are the assignments,
+ * codebooks the geometry) with the same fingerprint staleness guard, and
+ * appends encode new vectors against the frozen codebooks, subject to a
+ * drift bound that (as with IVF) should be MEASURED, not assumed.
  */
 object AnnPq {
 
