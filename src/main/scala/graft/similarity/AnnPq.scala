@@ -50,8 +50,13 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
  * the codes table and codebooks would slot into [[AnnIndex]]'s
  * metadata/geometry/assignments layout (codes are the assignments,
  * codebooks the geometry) with the same fingerprint staleness guard, and
- * appends encode new vectors against the frozen codebooks, subject to a
- * drift bound that (as with IVF) should be MEASURED, not assumed.
+ * appends encode new vectors against the frozen codebooks. The drift
+ * bound for that append is already MEASURED (TUNE_r14.txt pqdrift, the
+ * ivfdrift protocol): the 0.85 recall floor holds through +50% appended
+ * rows on both gated corpora (0.888/0.880), thins at +100% (0.920/0.864)
+ * and breaks at +200% (0.800) — so appendPq should refuse past
+ * 1.5× trained rows, one notch conservative of the observed knee, the
+ * same discipline as [[AnnIndex.appendIvf]]'s 1.25×.
  */
 object AnnPq {
 
@@ -180,8 +185,12 @@ object AnnPq {
       numProbes: Int = 5,
       m: Int = defaultM,
       k: Int = defaultK,
-      seed: Long = 4099L): DataFrame = {
-    val books = fitCodebooks(s, dir, m, k, seed)
+      seed: Long = 4099L,
+      trainDir: String = null): DataFrame = {
+    // trainDir != null: codebooks fit on a DIFFERENT (smaller) corpus —
+    // AnnTune's pqdrift harness pricing the frozen-codebook decay a
+    // persisted-then-appended PQ index would carry
+    val books = fitCodebooks(s, Option(trainDir).getOrElse(dir), m, k, seed)
     val bc = s.sparkContext.broadcast(books)
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -210,10 +219,15 @@ object AnnPq {
       rerank: Int = 0,
       m: Int = defaultM,
       kCodes: Int = defaultK,
-      seed: Long = 4099L): DataFrame = {
+      seed: Long = 4099L,
+      trainDir: String = null): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val rr = if (rerank > 0) rerank else autoRerank(AnnIvf.corpusCount(s, dir))
-    val scanned = compressedScan(s, dir, numProbes, m, kCodes, seed)
+    // with frozen codebooks the re-rank depth ALSO resolves from the
+    // training corpus — an index built at size N and appended to N(1+f)
+    // keeps the pool it was built with, exactly the decay under test
+    val rr = if (rerank > 0) rerank
+      else autoRerank(AnnIvf.corpusCount(s, Option(trainDir).getOrElse(dir)))
+    val scanned = compressedScan(s, dir, numProbes, m, kCodes, seed, trainDir)
     // ADC scores are quantized estimates shared by construction across
     // engines-with-the-same-fit but NOT meaningful beyond pool selection;
     // keep full precision (roundTo below only affects the reported cos).

@@ -9,13 +9,13 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * scan fraction (and, for voted/budgeted LSH, the pre-vote pool) for a
  * grid of LSH/IVF knobs against driver-side exhaustive top-k. Not part of
  * the query surface — run with
- * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|pq|both]"`
+ * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|pq|pqdrift|both]"`
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
   private val modes =
     Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide",
-      "ivfdrift", "lshdrift", "pq", "both")
+      "ivfdrift", "lshdrift", "pq", "pqdrift", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -360,6 +360,39 @@ object AnnTune {
           scan, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
         evalOne(s"pq ship m=16 k=16 rerank=$rr seed=$seed",
           pool, AnnPq.annTopK(spark, dir, nProbes, k, 0, 16, 16, seed))
+      }
+    }
+    if (which == "pqdrift") {
+      // FROZEN-CODEBOOK drift (the ivfdrift protocol for PQ): for
+      // appended fraction f, codebooks fit on the first N/(1+f) vec_ids
+      // and the WHOLE corpus is encoded/scanned against them, with the
+      // re-rank depth also resolved at build-time size — exactly what a
+      // persisted PQ index appended without refitting would serve. Two
+      // decay channels: the frozen pool's shrinking effective fraction
+      // (rr/N vs rr/N(1+f)) and codebook mismatch on the appended tail
+      // (nil on this isotropic corpus; real on drifting embeddings).
+      import graft.similarity.AnnPq
+      for (f <- Seq(0.0, 0.25, 0.5, 1.0, 2.0)) {
+        val cutoff = math.round(total / (1.0 + f))
+        val trainDir = java.nio.file.Files
+          .createTempDirectory(s"graft-pqdrift-$f-").toString
+        try {
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .where(s"vec_id < $cutoff")
+            .write.mode("overwrite").parquet(s"$trainDir/embeddings.parquet")
+          val rr = math.max(64L, cutoff / 16L).toInt
+          val scan = AnnPq.compressedScan(spark, dir, nProbes, trainDir = trainDir)
+          val pool = graft.plans.TopKPerKey.topK(
+            scan, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
+          evalOne(f"pqdrift appended=${(f * 100).toInt}%d%% trained=$cutoff of $total",
+            pool, AnnPq.annTopK(spark, dir, nProbes, k, trainDir = trainDir))
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm))
+            p.delete()
+          }
+          rm(new java.io.File(trainDir))
+        }
       }
     }
     spark.stop()
