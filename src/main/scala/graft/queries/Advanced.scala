@@ -144,14 +144,21 @@ object Advanced {
     // cross-engine oracle-able (DuckDB's approx_quantile is t-digest),
     // so rows-only + a ModulesSpec gate against the exact percentiles,
     // which sit alongside in the output. accuracy=10000 bounds rank
-    // error at 1/10000 of the group.
+    // error at 1/10000 of the group. The three percentile points are
+    // FLATTENED into scalar columns (one sketch pass — the array agg
+    // computes once, element_at projects): the driver's rows-only
+    // comparator sorts every cell, and array cells are unsortable there
+    // (the q77 device).
     "q90_approx_percentile" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
           expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
-            .as("approx_p"),
-          expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_p"))
+            .as("ap"),
+          expr("percentile(value, array(0.5, 0.95, 0.99))").as("ep"))
+        .selectExpr("event_type",
+          "ap[0] AS p50_approx", "ap[1] AS p95_approx", "ap[2] AS p99_approx",
+          "ep[0] AS p50_exact", "ep[1] AS p95_exact", "ep[2] AS p99_exact")
         .orderBy(col("event_type"))
     }),
 
@@ -221,6 +228,11 @@ object Advanced {
     // (v0·(d1−d) + v1·(d−d0)) div (d1−d0) — every factor nonnegative, so
     // Spark's truncating `div` and DuckDB's flooring `//` agree exactly
     // (with v1−v0 factored out they would diverge on negative slopes).
+    // DATA INVARIANT relied on: daily cents >= 0 (events.value >= 0 in
+    // the generator). A source admitting negative values (refunds) makes
+    // the numerator sign-indefinite and truncating-vs-flooring division
+    // diverges on the negative interpolants — switch both engines to an
+    // explicit floor-division formulation before admitting such data.
     "q129_interpolate" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(col("user_id"), expr("date_trunc('day', ts)").as("day"))

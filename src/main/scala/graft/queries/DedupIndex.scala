@@ -39,8 +39,14 @@ import org.apache.spark.sql.functions._
  */
 object DedupIndex {
 
-  private def root(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_${Integer.toHexString(dir.hashCode)}"
+  // md5 fragment, not hashCode: a 32-bit hashCode collision between two
+  // data roots would alternate the store fingerprint-stale and rebuild on
+  // every access — same rationale as SparkEntry.annIndexPath.
+  private def root(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_$h"
+  }
 
   private[queries] def corpusDocs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").where("doc_id % 10 < 7")

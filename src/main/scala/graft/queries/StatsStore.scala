@@ -29,8 +29,12 @@ import org.apache.spark.sql.functions._
  */
 object StatsStore {
 
-  private[graft] def root(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_stats_store_${Integer.toHexString(dir.hashCode)}"
+  // md5 fragment, not hashCode — see DedupIndex.root / annIndexPath.
+  private[graft] def root(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_stats_store_$h"
+  }
 
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").where("doc_id % 10 < 7")

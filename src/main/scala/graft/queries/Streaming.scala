@@ -411,12 +411,23 @@ object Streaming {
       expr("cast(round(value * 100) AS bigint)").as("cents")).as("st"))
     .groupBy(col("user_id")).agg(max(col("st")).as("st"))
 
-  /** Highest complete state version under `root`, −1 when none. */
-  private[graft] def stateVersion(root: String): Int = {
-    val d = new java.io.File(root)
-    if (!d.isDirectory) -1
-    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toInt).toOption)
+  /** Highest COMPLETE state version under `root`, −1 when none. Complete
+    * = the version directory contains the `_SUCCESS` marker Spark's
+    * committer writes after every parquet commit: a driver killed
+    * mid-write of vN leaves no marker, so the replayed batch merges
+    * against the last complete version instead of the partial one —
+    * without this check the versioned-dir scheme would hand the replay
+    * exactly the torn state it exists to prevent. Listing goes through
+    * the Hadoop FileSystem resolved from the path (same as GraftBin), so
+    * the state root can live on HDFS/S3A, not just the local disk. */
+  private[graft] def stateVersion(s: SparkSession, root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toInt).toOption)
       .foldLeft(-1)(math.max)
   }
 
@@ -431,7 +442,7 @@ object Streaming {
     val merge: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => {
         val reduced = latestPerUser(batch)
-        val cur = stateVersion(stateRoot)
+        val cur = stateVersion(s, stateRoot)
         val merged =
           if (cur < 0) reduced
           else reduced.unionByName(s.read.parquet(s"$stateRoot/v$cur"))
@@ -444,7 +455,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(s"$stateRoot/v${stateVersion(stateRoot)}")
+    s.read.parquet(s"$stateRoot/v${stateVersion(s, stateRoot)}")
       .select(col("user_id"), col("st.ts").as("last_ts"),
         col("st.event_id").as("last_event_id"),
         col("st.event_type").as("last_type"), col("st.cents").as("last_cents"))

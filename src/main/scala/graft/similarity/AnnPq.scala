@@ -250,7 +250,8 @@ object AnnPq {
 }
 
 /** PQ codes for a vector (unit-normalized inside, like [[IvfLists]]):
-  * array<tinyint> of length m — the 8-byte compressed representation. */
+  * array<tinyint> of length m — the m-byte compressed representation
+  * (16 bytes at the shipped defaultM). */
 case class PqCodes(
     child: Expression,
     bcBooks: Broadcast[Array[Array[Array[Double]]]]) extends UnaryExpression {
@@ -338,7 +339,9 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     var m = 0
     val n = codes.numElements()
     while (m < n) {
-      sum += lut.getDouble(m * k + codes.getByte(m))
+      // & 0xFF: codes are UNSIGNED one-byte ids — the signed getByte
+      // would index negatively for any codebook with k > 128
+      sum += lut.getDouble(m * k + (codes.getByte(m) & 0xFF))
       m += 1
     }
     sum
@@ -356,7 +359,7 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
          |double $sum = 0.0;
          |int $n = $c.numElements();
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $l.getDouble($i * $k + $c.getByte($i));
+         |  $sum += $l.getDouble($i * $k + ($c.getByte($i) & 0xFF));
          |}
          |${ev.value} = $sum;
        """.stripMargin

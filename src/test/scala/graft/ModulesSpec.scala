@@ -44,7 +44,9 @@ class ModulesSpec extends AnyFunSuite {
     val targets = Seq(0.5, 0.95, 0.99)
     for (r <- rows) {
       val vals = groups(r.getString(0))
-      val approx = r.getSeq[Double](1)
+      // columns 1..3 = p50/p95/p99 approx (flattened scalars — the
+      // driver's rows-only comparator cannot sort array cells)
+      val approx = (1 to 3).map(r.getDouble)
       assert(approx.size == 3)
       for ((a, p) <- approx.zip(targets)) {
         val cdf = vals.count(_ <= a).toDouble / vals.size

@@ -70,7 +70,7 @@ class UpsertSpec extends AnyFunSuite {
     Seq(stateRoot, ckpt).foreach(rm)
     stage(feed, reverse = false)
     val first = run(feed, stateRoot, ckpt)
-    val v1 = Streaming.stateVersion(stateRoot)
+    val v1 = Streaming.stateVersion(spark, stateRoot)
     assert(v1 == 3, s"4 feed files must yield versions v0..v3, got v$v1")
 
     // one NEW far-future event for user 0 arrives; everything else is old
@@ -86,12 +86,43 @@ class UpsertSpec extends AnyFunSuite {
 
     val second = run(feed, stateRoot, ckpt)
     // exactly ONE new version: the checkpoint replays nothing already seen
-    assert(Streaming.stateVersion(stateRoot) == v1 + 1,
+    assert(Streaming.stateVersion(spark, stateRoot) == v1 + 1,
       "re-run reprocessed already-consumed feed files")
     val changedUsers = first.zip(second).count { case (a, b) => a != b }
     assert(second.length == first.length, "user set changed without new users")
     assert(changedUsers == 1, s"$changedUsers state rows changed; only user 0's may")
     assert(second.head.contains("900001"),
       s"user 0's state must now be the new event: ${second.head}")
+  }
+
+  test("a torn version dir (no _SUCCESS) is invisible to stateVersion") {
+    val root = s"$tmp/graft_upsert_spec_torn"
+    rm(root)
+    // v0 complete, v1 torn: a driver killed mid-write of v1 leaves part
+    // files but no _SUCCESS marker — the replay must merge against v0,
+    // never the partial v1 (the corruption the versioned scheme exists
+    // to prevent).
+    Tables.t(spark, sf, "events").limit(1).write.parquet(s"$root/v0")
+    new java.io.File(s"$root/v1").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/v1/part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(Streaming.stateVersion(spark, root) == 0,
+      "torn v1 (no _SUCCESS) must not be the current state version")
+  }
+
+  test("state root works through an explicit file:-scheme Hadoop path") {
+    // the versioned-state listing goes through the Hadoop FileSystem, so
+    // a URI-schemed root (the HDFS/S3A deployment shape) must behave
+    // exactly like a bare local path
+    val feed = s"$tmp/graft_upsert_spec_feed_uri"
+    val stateRoot = s"file:$tmp/graft_upsert_spec_state_uri"
+    val ckpt = s"$tmp/graft_upsert_spec_ckpt_uri"
+    rm(s"$tmp/graft_upsert_spec_state_uri"); rm(ckpt)
+    stage(feed, reverse = false)
+    val rows = run(feed, stateRoot, ckpt)
+    assert(rows.nonEmpty, "no state produced through the file: root")
+    assert(Streaming.stateVersion(spark, stateRoot) == 3,
+      "4 micro-batches must commit v0..v3 under the file: root")
   }
 }
