@@ -43,12 +43,13 @@ import org.apache.spark.unsafe.types.UTF8String
  *    Spark as post-scan filters (correctness never depends on the source's
  *    ambition).
  *
- * Write path ([[SupportsWrite]] + truncate): one part file per task,
- * committed by uniqueness of (partitionId, taskId) names — task retries
- * overwrite their own file, aborts delete it. `mode("overwrite")` plans
- * OverwriteByExpression(true), which lands in `truncate()` and clears the
- * directory. Parallelism is the writing query's partitioning, exactly like
- * the built-in file sources.
+ * Write path ([[SupportsWrite]] + truncate): one part file per task, named
+ * `part-b<jobTag>-<partitionId>` where jobTag derives from the write job's
+ * queryId — task retries overwrite their own file, aborts delete it, and
+ * APPEND jobs (`mode("append")`) are collision-free against every earlier
+ * job's files. `mode("overwrite")` plans OverwriteByExpression(true), which
+ * lands in `truncate()` and clears the directory. Parallelism is the
+ * writing query's partitioning, exactly like the built-in file sources.
  *
  * Scale posture: one [[InputPartition]] per file (the staging writer cuts
  * one file per upstream partition, so read parallelism mirrors write
@@ -397,8 +398,17 @@ class GraftBinWriteBuilder(path: String, info: LogicalWriteInfo)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
+    // Batch part names carry a fragment of the write job's queryId, so
+    // APPEND jobs into a populated directory are real: two jobs can never
+    // collide on `part-$partitionId` names (the pre-r15 trap — a second
+    // batch write without truncate silently overwrote the first job's
+    // files while stacking a second manifest shard over the same names).
+    // Within ONE job the fragment is constant, so a task retry still
+    // overwrites its predecessor's file (create(overwrite=true)) and
+    // idempotency per (job, partition) is preserved.
     override def toBatch: BatchWrite =
       new GraftBinBatchWrite(path, doTruncate,
+        info.queryId().replaceAll("[^A-Za-z0-9]", "").take(8).toLowerCase,
         new GraftBin.SerializableConf(GraftBin.hadoopConf()))
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -480,7 +490,16 @@ class GraftBinEpochWriter(dir: String, epochId: Long, partitionId: Int,
   override def close(): Unit = ()
 }
 
-class GraftBinBatchWrite(path: String, doTruncate: Boolean,
+/** Batch write: append-or-truncate into the directory. Job-unique part
+  * names (`part-b<jobTag>-<partitionId>`) make appends collision-free —
+  * see the builder's note. CRASH SEMANTICS, matching Spark's own file
+  * sinks without a metadata log: committed tasks of an ABORTED job are
+  * cleaned up in [[abort]] (their files are named in the commit
+  * messages); a driver lost before abort can leave orphan part files
+  * that a later read WILL see — the manifest is a stats cache for
+  * skipping, never a commit log deciding visibility (files without an
+  * entry are always read; see [[GraftBin.pruneFiles]]). */
+class GraftBinBatchWrite(path: String, doTruncate: Boolean, jobTag: String,
     conf: GraftBin.SerializableConf) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -488,12 +507,15 @@ class GraftBinBatchWrite(path: String, doTruncate: Boolean,
     val fs = p.getFileSystem(conf.conf)
     if (doTruncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new GraftBinWriterFactory(path, conf)
+    new GraftBinWriterFactory(path, jobTag, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // shard name derives from the committed file set, so re-running the
-    // same job overwrites its own manifest instead of stacking shards
+    // same job overwrites its own manifest instead of stacking shards;
+    // an APPEND job's file set is disjoint from every earlier job's
+    // (job-tagged names), so its shard stacks BESIDE earlier shards and
+    // the union manifest stays per-file consistent.
     val entries = messages.collect { case c: GraftBinCommit if c.rows > 0 => c }.toSeq
     if (entries.nonEmpty) {
       val shard = "batch-" + Integer.toHexString(
@@ -501,24 +523,34 @@ class GraftBinBatchWrite(path: String, doTruncate: Boolean,
       GraftBin.writeManifest(conf.conf, path, shard, entries)
     }
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // tasks that committed before the JOB aborted named their files in
+    // the messages — delete them so a failed append leaves no debris
+    // (each task's own abort already covers the uncommitted ones)
+    val fs = new Path(path).getFileSystem(conf.conf)
+    messages.collect { case c: GraftBinCommit => new Path(c.file) }
+      .foreach(f => if (fs.exists(f)) fs.delete(f, false))
+  }
 }
 
-class GraftBinWriterFactory(path: String, conf: GraftBin.SerializableConf)
-    extends DataWriterFactory {
+class GraftBinWriterFactory(path: String, jobTag: String,
+    conf: GraftBin.SerializableConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftBinWriter(path, partitionId, conf.conf)
+    new GraftBinWriter(path, jobTag, partitionId, conf.conf)
 }
 
 case class GraftBinCommit(file: String, minId: Long, maxId: Long,
     rows: Long) extends WriterCommitMessage
 
-class GraftBinWriter(dir: String, partitionId: Int, conf: Configuration)
-    extends DataWriter[InternalRow] {
+class GraftBinWriter(dir: String, jobTag: String, partitionId: Int,
+    conf: Configuration) extends DataWriter[InternalRow] {
 
-  // deterministic per-partition name: a task retry OVERWRITES its
-  // predecessor's file instead of duplicating it (create(overwrite=true))
-  private val p = new Path(dir, f"part-$partitionId%05d.graftbin")
+  // deterministic per-(job, partition) name: a task retry OVERWRITES its
+  // predecessor's file instead of duplicating it (create(overwrite=true));
+  // the `b` prefix keeps batch names disjoint from the streaming sink's
+  // `part-e<epoch>-…` namespace.
+  private val p = new Path(dir, f"part-b$jobTag-$partitionId%05d.graftbin")
   private val out = new DataOutputStream(
     new java.io.BufferedOutputStream(p.getFileSystem(conf).create(p, true), 1 << 16))
   private var minId = Long.MaxValue

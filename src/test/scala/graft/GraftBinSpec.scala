@@ -45,6 +45,43 @@ class GraftBinSpec extends AnyFunSuite {
       "overwrite appended instead of truncating")
   }
 
+  test("batch append stacks jobs without name collisions, and both prune") {
+    import spark.implicits._
+    val out = tmp("append")
+    // fresh dir (earlier runs of this spec may have left files)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fixture().write.format(fmt).mode("append").save(out)
+    Seq((10L, "en", "second job", 10L), (11L, "it", "ciao", 4L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+      .write.format(fmt).mode("append").save(out)
+    // union of both jobs' rows, nothing overwritten
+    val back = spark.read.format(fmt).load(out)
+    assert(back.count() == 6L, "append lost or duplicated a job's rows")
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 10L, 11L))
+    // two jobs → two disjoint job-tagged file sets and two manifest shards
+    val parts = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".graftbin"))
+    assert(parts.forall(_.startsWith("part-b")), s"untagged batch names: ${parts.mkString(",")}")
+    assert(parts.map(_.split("-")(1)).distinct.length == 2,
+      s"expected two job tags in ${parts.mkString(",")}")
+    val shards = fs.listStatus(new org.apache.hadoop.fs.Path(out, "_manifest"))
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+    assert(shards.length == 2, s"expected 2 manifest shards, got ${shards.mkString(",")}")
+    // manifest-driven planning-time skipping still works across shards:
+    // a doc_id >= 10 scan must plan only the second job's files
+    val pruned = graft.sources.GraftBin.pruneFiles(
+      spark.sessionState.newHadoopConf(), out,
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 10L)))
+    val prunedNames = pruned.map(f => new org.apache.hadoop.fs.Path(f).getName)
+    assert(prunedNames.nonEmpty &&
+      prunedNames.map(_.split("-")(1)).distinct.length == 1,
+      s"doc_id>=10 should prune down to the second job's files: $prunedNames")
+    assert(spark.read.format(fmt).load(out).where(col("doc_id") >= 10L).count() == 2L)
+  }
+
   test("doc_id filters are pushed into the scan and applied correctly") {
     val out = tmp("pushdown")
     fixture().write.format(fmt).mode("overwrite").save(out)
