@@ -134,13 +134,15 @@ def build_ann_index(spark, data_dir, index_path, method="lsh"):
     """Build (or rebuild) a persisted ANN index for ``data_dir``'s
     embeddings at ``index_path`` — the deployment shape where the index
     lives next to the data and query sessions load instead of rebuilding.
-    ``method`` is ``"lsh"`` or ``"ivf"`` (IVF records the training corpus
-    size for its append drift bound)."""
+    ``method`` is ``"lsh"``, ``"ivf"``, or ``"pq"`` (IVF and PQ record
+    the training corpus size for their append drift bounds)."""
     b = _bridge(spark)
     if method == "lsh":
         b.buildLshIndex(spark._jsparkSession, data_dir, index_path)
     elif method == "ivf":
         b.buildIvfIndex(spark._jsparkSession, data_dir, index_path)
+    elif method == "pq":
+        b.buildPqIndex(spark._jsparkSession, data_dir, index_path)
     else:
         raise ValueError(f"unknown ANN index method {method!r}")
 
@@ -148,14 +150,16 @@ def build_ann_index(spark, data_dir, index_path, method="lsh"):
 def append_ann_index(spark, data_dir, index_path, method="lsh"):
     """Incrementally index only the rows added since the last
     build/append (cost proportional to the added data). Raises when the
-    corpus change was not a pure add — or, for IVF, when the corpus has
-    outgrown the frozen geometry's measured drift bound — rebuild with
-    :func:`build_ann_index` in that case."""
+    corpus change was not a pure add — or, for IVF/PQ, when the corpus
+    has outgrown the frozen geometry's measured drift bound — rebuild
+    with :func:`build_ann_index` in that case."""
     b = _bridge(spark)
     if method == "lsh":
         b.appendLshIndex(spark._jsparkSession, data_dir, index_path)
     elif method == "ivf":
         b.appendIvfIndex(spark._jsparkSession, data_dir, index_path)
+    elif method == "pq":
+        b.appendPqIndex(spark._jsparkSession, data_dir, index_path)
     else:
         raise ValueError(f"unknown ANN index method {method!r}")
 
@@ -180,6 +184,15 @@ def persisted_topk_lsh(spark, data_dir, index_path, num_probes=5, k=5):
 def persisted_topk_ivf(spark, data_dir, index_path, num_probes=5, k=5):
     """IVF twin of :func:`persisted_topk_lsh`."""
     jdf = _bridge(spark).persistedIvfTopK(
+        spark._jsparkSession, data_dir, index_path, int(num_probes), int(k))
+    return DataFrame(jdf, spark)
+
+
+def persisted_topk_pq(spark, data_dir, index_path, num_probes=5, k=5):
+    """PQ twin of :func:`persisted_topk_lsh` (q133): the compressed scan
+    reads the persisted 16-byte codes — no float column on the scan path
+    — and only the re-rank pool rehydrates exact vectors."""
+    jdf = _bridge(spark).persistedPqTopK(
         spark._jsparkSession, data_dir, index_path, int(num_probes), int(k))
     return DataFrame(jdf, spark)
 

@@ -91,6 +91,26 @@ object PipelineBridge {
       similarity.AnnIndex.saveIvf(s, dir, path))(
       similarity.AnnIndex.ivfTopK(s, dir, path, numProbes = numProbes, k = k))
 
+  /** Build (or rebuild) the PQ index — codes + codebooks persisted, the
+    * memory-bound tier's whole point (see AnnIndex.savePq). */
+  def buildPqIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.savePq(s, dir, path)
+
+  /** PQ append — encodes new rows against the FROZEN codebooks; refuses
+    * once the corpus outgrows 1.5x the training size (the measured
+    * pqdrift knee, see AnnIndex.pqDriftBound). */
+  def appendPqIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.appendPq(s, dir, path)
+
+  /** PQ twin of [[persistedLshTopK]] (the q133 surface). */
+  def persistedPqTopK(s: SparkSession, dir: String, path: String,
+      numProbes: Int, k: Int): DataFrame =
+    SparkEntry.buildIfStale(
+      similarity.AnnIndex.definitelyStale(s, dir, path),
+      similarity.AnnIndex.appendPq(s, dir, path),
+      similarity.AnnIndex.savePq(s, dir, path))(
+      similarity.AnnIndex.pqTopK(s, dir, path, numProbes = numProbes, k = k))
+
   // --- Parameterized mix-shaping surface (the q73/q76 builders with the
   // compile-time constants as arguments; defaults on the Scala side are
   // the oracled values, so the named-query path is unchanged — Python

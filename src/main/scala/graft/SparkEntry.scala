@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.iforest.IForest
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, DedupIndex, Graph, Physical, Relational, StatsStore, Streaming, TextPipeline}
+import graft.queries.{Advanced, DedupIndex, Graph, Physical, Relational, StatsStore, StoreMix, Streaming, TextPipeline}
 import graft.similarity.{AnnIvf, AnnLsh}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -192,10 +192,26 @@ object SparkEntry {
       graft.similarity.AnnIndex.ivfTopK(s, dir, path))
   }
 
+  /** q133: the PQ twin of q58/q59 — build-if-absent-or-stale over the
+    * persisted codes + codebooks ([[graft.similarity.AnnIndex.pqTopK]]),
+    * so the bench measures the PQ load path: validate, load kilobyte
+    * geometry, compressed-scan the PERSISTED 16-byte codes (no float
+    * column on the scan), exact re-rank of the pool. Append encodes new
+    * rows against frozen codebooks, bounded at 1.5x trained rows. */
+  private def annPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(dir, "pq_q133")
+    buildIfStale(
+      graft.similarity.AnnIndex.definitelyStale(s, dir, path),
+      graft.similarity.AnnIndex.appendPq(s, dir, path),
+      graft.similarity.AnnIndex.savePq(s, dir, path))(
+      graft.similarity.AnnIndex.pqTopK(s, dir, path))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++
-      Physical.queries ++ DedupIndex.queries ++ Graph.queries ++ StatsStore.queries ++ Map(
+      Physical.queries ++ DedupIndex.queries ++ Graph.queries ++ StatsStore.queries ++
+      StoreMix.queries ++ Map(
       "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
       "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
       "q49_ann_ivf" -> ((s: SparkSession, dir: String) => AnnIvf.annTopK(s, dir)),
@@ -223,6 +239,8 @@ object SparkEntry {
       // see AnnPq's doc and the ModulesSpec recall gates.
       "q130_ann_pq" -> ((s: SparkSession, dir: String) =>
         graft.similarity.AnnPq.annTopK(s, dir)),
+      "q133_ann_pq_persisted" -> ((s: SparkSession, dir: String) =>
+        annPqPersisted(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
@@ -234,7 +252,9 @@ object SparkEntry {
     * buckets/lists from a persisted index, q60_ann_budgeted is the same
     * gaussian bucketing under an occupancy budget, q62_ann_quantized the
     * same bucketing with int8-scored candidates, q130_ann_pq re-ranks a
-    * pool selected by k-means product-quantizer codes, q89_approx_distinct
+    * pool selected by k-means product-quantizer codes,
+    * q133_ann_pq_persisted replays those codes from the persisted index,
+    * q89_approx_distinct
     * and q90_approx_percentile are Spark's HLL++ / Greenwald-Khanna sketches
     * (DuckDB's equivalents are different sketches) — none are
     * expressible as deterministic cross-engine SQL;
@@ -243,7 +263,8 @@ object SparkEntry {
     * budgeted/quantized points and the HLL error gate in ModulesSpec). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++
-      Physical.oracles ++ DedupIndex.oracles ++ Graph.oracles ++ StatsStore.oracles ++ Map(
+      Physical.oracles ++ DedupIndex.oracles ++ Graph.oracles ++ StatsStore.oracles ++
+      StoreMix.oracles ++ Map(
       "q30_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  round(list_avg(list_transform(generate_series(1, length(text)),

@@ -661,6 +661,195 @@ object AnnIndex {
         ("corpusListing" -> listingDigest(liveListing)))))
   }
 
+  // ----------------------------------------------------------------- PQ --
+
+  /** Maximum live-corpus growth over the codebook-training corpus before
+    * [[appendPq]] refuses and the heal tier rebuilds. MEASURED
+    * (TUNE_r14.txt pqdrift, the ivfdrift protocol): with frozen codebooks
+    * and the training corpus's re-rank depth, the 0.85 recall floor holds
+    * through +50% appended rows on both gated corpora (0.888/0.880),
+    * thins at +100% (0.920/0.864) and breaks at +200% (0.800) — 1.5x is
+    * one notch conservative of the observed knee, the same discipline as
+    * [[ivfDriftBound]]. */
+  private[similarity] val pqDriftBound = 1.5
+
+  /** Build the PQ index for `dir`'s embeddings and persist it at `path` —
+    * the variant whose whole POINT is the persisted artifact: the m-byte
+    * codes table (assignments) plus the sub-centroid codebooks (geometry)
+    * are what still fits in cluster memory at 100 TB, and recomputing
+    * them per session throws that away. Layout matches the LSH/IVF tier:
+    *
+    *  - `model/` — (sub_id, code_id, center): m × k sub-centroids;
+    *    doubles round-trip parquet bit-exactly, so a loaded codebook
+    *    encodes and LUT-builds bit-identically to the build session;
+    *  - `assignments/` — (vec_id, codes array<tinyint>): the m-byte code
+    *    word per corpus vector — unlike LSH/IVF the assignment IS the
+    *    compressed representation the scan reads, not a pointer into the
+    *    corpus;
+    *  - metadata carries (m, k, seed, dim, trainedRows) plus the same
+    *    corpus fingerprint/listing the other methods persist, written
+    *    LAST under the delete-meta-first crash bracket.
+    */
+  def savePq(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      m: Int = AnnPq.defaultM,
+      k: Int = AnnPq.defaultK,
+      seed: Long = 4099L): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    val books = AnnPq.fitCodebooks(s, dir, m, k, seed)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val dim = emb.selectExpr("size(e)").first().getInt(0)
+    val (rows, chk) = corpusFingerprint(s, dir)
+    val listing = corpusListing(s, dir)
+    clearMeta(s, path)
+    import s.implicits._
+    s.createDataset(for {
+      (book, sub) <- books.toIndexedSeq.zipWithIndex
+      (cent, code) <- book.toIndexedSeq.zipWithIndex
+    } yield (sub, code, cent.toSeq))
+      .toDF("sub_id", "code_id", "center")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+    val bc = s.sparkContext.broadcast(books)
+    emb.select(col("vec_id"),
+        ColumnBridge.column(PqCodes(ColumnBridge.expression(col("e")), bc)).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+    writeListing(s, path, listing)
+    // metadata LAST — see saveLsh's commit-order note. trainedRows is the
+    // corpus size the codebook GEOMETRY was fit at; appends advance
+    // corpusRows only, so the drift bound always measures growth against
+    // the k-means fits.
+    writeMeta(s, path, compact(render(
+      ("method" -> "pq") ~ ("m" -> m) ~ ("k" -> k) ~
+        ("seed" -> seed) ~ ("dim" -> dim) ~ ("trainedRows" -> rows) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(listing)))))
+  }
+
+  /** Load the persisted codebooks as books(sub)(code) = centroid. */
+  private def loadBooks(s: SparkSession, path: String, m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(s"$path/model")
+      .orderBy("sub_id", "code_id").collect()
+    require(rows.length == m * k,
+      s"PQ model at $path has ${rows.length} sub-centroids, expected ${m * k}")
+    rows.grouped(k).map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
+  }
+
+  /**
+   * PQ twin of [[appendLsh]]/[[appendIvf]]: encode ONLY the new vec_ids
+   * against the FROZEN codebooks and append their code words to
+   * `assignments/` — work proportional to the added data. Same adds-only
+   * guard and delete-meta/write-meta-last bracket. Like IVF (and unlike
+   * LSH), the append tier is BOUNDED: frozen codebooks mean new vectors
+   * are quantized by geometry fit on the smaller corpus AND the re-rank
+   * pool keeps the training corpus's depth, so recall decays with growth
+   * — [[pqDriftBound]] refuses past the measured knee and the heal tier
+   * rebuilds with refit codebooks.
+   */
+  def appendPq(s: SparkSession, dir: String, path: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    val method = (meta \ "method").extract[String]
+    if (method != "pq")
+      throw new IllegalStateException(s"appendPq on a '$method' index at $path")
+    val m = (meta \ "m").extract[Int]
+    val k = (meta \ "k").extract[Int]
+    val (newRows, liveListing) = appendableNewRows(s, dir, path, meta)
+    // drift bound BEFORE any mutation — a refusal leaves the index
+    // intact and loadable for the current corpus while the caller rebuilds
+    val trainedRows = (meta \ "trainedRows").extract[Long]
+    val (rows, chk) = corpusFingerprint(s, dir)
+    if (rows > pqDriftBound * trainedRows)
+      throw new IllegalStateException(
+        s"ANN index at $path cannot be appended: corpus grew to $rows rows " +
+          s"against codebooks trained at $trainedRows (> ${pqDriftBound}x) — " +
+          s"recall decays past the measured knee (TUNE_r14.txt pqdrift); " +
+          s"rebuild with savePq")
+    val books = loadBooks(s, path, m, k)
+    val bc = s.sparkContext.broadcast(books)
+    // materialize before mutating the directory the plan reads — see
+    // appendLsh.
+    val newAssign = newRows.select(col("vec_id"),
+      ColumnBridge.column(PqCodes(ColumnBridge.expression(col("e")), bc)).as("codes"))
+      .persist()
+    newAssign.count()
+    clearMeta(s, path)
+    newAssign.write.mode("append").parquet(s"$path/assignments")
+    newAssign.unpersist(blocking = false)
+    writeListing(s, path, liveListing)
+    writeMeta(s, path, compact(render(
+      ("method" -> "pq") ~ ("m" -> m) ~ ("k" -> k) ~
+        ("seed" -> (meta \ "seed").extract[Long]) ~
+        ("dim" -> (meta \ "dim").extract[Int]) ~
+        ("trainedRows" -> trainedRows) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(liveListing)))))
+  }
+
+  /**
+   * Top-k cosine neighbors from a PERSISTED PQ index: per-probe ADC
+   * lookup tables are built from the LOADED codebooks, the compressed
+   * scan reads the LOADED codes table (the float column is never touched
+   * on the scan path — the whole point of the artifact), and only the
+   * top-`rerank` pool per probe rehydrates vectors for the exact-cosine
+   * re-rank. Bit-identical to [[AnnPq.annTopK]] at the index's knobs
+   * (AnnIndexSpec bit-compares): codebooks round-trip parquet exactly,
+   * the code words ARE the persisted assignments, and the re-rank depth
+   * resolves from the metadata's trainedRows — an appended index keeps
+   * the pool it was built with, exactly the decay [[pqDriftBound]]
+   * bounds. Corpus-fingerprint-validated like [[lshTopK]]: throws on a
+   * stale index.
+   */
+  def pqTopK(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      numProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    requireCurrent(s, dir, path, meta)
+    val m = (meta \ "m").extract[Int]
+    val kCodes = (meta \ "k").extract[Int]
+    val rr = AnnPq.autoRerank((meta \ "trainedRows").extract[Long])
+    val books = loadBooks(s, path, m, kCodes)
+    val bc = s.sparkContext.broadcast(books)
+    graft.functions.CosineSimilarity.register(s)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"),
+        ColumnBridge.column(PqLut(ColumnBridge.expression(col("e")), bc)).as("lut"))
+    val codes = s.read.parquet(s"$path/assignments")
+    val scanned = broadcast(probes).crossJoin(codes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        ColumnBridge.column(PqAdc(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("lut")), kCodes)).as("adc"))
+    val pool = graft.plans.TopKPerKey.topK(
+      scanned, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
+    val probeVecs = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"), col("e").as("ae"))
+    val exact = emb.join(broadcast(pool.select(col("q_id"), col("neighbor_id"))),
+        col("vec_id") === col("neighbor_id"))
+      .join(broadcast(probeVecs), Seq("q_id"))
+      .selectExpr("q_id", "neighbor_id", "cosine_similarity(ae, e) AS cos")
+    graft.plans.TopKPerKey.topK(exact, "q_id", "cos", "neighbor_id", k, "cosine")
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /**
    * Top-k cosine neighbors from a PERSISTED IVF index — loaded centroids
    * assign probe lists; loaded (list_id, vec_id) assignments supply the

@@ -46,17 +46,16 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
  * recall@5 against exhaustive brute force on BOTH gated corpora, plus
  * ADC-estimator sanity on the compressed scan itself.
  *
- * Known residual: unlike LSH/IVF, the PQ tier has no PERSISTED form yet —
- * the codes table and codebooks would slot into [[AnnIndex]]'s
- * metadata/geometry/assignments layout (codes are the assignments,
- * codebooks the geometry) with the same fingerprint staleness guard, and
- * appends encode new vectors against the frozen codebooks. The drift
- * bound for that append is already MEASURED (TUNE_r14.txt pqdrift, the
- * ivfdrift protocol): the 0.85 recall floor holds through +50% appended
- * rows on both gated corpora (0.888/0.880), thins at +100% (0.920/0.864)
- * and breaks at +200% (0.800) — so appendPq should refuse past
- * 1.5× trained rows, one notch conservative of the observed knee, the
- * same discipline as [[AnnIndex.appendIvf]]'s 1.25×.
+ * The PERSISTED tier lives in [[AnnIndex]] (savePq/appendPq/pqTopK, the
+ * q133 surface): codes are the assignments, codebooks the geometry, with
+ * the same fingerprint staleness guard and meta-LAST crash bracket as
+ * LSH/IVF; appends encode new vectors against the frozen codebooks and
+ * REFUSE past [[AnnIndex.pqDriftBound]] (1.5×) — the bound is MEASURED
+ * (TUNE_r14.txt pqdrift, the ivfdrift protocol): the 0.85 recall floor
+ * holds through +50% appended rows on both gated corpora (0.888/0.880),
+ * thins at +100% (0.920/0.864) and breaks at +200% (0.800); 1.5× is one
+ * notch conservative of the observed knee, the same discipline as
+ * [[AnnIndex.appendIvf]]'s 1.25×.
  */
 object AnnPq {
 

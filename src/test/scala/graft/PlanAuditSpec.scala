@@ -608,6 +608,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q130 shuffles the corpus for a broadcast-sized side:\n$p")
   }
 
+  test("q133 persisted PQ runs the q130 shape and reads codes, not vectors, in the scan") {
+    // Same pins as q130 (the loaded index must not degrade the plan) plus
+    // the artifact's point: the ADC scan side reads the persisted
+    // assignments (codes) table — embeddings appear only on the probe and
+    // re-rank sides.
+    val p = plan("q133_ann_pq_persisted")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q133's compressed scan lost the broadcast probe fan-out:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"q133 lost a bounded TopKPerKey aggregation (pool cut or final cut):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q133's re-rank rehydration must join the broadcast pool, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q133 shuffles the corpus for a broadcast-sized side:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q133 regressed to a ScalaUDF:\n$p")
+    assert(p.contains("codes:array<tinyint>"),
+      s"q133's scan must read the persisted codes table:\n$p")
+  }
+
   test("q132 LP rounds broadcast the label table; only the backbone touches the corpus") {
     val p = plan("q132_label_prop")
     assert(p.contains("TakeOrderedAndProject"),

