@@ -55,11 +55,32 @@ object DedupIndex {
     * of corpus doc (doc_id − 7). Left join + coalesce: a missing source
     * (impossible with dense ids, but cheap to guard) keeps the original
     * text instead of dropping the doc. */
-  private[queries] def deltaDocs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def deltaDocs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.t(s, dir, "documents")
     all.where("doc_id % 10 >= 7").select(col("doc_id"), col("text"))
       .join(all.select(col("doc_id").as("src_id"), col("text").as("src_text")),
         col("src_id") === col("doc_id") - lit(7) && col("doc_id") % 10 === 7,
+        "left")
+      .selectExpr("doc_id", "coalesce(src_text, text) AS text")
+  }
+
+  /** Batch 1 of the TWO-BATCH lifecycle (q135): doc_id % 10 ∈ {7, 8},
+    * mod-7 docs planted from the corpus exactly as in [[deltaDocs]]. */
+  private[queries] def batch1Docs(s: SparkSession, dir: String): DataFrame =
+    deltaDocs(s, dir).where("doc_id % 10 < 9")
+
+  /** Batch 2 (q135): doc_id % 10 = 9, with doc_id % 20 = 9 docs PLANTED
+    * as exact copies of doc (doc_id − 1) — a batch-1 (mod-8) doc — so the
+    * judge-against-ABSORBED path is exercised: whether the copy reads
+    * 'exact' (keeper = the absorbed batch-1 doc) depends on batch 1's own
+    * verdicts, which is precisely the multi-batch store state under test.
+    * [[deltaDocs]] (q84's contract) keeps mod-9 docs RAW — this planting
+    * exists only on the q135 surface. */
+  private[queries] def batch2Docs(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.t(s, dir, "documents")
+    all.where("doc_id % 10 = 9").select(col("doc_id"), col("text"))
+      .join(all.select(col("doc_id").as("src_id"), col("text").as("src_text")),
+        col("src_id") === col("doc_id") - lit(1) && col("doc_id") % 20 === 9,
         "left")
       .selectExpr("doc_id", "coalesce(src_text, text) AS text")
   }
@@ -116,12 +137,26 @@ object DedupIndex {
   def buildIfStale(s: SparkSession, dir: String): String =
     if (isCurrent(s, dir)) root(dir) else build(s, dir)
 
+  /** The store's kept-document ids — every `keeper` in the exact table
+    * (corpus keepers at build; plus each absorbed batch's survivors).
+    * This IS the deduped-corpus membership a downstream pipeline should
+    * read instead of re-running dedup (q134's store-composition claim);
+    * #docs-sized, id-only, no text touched. */
+  def keeperIds(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir)}/exact").select(col("keeper").as("doc_id"))
+
   /** Judge every delta doc against the persisted index: exact dup (md5
     * hit), near dup (shared LSH band, verified at jaccard ≥ 0.5 on the
     * stored shingle sets), or unique. */
-  def deltaVerdicts(s: SparkSession, dir: String): DataFrame = {
+  def deltaVerdicts(s: SparkSession, dir: String): DataFrame =
+    judgeDocs(s, dir, deltaDocs(s, dir))
+
+  /** [[deltaVerdicts]] over an arbitrary (doc_id, text) batch frame — the
+    * multi-batch lifecycle surface (q135 judges batch 2 against the store
+    * AFTER batch 1 was absorbed). All joins stay delta-driven equi-joins
+    * against the store tables; nothing rescans the absorbed corpus. */
+  def judgeDocs(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
     val path = root(dir)
-    val delta = deltaDocs(s, dir)
     val dsh = Caches.persist(TextPipeline.shinglesOf(delta))
 
     val cand = TextPipeline.minhashBands(dsh)
@@ -156,11 +191,37 @@ object DedupIndex {
     * invariant holds structurally — a 'unique' verdict means the fp is
     * not in the store, and within-batch duplicates collapse in the
     * groupBy before the append. */
-  def absorb(s: SparkSession, dir: String): Unit = {
+  def absorb(s: SparkSession, dir: String): Unit =
+    absorbDocs(s, dir, deltaDocs(s, dir))
+
+  /** [[absorb]] over an arbitrary batch frame — judge it against the
+    * store, then absorb its 'unique' survivors (same policy).
+    *
+    * The kept set is STAGED to parquet before any store table is touched:
+    * its plan READS the store (the judge's joins), and Spark recaches
+    * path-based reads after a write to that path — so appending to
+    * `exact/` first and then computing shingles from a store-derived
+    * (even persisted) frame re-judges the batch against its OWN absorbed
+    * fingerprints and absorbs EMPTY shingle/band sets (the r15 q135
+    * oracle caught exactly this: absorbed docs were exact-visible but
+    * never near-visible). The staging read decouples every append from
+    * the store state, the same device as AnnIndex.appendLsh's
+    * materialize-before-mutate.
+    *
+    * Crash bracket: meta flips to non-pristine FIRST, so an absorb killed
+    * between appends leaves a store the oracled (pristine-requiring)
+    * paths rebuild via buildIfStale rather than silently serve. */
+  def absorbDocs(s: SparkSession, dir: String, delta: DataFrame): Unit = {
     val path = root(dir)
-    val keptIds = deltaVerdicts(s, dir)
+    val keptIds = judgeDocs(s, dir, delta)
       .where("verdict = 'unique'").select(col("doc_id"))
-    val kept = Caches.persist(deltaDocs(s, dir).join(keptIds, Seq("doc_id")))
+    val staging = s"$path/staging_absorb"
+    delta.join(keptIds, Seq("doc_id"))
+      .write.mode("overwrite").parquet(staging)
+    val kept = s.read.parquet(staging)
+    val fp = try s.read.parquet(s"$path/meta").head().getString(0)
+             catch { case _: Exception => "" }
+    writeMeta(s, path, fp, pristine = false) // invalidate BEFORE mutating
     kept.selectExpr("md5(text) AS fp", "doc_id")
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
@@ -168,11 +229,9 @@ object DedupIndex {
     val sh = Caches.persist(TextPipeline.shinglesOf(kept))
     sh.write.mode("append").parquet(s"$path/shingles")
     TextPipeline.minhashBands(sh).write.mode("append").parquet(s"$path/bands")
-    // the store is no longer the pristine corpus-only index the oracled
-    // queries judge against — buildIfStale must rebuild for them
-    val fp = try s.read.parquet(s"$path/meta").head().getString(0)
-             catch { case _: Exception => "" }
-    writeMeta(s, path, fp, pristine = false)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   /** q91: the same delta judged as a STREAM against the persisted store —
@@ -247,7 +306,19 @@ object DedupIndex {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_delta_dedup" -> ((s, dir) => { buildIfStale(s, dir); deltaVerdicts(s, dir) }),
-    "q91_stream_delta_dedup" -> ((s, dir) => { buildIfStale(s, dir); streamDeltaVerdicts(s, dir) })
+    "q91_stream_delta_dedup" -> ((s, dir) => { buildIfStale(s, dir); streamDeltaVerdicts(s, dir) }),
+    // TWO-BATCH lifecycle, oracled cross-engine: pristine store → judge +
+    // absorb batch 1 → judge batch 2 against the ABSORBED store (corpus ∪
+    // batch-1 survivors). This closes the gap q84 leaves: q84 oracles the
+    // judge against the pristine store only; here the store state a
+    // SECOND batch sees — including batch-2 docs planted as copies of
+    // absorbed batch-1 docs — must match DuckDB recomputing the whole
+    // two-batch history from scratch.
+    "q135_two_batch_dedup" -> ((s, dir) => {
+      buildIfStale(s, dir)
+      absorbDocs(s, dir, batch1Docs(s, dir))
+      judgeDocs(s, dir, batch2Docs(s, dir))
+    })
   )
 
   // DuckDB recomputes the whole flow from scratch: the planted
@@ -295,8 +366,81 @@ object DedupIndex {
          |LEFT JOIN near ON near.d_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
 
+  // The two-batch oracle recomputes the WHOLE lifecycle from scratch:
+  // batch-1 verdicts against the corpus, the absorbed store = corpus ∪
+  // batch-1 'unique' survivors (min-per-md5, mirroring absorb's groupBy),
+  // then batch-2 verdicts — exact fps against the grown exact table,
+  // band candidates against corpus-or-kept docs only. One shared
+  // shingle/band chain over the planted corpus∪batch1∪batch2 source
+  // serves every stage (planted copies share their source's shingles).
+  private lazy val twoBatchOracle: String =
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7
+         |  UNION ALL
+         |  SELECT d0.doc_id, coalesce(o.text, d0.text) AS text
+         |  FROM documents d0 LEFT JOIN documents o
+         |    ON o.doc_id = d0.doc_id - 7 AND d0.doc_id % 10 = 7
+         |  WHERE d0.doc_id % 10 IN (7, 8)
+         |  UNION ALL
+         |  SELECT d0.doc_id, coalesce(o.text, d0.text) AS text
+         |  FROM documents d0 LEFT JOIN documents o
+         |    ON o.doc_id = d0.doc_id - 1 AND d0.doc_id % 20 = 9
+         |  WHERE d0.doc_id % 10 = 9),
+         |docs AS (${TextPipeline.duckShingleDocsFrom("src")}),
+         |${TextPipeline.duckBandsCtes},
+         |cand1 AS (SELECT DISTINCT x.doc_id AS d_id, y.doc_id AS c_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.k0 = y.k0
+         |    AND x.k1 = y.k1 AND x.k2 = y.k2
+         |  WHERE x.doc_id % 10 IN (7, 8) AND y.doc_id % 10 < 7),
+         |near1 AS (SELECT d_id, count(*)::BIGINT AS n_near
+         |  FROM cand1
+         |  JOIN docs da ON da.doc_id = d_id
+         |  JOIN docs db ON db.doc_id = c_id
+         |  WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.5
+         |  GROUP BY d_id),
+         |ex0 AS (SELECT md5(text) AS fp, min(doc_id) AS keeper
+         |  FROM src WHERE doc_id % 10 < 7 GROUP BY fp),
+         |d1 AS (SELECT doc_id, md5(text) AS fp
+         |  FROM src WHERE doc_id % 10 IN (7, 8)),
+         |u1 AS (SELECT d1.doc_id, d1.fp FROM d1
+         |  LEFT JOIN ex0 USING (fp)
+         |  LEFT JOIN near1 ON near1.d_id = d1.doc_id
+         |  WHERE ex0.keeper IS NULL AND coalesce(near1.n_near, 0) = 0),
+         |kept1 AS (SELECT fp, min(doc_id) AS keeper FROM u1 GROUP BY fp),
+         |ex2 AS (SELECT fp, keeper FROM ex0
+         |  UNION ALL SELECT fp, keeper FROM kept1),
+         |cand2 AS (SELECT DISTINCT x.doc_id AS d_id, y.doc_id AS c_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.k0 = y.k0
+         |    AND x.k1 = y.k1 AND x.k2 = y.k2
+         |  WHERE x.doc_id % 10 = 9
+         |    AND (y.doc_id % 10 < 7
+         |         OR y.doc_id IN (SELECT doc_id FROM u1))),
+         |near2 AS (SELECT d_id, count(*)::BIGINT AS n_near,
+         |    min(c_id) AS near_match
+         |  FROM cand2
+         |  JOIN docs da ON da.doc_id = d_id
+         |  JOIN docs db ON db.doc_id = c_id
+         |  WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.5
+         |  GROUP BY d_id),
+         |d2 AS (SELECT doc_id, md5(text) AS fp
+         |  FROM src WHERE doc_id % 10 = 9)
+         |SELECT d2.doc_id,
+         |  (ex2.keeper IS NOT NULL)::INT AS exact_dup,
+         |  coalesce(ex2.keeper, -1) AS exact_keeper,
+         |  coalesce(near2.n_near, 0)::BIGINT AS n_near,
+         |  coalesce(near2.near_match, -1) AS near_match,
+         |  CASE WHEN ex2.keeper IS NOT NULL THEN 'exact'
+         |       WHEN coalesce(near2.n_near, 0) > 0 THEN 'near'
+         |       ELSE 'unique' END AS verdict
+         |FROM d2 LEFT JOIN ex2 USING (fp)
+         |LEFT JOIN near2 ON near2.d_id = d2.doc_id
+         |ORDER BY d2.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q84_delta_dedup" -> deltaOracle,
-    "q91_stream_delta_dedup" -> deltaOracle
+    "q91_stream_delta_dedup" -> deltaOracle,
+    "q135_two_batch_dedup" -> twoBatchOracle
   )
 }

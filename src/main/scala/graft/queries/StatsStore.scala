@@ -133,14 +133,23 @@ object StatsStore {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_incremental_stats" -> ((s, dir) => {
       buildIfStale(s, dir); mergedStats(s, dir)
+    }),
+    // The POST-ABSORB read path, oracled: q107 merges live delta partials
+    // against the pristine store; here the delta is ABSORBED first and
+    // the dashboard read ([[storedStats]] — store alone, no live input)
+    // must land on the full-table recompute's exact integers. This is
+    // the multi-batch lifecycle cross-engine: build → absorb → read,
+    // where before r15 the absorbed state was spec-only.
+    "q136_stats_absorbed" -> ((s, dir) => {
+      buildIfStale(s, dir); absorb(s, dir); storedStats(s, dir)
     })
   )
 
-  // The oracle recomputes the SAME stats from the full table in one
-  // pass — the merged partials must land on identical integers, which
-  // is exactly the mergeability claim under test.
-  val oracles: Map[String, String] = Map(
-    "q107_incremental_stats" ->
+  // Both oracles recompute the SAME stats from the full table in one
+  // pass — merged partials (q107) and the absorbed store read (q136)
+  // must land on identical integers, which is exactly the mergeability
+  // claim under test.
+  private lazy val fullRecomputeOracle: String =
       """SELECT lang, source, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS total_chars,
         |  ((sum(n_chars) * 1000000) // count(*))::BIGINT AS mean_e6,
@@ -148,5 +157,9 @@ object StatsStore {
         |     * 1000) // (count(*) * count(*)))::BIGINT AS var_e3,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q107_incremental_stats" -> fullRecomputeOracle,
+    "q136_stats_absorbed" -> fullRecomputeOracle
   )
 }

@@ -1826,7 +1826,7 @@ object TextPipeline {
     * function — the same economy the expression's memo exploits) and
     * joins counts back per doc; `cnt` is (doc_id, n) for docs with >= 1
     * pre-token — consumers LEFT JOIN + coalesce 0 for the rest. */
-  private lazy val duckBpeCtes = {
+  private[queries] lazy val duckBpeCtes = {
     val chain = graft.functions.BpeTokenizer.duckChainSql("s")
     s"""pre AS (SELECT doc_id, source,
        |    unnest(regexp_extract_all(text,

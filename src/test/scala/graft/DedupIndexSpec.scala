@@ -125,6 +125,20 @@ class DedupIndexSpec extends AnyFunSuite {
         assert(r.getInt(1) == 1 && r.getLong(2) <= r.getLong(0),
           s"absorbed doc ${r.getLong(0)} not matched exactly (keeper ${r.getLong(2)})")
     }
+    // absorbed docs must be NEAR-visible too, not just exact-visible:
+    // their bands and shingle sets are in the store (the r15 bug: the
+    // band/shingle appends re-evaluated the kept set against the
+    // already-mutated exact table and absorbed EMPTY sets — every
+    // absorbed doc judged exact but could never produce a near verdict
+    // for a later batch)
+    val bandIds = spark.read.parquet(s"$path/bands")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val shingleIds = spark.read.parquet(s"$path/shingles")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    for (u <- uniques) {
+      assert(bandIds.contains(u), s"absorbed doc $u missing from the band index")
+      assert(shingleIds.contains(u), s"absorbed doc $u missing from the shingle store")
+    }
     // rebuild so sibling tests (any order) see the pristine corpus store
     idx.build(spark, sf)
     graft.queries.Caches.releaseAll()
