@@ -138,8 +138,12 @@ object Graph {
     * and pay the m^1.5; the backbone cap is the declared contract here,
     * applied identically by the oracle.) */
   /** The deterministic top-M co-purchase backbone (canonical a < b
-    * edges) — the corpus-scale stage shared by q128 and q132. */
-  private def coPurchaseBackbone(s: SparkSession, dir: String): DataFrame = {
+    * edges) — the corpus-scale stage shared by q128 and q132. The query
+    * surface always cuts at [[backboneM]]; the M parameter exists for
+    * GraphTune's sensitivity grid (TUNE_r15: how do triangle counts and
+    * runtime move with the cut?). */
+  private[graft] def coPurchaseBackbone(s: SparkSession, dir: String,
+      m: Int = backboneM): DataFrame = {
     val os = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     os.as("x").join(os.as("y"),
@@ -147,7 +151,7 @@ object Graph {
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
       .agg(count(lit(1)).as("w"))
       .orderBy(col("w").desc, col("a"), col("b"))
-      .limit(backboneM)
+      .limit(m)
       .select(col("a"), col("b"))
   }
 

@@ -9,13 +9,13 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * scan fraction (and, for voted/budgeted LSH, the pre-vote pool) for a
  * grid of LSH/IVF knobs against driver-side exhaustive top-k. Not part of
  * the query surface — run with
- * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|pq|pqdrift|both]"`
+ * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|lshmix|pq|pqdrift|both]"`
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
   private val modes =
     Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide",
-      "ivfdrift", "lshdrift", "pq", "pqdrift", "both")
+      "ivfdrift", "lshdrift", "lshmix", "pq", "pqdrift", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -360,6 +360,90 @@ object AnnTune {
           scan, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
         evalOne(s"pq ship m=16 k=16 rerank=$rr seed=$seed",
           pool, AnnPq.annTopK(spark, dir, nProbes, k, 0, 16, 16, seed))
+      }
+    }
+    if (which == "lshmix") {
+      // MIXED-APPEND occupancy telemetry (r15, carried from the r12
+      // list): lshdrift measured pure appends of the SAME distribution
+      // (deltaAssign=0, flat skew). The open channel was INTERLEAVED
+      // appends of a SHIFTED distribution — arrivals whose embedding
+      // statistics drift (new domain, new encoder checkpoint). The
+      // geometry is frozen, so appended ≡ rebuilt still holds per
+      // assignment (deltaAssign pins it); the question is the COST
+      // channel: shifted arrivals crowd into the hyperplane cells
+      // aligned with the shift, skewing bucket occupancy and growing
+      // per-probe candidate pools. Protocol: build over the first half;
+      // stage A appends the next quarter RAW; stage B appends the last
+      // quarter SHIFTED (+0.6 per dimension before the float cast — a
+      // strong mean shift); after each stage report deltaAssign vs a
+      // fresh rebuild, occupancy stats, the scanned candidate fraction
+      // at the index's knobs, and recall@5 against brute force on the
+      // LIVE (mixed) corpus.
+      val work = java.nio.file.Files.createTempDirectory("graft-lshmix-").toString
+      try {
+        val corpus = s"$work/corpus"
+        val idx = s"$work/idx"
+        val half = total / 2
+        val threeQ = (total * 3) / 4
+        val src = spark.read.parquet(s"$dir/embeddings.parquet")
+        src.where(s"vec_id < $half").write.parquet(s"$corpus/embeddings.parquet")
+        graft.similarity.AnnIndex.saveLsh(spark, corpus, idx)
+        def stage(label: String): Unit = {
+          val rebuilt = s"$work/rebuilt_$label"
+          graft.similarity.AnnIndex.saveLsh(spark, corpus, rebuilt)
+          def assigns(p: String): Set[(Long, Int)] =
+            spark.read.parquet(s"$p/assignments")
+              .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+          val a = assigns(idx)
+          val delta = {
+            val b = assigns(rebuilt)
+            (a diff b).size + (b diff a).size
+          }
+          val occ = a.groupBy(_._2).map(_._2.size.toLong).toSeq.sorted
+          val rows = occ.sum
+          // live-corpus brute force: the shifted tail changes the truth
+          val live = spark.read.parquet(s"$corpus/embeddings.parquet")
+            .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+            .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+          val liveBrute = (0 until nProbes).map { q =>
+            val qv = live(q.toLong)
+            q.toLong -> live.view.filter(_._1 != q.toLong)
+              .map { case (id, v) => (cosineOf(qv, v), id) }
+              .toSeq.sortBy { case (c, id) => (-c, id) }.take(k).map(_._2).toSet
+          }.toMap
+          val cands = AnnLsh.candidates(spark, corpus, nProbes)
+          val scanned = cands.groupBy("q_id").count()
+            .collect().map(_.getLong(1)).sum
+          val frac = scanned.toDouble / (nProbes.toLong * live.size)
+          val ann = graft.similarity.AnnIndex.lshTopK(spark, corpus, idx, nProbes, k)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+          val recall = (0 until nProbes).map(q =>
+            ann.getOrElse(q.toLong, Set.empty[Long])
+              .intersect(liveBrute(q.toLong)).size.toDouble / k).sum / nProbes
+          println(f"lshmix $label%-28s rows=$rows deltaAssign=$delta " +
+            f"recall@$k=$recall%.3f scan=$frac%.3f " +
+            f"occ[buckets=${occ.size} mean=${rows.toDouble / occ.size}%.1f " +
+            f"maxShare=${occ.last.toDouble / rows}%.4f " +
+            f"top1pctShare=${occ.takeRight(math.max(1, occ.size / 100)).sum.toDouble / rows}%.4f]")
+        }
+        stage("base(50%raw)")
+        src.where(s"vec_id >= $half AND vec_id < $threeQ")
+          .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+        graft.similarity.AnnIndex.appendLsh(spark, corpus, idx)
+        stage("appendA(+25%raw)")
+        src.where(s"vec_id >= $threeQ")
+          .selectExpr("vec_id", "label",
+            "transform(embedding, x -> cast(x + 0.6 AS float)) AS embedding")
+          .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+        graft.similarity.AnnIndex.appendLsh(spark, corpus, idx)
+        stage("appendB(+25%shifted)")
+      } finally {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm))
+          p.delete()
+        }
+        rm(new java.io.File(work))
       }
     }
     if (which == "pqdrift") {
