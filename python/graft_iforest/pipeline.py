@@ -188,6 +188,15 @@ def persisted_topk_ivf(spark, data_dir, index_path, num_probes=5, k=5):
     return DataFrame(jdf, spark)
 
 
+def ann_topk_ivfpq(spark, data_dir, num_probes=5, k=5):
+    """Composed IVF-PQ top-k (q137): coarse inverted lists prune the scan,
+    16-byte residual codes score survivors via ADC, exact cosine re-ranks
+    the pool."""
+    jdf = _bridge(spark).annIvfPqTopK(
+        spark._jsparkSession, data_dir, int(num_probes), int(k))
+    return DataFrame(jdf, spark)
+
+
 def persisted_topk_pq(spark, data_dir, index_path, num_probes=5, k=5):
     """PQ twin of :func:`persisted_topk_lsh` (q133): the compressed scan
     reads the persisted 16-byte codes — no float column on the scan path

@@ -150,6 +150,18 @@ def main():
         gp.release_caches(spark)
         assert ivf, "persisted IVF probe returned no rows"
         assert gp.ann_index_current(spark, corpus, ivf_index)
+        # PQ: heal-tier build of the absent index, then bit-agreement with
+        # the live path (persisted codes + codebooks replay the same fit)
+        pq_index = os.path.join(work, "pq_index")
+        pqp = gp.persisted_topk_pq(spark, corpus, pq_index,
+                                   num_probes=5, k=5).collect()
+        gp.release_caches(spark)
+        assert pqp, "persisted PQ probe returned no rows"
+        assert gp.ann_index_current(spark, corpus, pq_index)
+        pql = gp.ann_topk_pq(spark, corpus, num_probes=5, k=5).collect()
+        gp.release_caches(spark)
+        assert sorted(map(key, pqp)) == sorted(map(key, pql)), \
+            "persisted PQ diverged from the live path"
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -38,6 +38,11 @@ object PipelineBridge {
       rerank: Int): DataFrame =
     similarity.AnnPq.annTopK(s, dir, numProbes = numProbes, k = k, rerank = rerank)
 
+  /** Composed IVF-PQ variant (q137): coarse-list pruning + residual ADC
+    * scoring + exact re-rank — see [[similarity.AnnIvfPq]]. */
+  def annIvfPqTopK(s: SparkSession, dir: String, numProbes: Int, k: Int): DataFrame =
+    similarity.AnnIvfPq.annTopK(s, dir, numProbes = numProbes, k = k)
+
   // --- Persisted/appendable ANN index tier (the q58/q59 deployment
   // shape: the index lives next to the data, query sessions validate and
   // load instead of rebuilding). Explicit build/append/probe methods for

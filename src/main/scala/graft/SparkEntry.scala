@@ -241,6 +241,12 @@ object SparkEntry {
         graft.similarity.AnnPq.annTopK(s, dir)),
       "q133_ann_pq_persisted" -> ((s: SparkSession, dir: String) =>
         annPqPersisted(s, dir)),
+      // IVF-PQ (Jégou et al. 2011 §IV, the FAISS IVFADC composition):
+      // coarse inverted lists prune WHICH rows are scored, 16-byte
+      // residual codes decide HOW CHEAPLY — <q,x> ≈ <q,c_list> + ADC on
+      // the residual codebooks, exact re-rank of the pool. See AnnIvfPq.
+      "q137_ann_ivfpq" -> ((s: SparkSession, dir: String) =>
+        graft.similarity.AnnIvfPq.annTopK(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
@@ -254,6 +260,7 @@ object SparkEntry {
     * same bucketing with int8-scored candidates, q130_ann_pq re-ranks a
     * pool selected by k-means product-quantizer codes,
     * q133_ann_pq_persisted replays those codes from the persisted index,
+    * q137_ann_ivfpq composes k-means coarse lists with residual PQ codes,
     * q89_approx_distinct
     * and q90_approx_percentile are Spark's HLL++ / Greenwald-Khanna sketches
     * (DuckDB's equivalents are different sketches) — none are

@@ -9,13 +9,13 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * scan fraction (and, for voted/budgeted LSH, the pre-vote pool) for a
  * grid of LSH/IVF knobs against driver-side exhaustive top-k. Not part of
  * the query surface — run with
- * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|lshmix|pq|pqdrift|both]"`
+ * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|lshmix|pq|pqdrift|ivfpq|both]"`
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
   private val modes =
     Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide",
-      "ivfdrift", "lshdrift", "lshmix", "pq", "pqdrift", "both")
+      "ivfdrift", "lshdrift", "lshmix", "pq", "pqdrift", "ivfpq", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -444,6 +444,21 @@ object AnnTune {
           p.delete()
         }
         rm(new java.io.File(work))
+      }
+    }
+    if (which == "ivfpq") {
+      // COMPOSED IVF-PQ (residual ADC over inverted lists): recall is
+      // bounded above by the IVF pruning recall at the same (nlist,
+      // nprobe) — the grid prices what the 16-byte residual codes give
+      // back vs whole-vector PQ (q130) and float-scored IVF (q49).
+      // Also 5-seed minima at the shipped point (the ModulesSpec gate).
+      import graft.similarity.AnnIvfPq
+      for (rr <- Seq(0)) {
+        for (seed <- Seq(4099L, 17L, 291L, 5843L, 90001L)) {
+          val scan = AnnIvfPq.prunedScan(spark, dir, nProbes, seed = seed)
+          evalOne(s"ivfpq auto-knobs rerank=auto seed=$seed",
+            scan, AnnIvfPq.annTopK(spark, dir, nProbes, k, rr, seed = seed))
+        }
       }
     }
     if (which == "pqdrift") {

@@ -376,6 +376,39 @@ class ModulesSpec extends AnyFunSuite {
       }
     }
 
+  for (dir <- gatedSfs)
+    test(s"AnnIvfPq: composed recall@5 >= 0.85 at scan <= 0.25; cosines exact ($dir)") {
+      // IVF-PQ (q137): coarse lists prune WHICH rows are scored (q49's
+      // partition pruning), residual ADC decides HOW CHEAPLY (q130's
+      // 16 bytes + m lookups) — the FAISS IVFADC composition. Recall is
+      // bounded above by the IVF pruning at the same auto knobs, and the
+      // residual codes give almost all of it back through the exact
+      // re-rank: gate-seed 0.936/0.928, 5-seed minima 0.912/0.880
+      // (TUNE_r15.txt ivfpq grid) at scan 0.19-0.22 — so the same
+      // (0.85, 0.25) box as q49 gates the composition.
+      val nProbes = 25
+      val ann = graft.similarity.AnnIvfPq.annTopK(spark, dir, numProbes = nProbes, k = 5)
+        .collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val recall = meanRecall(dir, ann, nProbes, 5)
+      val frac = scanFraction(dir,
+        graft.similarity.AnnIvfPq.prunedScan(spark, dir, numProbes = nProbes), nProbes)
+      info(f"AnnIvfPq recall@5 over $nProbes probes: $recall%.3f at scan $frac%.3f")
+      logRecall(dir, "ivfpq", recall, frac, nProbes, 5)
+      assert(recall >= 0.85, f"IVF-PQ recall@5 $recall%.3f below the 0.85 floor")
+      assert(frac <= 0.25, f"IVF-PQ scanned $frac%.3f of the corpus, above the 0.25 ceiling")
+      // reported cosines are exact — ADC (+ the <q,c_l> term) only
+      // selects the pool
+      val emb = embMap(dir)
+      graft.similarity.AnnIvfPq.annTopK(spark, dir, numProbes = nProbes, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .foreach { case (q, n, cos) =>
+          val truth = cosineOf(emb(q), emb(n))
+          assert(math.abs(cos - truth) < 5e-5,
+            f"q$q->n$n reported $cos%.6f vs exact $truth%.6f — ADC leaked into the ranking")
+        }
+    }
+
   test("QuantizeVec: int8 ranking trade vs exact cosine is measured, not guessed") {
     // q61 ranks on CosineSimilarityI8 over QuantizeVec output (a true
     // array<tinyint>; per-vector scales cancel in the cosine ratio). The

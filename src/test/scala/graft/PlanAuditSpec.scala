@@ -627,6 +627,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q133's scan must read the persisted codes table:\n$p")
   }
 
+  test("q137 IVF-PQ: list-pruned broadcast join, bounded top-k, no SMJ, no UDF") {
+    // The composed path must keep BOTH halves' plan contracts: the scan
+    // is a broadcast-probes equi-join on list_id (pruning — never the
+    // q130 all-rows NLJ fan-out), the pool cuts are the bounded
+    // ObjectHashAggregate, the re-rank joins the broadcast pool, and
+    // everything per-row is codegen'd expressions (no ScalaUDF).
+    val p = plan("q137_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q137's pruned scan lost the broadcast list join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q137 planned an all-pairs join — the IVF pruning half is gone:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"q137 lost a bounded TopKPerKey aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q137 shuffles the corpus for a broadcast-sized side:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q137 regressed to a ScalaUDF:\n$p")
+  }
+
   test("q132 LP rounds broadcast the label table; only the backbone touches the corpus") {
     val p = plan("q132_label_prop")
     assert(p.contains("TakeOrderedAndProject"),
