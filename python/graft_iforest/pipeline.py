@@ -134,7 +134,7 @@ def build_ann_index(spark, data_dir, index_path, method="lsh"):
     """Build (or rebuild) a persisted ANN index for ``data_dir``'s
     embeddings at ``index_path`` — the deployment shape where the index
     lives next to the data and query sessions load instead of rebuilding.
-    ``method`` is ``"lsh"``, ``"ivf"``, or ``"pq"`` (IVF and PQ record
+    ``method`` is ``"lsh"``, ``"ivf"``, ``"pq"``, or ``"ivfpq"`` (all but LSH record
     the training corpus size for their append drift bounds)."""
     b = _bridge(spark)
     if method == "lsh":
@@ -143,6 +143,8 @@ def build_ann_index(spark, data_dir, index_path, method="lsh"):
         b.buildIvfIndex(spark._jsparkSession, data_dir, index_path)
     elif method == "pq":
         b.buildPqIndex(spark._jsparkSession, data_dir, index_path)
+    elif method == "ivfpq":
+        b.buildIvfPqIndex(spark._jsparkSession, data_dir, index_path)
     else:
         raise ValueError(f"unknown ANN index method {method!r}")
 
@@ -160,6 +162,8 @@ def append_ann_index(spark, data_dir, index_path, method="lsh"):
         b.appendIvfIndex(spark._jsparkSession, data_dir, index_path)
     elif method == "pq":
         b.appendPqIndex(spark._jsparkSession, data_dir, index_path)
+    elif method == "ivfpq":
+        b.appendIvfPqIndex(spark._jsparkSession, data_dir, index_path)
     else:
         raise ValueError(f"unknown ANN index method {method!r}")
 
@@ -202,6 +206,15 @@ def persisted_topk_pq(spark, data_dir, index_path, num_probes=5, k=5):
     reads the persisted 16-byte codes — no float column on the scan path
     — and only the re-rank pool rehydrates exact vectors."""
     jdf = _bridge(spark).persistedPqTopK(
+        spark._jsparkSession, data_dir, index_path, int(num_probes), int(k))
+    return DataFrame(jdf, spark)
+
+
+def persisted_topk_ivfpq(spark, data_dir, index_path, num_probes=5, k=5):
+    """IVF-PQ twin of :func:`persisted_topk_lsh` (q138): list-pruned scan
+    over persisted 16-byte residual codes, both geometries loaded from
+    the index."""
+    jdf = _bridge(spark).persistedIvfPqTopK(
         spark._jsparkSession, data_dir, index_path, int(num_probes), int(k))
     return DataFrame(jdf, spark)
 

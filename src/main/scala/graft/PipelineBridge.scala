@@ -116,6 +116,23 @@ object PipelineBridge {
       similarity.AnnIndex.savePq(s, dir, path))(
       similarity.AnnIndex.pqTopK(s, dir, path, numProbes = numProbes, k = k))
 
+  /** Build (or rebuild) the composed IVF-PQ index (q138's artifact). */
+  def buildIvfPqIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.saveIvfPq(s, dir, path)
+
+  /** IVF-PQ append — bounded at the coarse geometry's 1.25x knee. */
+  def appendIvfPqIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.appendIvfPq(s, dir, path)
+
+  /** IVF-PQ twin of [[persistedLshTopK]] (the q138 surface). */
+  def persistedIvfPqTopK(s: SparkSession, dir: String, path: String,
+      numProbes: Int, k: Int): DataFrame =
+    SparkEntry.buildIfStale(
+      similarity.AnnIndex.definitelyStale(s, dir, path),
+      similarity.AnnIndex.appendIvfPq(s, dir, path),
+      similarity.AnnIndex.saveIvfPq(s, dir, path))(
+      similarity.AnnIndex.ivfPqTopK(s, dir, path, numProbes = numProbes, k = k))
+
   // --- Parameterized mix-shaping surface (the q73/q76 builders with the
   // compile-time constants as arguments; defaults on the Scala side are
   // the oracled values, so the named-query path is unchanged — Python

@@ -207,6 +207,19 @@ object SparkEntry {
       graft.similarity.AnnIndex.pqTopK(s, dir, path))
   }
 
+  /** q138: the persisted IVF-PQ — the FAISS-artifact shape (coarse +
+    * residual geometry, list-tagged 16-byte codes) behind the same
+    * build-if-absent-or-stale tiering; append bounded at the COARSE
+    * geometry's 1.25x knee (the binding bound of the composition). */
+  private def annIvfPqPersisted(s: SparkSession, dir: String): DataFrame = {
+    val path = annIndexPath(dir, "ivfpq_q138")
+    buildIfStale(
+      graft.similarity.AnnIndex.definitelyStale(s, dir, path),
+      graft.similarity.AnnIndex.appendIvfPq(s, dir, path),
+      graft.similarity.AnnIndex.saveIvfPq(s, dir, path))(
+      graft.similarity.AnnIndex.ivfPqTopK(s, dir, path))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++
@@ -247,6 +260,8 @@ object SparkEntry {
       // the residual codebooks, exact re-rank of the pool. See AnnIvfPq.
       "q137_ann_ivfpq" -> ((s: SparkSession, dir: String) =>
         graft.similarity.AnnIvfPq.annTopK(s, dir)),
+      "q138_ann_ivfpq_persisted" -> ((s: SparkSession, dir: String) =>
+        annIvfPqPersisted(s, dir)),
       "iforest_score" -> ((s: SparkSession, dir: String) => iforestScore(s, dir)),
     )
 
@@ -261,7 +276,8 @@ object SparkEntry {
     * pool selected by k-means product-quantizer codes,
     * q133_ann_pq_persisted replays those codes from the persisted index,
     * q137_ann_ivfpq composes k-means coarse lists with residual PQ codes,
-    * q89_approx_distinct
+    * q138_ann_ivfpq_persisted replays that composition from its persisted
+    * index, q89_approx_distinct
     * and q90_approx_percentile are Spark's HLL++ / Greenwald-Khanna sketches
     * (DuckDB's equivalents are different sketches) — none are
     * expressible as deterministic cross-engine SQL;

@@ -42,10 +42,18 @@ object DedupIndex {
   // md5 fragment, not hashCode: a 32-bit hashCode collision between two
   // data roots would alternate the store fingerprint-stale and rebuild on
   // every access — same rationale as SparkEntry.annIndexPath.
-  private def root(dir: String): String = {
+  // `variant` separates INDEPENDENT store instances over the same corpus:
+  // q84/q91 keep the default (their contract needs the PRISTINE
+  // corpus-only store), while the absorbing lifecycles (q135's two-batch,
+  // q134's mix) get their own roots — without this, every absorb flipped
+  // the shared store non-pristine and q84 paid a full rebuild on each
+  // subsequent lap (measured 1.36 s -> 2.44 s in the r15 bench before
+  // the split).
+  private def root(dir: String, variant: String = ""): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_$h"
+    val v = if (variant.isEmpty) "" else s"_$variant"
+    s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_$h$v"
   }
 
   private[queries] def corpusDocs(s: SparkSession, dir: String): DataFrame =
@@ -101,8 +109,8 @@ object DedupIndex {
   /** Fingerprint the corpus slice into the persisted index; returns the
     * index path. The meta record (corpus fingerprint + pristine flag) is
     * written LAST — a crashed build leaves no meta and judges rebuild. */
-  def build(s: SparkSession, dir: String): String = {
-    val path = root(dir)
+  def build(s: SparkSession, dir: String, variant: String = ""): String = {
+    val path = root(dir, variant)
     corpusDocs(s, dir)
       .selectExpr("md5(text) AS fp", "doc_id")
       .groupBy(col("fp"))
@@ -125,25 +133,25 @@ object DedupIndex {
   /** True iff the store exists, its recorded corpus fingerprint matches
     * the live corpus slice, and no absorb has extended it past the
     * pristine corpus-only state (q84/q91's oracled contract). */
-  def isCurrent(s: SparkSession, dir: String): Boolean =
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
     try {
-      val r = s.read.parquet(s"${root(dir)}/meta").head()
+      val r = s.read.parquet(s"${root(dir, variant)}/meta").head()
       r.getString(0) == corpusFingerprint(s, dir) && r.getBoolean(1)
     } catch { case _: Exception => false }
 
   /** Build only when the store is missing, stale, or absorbed-into —
     * the deployment steady state is build-once-judge-many, and the
     * judge-side cost is the recurring one worth measuring. */
-  def buildIfStale(s: SparkSession, dir: String): String =
-    if (isCurrent(s, dir)) root(dir) else build(s, dir)
+  def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
+    if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
 
   /** The store's kept-document ids — every `keeper` in the exact table
     * (corpus keepers at build; plus each absorbed batch's survivors).
     * This IS the deduped-corpus membership a downstream pipeline should
     * read instead of re-running dedup (q134's store-composition claim);
     * #docs-sized, id-only, no text touched. */
-  def keeperIds(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"${root(dir)}/exact").select(col("keeper").as("doc_id"))
+  def keeperIds(s: SparkSession, dir: String, variant: String = ""): DataFrame =
+    s.read.parquet(s"${root(dir, variant)}/exact").select(col("keeper").as("doc_id"))
 
   /** Judge every delta doc against the persisted index: exact dup (md5
     * hit), near dup (shared LSH band, verified at jaccard ≥ 0.5 on the
@@ -155,8 +163,9 @@ object DedupIndex {
     * multi-batch lifecycle surface (q135 judges batch 2 against the store
     * AFTER batch 1 was absorbed). All joins stay delta-driven equi-joins
     * against the store tables; nothing rescans the absorbed corpus. */
-  def judgeDocs(s: SparkSession, dir: String, delta: DataFrame): DataFrame = {
-    val path = root(dir)
+  def judgeDocs(s: SparkSession, dir: String, delta: DataFrame,
+      variant: String = ""): DataFrame = {
+    val path = root(dir, variant)
     val dsh = Caches.persist(TextPipeline.shinglesOf(delta))
 
     val cand = TextPipeline.minhashBands(dsh)
@@ -191,8 +200,8 @@ object DedupIndex {
     * invariant holds structurally — a 'unique' verdict means the fp is
     * not in the store, and within-batch duplicates collapse in the
     * groupBy before the append. */
-  def absorb(s: SparkSession, dir: String): Unit =
-    absorbDocs(s, dir, deltaDocs(s, dir))
+  def absorb(s: SparkSession, dir: String, variant: String = ""): Unit =
+    absorbDocs(s, dir, deltaDocs(s, dir), variant)
 
   /** [[absorb]] over an arbitrary batch frame — judge it against the
     * store, then absorb its 'unique' survivors (same policy).
@@ -211,9 +220,10 @@ object DedupIndex {
     * Crash bracket: meta flips to non-pristine FIRST, so an absorb killed
     * between appends leaves a store the oracled (pristine-requiring)
     * paths rebuild via buildIfStale rather than silently serve. */
-  def absorbDocs(s: SparkSession, dir: String, delta: DataFrame): Unit = {
-    val path = root(dir)
-    val keptIds = judgeDocs(s, dir, delta)
+  def absorbDocs(s: SparkSession, dir: String, delta: DataFrame,
+      variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val keptIds = judgeDocs(s, dir, delta, variant)
       .where("verdict = 'unique'").select(col("doc_id"))
     val staging = s"$path/staging_absorb"
     delta.join(keptIds, Seq("doc_id"))
@@ -315,9 +325,9 @@ object DedupIndex {
     // absorbed batch-1 docs — must match DuckDB recomputing the whole
     // two-batch history from scratch.
     "q135_two_batch_dedup" -> ((s, dir) => {
-      buildIfStale(s, dir)
-      absorbDocs(s, dir, batch1Docs(s, dir))
-      judgeDocs(s, dir, batch2Docs(s, dir))
+      buildIfStale(s, dir, "b2")
+      absorbDocs(s, dir, batch1Docs(s, dir), "b2")
+      judgeDocs(s, dir, batch2Docs(s, dir), "b2")
     })
   )
 

@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions._
 object StatsStore {
 
   // md5 fragment, not hashCode — see DedupIndex.root / annIndexPath.
-  private[graft] def root(dir: String): String = {
+  // `variant` separates independent store instances (the absorbing
+  // lifecycles q134/q136 vs q107's pristine-store contract) — see
+  // DedupIndex.root's note.
+  private[graft] def root(dir: String, variant: String = ""): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_stats_store_$h"
+    val v = if (variant.isEmpty) "" else s"_$variant"
+    s"${sys.props("java.io.tmpdir")}/graft_stats_store_$h$v"
   }
 
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
@@ -64,8 +68,8 @@ object StatsStore {
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
-  def build(s: SparkSession, dir: String): String = {
-    val path = root(dir)
+  def build(s: SparkSession, dir: String, variant: String = ""): String = {
+    val path = root(dir, variant)
     partials(corpusDocs(s, dir))
       .write.mode("overwrite").parquet(s"$path/partials")
     import s.implicits._
@@ -74,13 +78,13 @@ object StatsStore {
     path
   }
 
-  def isCurrent(s: SparkSession, dir: String): Boolean =
-    try s.read.parquet(s"${root(dir)}/meta").head().getString(0) ==
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
+    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
       fingerprint(s, dir)
     catch { case _: Exception => false }
 
-  def buildIfStale(s: SparkSession, dir: String): String =
-    if (isCurrent(s, dir)) root(dir) else build(s, dir)
+  def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
+    if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
 
   /** ABSORB: append the delta's partials into the store so the stats
     * advance permanently — afterwards the store alone covers corpus ∪
@@ -91,8 +95,8 @@ object StatsStore {
     * needs the pristine corpus-only store — rebuilds via buildIfStale.
     * The partials table stays #batches × #groups rows; a periodic
     * `build` compacts it back to #groups. */
-  def absorb(s: SparkSession, dir: String): Unit = {
-    val path = root(dir)
+  def absorb(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
     partials(deltaDocs(s, dir))
       .write.mode("append").parquet(s"$path/partials")
     import s.implicits._
@@ -103,8 +107,8 @@ object StatsStore {
   /** Finalized stats from the STORE ALONE (no live delta) — the read a
     * dashboard does between batches. After absorb, this equals the full
     * corpus ∪ delta recompute exactly (spec-pinned). */
-  def storedStats(s: SparkSession, dir: String): DataFrame =
-    finalize(s.read.parquet(s"${root(dir)}/partials"))
+  def storedStats(s: SparkSession, dir: String, variant: String = ""): DataFrame =
+    finalize(s.read.parquet(s"${root(dir, variant)}/partials"))
 
   /** Persisted corpus partials ∪ live delta partials → merge → finalize.
     * The merge groupBy runs over 2×#groups rows; the only corpus-scale
@@ -141,7 +145,7 @@ object StatsStore {
     // the multi-batch lifecycle cross-engine: build → absorb → read,
     // where before r15 the absorbed state was spec-only.
     "q136_stats_absorbed" -> ((s, dir) => {
-      buildIfStale(s, dir); absorb(s, dir); storedStats(s, dir)
+      buildIfStale(s, dir, "abs"); absorb(s, dir, "abs"); storedStats(s, dir, "abs")
     })
   )
 

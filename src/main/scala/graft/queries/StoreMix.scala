@@ -42,8 +42,8 @@ object StoreMix {
   /** The mix pipeline reading the ALREADY-ABSORBED stores — step 3 alone.
     * Requires both stores to cover corpus ∪ delta. */
   private[graft] def mixFromStores(s: SparkSession, dir: String): DataFrame =
-    mixFrom(s, dir, DedupIndex.keeperIds(s, dir),
-      StatsStore.storedStats(s, dir)
+    mixFrom(s, dir, DedupIndex.keeperIds(s, dir, variant),
+      StatsStore.storedStats(s, dir, variant)
         .select(col("lang"), col("source"), col("n_docs"), col("total_chars")))
 
   /** The gate/cap/split pipeline over an injected dedup membership and
@@ -80,14 +80,19 @@ object StoreMix {
       .orderBy(col("doc_id"))
   }
 
+  /** q134's own store instances — the q84/q107 contracts need the
+    * PRISTINE default stores, and an absorb here must not force their
+    * next lap into a rebuild (see DedupIndex.root's variant note). */
+  private val variant = "mix"
+
   /** The full loop: (re)build pristine stores, judge + absorb the delta
     * into both, then run [[mixFromStores]]. Each lifecycle step is the
     * public store API — nothing here bypasses the operational surface. */
   def storeMix(s: SparkSession, dir: String): DataFrame = {
-    DedupIndex.buildIfStale(s, dir)
-    DedupIndex.absorb(s, dir)
-    StatsStore.buildIfStale(s, dir)
-    StatsStore.absorb(s, dir)
+    DedupIndex.buildIfStale(s, dir, variant)
+    DedupIndex.absorb(s, dir, variant)
+    StatsStore.buildIfStale(s, dir, variant)
+    StatsStore.absorb(s, dir, variant)
     mixFromStores(s, dir)
   }
 

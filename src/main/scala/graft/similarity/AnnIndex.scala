@@ -850,6 +850,186 @@ object AnnIndex {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  // -------------------------------------------------------------- IVF-PQ --
+
+  /** Build the COMPOSED IVF-PQ index at `path` — the artifact FAISS
+    * ships as `IVFx,PQy`: coarse centroids AND residual codebooks in
+    * `model/` (tagged by a `kind` column: 'coarse' rows are (list_id,
+    * center), 'residual' rows are (sub_id, code_id, center) flattened
+    * into the same shape), `(vec_id, list_id, codes)` in `assignments/`
+    * — the scan reads list-pruned 16-byte rows and never the floats.
+    * Same fingerprint/listing guards and meta-LAST bracket as the other
+    * methods. */
+  def saveIvfPq(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      nlist: Int = 0,
+      nprobe: Int = 0,
+      m: Int = AnnPq.defaultM,
+      k: Int = AnnPq.defaultK,
+      seed: Long = 4099L): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    val (rNlist, rNprobe) = AnnIvf.resolveKnobs(s, dir, nlist, nprobe)
+    val centroids = AnnIvf.fitQuantizer(s, dir, rNlist, seed)
+    val books = AnnIvfPq.fitResidualBooks(s, dir, rNlist, m, k, seed)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val dim = emb.selectExpr("size(e)").first().getInt(0)
+    val (rows, chk) = corpusFingerprint(s, dir)
+    val listing = corpusListing(s, dir)
+    clearMeta(s, path)
+    import s.implicits._
+    val coarse = centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => ("coarse", i, 0, c.toSeq) }
+    val residual = for {
+      (book, sub) <- books.toIndexedSeq.zipWithIndex
+      (cent, code) <- book.toIndexedSeq.zipWithIndex
+    } yield ("residual", sub, code, cent.toSeq)
+    s.createDataset(coarse ++ residual)
+      .toDF("kind", "id_a", "id_b", "center")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+    val bcC = s.sparkContext.broadcast(centroids)
+    val bcB = s.sparkContext.broadcast(books)
+    val enc = ColumnBridge.column(IvfPqCodes(ColumnBridge.expression(col("e")), bcC, bcB))
+    emb.select(col("vec_id"), enc.as("enc"))
+      .select(col("vec_id"), col("enc.list_id").as("list_id"),
+        col("enc.codes").as("codes"))
+      .write.mode("overwrite").parquet(s"$path/assignments")
+    writeListing(s, path, listing)
+    writeMeta(s, path, compact(render(
+      ("method" -> "ivfpq") ~ ("nlist" -> rNlist) ~ ("nprobe" -> rNprobe) ~
+        ("m" -> m) ~ ("k" -> k) ~
+        ("seed" -> seed) ~ ("dim" -> dim) ~ ("trainedRows" -> rows) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(listing)))))
+  }
+
+  private def loadIvfPqGeometry(s: SparkSession, path: String, nlist: Int,
+      m: Int, k: Int): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = s.read.parquet(s"$path/model").collect()
+    val coarse = rows.filter(_.getString(0) == "coarse")
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](3).toArray)
+    require(coarse.length == nlist,
+      s"IVF-PQ model at $path has ${coarse.length} coarse centroids, expected $nlist")
+    val residual = rows.filter(_.getString(0) == "residual")
+      .sortBy(r => (r.getInt(1), r.getInt(2)))
+    require(residual.length == m * k,
+      s"IVF-PQ model at $path has ${residual.length} residual sub-centroids, expected ${m * k}")
+    (coarse, residual.grouped(k).map(_.map(_.getSeq[Double](3).toArray).toArray).toArray)
+  }
+
+  /**
+   * IVF-PQ append: encode ONLY the new vec_ids against BOTH frozen
+   * geometries. Bounded by [[ivfDriftBound]] (1.25×), the BINDING bound
+   * of the composition — the coarse geometry's scan/recall knee
+   * (TUNE_r12 ivfdrift) arrives before the residual codebooks' 1.5×
+   * knee (TUNE_r14 pqdrift), so the stricter bound governs.
+   */
+  def appendIvfPq(s: SparkSession, dir: String, path: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    val method = (meta \ "method").extract[String]
+    if (method != "ivfpq")
+      throw new IllegalStateException(s"appendIvfPq on a '$method' index at $path")
+    val nlist = (meta \ "nlist").extract[Int]
+    val m = (meta \ "m").extract[Int]
+    val k = (meta \ "k").extract[Int]
+    val (newRows, liveListing) = appendableNewRows(s, dir, path, meta)
+    val trainedRows = (meta \ "trainedRows").extract[Long]
+    val (rows, chk) = corpusFingerprint(s, dir)
+    if (rows > ivfDriftBound * trainedRows)
+      throw new IllegalStateException(
+        s"ANN index at $path cannot be appended: corpus grew to $rows rows " +
+          s"against geometry trained at $trainedRows (> ${ivfDriftBound}x) — " +
+          s"the coarse quantizer's scan/recall decay past the measured knee " +
+          s"(TUNE_r12.txt ivfdrift) binds the composition; rebuild with saveIvfPq")
+    val (coarse, books) = loadIvfPqGeometry(s, path, nlist, m, k)
+    val bcC = s.sparkContext.broadcast(coarse)
+    val bcB = s.sparkContext.broadcast(books)
+    val enc = ColumnBridge.column(IvfPqCodes(ColumnBridge.expression(col("e")), bcC, bcB))
+    val newAssign = newRows.select(col("vec_id"), enc.as("enc"))
+      .select(col("vec_id"), col("enc.list_id").as("list_id"),
+        col("enc.codes").as("codes"))
+      .persist()
+    newAssign.count()
+    clearMeta(s, path)
+    newAssign.write.mode("append").parquet(s"$path/assignments")
+    newAssign.unpersist(blocking = false)
+    writeListing(s, path, liveListing)
+    writeMeta(s, path, compact(render(
+      ("method" -> "ivfpq") ~ ("nlist" -> nlist) ~
+        ("nprobe" -> (meta \ "nprobe").extract[Int]) ~
+        ("m" -> m) ~ ("k" -> k) ~
+        ("seed" -> (meta \ "seed").extract[Long]) ~
+        ("dim" -> (meta \ "dim").extract[Int]) ~
+        ("trainedRows" -> trainedRows) ~
+        ("corpusRows" -> rows) ~ ("corpusChecksum" -> chk) ~
+        ("corpusListing" -> listingDigest(liveListing)))))
+  }
+
+  /** Top-k from the PERSISTED IVF-PQ index — probe lists and <q,c_l>
+    * from the loaded coarse centroids, residual LUTs from the loaded
+    * codebooks, the scan over the loaded (list_id, codes) rows only.
+    * Bit-identical to [[AnnIvfPq.annTopK]] at the index's knobs
+    * (AnnIndexSpec); validated like every other method. */
+  def ivfPqTopK(
+      s: SparkSession,
+      dir: String,
+      path: String,
+      numProbes: Int = 5,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.json4s._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    requireCurrent(s, dir, path, meta)
+    val nlist = (meta \ "nlist").extract[Int]
+    val nprobe = (meta \ "nprobe").extract[Int]
+    val m = (meta \ "m").extract[Int]
+    val kCodes = (meta \ "k").extract[Int]
+    val rr = AnnPq.autoRerank((meta \ "trainedRows").extract[Long])
+    val (coarse, books) = loadIvfPqGeometry(s, path, nlist, m, kCodes)
+    val bcC = s.sparkContext.broadcast(coarse)
+    val bcB = s.sparkContext.broadcast(books)
+    graft.functions.CosineSimilarity.register(s)
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val probeLists = ColumnBridge.column(
+      IvfLists(ColumnBridge.expression(col("e")), bcC, nprobe))
+    val qdotc = ColumnBridge.column(
+      IvfCentroidDots(ColumnBridge.expression(col("e")), bcC))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"),
+        ColumnBridge.column(PqLut(ColumnBridge.expression(col("e")), bcB)).as("lut"),
+        qdotc.as("cdots"),
+        explode(probeLists).as("list_id"))
+      .selectExpr("q_id", "lut", "list_id", "element_at(cdots, list_id + 1) AS qdotc")
+    val codes = s.read.parquet(s"$path/assignments")
+    val scanned = broadcast(probes).join(codes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (col("qdotc") + ColumnBridge.column(PqAdc(
+          ColumnBridge.expression(col("codes")),
+          ColumnBridge.expression(col("lut")), kCodes))).as("adc"))
+    val pool = graft.plans.TopKPerKey.topK(
+      scanned, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
+    val probeVecs = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("q_id"), col("e").as("ae"))
+    val exact = emb.join(broadcast(pool.select(col("q_id"), col("neighbor_id"))),
+        col("vec_id") === col("neighbor_id"))
+      .join(broadcast(probeVecs), Seq("q_id"))
+      .selectExpr("q_id", "neighbor_id", "cosine_similarity(ae, e) AS cos")
+    graft.plans.TopKPerKey.topK(exact, "q_id", "cos", "neighbor_id", k, "cosine")
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /**
    * Top-k cosine neighbors from a PERSISTED IVF index — loaded centroids
    * assign probe lists; loaded (list_id, vec_id) assignments supply the

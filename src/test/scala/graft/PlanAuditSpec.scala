@@ -645,6 +645,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"q137 regressed to a ScalaUDF:\n$p")
   }
 
+  test("q138 persisted IVF-PQ keeps the q137 shape and scans persisted codes") {
+    val p = plan("q138_ann_ivfpq_persisted")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q138's pruned scan lost the broadcast list join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q138 planned an all-pairs join:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"q138 lost a bounded TopKPerKey aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q138 shuffles the corpus for a broadcast-sized side:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q138 regressed to a ScalaUDF:\n$p")
+    assert(p.contains("codes:array<tinyint>"),
+      s"q138's scan must read the persisted codes table:\n$p")
+  }
+
   test("q132 LP rounds broadcast the label table; only the backbone touches the corpus") {
     val p = plan("q132_label_prop")
     assert(p.contains("TakeOrderedAndProject"),

@@ -454,6 +454,66 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(loaded.nonEmpty)
   }
 
+  test("IVF-PQ: persisted index reproduces the live annTopK bit-for-bit") {
+    val path = s"$root/ivfpq"
+    AnnIndex.saveIvfPq(spark, sf, path)
+    val live = rows(AnnIvfPq.annTopK(spark, sf, numProbes = 5, k = 5))
+    val loaded = rows(AnnIndex.ivfPqTopK(spark, sf, path, numProbes = 5, k = 5))
+    assert(loaded == live)
+  }
+
+  test("IVF-PQ: loaded index needs neither k-means fit (both memos cold)") {
+    val path = s"$root/ivfpq"
+    // depends on '$root/ivfpq' above; clearing BOTH memos proves
+    // ivfPqTopK reads coarse centroids and residual codebooks from
+    // parquet, never a refit
+    AnnIvf.clearQuantizerCache()
+    AnnIvfPq.clearResidualCache()
+    val loaded = AnnIndex.ivfPqTopK(spark, sf, path, numProbes = 5, k = 5).collect()
+    assert(loaded.nonEmpty)
+  }
+
+  test("IVF-PQ append: frozen geometries encode adds; refuses past 1.25x; rebuild heals") {
+    import org.apache.spark.sql.functions.col
+    val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_ivfpqdrift_corpus"
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete()
+    }
+    deleteRec(new java.io.File(corpus))
+    all.filter(col("vec_id") < 200).write.parquet(s"$corpus/embeddings.parquet")
+    val path = s"$root/ivfpq_drift"
+    AnnIndex.saveIvfPq(spark, corpus, path) // trainedRows = 200
+    val beforeCodes = spark.read.parquet(s"$path/assignments").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2))).toMap
+    assert(beforeCodes.size == 200)
+    // +20% growth (240 <= 1.25 * 200): the append tier serves it
+    all.filter(col("vec_id") >= 200 && col("vec_id") < 240)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    AnnIndex.appendIvfPq(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    val after = spark.read.parquet(s"$path/assignments")
+    assert(after.count() == 240L)
+    val oldCodes = after.where("vec_id < 200").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2))).toMap
+    assert(oldCodes == beforeCodes,
+      "append rewrote pre-existing list assignments or code words")
+    // grow to 500 (2.5x trained): the COARSE 1.25x bound refuses
+    all.filter(col("vec_id") >= 240)
+      .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+    val e = intercept[IllegalStateException] { AnnIndex.appendIvfPq(spark, corpus, path) }
+    assert(e.getMessage.contains("trained at 200"), e.getMessage)
+    assert(!AnnIndex.isCurrent(spark, corpus, path))
+    assert(spark.read.text(s"$path/metadata").count() == 1,
+      "refusal must not clear the metadata commit record")
+    // rebuild heals with refit coarse + residual geometry
+    AnnIvf.clearQuantizerCache()
+    AnnIvfPq.clearResidualCache()
+    AnnIndex.saveIvfPq(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path))
+    assert(AnnIndex.ivfPqTopK(spark, corpus, path).collect().nonEmpty)
+  }
+
   test("PQ append: frozen-codebook encoding; refuses past 1.5x; rebuild heals") {
     import org.apache.spark.sql.functions.col
     val corpus = s"${sys.props("java.io.tmpdir")}/graft_ann_pqdrift_corpus"
