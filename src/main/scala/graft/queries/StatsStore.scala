@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -134,6 +135,80 @@ object StatsStore {
         "mn AS min_chars", "mx AS max_chars")
       .orderBy(col("lang"), col("source"))
 
+  // ---- mergeable QUANTILE store (q139): histogram partials ----
+
+  /** Histogram bin width for the quantile store. The estimator's error
+    * is bounded by ONE bin width by construction (the reported value is
+    * the containing bin's lower edge); 16 chars against the corpus's
+    * ~50-550 n_chars range gives ~35 occupied bins per language — a
+    * #bins-sized store either way. */
+  private val binW = 16L
+
+  /** Per-(lang, bin) counts — the mergeable partial. Like the moment
+    * sums, bins merge by ADDITION, so merged partials are EXACTLY the
+    * full recompute: histograms make QUANTILES incrementally
+    * maintainable the way (n, Σx, Σx²) makes mean/variance so. The
+    * sketch trade is explicit and bounded: estimates land on bin lower
+    * edges, at most one binW below the true quantile value — unlike
+    * GK/t-digest state, a fixed-bin histogram is engine-portable integer
+    * arithmetic, so the WHOLE lifecycle (build → absorb → read) is
+    * DuckDB-oracle-able, not just spec-gated. */
+  private def histPartials(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"), expr(s"n_chars div $binW").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  def buildHist(s: SparkSession, dir: String, variant: String = "qh"): String = {
+    val path = root(dir, variant)
+    histPartials(corpusDocs(s, dir))
+      .write.mode("overwrite").parquet(s"$path/hist")
+    import s.implicits._
+    Seq(fingerprint(s, dir)).toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    path
+  }
+
+  def isHistCurrent(s: SparkSession, dir: String, variant: String = "qh"): Boolean =
+    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
+      fingerprint(s, dir)
+    catch { case _: Exception => false }
+
+  def buildHistIfStale(s: SparkSession, dir: String, variant: String = "qh"): String =
+    if (isHistCurrent(s, dir, variant)) root(dir, variant)
+    else buildHist(s, dir, variant)
+
+  def absorbHist(s: SparkSession, dir: String, variant: String = "qh"): Unit = {
+    val path = root(dir, variant)
+    histPartials(deltaDocs(s, dir))
+      .write.mode("append").parquet(s"$path/hist")
+    import s.implicits._
+    Seq("absorbed").toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Quantile estimates from the STORE ALONE: merge the bin layers
+    * (groupBy + sum over a #bins-sized table), then per language take
+    * the ceil-rank walk — the p-quantile is the smallest bin whose
+    * cumulative count reaches ceil(p × n), reported as that bin's lower
+    * edge (bin × binW). Every step is integer; the window runs over the
+    * bounded per-language bin table, never the corpus. */
+  def histQuantiles(s: SparkSession, dir: String, variant: String = "qh"): DataFrame = {
+    val merged = s.read.parquet(s"${root(dir, variant)}/hist")
+      .groupBy(col("lang"), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+    cum.groupBy(col("lang")).agg(
+        max(col("n")).as("n_docs"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("b50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("bin"))).as("b90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("b99"))
+      .selectExpr("lang", "n_docs",
+        s"b50 * $binW AS p50_est", s"b90 * $binW AS p90_est",
+        s"b99 * $binW AS p99_est")
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_incremental_stats" -> ((s, dir) => {
       buildIfStale(s, dir); mergedStats(s, dir)
@@ -146,6 +221,15 @@ object StatsStore {
     // where before r15 the absorbed state was spec-only.
     "q136_stats_absorbed" -> ((s, dir) => {
       buildIfStale(s, dir, "abs"); absorb(s, dir, "abs"); storedStats(s, dir, "abs")
+    }),
+    // Mergeable QUANTILES through the same lifecycle: build the corpus
+    // histogram, absorb the delta's bins, read percentile estimates from
+    // the store alone. The oracle recomputes the identical binned
+    // estimator from the full table — integer arithmetic end to end, so
+    // the sketch's error model (lower bin edge, <= one binW) is part of
+    // the oracled contract rather than a tolerance.
+    "q139_quantile_store" -> ((s, dir) => {
+      buildHistIfStale(s, dir); absorbHist(s, dir); histQuantiles(s, dir)
     })
   )
 
@@ -164,6 +248,22 @@ object StatsStore {
 
   val oracles: Map[String, String] = Map(
     "q107_incremental_stats" -> fullRecomputeOracle,
-    "q136_stats_absorbed" -> fullRecomputeOracle
+    "q136_stats_absorbed" -> fullRecomputeOracle,
+    // the same ceil-rank binned estimator over the full table: p-quantile
+    // = lower edge of the smallest bin whose cumulative count reaches
+    // ceil(p*n) — cum*2 >= n, cum*10 >= 9n, cum*100 >= 99n
+    "q139_quantile_store" ->
+      """WITH h AS (SELECT lang, n_chars // 16 AS bin, count(*)::BIGINT AS cnt
+        |  FROM documents GROUP BY lang, bin),
+        |c AS (SELECT lang, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n
+        |  FROM h)
+        |SELECT lang, max(n) AS n_docs,
+        |  (min(CASE WHEN cum * 2 >= n THEN bin END) * 16)::BIGINT AS p50_est,
+        |  (min(CASE WHEN cum * 10 >= n * 9 THEN bin END) * 16)::BIGINT AS p90_est,
+        |  (min(CASE WHEN cum * 100 >= n * 99 THEN bin END) * 16)::BIGINT AS p99_est
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -53,6 +53,34 @@ class IncrementalOpsSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q139 histogram quantiles: absorbed store == full recompute; one-bin error bound") {
+    // lifecycle: corpus histogram + absorbed delta bins, read from the
+    // store alone — must equal the same estimator over the full table
+    StatsStore.buildHist(spark, sf)
+    StatsStore.absorbHist(spark, sf)
+    val est = StatsStore.histQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(est.nonEmpty)
+    // the declared error model: each estimate is the LOWER EDGE of the
+    // bin holding the ceil-rank value v — so est <= v < est + binW (16)
+    val byLang = graft.queries.Tables.t(spark, sf, "documents")
+      .select(col("lang"), col("n_chars")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    for ((lang, (n, p50, p90, p99)) <- est) {
+      val vals = byLang(lang)
+      assert(n == vals.length, s"$lang: store n=$n vs ${vals.length} docs")
+      for ((p, estV) <- Seq((50, p50), (90, p90), (99, p99))) {
+        // ceil-rank: the value at 1-based position ceil(p/100 * n)
+        val rank = (p * n + 99) / 100
+        val truth = vals((rank - 1).toInt)
+        assert(estV <= truth && truth < estV + 16,
+          s"$lang p$p: estimate $estV not within one bin of rank value $truth")
+      }
+    }
+    graft.queries.Caches.releaseAll()
+  }
+
   test("StatsStore merged partials equal a one-pass full aggregate exactly") {
     StatsStore.build(spark, sf)
     assert(StatsStore.isCurrent(spark, sf), "fresh build must be current")
