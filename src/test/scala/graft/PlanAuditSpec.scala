@@ -256,6 +256,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q84 planned a nested-loop join:\n$p")
   }
 
+  test("q134 store-composed mix: equi-joins only; cap is bounded agg; stats broadcast") {
+    // the mix over the absorbed stores must keep both contracts: the
+    // judge half stays q84-shaped (equi-joins, no cartesian), and the
+    // mix half keeps q73's shape — domain cap through the k-bounded
+    // ObjectHashAggregate (no rank window over kept docs) with the
+    // #groups stats table and the capped doc set on broadcast sides
+    val p = plan("q134_store_mix")
+    assert(!p.contains("CartesianProduct"), s"q134 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q134 planned a nested-loop join:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q134's domain cap lost the bounded aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q134's stats/cap joins must broadcast the small sides:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q134 regressed to a ScalaUDF:\n$p")
+  }
+
+  test("q139/q140 store reads: windows over bounded store tables, no corpus re-read") {
+    // both lifecycle reads merge the persisted partials (a bounded
+    // groupBy) — the only corpus-scale work is the build/absorb
+    // aggregation; the quantile walk and the coverage rank window run
+    // over the #bins / top-25 tables respectively
+    // (q140's coverage total joins via a deliberate 1-row broadcast NLJ,
+    // q83's established shape — CartesianProduct stays banned for both)
+    for (q <- Seq("q139_quantile_store", "q140_vocab_store")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q sort-merge joins:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q regressed to a ScalaUDF:\n$p")
+    }
+  }
+
   test("q75 token budget: offsets broadcast back, corpus never sort-merge joins") {
     // the per-language start offsets are a #languages-row table — they
     // must broadcast to the prefix-summed corpus, never shuffle it; the
