@@ -94,7 +94,7 @@ object TextPipeline {
   private def rankBy(s: SparkSession, df: DataFrame, ord: String*): DataFrame =
     graft.plans.RangedRank.rankBy(s, df, ord: _*)
 
-  private def embDoubles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def embDoubles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x AS double)) AS e",
         "cast(embedding[0] > 0 AS int) * 4 + cast(embedding[1] > 0 AS int) * 2 " +
@@ -1777,7 +1777,7 @@ object TextPipeline {
        |          tk -> cast('0x' || substr(md5(tk), 1, 8) AS bigint)) AS hs
        |        FROM documents)""".stripMargin
   /** Same double-precision cosine as the Spark side, aliases inlined. */
-  private def duckCos(a: String, b: String): String =
+  private[queries] def duckCos(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i]))
        | / (sqrt(list_sum(list_transform($a.e, x -> x * x)))
        |    * sqrt(list_sum(list_transform($b.e, x -> x * x))))""".stripMargin
