@@ -256,6 +256,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q84 planned a nested-loop join:\n$p")
   }
 
+  test("q141 embedding dedup judge: equi-joins only against the bucket store") {
+    // candidates = bucket equi-join, rehydration = vec_id equi-join —
+    // an unbounded join here means delta vectors are being cosine'd
+    // against the whole corpus instead of their own buckets
+    val p = plan("q141_embed_dedup_store")
+    assert(!p.contains("CartesianProduct"), s"q141 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q141 planned a nested-loop join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q141 regressed to a ScalaUDF:\n$p")
+  }
+
   test("q134 store-composed mix: equi-joins only; cap is bounded agg; stats broadcast") {
     // the mix over the absorbed stores must keep both contracts: the
     // judge half stays q84-shaped (equi-joins, no cartesian), and the
