@@ -924,9 +924,12 @@ object AnnIndex {
   /**
    * IVF-PQ append: encode ONLY the new vec_ids against BOTH frozen
    * geometries. Bounded by [[ivfDriftBound]] (1.25×), the BINDING bound
-   * of the composition — the coarse geometry's scan/recall knee
-   * (TUNE_r12 ivfdrift) arrives before the residual codebooks' 1.5×
-   * knee (TUNE_r14 pqdrift), so the stricter bound governs.
+   * of the composition — MEASURED DIRECTLY on the composed path
+   * (TUNE_r15 ivfpqdrift: +25% appended rows holds the (recall ≥ 0.85,
+   * scan ≤ 0.25) box on both gated corpora, +50% breaks the scan
+   * ceiling / sits on both edges, +100% breaks recall at 0.816/0.736 —
+   * the same knee as plain IVF, with the residual codebooks' own 1.5×
+   * knee (TUNE_r14 pqdrift) never the binding constraint).
    */
   def appendIvfPq(s: SparkSession, dir: String, path: String): Unit = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

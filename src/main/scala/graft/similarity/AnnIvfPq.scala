@@ -109,11 +109,17 @@ object AnnIvfPq {
       nprobe: Int = 0,
       m: Int = AnnPq.defaultM,
       k: Int = AnnPq.defaultK,
-      seed: Long = 4099L): DataFrame = {
+      seed: Long = 4099L,
+      trainDir: String = null): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val (rNlist, rNprobe) = AnnIvf.resolveKnobs(s, dir, nlist, nprobe)
-    val centroids = AnnIvf.fitQuantizer(s, dir, rNlist, seed)
-    val books = fitResidualBooks(s, dir, rNlist, m, k, seed)
+    // trainDir != null: BOTH geometries (coarse quantizer + residual
+    // codebooks) and the knobs resolve from a smaller training corpus —
+    // AnnTune's ivfpqdrift harness pricing the frozen-geometry decay a
+    // persisted-then-appended q138 index would serve
+    val train = Option(trainDir).getOrElse(dir)
+    val (rNlist, rNprobe) = AnnIvf.resolveKnobs(s, train, nlist, nprobe)
+    val centroids = AnnIvf.fitQuantizer(s, train, rNlist, seed)
+    val books = fitResidualBooks(s, train, rNlist, m, k, seed)
     val bcC = s.sparkContext.broadcast(centroids)
     val bcB = s.sparkContext.broadcast(books)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -155,10 +161,14 @@ object AnnIvfPq {
       nprobe: Int = 0,
       m: Int = AnnPq.defaultM,
       kCodes: Int = AnnPq.defaultK,
-      seed: Long = 4099L): DataFrame = {
+      seed: Long = 4099L,
+      trainDir: String = null): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val rr = if (rerank > 0) rerank else AnnPq.autoRerank(AnnIvf.corpusCount(s, dir))
-    val scanned = prunedScan(s, dir, numProbes, nlist, nprobe, m, kCodes, seed)
+    // frozen geometries keep the TRAINING corpus's re-rank depth too —
+    // exactly the decay channel under test (see AnnPq.annTopK)
+    val rr = if (rerank > 0) rerank
+      else AnnPq.autoRerank(AnnIvf.corpusCount(s, Option(trainDir).getOrElse(dir)))
+    val scanned = prunedScan(s, dir, numProbes, nlist, nprobe, m, kCodes, seed, trainDir)
     val pool = graft.plans.TopKPerKey.topK(
       scanned, "q_id", "adc", "neighbor_id", rr, "adc", roundTo = 9)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")

@@ -9,13 +9,13 @@ import graft.similarity.{AnnIvf, AnnLsh}
  * scan fraction (and, for voted/budgeted LSH, the pre-vote pool) for a
  * grid of LSH/IVF knobs against driver-side exhaustive top-k. Not part of
  * the query surface — run with
- * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|lshmix|pq|pqdrift|ivfpq|both]"`
+ * `sbt "runMain graft.tools.AnnTune [lsh|vote|budget|ship|seeds|ivfseeds|ivf|ivfwide|ivfdrift|lshdrift|lshmix|pq|pqdrift|ivfpq|ivfpqdrift|both]"`
  * (an unknown mode fails loud instead of printing an empty grid).
  */
 object AnnTune {
   private val modes =
     Set("lsh", "vote", "budget", "ship", "seeds", "ivfseeds", "ivf", "ivfwide",
-      "ivfdrift", "lshdrift", "lshmix", "pq", "pqdrift", "ivfpq", "both")
+      "ivfdrift", "lshdrift", "lshmix", "pq", "pqdrift", "ivfpq", "ivfpqdrift", "both")
   def main(args: Array[String]): Unit = {
     val which = args.headOption.getOrElse("both")
     require(modes.contains(which),
@@ -458,6 +458,34 @@ object AnnTune {
           val scan = AnnIvfPq.prunedScan(spark, dir, nProbes, seed = seed)
           evalOne(s"ivfpq auto-knobs rerank=auto seed=$seed",
             scan, AnnIvfPq.annTopK(spark, dir, nProbes, k, rr, seed = seed))
+        }
+      }
+    }
+    if (which == "ivfpqdrift") {
+      // COMPOSED frozen-geometry drift: coarse quantizer, residual
+      // codebooks, knobs, AND re-rank depth all resolve from the first
+      // N/(1+f) ids while the whole corpus is scanned — exactly what a
+      // persisted q138 index appended without refitting serves. Measures
+      // whether the coarse half's 1.25x knee (ivfdrift) indeed BINDS the
+      // composition, or the residual codes decay it sooner.
+      import graft.similarity.AnnIvfPq
+      for (f <- Seq(0.0, 0.25, 0.5, 1.0)) {
+        val cutoff = math.round(total / (1.0 + f))
+        val trainDir = java.nio.file.Files
+          .createTempDirectory(s"graft-ivfpqdrift-$f-").toString
+        try {
+          spark.read.parquet(s"$dir/embeddings.parquet")
+            .where(s"vec_id < $cutoff")
+            .write.mode("overwrite").parquet(s"$trainDir/embeddings.parquet")
+          evalOne(f"ivfpqdrift appended=${(f * 100).toInt}%d%% trained=$cutoff of $total",
+            AnnIvfPq.prunedScan(spark, dir, nProbes, trainDir = trainDir),
+            AnnIvfPq.annTopK(spark, dir, nProbes, k, trainDir = trainDir))
+        } finally {
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm))
+            p.delete()
+          }
+          rm(new java.io.File(trainDir))
         }
       }
     }
