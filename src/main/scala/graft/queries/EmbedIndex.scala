@@ -32,17 +32,22 @@ import org.apache.spark.sql.functions._
  * Everything is deterministic — the sign buckets are integer predicates,
  * the cosines are bit-identical doubles in both engines (same
  * association order as q29's oracle) — so unlike the gaussian-plane ANN
- * judges this lifecycle is fully DuckDB-oracled. Absorbing survivors is
- * the same append mechanics as [[DedupIndex.absorbDocs]] (append the
- * unique vecs' bucket rows, flip meta non-pristine) and is left to that
- * store's demonstrated pattern.
+ * judges this lifecycle is fully DuckDB-oracled — including the
+ * multi-batch state: q142 absorbs batch 1's survivors ([[absorbVecs]],
+ * the staged-append + meta-first bracket from [[DedupIndex.absorbDocs]])
+ * and judges batch 2 against the grown store, with DuckDB replaying the
+ * whole two-batch history.
  */
 object EmbedIndex {
 
-  private def root(dir: String): String = {
+  // variant: independent store instances, same rationale as
+  // DedupIndex.root — the absorbing q142 lifecycle must not flip q141's
+  // pristine store non-current between bench laps.
+  private def root(dir: String, variant: String = ""): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_embed_idx_$h"
+    val v = if (variant.isEmpty) "" else s"_$variant"
+    s"${sys.props("java.io.tmpdir")}/graft_embed_idx_$h$v"
   }
 
   private def corpusVecs(s: SparkSession, dir: String): DataFrame =
@@ -62,6 +67,27 @@ object EmbedIndex {
         "coalesce(src_bucket, bucket) AS bucket")
   }
 
+  /** Batch 1 of the two-batch lifecycle (q142): vec_id % 10 ∈ {7, 8},
+    * mod-7 planting as in [[deltaVecs]]. */
+  private[queries] def batch1Vecs(s: SparkSession, dir: String): DataFrame =
+    deltaVecs(s, dir).where("vec_id % 10 < 9")
+
+  /** Batch 2 (q142): vec_id % 10 = 9, with vec_id % 20 = 9 vectors
+    * PLANTED as copies of vec (vec_id − 1) — a batch-1 (mod-8) vector,
+    * so whether the copy reads 'exact' depends on batch 1's own verdicts
+    * against the store: the absorbed state under test. [[deltaVecs]]
+    * (q141's contract) keeps mod-9 vectors raw. */
+  private[queries] def batch2Vecs(s: SparkSession, dir: String): DataFrame = {
+    val all = TextPipeline.embDoubles(s, dir)
+    all.where("vec_id % 10 = 9").select(col("vec_id"), col("e"), col("bucket"))
+      .join(all.select(col("vec_id").as("src_id"), col("e").as("src_e"),
+          col("bucket").as("src_bucket")),
+        col("src_id") === col("vec_id") - lit(1) && col("vec_id") % 20 === 9,
+        "left")
+      .selectExpr("vec_id", "coalesce(src_e, e) AS e",
+        "coalesce(src_bucket, bucket) AS bucket")
+  }
+
   /** Corpus-slice fingerprint: count + order-independent xor over
     * (vec_id, embedding) — any membership or in-place vector change
     * moves it. Column-pruned id+vector scan, no shuffle. */
@@ -73,23 +99,32 @@ object EmbedIndex {
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
-  def build(s: SparkSession, dir: String): String = {
-    val path = root(dir)
+  private def writeMeta(s: SparkSession, path: String, fp: String,
+      pristine: Boolean): Unit = {
+    import s.implicits._
+    Seq((fp, pristine)).toDF("fp", "pristine")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def build(s: SparkSession, dir: String, variant: String = ""): String = {
+    val path = root(dir, variant)
     corpusVecs(s, dir).select(col("bucket"), col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/buckets")
-    import s.implicits._
-    Seq(fingerprint(s, dir)).toDF("fp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(s, path, fingerprint(s, dir), pristine = true)
     path
   }
 
-  def isCurrent(s: SparkSession, dir: String): Boolean =
-    try s.read.parquet(s"${root(dir)}/meta").head().getString(0) ==
-      fingerprint(s, dir)
-    catch { case _: Exception => false }
+  /** Current = exists, matches the live corpus slice, and no absorb has
+    * extended it past the pristine corpus-only state (q141's oracled
+    * contract — same semantics as DedupIndex.isCurrent). */
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
+    try {
+      val r = s.read.parquet(s"${root(dir, variant)}/meta").head()
+      r.getString(0) == fingerprint(s, dir) && r.getBoolean(1)
+    } catch { case _: Exception => false }
 
-  def buildIfStale(s: SparkSession, dir: String): String =
-    if (isCurrent(s, dir)) root(dir) else build(s, dir)
+  def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
+    if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
 
   /** Judge every delta vector against the persisted bucket index: one
     * bucket equi-join for candidates, one vec_id equi-join to rehydrate
@@ -97,10 +132,16 @@ object EmbedIndex {
     * deterministic best-candidate pick (max cosine, min vec_id among
     * ties — doubles are bit-identical cross-engine, so the tie set is
     * too). */
-  def deltaVerdicts(s: SparkSession, dir: String): DataFrame = {
+  def deltaVerdicts(s: SparkSession, dir: String): DataFrame =
+    judgeVecs(s, dir, deltaVecs(s, dir))
+
+  /** [[deltaVerdicts]] over an arbitrary (vec_id, e, bucket) batch frame
+    * — the multi-batch surface (q142 judges batch 2 against the store
+    * AFTER batch 1 was absorbed). */
+  def judgeVecs(s: SparkSession, dir: String, delta: DataFrame,
+      variant: String = ""): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val path = root(dir)
-    val delta = deltaVecs(s, dir)
+    val path = root(dir, variant)
     val cand = delta.select(col("vec_id").as("d_id"), col("e").as("ae"), col("bucket"))
       .join(s.read.parquet(s"$path/buckets").withColumnRenamed("vec_id", "c_id"),
         Seq("bucket"))
@@ -127,9 +168,42 @@ object EmbedIndex {
       .orderBy(col("vec_id"))
   }
 
+  /** Absorb a judged batch's 'unique' survivors: append their (bucket,
+    * vec_id) rows so the next batch is judged against them. The kept set
+    * is STAGED before the bucket append — the keptIds plan READS the
+    * bucket table through the judge, and Spark recaches path reads after
+    * a write to that path (the r15 DedupIndex.absorb lesson; see that
+    * scaladoc) — and meta flips non-pristine FIRST (crash bracket). */
+  def absorbVecs(s: SparkSession, dir: String, delta: DataFrame,
+      variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val keptIds = judgeVecs(s, dir, delta, variant)
+      .where("verdict = 'unique'").select(col("vec_id"))
+    val staging = s"$path/staging_absorb"
+    delta.select(col("bucket"), col("vec_id")).join(keptIds, Seq("vec_id"))
+      .select(col("bucket"), col("vec_id"))
+      .write.mode("overwrite").parquet(staging)
+    val fp = try s.read.parquet(s"$path/meta").head().getString(0)
+             catch { case _: Exception => "" }
+    writeMeta(s, path, fp, pristine = false)
+    s.read.parquet(staging).write.mode("append").parquet(s"$path/buckets")
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_embed_dedup_store" -> ((s, dir) => {
       buildIfStale(s, dir); deltaVerdicts(s, dir)
+    }),
+    // Two-batch lifecycle in vector space (q135's shape): pristine store
+    // -> judge + absorb batch 1 -> judge batch 2 (with vectors planted as
+    // copies of absorbed batch-1 vectors) against the grown store. Own
+    // variant root so q141's pristine-store fast path survives the laps.
+    "q142_embed_two_batch" -> ((s, dir) => {
+      buildIfStale(s, dir, "b2")
+      absorbVecs(s, dir, batch1Vecs(s, dir), "b2")
+      judgeVecs(s, dir, batch2Vecs(s, dir), "b2")
     })
   )
 
@@ -168,6 +242,58 @@ object EmbedIndex {
          |       WHEN best_cos >= 0.3 THEN 'near'
          |       ELSE 'unique' END AS verdict
          |FROM src LEFT JOIN best ON best.d_id = src.vec_id
-         |ORDER BY src.vec_id""".stripMargin
+         |ORDER BY src.vec_id""".stripMargin,
+
+    // The two-batch history replayed store-free: batch-1 verdicts vs the
+    // corpus, kept1 = its 'unique' vectors, store2 = corpus ∪ kept1
+    // (kept vectors keep their JUDGED form — for mod-8 raw vectors that
+    // is the raw embedding), batch-2 verdicts vs store2.
+    "q142_embed_two_batch" ->
+      s"""WITH emb AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS e,
+         |    (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
+         |      + (embedding[3] > 0)::INT AS bucket
+         |  FROM embeddings),
+         |b1 AS (SELECT d.vec_id, coalesce(o.e, d.e) AS e,
+         |    coalesce(o.bucket, d.bucket) AS bucket
+         |  FROM emb d LEFT JOIN emb o
+         |    ON o.vec_id = d.vec_id - 7 AND d.vec_id % 10 = 7
+         |  WHERE d.vec_id % 10 IN (7, 8)),
+         |b2 AS (SELECT d.vec_id, coalesce(o.e, d.e) AS e,
+         |    coalesce(o.bucket, d.bucket) AS bucket
+         |  FROM emb d LEFT JOIN emb o
+         |    ON o.vec_id = d.vec_id - 1 AND d.vec_id % 20 = 9
+         |  WHERE d.vec_id % 10 = 9),
+         |store1 AS (SELECT vec_id, e, bucket FROM emb WHERE vec_id % 10 < 7),
+         |cand1 AS (SELECT s.vec_id AS d_id,
+         |    ${TextPipeline.duckCos("s", "t")} AS cos
+         |  FROM b1 s JOIN store1 t ON s.bucket = t.bucket),
+         |best1 AS (SELECT d_id, max(cos) AS best_cos
+         |  FROM cand1 GROUP BY d_id),
+         |kept1 AS (SELECT b1.vec_id, b1.e, b1.bucket
+         |  FROM b1 LEFT JOIN best1 ON best1.d_id = b1.vec_id
+         |  WHERE best1.best_cos IS NULL OR best1.best_cos < 0.3),
+         |store2 AS (SELECT vec_id, e, bucket FROM store1
+         |  UNION ALL SELECT vec_id, e, bucket FROM kept1),
+         |cand2 AS (SELECT s.vec_id AS d_id, t.vec_id AS c_id,
+         |    ${TextPipeline.duckCos("s", "t")} AS cos
+         |  FROM b2 s JOIN store2 t ON s.bucket = t.bucket),
+         |agg2 AS (SELECT d_id, max(cos) AS best_cos,
+         |    sum(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS n_sim
+         |  FROM cand2 GROUP BY d_id),
+         |best2 AS (SELECT cand2.d_id, agg2.best_cos, agg2.n_sim,
+         |    min(c_id) AS best_match
+         |  FROM cand2 JOIN agg2 ON cand2.d_id = agg2.d_id
+         |    AND cand2.cos = agg2.best_cos
+         |  GROUP BY cand2.d_id, agg2.best_cos, agg2.n_sim)
+         |SELECT b2.vec_id,
+         |  coalesce(n_sim, 0)::BIGINT AS n_sim,
+         |  coalesce(best_match, -1) AS best_match,
+         |  round(coalesce(best_cos, -2.0), 4) AS best_cos_r,
+         |  CASE WHEN best_cos >= 0.9999 THEN 'exact'
+         |       WHEN best_cos >= 0.3 THEN 'near'
+         |       ELSE 'unique' END AS verdict
+         |FROM b2 LEFT JOIN best2 ON best2.d_id = b2.vec_id
+         |ORDER BY b2.vec_id""".stripMargin
   )
 }

@@ -256,15 +256,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q84 planned a nested-loop join:\n$p")
   }
 
-  test("q141 embedding dedup judge: equi-joins only against the bucket store") {
+  test("q141/q142 embedding dedup judges: equi-joins only against the bucket store") {
     // candidates = bucket equi-join, rehydration = vec_id equi-join —
     // an unbounded join here means delta vectors are being cosine'd
-    // against the whole corpus instead of their own buckets
-    val p = plan("q141_embed_dedup_store")
-    assert(!p.contains("CartesianProduct"), s"q141 planned a cartesian:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"q141 planned a nested-loop join:\n$p")
-    assert(!p.contains("ScalaUDF"), s"q141 regressed to a ScalaUDF:\n$p")
+    // against the whole corpus instead of their own buckets; q142's
+    // judge-against-absorbed runs the identical shape over the grown
+    // bucket table
+    for (q <- Seq("q141_embed_dedup_store", "q142_embed_two_batch")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested-loop join:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q regressed to a ScalaUDF:\n$p")
+    }
   }
 
   test("q134 store-composed mix: equi-joins only; cap is bounded agg; stats broadcast") {
