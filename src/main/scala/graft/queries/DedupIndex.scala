@@ -49,7 +49,7 @@ object DedupIndex {
   // the shared store non-pristine and q84 paid a full rebuild on each
   // subsequent lap (measured 1.36 s -> 2.44 s in the r15 bench before
   // the split).
-  private def root(dir: String, variant: String = ""): String = {
+  private[graft] def root(dir: String, variant: String = ""): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val v = if (variant.isEmpty) "" else s"_$variant"
@@ -244,6 +244,49 @@ object DedupIndex {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
+  /** COMPACT the layered store: absorb is append-only, so every batch
+    * stacks another file layer under exact/ / shingles/ / bands/ — after
+    * months of daily batches the store is thousands of small files and
+    * every judge join pays the listing + open cost (the classic
+    * small-file problem). Compaction rewrites each table as one merged,
+    * coalesced layer. It is SEMANTICS-PRESERVING by construction — the
+    * rows are copied, not recomputed — which is exactly what q143
+    * oracles: judge-after-compact must equal the never-compacted q135
+    * verdicts cross-engine.
+    *
+    * Write discipline (both lessons of this store apply):
+    *   1. STAGE before rewrite — each table's rewrite plan reads the very
+    *      path it overwrites (self-overwrite), so the merged copy is
+    *      staged to a sibling dir and the overwrite reads the staged
+    *      files (the absorbDocs materialize-before-mutate rule).
+    *   2. Meta is invalidated BEFORE the rewrites and restored AFTER — a
+    *      crash mid-rewrite leaves a torn table, and the surviving meta
+    *      must make isCurrent read false (rebuild) rather than serve it.
+    *
+    * On a real deployment the rewrite is also the clustering opportunity:
+    * exact/ would be written bucketBy(fp), bands/ bucketBy the band key,
+    * so post-compaction judges pay no store-side exchange (the q57
+    * layout). The sandbox keeps plain coalesced parquet. */
+  def compact(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_compact"
+    val tables = Seq("exact", "shingles", "bands")
+    val meta = s.read.parquet(s"$path/meta").head()
+    tables.foreach { t =>
+      s.read.parquet(s"$path/$t").coalesce(4)
+        .write.mode("overwrite").parquet(s"$staging/$t")
+    }
+    writeMeta(s, path, "compacting", pristine = false)
+    tables.foreach { t =>
+      s.read.parquet(s"$staging/$t")
+        .write.mode("overwrite").parquet(s"$path/$t")
+    }
+    writeMeta(s, path, meta.getString(0), meta.getBoolean(1))
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   /** q91: the same delta judged as a STREAM against the persisted store —
     * the shape a continuously-ingesting pipeline runs. Streaming
     * constraints dictate the plan: only ONE stateful aggregation is
@@ -328,6 +371,17 @@ object DedupIndex {
       buildIfStale(s, dir, "b2")
       absorbDocs(s, dir, batch1Docs(s, dir), "b2")
       judgeDocs(s, dir, batch2Docs(s, dir), "b2")
+    }),
+    // q135 with a COMPACTION between absorb and the second judge: the
+    // rewrite must be invisible to every verdict (same oracle verbatim),
+    // which is the cross-engine proof that store maintenance — the thing
+    // a 100 TB deployment runs nightly against the small-file buildup —
+    // never changes what the store answers.
+    "q143_compact_dedup" -> ((s, dir) => {
+      buildIfStale(s, dir, "cp")
+      absorbDocs(s, dir, batch1Docs(s, dir), "cp")
+      compact(s, dir, "cp")
+      judgeDocs(s, dir, batch2Docs(s, dir), "cp")
     })
   )
 
@@ -451,6 +505,9 @@ object DedupIndex {
   val oracles: Map[String, String] = Map(
     "q84_delta_dedup" -> deltaOracle,
     "q91_stream_delta_dedup" -> deltaOracle,
-    "q135_two_batch_dedup" -> twoBatchOracle
+    "q135_two_batch_dedup" -> twoBatchOracle,
+    // compaction is semantics-preserving, so the never-compacted
+    // two-batch recompute is the oracle verbatim
+    "q143_compact_dedup" -> twoBatchOracle
   )
 }

@@ -105,6 +105,80 @@ object StatsStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** COMPACT the layered partials back to one row per group: absorb is
+    * append-only, so the table grows a #groups-sized layer per batch —
+    * the merge algebra (sum/sum/sum/min/max) means collapsing the layers
+    * is itself just the merge aggregate, and the compacted store answers
+    * every read identically (q145 oracles compact-then-read against the
+    * full recompute). Same write discipline as DedupIndex.compact: the
+    * merged copy is STAGED (the rewrite plan reads the path it
+    * overwrites), and meta is invalidated before the rewrite and restored
+    * after, so a crash mid-rewrite leaves a store that rebuilds rather
+    * than serves torn partials. */
+  def compact(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_compact"
+    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    s.read.parquet(s"$path/partials")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    writeMeta(s, path, "compacting")
+    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    writeMeta(s, path, meta)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  private def writeMeta(s: SparkSession, path: String, fp: String): Unit = {
+    import s.implicits._
+    Seq(fp).toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** STREAMING store maintenance (q145): the delta arrives as a stream
+    * and each micro-batch absorbs its OWN partials into the store via
+    * foreachBatch — the shape a continuously-ingesting deployment runs,
+    * where stats advance with the stream instead of a nightly batch job.
+    * Because the partials merge by sum/min/max (associative and
+    * commutative), the final store state is INDEPENDENT of batch
+    * boundaries and arrival order — which is exactly what lets the
+    * full-recompute oracle apply verbatim after the stream drains.
+    * The delta is staged into 4 range files replayed one per micro-batch
+    * (the q131 cadence device); meta is invalidated BEFORE the stream
+    * starts (invalidate-before-mutate, the absorb bracket). */
+  def streamAbsorb(s: SparkSession, dir: String, variant: String): Unit = {
+    val path = root(dir, variant)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val staged = s"${sys.props("java.io.tmpdir")}/graft_stats_feed_$h"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stats_ckpt_$h"
+    deltaDocs(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    writeMeta(s, path, "absorbed")
+    val schema = s.read.parquet(staged).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    // explicit function value — the inline lambda is ambiguous between
+    // the Scala and Java foreachBatch overloads on 2.13 (q131's note)
+    val absorbBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => partials(batch.toDF())
+        .write.mode("append").parquet(s"$path/partials")
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(absorbBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Finalized stats from the STORE ALONE (no live delta) — the read a
     * dashboard does between batches. After absorb, this equals the full
     * corpus ∪ delta recompute exactly (spec-pinned). */
@@ -230,6 +304,18 @@ object StatsStore {
     // the oracled contract rather than a tolerance.
     "q139_quantile_store" -> ((s, dir) => {
       buildHistIfStale(s, dir); absorbHist(s, dir); histQuantiles(s, dir)
+    }),
+    // STREAMING maintenance + COMPACTION in one lifecycle: build the
+    // pristine corpus store, absorb the delta as 4 foreachBatch
+    // micro-batches, compact the 5 layers back to one row per group,
+    // then the dashboard read must land on the full recompute's exact
+    // integers. Build is unconditional — the store ends every lap
+    // absorbed, so there is no steady state to skip to.
+    "q145_stream_stats_store" -> ((s, dir) => {
+      build(s, dir, "strm")
+      streamAbsorb(s, dir, "strm")
+      compact(s, dir, "strm")
+      storedStats(s, dir, "strm")
     })
   )
 
@@ -249,6 +335,10 @@ object StatsStore {
   val oracles: Map[String, String] = Map(
     "q107_incremental_stats" -> fullRecomputeOracle,
     "q136_stats_absorbed" -> fullRecomputeOracle,
+    // batch-boundary independence of the merge + semantics-preservation
+    // of the compaction: the streamed-and-compacted store must land on
+    // the same one-pass recompute as the batch lifecycles
+    "q145_stream_stats_store" -> fullRecomputeOracle,
     // the same ceil-rank binned estimator over the full table: p-quantile
     // = lower edge of the smallest bin whose cumulative count reaches
     // ceil(p*n) — cum*2 >= n, cum*10 >= 9n, cum*100 >= 99n

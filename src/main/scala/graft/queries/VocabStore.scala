@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
  */
 object VocabStore {
 
-  // md5-fragment path keying — see DedupIndex.root.
-  private def root(dir: String): String = {
+  // md5-fragment path keying — see DedupIndex.root. `variant` separates
+  // independent store instances: q140's absorbing lifecycle flips its
+  // store non-pristine every lap, so q144 — which needs the FROZEN
+  // corpus-only vocabulary in its steady state — gets its own root
+  // (the same isolation rule as DedupIndex/StatsStore variants).
+  private def root(dir: String, variant: String = ""): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_vocab_store_$h"
+    val v = if (variant.isEmpty) "" else s"_$variant"
+    s"${sys.props("java.io.tmpdir")}/graft_vocab_store_$h$v"
   }
 
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
@@ -49,8 +54,8 @@ object VocabStore {
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
-  def build(s: SparkSession, dir: String): String = {
-    val path = root(dir)
+  def build(s: SparkSession, dir: String, variant: String = ""): String = {
+    val path = root(dir, variant)
     partials(corpusDocs(s, dir))
       .write.mode("overwrite").parquet(s"$path/partials")
     import s.implicits._
@@ -59,13 +64,13 @@ object VocabStore {
     path
   }
 
-  def isCurrent(s: SparkSession, dir: String): Boolean =
-    try s.read.parquet(s"${root(dir)}/meta").head().getString(0) ==
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
+    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
       fingerprint(s, dir)
     catch { case _: Exception => false }
 
-  def buildIfStale(s: SparkSession, dir: String): String =
-    if (isCurrent(s, dir)) root(dir) else build(s, dir)
+  def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
+    if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
 
   def absorb(s: SparkSession, dir: String): Unit = {
     val path = root(dir)
@@ -95,12 +100,55 @@ object VocabStore {
       .orderBy(col("rank"))
   }
 
+  /** The FROZEN tokenizer vocabulary read from the store: the top-`k`
+    * corpus words by frequency (ties broken by word — the q83/q140
+    * ordering, proven deterministic cross-engine). Fixed-SIZE vocabularies
+    * are how real tokenizers are built (32k-100k entries; everything past
+    * the cut is OOV); k = 24 against the generator's 31-word vocabulary
+    * leaves a real OOV tail the way a real vocab leaves one. The rank/cut
+    * runs over the merged |vocab|-bounded partials, never the corpus. */
+  def vocabWords(s: SparkSession, dir: String, variant: String = "",
+      k: Int = 24): DataFrame =
+    s.read.parquet(s"${root(dir, variant)}/partials")
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+      .select(col("word"))
+
+  /** q144: per-language OOV rate of the DELTA against the frozen corpus
+    * vocabulary — the tokenizer-drift check a 100 TB ingest runs on every
+    * new crawl dump before committing to a mix ("is this batch's language
+    * distribution still covered by the tokenizer we trained?"). Plan
+    * shape: the vocabulary is |vocab|-bounded and BROADCAST to the
+    * delta's exploded tokens (one scan, no corpus shuffle); the per-lang
+    * rollup is a #langs-sized aggregate with map-side partials. Integer
+    * arithmetic end to end (counts + one fixed-point division), so the
+    * whole lifecycle — build the store, freeze the vocab, score the
+    * delta — is DuckDB-oracle-able. */
+  def oovRates(s: SparkSession, dir: String, variant: String = ""): DataFrame = {
+    val vocab = vocabWords(s, dir, variant).withColumn("in_vocab", lit(1))
+    deltaDocs(s, dir)
+      .selectExpr("doc_id", "lang", "explode(split(text, ' ')) AS word")
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .selectExpr("lang", "n_docs", "n_tokens", "oov_tokens",
+        "(oov_tokens * 1000000L) div n_tokens AS oov_rate_e6")
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // build corpus vocab → absorb the delta's counts → read coverage
     // from the store alone; the oracle recomputes q83's coverage from
     // the full table, closing the lifecycle cross-engine
     "q140_vocab_store" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); coverage(s, dir)
+    }),
+    // freeze the corpus vocabulary (own variant — q140's absorb must not
+    // grow it), then score the delta's OOV against it
+    "q144_oov_store" -> ((s, dir) => {
+      buildIfStale(s, dir, "oov"); oovRates(s, dir, "oov")
     })
   )
 
@@ -119,6 +167,25 @@ object VocabStore {
          |  ((sum(cnt) OVER (ORDER BY rank
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000)
          |    // total)::BIGINT AS cum_frac_e6
-         |FROM top, tt ORDER BY rank""".stripMargin
+         |FROM top, tt ORDER BY rank""".stripMargin,
+
+    // the same frozen-vocab contract from scratch: the top-24 corpus
+    // words by (count DESC, word), delta tokens left-joined against them,
+    // per-lang integer rollup with the identical fixed-point rate
+    "q144_oov_store" ->
+      s"""WITH cw AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE doc_id % 10 < 7),
+         |vocab AS (SELECT word FROM cw GROUP BY word
+         |  ORDER BY count(*) DESC, word LIMIT 24),
+         |dw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE doc_id % 10 >= 7)
+         |SELECT dw.lang, count(DISTINCT dw.doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS oov_tokens,
+         |  ((sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*))::BIGINT AS oov_rate_e6
+         |FROM dw LEFT JOIN vocab ON vocab.word = dw.word
+         |GROUP BY dw.lang ORDER BY dw.lang""".stripMargin
   )
 }

@@ -114,6 +114,51 @@ class IncrementalOpsSpec extends AnyFunSuite {
       s"absorb drifted from live merge:\n${stored.take(3).mkString("\n")}")
   }
 
+  test("DedupIndex.compact: judge answers unchanged, layers collapse, meta survives") {
+    import graft.queries.DedupIndex
+    val v = "cptspec"
+    DedupIndex.build(spark, sf, v)
+    DedupIndex.absorb(spark, sf, v) // layer 2 lands under every table
+    val delta = DedupIndex.deltaDocs(spark, sf)
+    val before = Caches.scoped(
+      DedupIndex.judgeDocs(spark, sf, delta, v).collect().map(_.toString).toSeq)
+    def parquetFiles(t: String): Int =
+      new java.io.File(s"${DedupIndex.root(sf, v)}/$t").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val filesBefore = parquetFiles("bands")
+    DedupIndex.compact(spark, sf, v)
+    val after = Caches.scoped(
+      DedupIndex.judgeDocs(spark, sf, delta, v).collect().map(_.toString).toSeq)
+    assert(before == after, "compaction changed a verdict")
+    // at sf0.001 build+absorb may already land at the coalesce target, so
+    // the bound is <=; the 4-file ceiling is the compaction contract
+    assert(parquetFiles("bands") <= 4 && parquetFiles("bands") <= filesBefore,
+      s"bands not compacted: $filesBefore -> ${parquetFiles("bands")}")
+    // meta restored: still non-pristine (absorbed), not 'compacting'
+    val meta = spark.read.parquet(s"${DedupIndex.root(sf, v)}/meta").head()
+    assert(!meta.getBoolean(1) && meta.getString(0) != "compacting")
+  }
+
+  test("StatsStore.compact: stored stats unchanged, partials collapse to #groups") {
+    val v = "cptspec"
+    StatsStore.build(spark, sf, v)
+    // absorb TWICE: at sf0.001 the corpus and delta slices hit disjoint
+    // (lang, source) groups (69 + 30 = 99 = all groups), so one absorb
+    // leaves every group single-layered and compaction has nothing to
+    // collapse; the second absorb forces real multi-layer groups (pure
+    // merge mechanics — the state is deliberately not a valid lifecycle)
+    StatsStore.absorb(spark, sf, v)
+    StatsStore.absorb(spark, sf, v)
+    val before = StatsStore.storedStats(spark, sf, v).collect().toSeq
+    val layered = spark.read.parquet(s"${StatsStore.root(sf, v)}/partials").count()
+    StatsStore.compact(spark, sf, v)
+    val after = StatsStore.storedStats(spark, sf, v).collect().toSeq
+    val compacted = spark.read.parquet(s"${StatsStore.root(sf, v)}/partials").count()
+    assert(before == after, "compaction changed the stored stats")
+    assert(compacted == before.size && compacted < layered,
+      s"partials not collapsed to one row per group: $layered -> $compacted")
+  }
+
   test("StatsStore staleness: a foreign fingerprint forces rebuild") {
     StatsStore.buildIfStale(spark, sf)
     import spark.implicits._

@@ -271,6 +271,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q143/q144/q145 maintenance lifecycles keep the store plan shapes") {
+    // q143's post-compaction judge must stay q84-shaped (the rewrite
+    // changes files, never the join strategy); q144's vocab join must
+    // BROADCAST the |vocab|-bounded word table to the exploded delta
+    // tokens — a sort-merge join there shuffles the whole token stream;
+    // q145's dashboard read merges the compacted partials (bounded agg,
+    // no corpus re-read)
+    for (q <- Seq("q143_compact_dedup", "q144_oov_store",
+        "q145_stream_stats_store")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested-loop join:\n$p")
+      assert(!p.contains("ScalaUDF"), s"$q regressed to a ScalaUDF:\n$p")
+    }
+    val p44 = plan("q144_oov_store")
+    assert(p44.contains("BroadcastHashJoin"),
+      s"q144's vocab join must broadcast the bounded vocabulary:\n$p44")
+    assert(!p44.contains("SortMergeJoin"),
+      s"q144 shuffles the token stream for the vocab join:\n$p44")
+    val p45 = plan("q145_stream_stats_store")
+    assert(!p45.contains("SortMergeJoin"),
+      s"q145's store read must not join at all:\n$p45")
+  }
+
   test("q134 store-composed mix: equi-joins only; cap is bounded agg; stats broadcast") {
     // the mix over the absorbed stores must keep both contracts: the
     // judge half stays q84-shaped (equi-joins, no cartesian), and the
