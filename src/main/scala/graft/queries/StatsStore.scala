@@ -209,6 +209,51 @@ object StatsStore {
         "mn AS min_chars", "mx AS max_chars")
       .orderBy(col("lang"), col("source"))
 
+  // ---- batch-tagged RETENTION store (q146): the expire verb ----
+
+  /** The store family's missing lifecycle verb is DELETE. Sum-merged
+    * partials cannot retract (subtraction would need the departing rows),
+    * but absorb already lands each batch as its own LAYER — so tagging
+    * every layer with its batch epoch makes retention a pure layer drop:
+    * "stats over the last N epochs" = rewrite the partials keeping
+    * `batch >= cutoff`. This is how windowed corpus dashboards work at
+    * 100 TB (last-90-days token stats): per-epoch partial layers, expiry
+    * drops whole layers, never touches row-level data. The rewrite reads
+    * the path it overwrites, so it stages first and brackets meta exactly
+    * like [[compact]]. */
+  def buildTagged(s: SparkSession, dir: String, variant: String = "rt"): String = {
+    val path = root(dir, variant)
+    partials(corpusDocs(s, dir)).withColumn("batch", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/partials")
+    writeMeta(s, path, fingerprint(s, dir))
+    path
+  }
+
+  def absorbBatch(s: SparkSession, dir: String, delta: DataFrame,
+      batchId: Long, variant: String = "rt"): Unit = {
+    val path = root(dir, variant)
+    writeMeta(s, path, "absorbed")
+    partials(delta).withColumn("batch", lit(batchId))
+      .write.mode("append").parquet(s"$path/partials")
+  }
+
+  /** Drop every layer with `batch < keepFrom`. O(|store|), not O(corpus):
+    * the rewrite touches the #groups × #epochs partials table only. */
+  def expire(s: SparkSession, dir: String, keepFrom: Long,
+      variant: String = "rt"): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_expire"
+    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    s.read.parquet(s"$path/partials").where(col("batch") >= keepFrom)
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    writeMeta(s, path, "expiring")
+    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    writeMeta(s, path, meta)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   // ---- mergeable QUANTILE store (q139): histogram partials ----
 
   /** Histogram bin width for the quantile store. The estimator's error
@@ -316,6 +361,17 @@ object StatsStore {
       streamAbsorb(s, dir, "strm")
       compact(s, dir, "strm")
       storedStats(s, dir, "strm")
+    }),
+    // RETENTION lifecycle: corpus lands as epoch 0, two delta batches as
+    // epochs 1 and 2, then the corpus epoch EXPIRES — the dashboard read
+    // must equal the full recompute over the surviving epochs' docs only
+    // (doc_id % 10 >= 7). Layer-drop deletion, oracled cross-engine.
+    "q146_stats_retention" -> ((s, dir) => {
+      buildTagged(s, dir)
+      absorbBatch(s, dir, deltaDocs(s, dir).where("doc_id % 10 < 9"), 1L)
+      absorbBatch(s, dir, deltaDocs(s, dir).where("doc_id % 10 = 9"), 2L)
+      expire(s, dir, keepFrom = 1L)
+      storedStats(s, dir, "rt")
     })
   )
 
@@ -339,6 +395,17 @@ object StatsStore {
     // of the compaction: the streamed-and-compacted store must land on
     // the same one-pass recompute as the batch lifecycles
     "q145_stream_stats_store" -> fullRecomputeOracle,
+    // after expiring epoch 0 (the corpus), the store covers exactly the
+    // two delta epochs — the same one-pass aggregate over that slice
+    "q146_stats_retention" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  ((sum(n_chars) * 1000000) // count(*))::BIGINT AS mean_e6,
+        |  (((count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))
+        |     * 1000) // (count(*) * count(*)))::BIGINT AS var_e3,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents WHERE doc_id % 10 >= 7
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // the same ceil-rank binned estimator over the full table: p-quantile
     // = lower edge of the smallest bin whose cumulative count reaches
     // ceil(p*n) — cum*2 >= n, cum*10 >= 9n, cum*100 >= 99n

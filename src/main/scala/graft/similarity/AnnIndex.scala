@@ -450,6 +450,40 @@ object AnnIndex {
   }
 
   /**
+   * COMPACT a persisted LSH index's assignments: every [[appendLsh]]
+   * stacks another file layer under `assignments/`, and after months of
+   * daily appends each probe pays the listing/open cost of thousands of
+   * small files. The rewrite copies rows verbatim into a few coalesced
+   * files — geometry, listing, and metadata are untouched in content —
+   * so the compacted index answers BIT-FOR-BIT what the layered one did
+   * (AnnIndexSpec pins assignments-set and topk equality).
+   *
+   * Same crash bracket as the saves/appends: the merged copy is STAGED
+   * (the rewrite plan reads the directory it overwrites), metadata is
+   * cleared FIRST and rewritten verbatim LAST — a compact killed
+   * mid-rewrite leaves a metadata-less index every loader refuses and
+   * the build-if-stale retry heals.
+   */
+  def compactLsh(s: SparkSession, dir: String, path: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods._
+    implicit val formats: Formats = DefaultFormats
+    val meta = readMeta(s, path)
+    val method = (meta \ "method").extract[String]
+    if (method != "lsh")
+      throw new IllegalStateException(s"compactLsh on a '$method' index at $path")
+    val staging = s"$path/staging_compact"
+    s.read.parquet(s"$path/assignments").coalesce(4)
+      .write.mode("overwrite").parquet(staging)
+    clearMeta(s, path)
+    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/assignments")
+    writeMeta(s, path, compact(render(meta)))
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /**
    * Top-k cosine neighbors from a PERSISTED LSH index: probe-side buckets
    * are computed from the loaded hyperplanes; candidate vectors come from
    * joining the loaded (tb, vec_id) assignments back to the corpus.

@@ -279,7 +279,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // q145's dashboard read merges the compacted partials (bounded agg,
     // no corpus re-read)
     for (q <- Seq("q143_compact_dedup", "q144_oov_store",
-        "q145_stream_stats_store")) {
+        "q145_stream_stats_store", "q146_stats_retention")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -177,6 +177,19 @@ class AnnIndexSpec extends AnyFunSuite {
     // a SECOND append with nothing new is a no-op that still validates
     AnnIndex.appendLsh(spark, corpus, path)
     assert(assignSet(path) == assignSet(rebuilt))
+    // COMPACTION: the append layers collapse to <= 4 files, and the index
+    // still validates and answers bit-for-bit what the layered one did
+    val topkBefore = rows(AnnIndex.lshTopK(spark, corpus, path, numProbes = 5, k = 5))
+    AnnIndex.compactLsh(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path),
+      "compaction must not invalidate the index")
+    assert(assignSet(path) == assignSet(rebuilt),
+      "compaction changed the assignment rows")
+    val files = new java.io.File(s"$path/assignments").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"assignments not compacted: $files files")
+    assert(rows(AnnIndex.lshTopK(spark, corpus, path, numProbes = 5, k = 5)) ==
+      topkBefore, "compaction changed a topk answer")
   }
 
   test("upgrade path: a pre-checksum index validates as current but refuses appends") {
