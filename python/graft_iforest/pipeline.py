@@ -23,6 +23,9 @@ __all__ = [
     "persisted_topk_lsh", "persisted_topk_ivf",
     "build_stats_store", "stats_store_current", "build_stats_store_if_stale",
     "merged_stats", "absorb_stats_delta", "stored_stats", "pagerank",
+    "compact_dedup_index", "compact_stats_store",
+    "build_tagged_stats_store", "absorb_stats_epoch", "expire_stats_epochs",
+    "tagged_stored_stats",
     "release_caches",
 ]
 
@@ -322,6 +325,42 @@ def stored_stats(spark, data_dir):
 def pagerank(spark, data_dir):
     """Fixed-point integer PageRank over the nation trade graph (q106)."""
     jdf = _bridge(spark).pagerank(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def compact_dedup_index(spark, data_dir):
+    """Rewrite the dedup store's absorb layers into one coalesced file set
+    per table (exact/shingles/bands). Semantics-preserving — the judge's
+    answers are bit-identical before and after (q143's oracled contract)."""
+    _bridge(spark).compactDedupIndex(spark._jsparkSession, data_dir)
+
+
+def compact_stats_store(spark, data_dir):
+    """Collapse the stats store's absorb layers to one row per group; the
+    stored stats are unchanged (q145's oracled contract)."""
+    _bridge(spark).compactStatsStore(spark._jsparkSession, data_dir)
+
+
+def build_tagged_stats_store(spark, data_dir):
+    """Corpus partials tagged as epoch 0 (the retention store's base
+    layer, q146); returns the store path."""
+    return _bridge(spark).buildTaggedStatsStore(spark._jsparkSession, data_dir)
+
+
+def absorb_stats_epoch(spark, data_dir, epoch):
+    """Absorb the delta slice's partials as the given epoch layer."""
+    _bridge(spark).absorbStatsEpoch(spark._jsparkSession, data_dir, int(epoch))
+
+
+def expire_stats_epochs(spark, data_dir, keep_from):
+    """Drop every layer with epoch < keep_from — retention-window deletion
+    as a pure layer drop, O(|store|) work."""
+    _bridge(spark).expireStatsEpochs(spark._jsparkSession, data_dir, int(keep_from))
+
+
+def tagged_stored_stats(spark, data_dir):
+    """Finalized stats from the tagged store's surviving epochs."""
+    jdf = _bridge(spark).taggedStoredStats(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

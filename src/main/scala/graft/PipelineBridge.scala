@@ -209,6 +209,11 @@ object PipelineBridge {
   def absorbDedupDelta(s: SparkSession, dir: String): Unit =
     queries.DedupIndex.absorb(s, dir)
 
+  /** Rewrite the absorb layers into one coalesced file set per store
+    * table — semantics-preserving (q143's oracled contract). */
+  def compactDedupIndex(s: SparkSession, dir: String): Unit =
+    queries.DedupIndex.compact(s, dir)
+
   // --- Incremental-stats store lifecycle (q107: persisted moment-sum
   // partials per (lang, source), merged with each batch's own partials —
   // the O(batch) stats refresh). ---
@@ -240,6 +245,30 @@ object PipelineBridge {
   /** Finalized stats from the store alone (no live delta read). */
   def storedStats(s: SparkSession, dir: String): DataFrame =
     queries.StatsStore.storedStats(s, dir)
+
+  /** Collapse the stats store's absorb layers to one row per group —
+    * stored stats are unchanged (q145's oracled contract). */
+  def compactStatsStore(s: SparkSession, dir: String): Unit =
+    queries.StatsStore.compact(s, dir)
+
+  // --- Batch-tagged retention store (q146): the expire verb. ---
+
+  /** Corpus partials tagged as epoch 0; returns the store path. */
+  def buildTaggedStatsStore(s: SparkSession, dir: String): String =
+    queries.StatsStore.buildTagged(s, dir)
+
+  /** Absorb the delta slice's partials as the given epoch. */
+  def absorbStatsEpoch(s: SparkSession, dir: String, epoch: Long): Unit =
+    queries.StatsStore.absorbBatch(s, dir,
+      queries.Tables.t(s, dir, "documents").where("doc_id % 10 >= 7"), epoch)
+
+  /** Drop every layer with epoch < keepFrom (retention window). */
+  def expireStatsEpochs(s: SparkSession, dir: String, keepFrom: Long): Unit =
+    queries.StatsStore.expire(s, dir, keepFrom)
+
+  /** Finalized stats from the tagged store's surviving epochs. */
+  def taggedStoredStats(s: SparkSession, dir: String): DataFrame =
+    queries.StatsStore.storedStats(s, dir, "rt")
 
   /** q106's PageRank over the nation trade graph (fixed-point integer
     * ranks, exact across engines). */

@@ -43,7 +43,7 @@ object EmbedIndex {
   // variant: independent store instances, same rationale as
   // DedupIndex.root — the absorbing q142 lifecycle must not flip q141's
   // pristine store non-current between bench laps.
-  private def root(dir: String, variant: String = ""): String = {
+  private[graft] def root(dir: String, variant: String = ""): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val v = if (variant.isEmpty) "" else s"_$variant"
@@ -69,7 +69,7 @@ object EmbedIndex {
 
   /** Batch 1 of the two-batch lifecycle (q142): vec_id % 10 ∈ {7, 8},
     * mod-7 planting as in [[deltaVecs]]. */
-  private[queries] def batch1Vecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def batch1Vecs(s: SparkSession, dir: String): DataFrame =
     deltaVecs(s, dir).where("vec_id % 10 < 9")
 
   /** Batch 2 (q142): vec_id % 10 = 9, with vec_id % 20 = 9 vectors
@@ -77,7 +77,7 @@ object EmbedIndex {
     * so whether the copy reads 'exact' depends on batch 1's own verdicts
     * against the store: the absorbed state under test. [[deltaVecs]]
     * (q141's contract) keeps mod-9 vectors raw. */
-  private[queries] def batch2Vecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def batch2Vecs(s: SparkSession, dir: String): DataFrame = {
     val all = TextPipeline.embDoubles(s, dir)
     all.where("vec_id % 10 = 9").select(col("vec_id"), col("e"), col("bucket"))
       .join(all.select(col("vec_id").as("src_id"), col("e").as("src_e"),
@@ -187,6 +187,25 @@ object EmbedIndex {
              catch { case _: Exception => "" }
     writeMeta(s, path, fp, pristine = false)
     s.read.parquet(staging).write.mode("append").parquet(s"$path/buckets")
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  /** COMPACT the absorb layers under buckets/ into one coalesced file
+    * set — semantics-preserving row copy, the [[DedupIndex.compact]]
+    * discipline verbatim: staged copy (the rewrite reads the dir it
+    * overwrites), meta invalidated before the rewrite and restored
+    * after (IncrementalOpsSpec pins judge-answer preservation). */
+  def compact(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_compact"
+    val meta = s.read.parquet(s"$path/meta").head()
+    s.read.parquet(s"$path/buckets").coalesce(4)
+      .write.mode("overwrite").parquet(staging)
+    writeMeta(s, path, "compacting", pristine = false)
+    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/buckets")
+    writeMeta(s, path, meta.getString(0), meta.getBoolean(1))
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)

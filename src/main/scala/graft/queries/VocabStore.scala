@@ -81,6 +81,31 @@ object VocabStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** COMPACT the layered word counts back to one row per word — the
+    * merge IS the compaction (counts sum), [[StatsStore.compact]]'s
+    * discipline verbatim: staged rewrite, meta bracketed. */
+  def compact(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_compact"
+    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    s.read.parquet(s"$path/partials")
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    import s.implicits._
+    Seq("compacting").toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    Seq(meta).toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  // root is private; the spec reaches the partials through this.
+  private[graft] def partialsPath(dir: String, variant: String = ""): String =
+    s"${root(dir, variant)}/partials"
+
   /** q83's coverage read from the STORE ALONE: merge the layered counts
     * (one |vocab|-bounded groupBy), then rank/coverage over the top-25 —
     * the tiny-table window shape q83 established. */

@@ -159,6 +159,40 @@ class IncrementalOpsSpec extends AnyFunSuite {
       s"partials not collapsed to one row per group: $layered -> $compacted")
   }
 
+  test("EmbedIndex.compact: judge answers unchanged after the bucket rewrite") {
+    import graft.queries.EmbedIndex
+    val v = "cptspec"
+    EmbedIndex.build(spark, sf, v)
+    EmbedIndex.absorbVecs(spark, sf, EmbedIndex.batch1Vecs(spark, sf), v)
+    val b2 = EmbedIndex.batch2Vecs(spark, sf)
+    val before = EmbedIndex.judgeVecs(spark, sf, b2, v).collect().map(_.toString).toSeq
+    EmbedIndex.compact(spark, sf, v)
+    val after = EmbedIndex.judgeVecs(spark, sf, b2, v).collect().map(_.toString).toSeq
+    assert(before == after, "bucket compaction changed a verdict")
+    val files = new java.io.File(s"${EmbedIndex.root(sf, v)}/buckets").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"buckets not compacted: $files files")
+  }
+
+  test("VocabStore.compact: coverage unchanged, layers collapse to one per word") {
+    import graft.queries.VocabStore
+    val v = "cptspec"
+    VocabStore.build(spark, sf, v)
+    // two absorbs of the shared-root store would hit the DEFAULT root —
+    // absorb has no variant param (q140's contract); layer directly here
+    val p = VocabStore.partialsPath(sf, v)
+    spark.read.parquet(p).write.mode("append").parquet(p + "_copy")
+    spark.read.parquet(p + "_copy").write.mode("append").parquet(p)
+    val before = VocabStore.vocabWords(spark, sf, v).collect().map(_.getString(0)).toSeq
+    val layered = spark.read.parquet(p).count()
+    VocabStore.compact(spark, sf, v)
+    val after = VocabStore.vocabWords(spark, sf, v).collect().map(_.getString(0)).toSeq
+    val compacted = spark.read.parquet(p).count()
+    assert(before == after, "vocab compaction changed the top-k")
+    assert(compacted < layered,
+      s"vocab layers not collapsed: $layered -> $compacted")
+  }
+
   test("StatsStore staleness: a foreign fingerprint forces rebuild") {
     StatsStore.buildIfStale(spark, sf)
     import spark.implicits._
