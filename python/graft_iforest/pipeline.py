@@ -364,6 +364,69 @@ def tagged_stored_stats(spark, data_dir):
     return DataFrame(jdf, spark)
 
 
+def stats_as_of(spark, data_dir, epoch):
+    """Stats as they stood after `epoch` — time travel over the tagged
+    store's layers (q148); a layer filter, no snapshot copies."""
+    jdf = _bridge(spark).statsAsOf(spark._jsparkSession, data_dir, int(epoch))
+    return DataFrame(jdf, spark)
+
+
+def stats_changes(spark, data_dir, from_epoch, to_epoch):
+    """The stats contribution of epochs (from, to] alone — the changelog
+    read (q149)."""
+    jdf = _bridge(spark).statsChanges(
+        spark._jsparkSession, data_dir, int(from_epoch), int(to_epoch))
+    return DataFrame(jdf, spark)
+
+
+def tx_reset(spark, data_dir):
+    """Drop all cross-store transactions (layers + commit log)."""
+    _bridge(spark).txReset(spark._jsparkSession, data_dir)
+
+
+def tx_ensure_bases(spark, data_dir):
+    """Build the transactional protocol's immutable base stores if
+    missing or stale."""
+    _bridge(spark).txEnsureBases(spark._jsparkSession, data_dir)
+
+
+def tx_absorb_delta(spark, data_dir):
+    """ATOMICALLY absorb the delta into both the dedup and stats stores:
+    stage both layer sets, then the one-row commit (q147). Returns the
+    transaction id."""
+    return _bridge(spark).txAbsorbDelta(spark._jsparkSession, data_dir)
+
+
+def tx_keeper_ids(spark, data_dir):
+    """Kept-document ids from base + committed transaction layers."""
+    jdf = _bridge(spark).txKeeperIds(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def tx_stored_stats(spark, data_dir):
+    """Finalized stats from base + committed transaction layers."""
+    jdf = _bridge(spark).txStoredStats(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def build_graph_store_if_stale(spark, data_dir):
+    """Build the corpus co-purchase edge store if missing/stale (q150);
+    returns the store path."""
+    return _bridge(spark).buildGraphStoreIfStale(spark._jsparkSession, data_dir)
+
+
+def absorb_graph_delta(spark, data_dir):
+    """Absorb the delta orders' pair aggregation as an edge layer."""
+    _bridge(spark).absorbGraphDelta(spark._jsparkSession, data_dir)
+
+
+def graph_store_edges(spark, data_dir):
+    """The merged (a, b, w) co-purchase edge list from the store alone —
+    equals the full-table aggregation exactly (additive weights)."""
+    jdf = _bridge(spark).graphStoreEdges(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
 def release_caches(spark):
     """Unpersist every cache a query build registered (the consumer side
     of the library's cache protocol) — call after each terminal action."""

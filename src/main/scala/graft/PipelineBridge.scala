@@ -270,6 +270,55 @@ object PipelineBridge {
   def taggedStoredStats(s: SparkSession, dir: String): DataFrame =
     queries.StatsStore.storedStats(s, dir, "rt")
 
+  // --- Time travel (q148) + changelog (q149) on the tagged store. ---
+
+  /** Stats as they stood after `epoch` — a layer filter, no snapshots. */
+  def statsAsOf(s: SparkSession, dir: String, epoch: Long): DataFrame =
+    queries.StatsStore.statsAsOf(s, dir, epoch)
+
+  /** The stats contribution of epochs (from, to] alone — the diff read. */
+  def statsChanges(s: SparkSession, dir: String, from: Long, to: Long): DataFrame =
+    queries.StatsStore.statsChanges(s, dir, from, to)
+
+  // --- Transactional cross-store absorb (q147). ---
+
+  /** Drop all transactions (layers + commit log). */
+  def txReset(s: SparkSession, dir: String): Unit =
+    queries.StoreTxn.reset(s, dir)
+
+  /** Build the immutable base stores if missing/stale. */
+  def txEnsureBases(s: SparkSession, dir: String): Unit =
+    queries.StoreTxn.ensureBases(s, dir)
+
+  /** Atomically absorb the delta slice into BOTH stores (stage layers,
+    * then the one-row commit); returns the transaction id. */
+  def txAbsorbDelta(s: SparkSession, dir: String): Long =
+    queries.StoreTxn.absorbBoth(s, dir,
+      queries.DedupIndex.deltaDocs(s, dir),
+      queries.Tables.t(s, dir, "documents").where("doc_id % 10 >= 7"))
+
+  /** Kept-document ids from base ∪ committed transaction layers. */
+  def txKeeperIds(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.keeperIdsTx(s, dir)
+
+  /** Finalized stats from base ∪ committed transaction layers. */
+  def txStoredStats(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.storedStatsTx(s, dir)
+
+  // --- Incremental graph-edge store (q150). ---
+
+  /** Build the corpus co-purchase edge store if missing/stale. */
+  def buildGraphStoreIfStale(s: SparkSession, dir: String): String =
+    queries.GraphStore.buildIfStale(s, dir)
+
+  /** Absorb the delta orders' pair aggregation as a layer. */
+  def absorbGraphDelta(s: SparkSession, dir: String): Unit =
+    queries.GraphStore.absorb(s, dir)
+
+  /** The merged (a, b, w) edge list from the store alone. */
+  def graphStoreEdges(s: SparkSession, dir: String): DataFrame =
+    queries.GraphStore.mergedEdges(s, dir)
+
   /** q106's PageRank over the nation trade graph (fixed-point integer
     * ranks, exact across engines). */
   def pagerank(s: SparkSession, dir: String): DataFrame =

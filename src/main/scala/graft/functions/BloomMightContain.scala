@@ -41,7 +41,7 @@ case class BloomMightContainLong(handle: BloomHandle, child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"bloom_might_contain needs a bigint key, got ${t.simpleString(10)}")
+      s"bloom_might_contain needs a bigint key, got ${t.simpleString}")
   }
 
   override protected def nullSafeEval(v: Any): Any =

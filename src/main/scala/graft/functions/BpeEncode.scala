@@ -51,7 +51,7 @@ case class BpeEncode(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bpe_encode needs string, got ${other.simpleString(10)}")
+      s"bpe_encode needs string, got ${other.simpleString}")
   }
 
   @transient private lazy val patterns: Array[(String, String)] =
@@ -274,7 +274,7 @@ case class BpeEncodeIds(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bpe_encode_ids needs string, got ${other.simpleString(10)}")
+      s"bpe_encode_ids needs string, got ${other.simpleString}")
   }
 
   @transient private lazy val patterns: Array[(String, String)] =

@@ -27,7 +27,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"cosine_similarity needs (array<double>, array<double>), got " +
-        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+        s"(${l.simpleString}, ${r.simpleString})")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

@@ -31,7 +31,7 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig needs array<string>, got ${t.simpleString(10)}")
+      s"minhash_sig needs array<string>, got ${t.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -40,7 +40,7 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"quantize_vec needs array<double>, got ${other.simpleString(10)}")
+      s"quantize_vec needs array<double>, got ${other.simpleString}")
   }
 
   /** Hot path — called from both interpreted eval and generated code.
@@ -114,7 +114,7 @@ case class CosineSimilarityI8(left: Expression, right: Expression)
     case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => TypeCheckResult.TypeCheckSuccess
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"cosine_similarity_i8 needs (array<tinyint>, array<tinyint>), got " +
-        s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+        s"(${l.simpleString}, ${r.simpleString})")
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

@@ -27,7 +27,7 @@ case class SimHash(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"simhash needs array<bigint>, got ${t.simpleString(10)}")
+      s"simhash needs array<bigint>, got ${t.simpleString}")
   }
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -46,7 +46,7 @@ case class IForestScore(
     if (child.dataType == SQLDataTypes.VectorType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"iforest_score needs a ${SQLDataTypes.VectorType.simpleString} column, " +
-        s"got ${child.dataType.simpleString(10)}")
+        s"got ${child.dataType.simpleString}")
 
   /** Hot path — called from both interpreted eval and generated code. */
   def scoreRow(row: InternalRow): Double = {

@@ -72,10 +72,48 @@ object RewriteTopOnePerKey extends Rule[LogicalPlan] {
  * Session extension wiring (`spark.sql.extensions=graft.plans.GraftExtensions`
  * or `.withExtensions(new GraftExtensions)`); also usable ad hoc through
  * `spark.experimental.extraOptimizations`.
+ *
+ * Besides the optimizer rule and the as-of strategy, the extension
+ * installs every STATELESS native function into the session's registry —
+ * the one-config deployment path for a pure-SQL user (`--conf
+ * spark.sql.extensions=graft.plans.GraftExtensions` on a cluster they
+ * don't run Scala on): `SELECT simhash(text), minhash_sig(text) …` works
+ * with no driver-side `register()` call. The two BPE functions are the
+ * deliberate exception — their builders close over a broadcast
+ * merges/vocab table that must be loaded through a live session, so they
+ * keep the explicit `BpeEncode.register(spark, mergesPath)` surface.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteTopOnePerKey)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
   }
+}
+
+object GraftExtensions {
+  import graft.functions._
+
+  /** Name → builder for every session-independent native function; the
+    * same builders `X.register` installs one at a time. */
+  private[graft] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash" -> ((exprs: Seq[Expression]) => SimHash(exprs.head)),
+    "hamming_distance" -> ((exprs: Seq[Expression]) =>
+      HammingDistance(exprs(0), exprs(1))),
+    "cosine_similarity" -> ((exprs: Seq[Expression]) =>
+      CosineSimilarity(exprs(0), exprs(1))),
+    "minhash_sig" -> ((exprs: Seq[Expression]) => MinhashSignature(exprs.head)),
+    "winnow_fingerprints" -> ((exprs: Seq[Expression]) =>
+      WinnowFingerprints(exprs(0), exprs(1), exprs(2))),
+    "quantize_vec" -> ((exprs: Seq[Expression]) => QuantizeVec(exprs(0))),
+    "cosine_similarity_i8" -> ((exprs: Seq[Expression]) =>
+      CosineSimilarityI8(exprs(0), exprs(1))),
+    "repetition_chars" -> ((exprs: Seq[Expression]) =>
+      RepetitionChars(exprs.head)),
+    "shingle_gen" -> ((exprs: Seq[Expression]) =>
+      ShingleGenerator(exprs(0), exprs(1))),
+  )
 }

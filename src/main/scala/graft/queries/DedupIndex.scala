@@ -74,7 +74,7 @@ object DedupIndex {
 
   /** Batch 1 of the TWO-BATCH lifecycle (q135): doc_id % 10 ∈ {7, 8},
     * mod-7 docs planted from the corpus exactly as in [[deltaDocs]]. */
-  private[queries] def batch1Docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def batch1Docs(s: SparkSession, dir: String): DataFrame =
     deltaDocs(s, dir).where("doc_id % 10 < 9")
 
   /** Batch 2 (q135): doc_id % 10 = 9, with doc_id % 20 = 9 docs PLANTED
@@ -84,7 +84,7 @@ object DedupIndex {
     * verdicts, which is precisely the multi-batch store state under test.
     * [[deltaDocs]] (q84's contract) keeps mod-9 docs RAW — this planting
     * exists only on the q135 surface. */
-  private[queries] def batch2Docs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def batch2Docs(s: SparkSession, dir: String): DataFrame = {
     val all = Tables.t(s, dir, "documents")
     all.where("doc_id % 10 = 9").select(col("doc_id"), col("text"))
       .join(all.select(col("doc_id").as("src_id"), col("text").as("src_text")),
@@ -166,21 +166,33 @@ object DedupIndex {
   def judgeDocs(s: SparkSession, dir: String, delta: DataFrame,
       variant: String = ""): DataFrame = {
     val path = root(dir, variant)
+    judgeAgainst(s, delta,
+      s.read.parquet(s"$path/exact"),
+      s.read.parquet(s"$path/shingles"),
+      s.read.parquet(s"$path/bands"))
+  }
+
+  /** The judge over EXPLICIT store tables — [[judgeDocs]] passes the
+    * single-directory store reads; [[StoreTxn]] passes base ∪
+    * committed-transaction-layer unions, so the same verdict plan serves
+    * both the single-store and the transactional lifecycles. */
+  private[queries] def judgeAgainst(s: SparkSession, delta: DataFrame,
+      exact: DataFrame, shingles: DataFrame, bands: DataFrame): DataFrame = {
     val dsh = Caches.persist(TextPipeline.shinglesOf(delta))
 
     val cand = TextPipeline.minhashBands(dsh)
       .withColumnRenamed("doc_id", "d_id")
-      .join(s.read.parquet(s"$path/bands").withColumnRenamed("doc_id", "c_id"),
+      .join(bands.withColumnRenamed("doc_id", "c_id"),
         Seq("b", "k0", "k1", "k2"))
       .select(col("d_id"), col("c_id")).distinct()
     val near = TextPipeline
-      .jaccardOf(cand, dsh, s.read.parquet(s"$path/shingles"), "d_id", "c_id")
+      .jaccardOf(cand, dsh, shingles, "d_id", "c_id")
       .filter(col("jaccard") >= 0.5)
       .groupBy(col("d_id"))
       .agg(count(lit(1)).as("n_near"), min(col("c_id")).as("near_match"))
 
     delta.selectExpr("doc_id", "md5(text) AS fp")
-      .join(s.read.parquet(s"$path/exact"), Seq("fp"), "left")
+      .join(exact, Seq("fp"), "left")
       .join(near, col("doc_id") === col("d_id"), "left")
       .selectExpr("doc_id",
         "cast(keeper IS NOT NULL AS int) AS exact_dup",

@@ -103,7 +103,7 @@ object Graph {
     * edges by co-occurrence weight under a TOTAL order (w desc, a, b), so
     * the cut is deterministic and cross-engine exact. M bounds every
     * downstream stage no matter how large the corpus grows. */
-  private val backboneM = 10000
+  private[queries] val backboneM = 10000
 
   /** All triangles of a CANONICAL (a < b) bounded edge list, one row per
     * triangle as x < y < z. A triangle appears exactly once as
@@ -143,17 +143,29 @@ object Graph {
     * GraphTune's sensitivity grid (TUNE_r15: how do triangle counts and
     * runtime move with the cut?). */
   private[graft] def coPurchaseBackbone(s: SparkSession, dir: String,
-      m: Int = backboneM): DataFrame = {
-    val os = Tables.t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      m: Int = backboneM): DataFrame =
+    backboneOf(coPairsOf(Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))), m)
+
+  /** Weighted canonical co-occurrence pairs of an (o, p) frame: distinct
+    * (order, part), within-order pair fan-out (bounded by lines-per-order),
+    * pair-key aggregation. Because pairs are INTRA-order, pair weights
+    * over any partition of the orders sum to the full-table weights —
+    * the mergeability [[GraphStore]] exploits. */
+  private[queries] def coPairsOf(op: DataFrame): DataFrame = {
+    val os = op.distinct()
     os.as("x").join(os.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
       .agg(count(lit(1)).as("w"))
-      .orderBy(col("w").desc, col("a"), col("b"))
+  }
+
+  /** The deterministic top-m cut of a weighted (a, b, w) edge frame under
+    * the TOTAL order (w desc, a, b) — TakeOrdered, no global sort. */
+  private[queries] def backboneOf(edges: DataFrame, m: Int = backboneM): DataFrame =
+    edges.orderBy(col("w").desc, col("a"), col("b"))
       .limit(m)
       .select(col("a"), col("b"))
-  }
 
   /** The backbone cut as a DuckDB CTE chain (os → e0 → e), kept next to
     * [[coPurchaseBackbone]] so both q128's and q132's oracles inherit the
@@ -166,14 +178,18 @@ object Graph {
        |e AS (SELECT a, b FROM e0 ORDER BY w DESC, a, b LIMIT $backboneM)"""
       .stripMargin
 
-  def triangleBackbone(s: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseBackbone(s, dir)
+  def triangleBackbone(s: SparkSession, dir: String): DataFrame =
+    triangleCountsOf(coPurchaseBackbone(s, dir))
+
+  /** Per-part triangle participation of a bounded canonical edge frame,
+    * top 20 — the q128 read, shared by [[GraphStore]]'s store-backed
+    * path. */
+  private[queries] def triangleCountsOf(edges: DataFrame): DataFrame =
     trianglesOf(edges).selectExpr("explode(array(x, y, z)) AS p_partkey")
       .groupBy(col("p_partkey"))
       .agg(count(lit(1)).as("n_triangles"))
       .orderBy(col("n_triangles").desc, col("p_partkey"))
       .limit(20)
-  }
 
   // ---- q132: semi-supervised label propagation on the backbone ----
 

@@ -48,8 +48,10 @@ object StatsStore {
     Tables.t(s, dir, "documents").where("doc_id % 10 >= 7")
 
   /** Moment-sum partials per (lang, source). Map-side combine collapses
-    * each partition to at most #groups rows before the exchange. */
-  private def partials(df: DataFrame): DataFrame =
+    * each partition to at most #groups rows before the exchange.
+    * `private[queries]`: [[StoreTxn]] stages the same partials as a
+    * transaction layer. */
+  private[queries] def partials(df: DataFrame): DataFrame =
     df.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).as("s1"),
@@ -198,7 +200,7 @@ object StatsStore {
     * tested SFs; beyond them the session's ANSI mode turns overflow into
     * a LOUD error rather than a silent wrap — widen to DECIMAL before
     * raising the scales. */
-  private def finalize(p: DataFrame): DataFrame =
+  private[queries] def finalize(p: DataFrame): DataFrame =
     p.groupBy(col("lang"), col("source"))
       .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
         sum(col("s2")).as("s2"), min(col("mn")).as("mn"),
@@ -253,6 +255,61 @@ object StatsStore {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
+
+  // ---- time travel (q148) + changelog (q149) on the tagged store ----
+
+  /** Ensure the shared time-travel store instance: corpus as epoch 0,
+    * the delta as epochs 1 (doc_id % 10 ∈ {7,8}) and 2 (doc_id % 10 = 9).
+    * Fingerprint-guarded build-once: meta is written LAST, after all
+    * three layers, so a crash mid-build leaves a store that rebuilds; the
+    * steady state for BOTH time-travel verbs is then a pure store read —
+    * the right operational shape, since as-of and diff are READ verbs
+    * (unlike q146's expire, which rewrites and therefore keeps its own
+    * `rt` instance). */
+  private def ensureTagged(s: SparkSession, dir: String,
+      variant: String = "tt"): Unit = {
+    val path = root(dir, variant)
+    val ok =
+      try s.read.parquet(s"$path/meta").head().getString(0) ==
+          fingerprint(s, dir) &&
+        s.read.parquet(s"$path/partials")
+          .agg(max(col("batch"))).head().getLong(0) == 2L
+      catch { case _: Exception => false }
+    if (!ok) {
+      partials(corpusDocs(s, dir)).withColumn("batch", lit(0L))
+        .write.mode("overwrite").parquet(s"$path/partials")
+      partials(deltaDocs(s, dir).where("doc_id % 10 < 9"))
+        .withColumn("batch", lit(1L))
+        .write.mode("append").parquet(s"$path/partials")
+      partials(deltaDocs(s, dir).where("doc_id % 10 = 9"))
+        .withColumn("batch", lit(2L))
+        .write.mode("append").parquet(s"$path/partials")
+      writeMeta(s, path, fingerprint(s, dir))
+    }
+  }
+
+  /** TIME TRAVEL: the stats as they stood after `epoch` — merge only the
+    * layers with batch ≤ epoch. Because absorb lands each batch as its
+    * own tagged layer, every historical state remains a FILTER over the
+    * #groups × #epochs partials table: no snapshot copies, no corpus
+    * re-read, and the whole history costs what one state costs. The
+    * dashboard question it answers — "what did the corpus look like
+    * before yesterday's batch?" — otherwise needs either a full recompute
+    * over the historical slice or a snapshot-per-batch storage bill. */
+  def statsAsOf(s: SparkSession, dir: String, epoch: Long,
+      variant: String = "tt"): DataFrame =
+    finalize(s.read.parquet(s"${root(dir, variant)}/partials")
+      .where(col("batch") <= epoch))
+
+  /** CHANGELOG: the stats contribution of epochs (from, to] alone — the
+    * same filter with both bounds. This is the diff read a downstream
+    * consumer uses to see WHAT a batch changed without replaying it:
+    * because the partials merge by sum/min/max, the slice's finalized
+    * stats are exactly the stats of the slice's documents. */
+  def statsChanges(s: SparkSession, dir: String, from: Long, to: Long,
+      variant: String = "tt"): DataFrame =
+    finalize(s.read.parquet(s"${root(dir, variant)}/partials")
+      .where(col("batch") > from && col("batch") <= to))
 
   // ---- mergeable QUANTILE store (q139): histogram partials ----
 
@@ -362,6 +419,21 @@ object StatsStore {
       compact(s, dir, "strm")
       storedStats(s, dir, "strm")
     }),
+    // TIME TRAVEL: the store holds corpus (epoch 0) + two absorbed delta
+    // batches (epochs 1, 2); the as-of-epoch-1 read must equal the full
+    // recompute over exactly the documents ingested through epoch 1 —
+    // history reconstructed from layer filters, no snapshots. The build
+    // is fingerprint-guarded (meta LAST, after all layers), so the
+    // steady-state lap is a pure store read.
+    "q148_stats_asof" -> ((s, dir) => {
+      ensureTagged(s, dir); statsAsOf(s, dir, epoch = 1L)
+    }),
+    // CHANGELOG: the diff read — epoch 2's own contribution, recovered
+    // from the committed layers without replaying the batch. Shares the
+    // q148 store instance (both verbs are reads).
+    "q149_stats_changes" -> ((s, dir) => {
+      ensureTagged(s, dir); statsChanges(s, dir, from = 1L, to = 2L)
+    }),
     // RETENTION lifecycle: corpus lands as epoch 0, two delta batches as
     // epochs 1 and 2, then the corpus epoch EXPIRES — the dashboard read
     // must equal the full recompute over the surviving epochs' docs only
@@ -395,6 +467,28 @@ object StatsStore {
     // of the compaction: the streamed-and-compacted store must land on
     // the same one-pass recompute as the batch lifecycles
     "q145_stream_stats_store" -> fullRecomputeOracle,
+    // as of epoch 1 the store covers the corpus (doc_id % 10 < 7) plus
+    // batch 1 (doc_id % 10 ∈ {7,8}) — i.e. everything but epoch 2's
+    // doc_id % 10 = 9 slice
+    "q148_stats_asof" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  ((sum(n_chars) * 1000000) // count(*))::BIGINT AS mean_e6,
+        |  (((count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))
+        |     * 1000) // (count(*) * count(*)))::BIGINT AS var_e3,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents WHERE doc_id % 10 < 9
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // the (1, 2] changelog is epoch 2 alone: the doc_id % 10 = 9 batch
+    "q149_stats_changes" ->
+      """SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  ((sum(n_chars) * 1000000) // count(*))::BIGINT AS mean_e6,
+        |  (((count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))
+        |     * 1000) // (count(*) * count(*)))::BIGINT AS var_e3,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents WHERE doc_id % 10 = 9
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     // after expiring epoch 0 (the corpus), the store covers exactly the
     // two delta epochs — the same one-pass aggregate over that slice
     "q146_stats_retention" ->

@@ -104,7 +104,7 @@ case class LshBuckets(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs array<double>, got ${other.simpleString(10)}")
+      s"$prettyName needs array<double>, got ${other.simpleString}")
   }
 
   /** Hot path — called from both interpreted eval and generated code. */
@@ -256,7 +256,7 @@ case class IvfLists(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"ivf_lists needs array<double>, got ${other.simpleString(10)}")
+      s"ivf_lists needs array<double>, got ${other.simpleString}")
   }
 
   /** Hot path — called from both interpreted eval and generated code. */

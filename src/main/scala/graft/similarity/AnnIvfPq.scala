@@ -204,7 +204,7 @@ case class IvfPqCodes(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"ivf_pq_codes needs array<double>, got ${other.simpleString(10)}")
+      s"ivf_pq_codes needs array<double>, got ${other.simpleString}")
   }
 
   def encOf(a: ArrayData): InternalRow = {
@@ -247,7 +247,7 @@ case class IvfCentroidDots(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"ivf_centroid_dots needs array<double>, got ${other.simpleString(10)}")
+      s"ivf_centroid_dots needs array<double>, got ${other.simpleString}")
   }
 
   def dotsOf(a: ArrayData): ArrayData = {

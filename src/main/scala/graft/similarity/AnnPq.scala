@@ -263,7 +263,7 @@ case class PqCodes(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_codes needs array<double>, got ${other.simpleString(10)}")
+      s"pq_codes needs array<double>, got ${other.simpleString}")
   }
 
   def codesOf(a: ArrayData): ArrayData =
@@ -296,7 +296,7 @@ case class PqLut(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_lut needs array<double>, got ${other.simpleString(10)}")
+      s"pq_lut needs array<double>, got ${other.simpleString}")
   }
 
   def lutOf(a: ArrayData): ArrayData =
@@ -330,7 +330,7 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"pq_adc needs (array<tinyint> codes, array<double> lut), got " +
-          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+          s"(${l.simpleString}, ${r.simpleString})")
     }
 
   def adcOf(codes: ArrayData, lut: ArrayData): Double = {

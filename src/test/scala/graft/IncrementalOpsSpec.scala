@@ -434,4 +434,51 @@ class IncrementalOpsSpec extends AnyFunSuite {
       assert(pend.isEmpty, s"user $u series ends interpolated")
     }
   }
+
+  test("time travel: asOf walks the layer history; changelog is the exact diff") {
+    // materialize the shared tagged store via the q148 surface
+    Caches.scoped(StatsStore.queries("q148_stats_asof")(spark, sf).collect())
+    // epoch 0 == the pristine corpus-only store (same finalize, same slice)
+    StatsStore.buildIfStale(spark, sf)
+    val asOf0 = Caches.scoped(
+      StatsStore.statsAsOf(spark, sf, 0L).collect().toSeq.map(_.toString))
+    val pristine = Caches.scoped(
+      StatsStore.storedStats(spark, sf).collect().toSeq.map(_.toString))
+    assert(asOf0 == pristine, "asOf(0) diverged from the pristine corpus store")
+    // epoch 2 == everything == the oracled merged-stats state
+    val asOf2 = Caches.scoped(
+      StatsStore.statsAsOf(spark, sf, 2L).collect().toSeq.map(_.toString))
+    val full = Caches.scoped(
+      StatsStore.mergedStats(spark, sf).collect().toSeq.map(_.toString))
+    assert(asOf2 == full, "asOf(2) diverged from the full merged stats")
+    // the (0, 2] changelog accounts for exactly the rows between the
+    // two as-of states, per group (additivity of the diff read)
+    def counts(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      Caches.scoped(df.collect().toSeq
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap)
+    val c0 = counts(StatsStore.statsAsOf(spark, sf, 0L))
+    val c2 = counts(StatsStore.statsAsOf(spark, sf, 2L))
+    val diff = counts(StatsStore.statsChanges(spark, sf, 0L, 2L))
+    c2.foreach { case (g, n) =>
+      assert(n - c0.getOrElse(g, 0L) == diff.getOrElse(g, 0L),
+        s"changelog miscounts group $g")
+    }
+    Caches.releaseAll()
+  }
+
+  test("q150: store-backed triangle read == the direct q128 full-table read") {
+    import graft.queries.GraphStore
+    val viaStore = Caches.scoped(
+      GraphStore.queries("q150_graph_store")(spark, sf)
+        .collect().toSeq.map(_.toString))
+    val direct = Caches.scoped(
+      Graph.triangleBackbone(spark, sf).collect().toSeq.map(_.toString))
+    assert(viaStore == direct,
+      s"incremental edge store changed the triangle read:\n" +
+        s"store=${viaStore.take(3)}\ndirect=${direct.take(3)}")
+    // staleness: a store absorbed past the corpus slice must rebuild
+    assert(!GraphStore.isCurrent(spark, sf),
+      "absorbed graph store still reads current")
+    Caches.releaseAll()
+  }
 }

@@ -313,6 +313,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"q134 regressed to a ScalaUDF:\n$p")
   }
 
+  test("q147 transactional mix keeps q134's shape; q148/q149 are pure store reads") {
+    // the commit-log indirection adds input PATHS, never plan shape: the
+    // judge stays equi-join-only, the cap stays the bounded aggregation,
+    // the stats table stays broadcast
+    val p = plan("q147_tx_store_mix")
+    assert(!p.contains("CartesianProduct"), s"q147 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q147 planned a nested-loop join:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"q147's domain cap lost the bounded aggregation:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q147's stats/cap joins must broadcast the small sides:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q147 regressed to a ScalaUDF:\n$p")
+    // time-travel verbs are FILTERS over the bounded partials table:
+    // no join, no corpus path in the scan
+    for (q <- Seq("q148_stats_asof", "q149_stats_changes")) {
+      val pt = plan(q)
+      assert(!pt.contains("Join"), s"$q grew a join — it must be a layer filter:\n$pt")
+      assert(!pt.contains("documents"), s"$q re-reads the corpus:\n$pt")
+      assert(!pt.contains("ScalaUDF"), s"$q regressed to a ScalaUDF:\n$pt")
+    }
+  }
+
+  test("q150 store-backed triangles keep q128's read shape") {
+    // backbone cut from the MERGED STORE must still be TakeOrdered and
+    // the wedge-close joins must still broadcast the bounded edge set;
+    // the only corpus-path work is the lifecycle's own pair aggregation
+    val p = plan("q150_graph_store")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q150 backbone pays a global sort instead of a top-M heap:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"q150 triangle stage lost its broadcasts:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q150 shuffles the bounded edge set:\n$p")
+    assert(!p.contains("lineitem"),
+      s"q150's read must come from the store, not the corpus:\n$p")
+  }
+
   test("q139/q140 store reads: windows over bounded store tables, no corpus re-read") {
     // both lifecycle reads merge the persisted partials (a bounded
     // groupBy) — the only corpus-scale work is the build/absorb

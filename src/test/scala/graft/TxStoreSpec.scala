@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/**
+ * [[graft.queries.StoreTxn]] — the transactional cross-store absorb.
+ * The oracled q147 proves the protocol lands on q134's bytes; these
+ * cases pin what the oracle can't see: the CRASH WINDOWS. Uncommitted
+ * staging must be invisible to BOTH stores (atomicity), a crashed stage
+ * must heal by redo with the same transaction id, and a second
+ * transaction must be judged against the first one's committed state.
+ */
+class TxStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+  import graft.queries.{Caches, DedupIndex, StatsStore, StoreMix, StoreTxn, Tables}
+
+  private def statsDelta(pred: String) =
+    Tables.t(spark, sf, "documents").where(pred)
+
+  private def keeperSet: Set[Long] = Caches.scoped(
+    StoreTxn.keeperIdsTx(spark, sf).collect().map(_.getLong(0)).toSet)
+
+  private def statsRows: Seq[String] = Caches.scoped(
+    StoreTxn.storedStatsTx(spark, sf).collect().toSeq.map(_.toString))
+
+  test("uncommitted staging is invisible to both stores; commit flips both at once") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    val baseKeepers = keeperSet
+    val baseStats = statsRows
+
+    // stage the full delta as txn 0 — but CRASH before the commit row
+    StoreTxn.stage(spark, sf, DedupIndex.deltaDocs(spark, sf),
+      statsDelta("doc_id % 10 >= 7"), 0L)
+    assert(keeperSet == baseKeepers,
+      "dedup reader saw uncommitted staging")
+    assert(statsRows == baseStats,
+      "stats reader saw uncommitted staging")
+    assert(StoreTxn.nextTxnId(spark, sf) == 0L,
+      "crashed stage must not advance the transaction id")
+
+    // the commit point: ONE append — afterwards both stores advance
+    StoreTxn.commit(spark, sf, 0L)
+    val committedKeepers = keeperSet
+    assert(committedKeepers.size > baseKeepers.size,
+      "commit did not surface the dedup layer")
+    assert(statsRows != baseStats,
+      "commit did not surface the stats layer")
+    // post-commit stats == pristine-store-plus-live-delta merge (the
+    // oracled q107 state over the same corpus ∪ delta)
+    StatsStore.buildIfStale(spark, sf)
+    val expected = Caches.scoped(
+      StatsStore.mergedStats(spark, sf).collect().toSeq.map(_.toString))
+    assert(statsRows == expected,
+      "transactional stats diverged from the merged-partials recompute")
+    Caches.releaseAll()
+  }
+
+  test("transactional absorb == the plain single-store absorb (keeper sets)") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.deltaDocs(spark, sf),
+      statsDelta("doc_id % 10 >= 7"))
+    // reference: the non-transactional absorb on a throwaway variant
+    DedupIndex.build(spark, sf, "txspec")
+    DedupIndex.absorb(spark, sf, "txspec")
+    val plain = Caches.scoped(DedupIndex.keeperIds(spark, sf, "txspec")
+      .collect().map(_.getLong(0)).toSet)
+    assert(keeperSet == plain,
+      "commit-log keepers diverged from the plain absorb")
+    Caches.releaseAll()
+  }
+
+  test("crashed stage heals by redo: same id, clean final state") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    // crash mid-stage: kept + exact layer written, shingles/bands/stats not
+    val t = s"${StoreTxn.root(sf)}/t0"
+    StoreTxn.stage(spark, sf, DedupIndex.deltaDocs(spark, sf),
+      statsDelta("doc_id % 10 >= 7"), 0L)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/dedup/bands"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$t/stats"), true)
+
+    // retry recomputes the SAME id (nothing committed) and overwrites
+    val id = StoreTxn.absorbBoth(spark, sf, DedupIndex.deltaDocs(spark, sf),
+      statsDelta("doc_id % 10 >= 7"))
+    assert(id == 0L, "retry must reuse the uncommitted transaction id")
+    StatsStore.buildIfStale(spark, sf)
+    val expected = Caches.scoped(
+      StatsStore.mergedStats(spark, sf).collect().toSeq.map(_.toString))
+    assert(statsRows == expected, "healed state diverged from the recompute")
+    Caches.releaseAll()
+  }
+
+  test("txn 2 is judged against txn 1's committed state") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    val keepersAfter1 = keeperSet
+
+    // batch 2's mod-20 = 9 docs are planted copies of batch-1 (mod-8)
+    // docs; where the source doc was absorbed in txn 1, the judge must
+    // read 'exact' with the absorbed doc as keeper
+    val verdicts = Caches.scoped(
+      StoreTxn.judgeTx(spark, sf, DedupIndex.batch2Docs(spark, sf))
+        .where("doc_id % 20 = 9").collect().toSeq)
+    val planted = verdicts.filter(r => keepersAfter1.contains(r.getAs[Long]("doc_id") - 1))
+    assert(planted.nonEmpty, "fixture lost its planted copies")
+    planted.foreach { r =>
+      assert(r.getAs[String]("verdict") == "exact" &&
+        r.getAs[Long]("exact_keeper") == r.getAs[Long]("doc_id") - 1,
+        s"planted copy not judged against txn 1's absorbed doc: $r")
+    }
+
+    // absorb txn 2 as well: final stats must equal the full-table state
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"))
+    StatsStore.buildIfStale(spark, sf)
+    val expected = Caches.scoped(
+      StatsStore.mergedStats(spark, sf).collect().toSeq.map(_.toString))
+    assert(statsRows == expected,
+      "two-transaction stats diverged from the recompute")
+    Caches.releaseAll()
+  }
+
+  test("q147 (transactional) == q134 (independent absorbs) row-identically") {
+    val tx = Caches.scoped(
+      StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
+    val plain = Caches.scoped(
+      StoreMix.queries("q134_store_mix")(spark, sf).collect().toSeq.map(_.toString))
+    assert(tx == plain,
+      s"protocols diverged:\ntx=${tx.take(3)}\nplain=${plain.take(3)}")
+    Caches.releaseAll()
+  }
+}
