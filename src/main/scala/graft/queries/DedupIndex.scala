@@ -449,8 +449,11 @@ object DedupIndex {
   // band candidates against corpus-or-kept docs only. One shared
   // shingle/band chain over the planted corpus∪batch1∪batch2 source
   // serves every stage (planted copies share their source's shingles).
-  private lazy val twoBatchOracle: String =
-      s"""WITH src AS (
+  /** The two-batch judge history as a CTE chain (src → … → d2), shared
+    * by q135/q143's verdict oracle and [[StoreTxn]]'s q151 streaming
+    * ingest oracle (which extends it with the batch-2 keeper fold). */
+  private[queries] lazy val twoBatchCtes: String =
+      s"""src AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7
          |  UNION ALL
          |  SELECT d0.doc_id, coalesce(o.text, d0.text) AS text
@@ -501,7 +504,10 @@ object DedupIndex {
          |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.5
          |  GROUP BY d_id),
          |d2 AS (SELECT doc_id, md5(text) AS fp
-         |  FROM src WHERE doc_id % 10 = 9)
+         |  FROM src WHERE doc_id % 10 = 9)""".stripMargin
+
+  private lazy val twoBatchOracle: String =
+      s"""WITH $twoBatchCtes
          |SELECT d2.doc_id,
          |  (ex2.keeper IS NOT NULL)::INT AS exact_dup,
          |  coalesce(ex2.keeper, -1) AS exact_keeper,

@@ -174,13 +174,121 @@ object StoreTxn {
         .select(col("lang"), col("source"), col("n_docs"), col("total_chars")))
   }
 
+  /** q151: TRANSACTIONAL STREAMING INGESTION — the delta arrives as a
+    * stream and every micro-batch commits to BOTH stores atomically via
+    * [[absorbBoth]] inside foreachBatch: batch 1 (q135's planted
+    * doc_id % 10 ∈ {7,8}) lands as transaction 0, batch 2 (% 10 = 9,
+    * planted against batch-1 docs) as transaction 1 — judged against the
+    * COMMITTED state of transaction 0, the multi-batch store semantics
+    * q135 oracles, now with the crash-consistent protocol underneath. A
+    * driver kill between the two stores' appends can no longer strand a
+    * half-ingested micro-batch: replay re-stages under the same
+    * transaction id and the commit row is the only visibility switch.
+    *
+    * The read is the operational ingest dashboard off the two stores
+    * alone: per (lang, source), total docs + chars (stats store) next to
+    * the kept-after-dedup count (dedup store). The oracle replays the
+    * whole two-batch judge history (q135's CTE chain) plus the batch-2
+    * keeper fold, then aggregates — cross-engine proof that streaming
+    * cadence + transaction protocol together are semantics-free.
+    *
+    * Batch order is pinned the q131 way: two staged feed files with
+    * explicit modification times, maxFilesPerTrigger=1 (FileStreamSource
+    * takes files oldest-timestamp-first). Unlike q131/q145 — whose
+    * associative merges make order irrelevant — the dedup judge is
+    * order-SENSITIVE (batch 2 must see absorbed batch 1), so the feed
+    * files are built from the deterministic batch predicates, not
+    * repartitionByRange. */
+  private def streamTxIngest(s: SparkSession, dir: String): DataFrame = {
+    reset(s, dir)
+    ensureBases(s, dir)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val feed = s"${sys.props("java.io.tmpdir")}/graft_txn_feed_$h"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_txn_ckpt_$h"
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    // feed rows carry the PLANTED dedup text plus the raw stats columns
+    val meta = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    def staged(batch: DataFrame): DataFrame = batch.join(meta, Seq("doc_id"))
+    staged(DedupIndex.batch1Docs(s, dir))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val base = System.currentTimeMillis() - 3600000L
+    val feedPath = new org.apache.hadoop.fs.Path(feed)
+    val aParts = fs.listStatus(feedPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+    staged(DedupIndex.batch2Docs(s, dir))
+      .coalesce(1).write.mode("append").parquet(feed)
+    val aNames = aParts.map(_.getPath.getName).toSet
+    fs.listStatus(feedPath)
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        !aNames(st.getPath.getName))
+      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+
+    val schema = s.read.parquet(feed).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    // explicit function value — the inline lambda is ambiguous between
+    // the Scala and Java foreachBatch overloads on 2.13 (q131's note)
+    val commitBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        absorbBoth(s, dir, b.select(col("doc_id"), col("text")), b)
+        ()
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(commitBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the ingest dashboard: both stores, no live input
+    val stats = storedStatsTx(s, dir)
+      .select(col("lang"), col("source"), col("n_docs"), col("total_chars"))
+    val kept = keeperIdsTx(s, dir)
+      .join(meta.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_keepers"))
+    stats.join(kept, Seq("lang", "source"), "left")
+      .selectExpr("lang", "source", "n_docs", "total_chars",
+        "coalesce(n_keepers, 0L) AS n_keepers")
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q147_tx_store_mix" -> ((s, dir) => txStoreMix(s, dir))
+    "q147_tx_store_mix" -> ((s, dir) => txStoreMix(s, dir)),
+    "q151_stream_tx_ingest" -> ((s, dir) => streamTxIngest(s, dir))
   )
 
   // q134's oracle VERBATIM: the transaction protocol must be invisible
-  // to the composed result (the q143-shares-q135 device).
+  // to the composed result (the q143-shares-q135 device). q151 extends
+  // q135's two-batch CTE chain with the batch-2 keeper fold and the
+  // per-group dashboard aggregate.
   val oracles: Map[String, String] = Map(
-    "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix")
+    "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
+    "q151_stream_tx_ingest" ->
+      s"""WITH ${DedupIndex.twoBatchCtes},
+         |u2 AS (SELECT d2.doc_id, d2.fp FROM d2
+         |  LEFT JOIN ex2 USING (fp)
+         |  LEFT JOIN near2 ON near2.d_id = d2.doc_id
+         |  WHERE ex2.keeper IS NULL AND coalesce(near2.n_near, 0) = 0),
+         |kept2 AS (SELECT fp, min(doc_id) AS keeper FROM u2 GROUP BY fp),
+         |keepers AS (
+         |  SELECT keeper AS doc_id FROM ex0
+         |  UNION ALL SELECT keeper FROM kept1
+         |  UNION ALL SELECT keeper FROM kept2),
+         |kstats AS (SELECT d.lang, d.source, count(*)::BIGINT AS n_keepers
+         |  FROM documents d JOIN keepers USING (doc_id) GROUP BY 1, 2),
+         |stats AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS total_chars
+         |  FROM documents GROUP BY lang, source)
+         |SELECT s.lang, s.source, s.n_docs, s.total_chars,
+         |  coalesce(k.n_keepers, 0)::BIGINT AS n_keepers
+         |FROM stats s LEFT JOIN kstats k USING (lang, source)
+         |ORDER BY s.lang, s.source""".stripMargin
   )
 }
