@@ -409,6 +409,19 @@ def tx_stored_stats(spark, data_dir):
     return DataFrame(jdf, spark)
 
 
+def tx_checkpoint(spark, data_dir):
+    """Fold every committed transaction layer into the base stores and
+    truncate the commit log — the protocol's compaction verb. Readers
+    refuse loudly during (or after a crashed) publish; rerunning heals."""
+    _bridge(spark).txCheckpoint(spark._jsparkSession, data_dir)
+
+
+def compact_graph_store(spark, data_dir):
+    """Collapse the edge store's layers to one row per pair; reads are
+    unchanged (q152's oracled contract)."""
+    _bridge(spark).compactGraphStore(spark._jsparkSession, data_dir)
+
+
 def build_graph_store_if_stale(spark, data_dir):
     """Build the corpus co-purchase edge store if missing/stale (q150);
     returns the store path."""

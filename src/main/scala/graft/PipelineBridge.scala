@@ -305,7 +305,12 @@ object PipelineBridge {
   def txStoredStats(s: SparkSession, dir: String): DataFrame =
     queries.StoreTxn.storedStatsTx(s, dir)
 
-  // --- Incremental graph-edge store (q150). ---
+  /** Fold every committed transaction layer into the base stores and
+    * truncate the commit log (the protocol's compaction verb). */
+  def txCheckpoint(s: SparkSession, dir: String): Unit =
+    queries.StoreTxn.checkpoint(s, dir)
+
+  // --- Incremental graph-edge store (q150/q152). ---
 
   /** Build the corpus co-purchase edge store if missing/stale. */
   def buildGraphStoreIfStale(s: SparkSession, dir: String): String =
@@ -318,6 +323,11 @@ object PipelineBridge {
   /** The merged (a, b, w) edge list from the store alone. */
   def graphStoreEdges(s: SparkSession, dir: String): DataFrame =
     queries.GraphStore.mergedEdges(s, dir)
+
+  /** Collapse the edge store's layers to one row per pair (the additive
+    * merge is the compaction; reads are unchanged — q152's contract). */
+  def compactGraphStore(s: SparkSession, dir: String): Unit =
+    queries.GraphStore.compact(s, dir)
 
   /** q106's PageRank over the nation trade graph (fixed-point integer
     * ranks, exact across engines). */

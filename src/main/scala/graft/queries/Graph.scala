@@ -212,8 +212,16 @@ object Graph {
     * window over the bounded node set — like q106's loop, no round
     * touches the corpus. Everything is counts and string labels: no
     * floats anywhere, so cross-engine exactness is structural. */
-  def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val edges = Caches.persist(coPurchaseBackbone(s, dir))
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropOver(s, dir, coPurchaseBackbone(s, dir))
+
+  /** [[labelProp]] over an EXPLICIT backbone edge frame — the direct
+    * path passes the full-table cut; [[GraphStore]]'s q152 passes the
+    * cut of its merged incremental edges (identical by the additive-
+    * weight argument, so q132's oracle applies verbatim there). */
+  private[queries] def labelPropOver(s: SparkSession, dir: String,
+      backbone: DataFrame): DataFrame = {
+    val edges = Caches.persist(backbone)
     // undirected: each edge carries votes both ways
     val dirEdges = Caches.persist(
       edges.select(col("a").as("src"), col("b").as("dst"))

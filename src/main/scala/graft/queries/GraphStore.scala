@@ -101,6 +101,26 @@ object GraphStore {
     s.read.parquet(s"${root(dir)}/edges")
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
 
+  /** COMPACT the layered edges to one row per pair — the additive merge
+    * IS the compaction (StatsStore.compact's algebra). Same write
+    * discipline: the merged copy is STAGED (the rewrite reads the path
+    * it overwrites) and meta is invalidated before the rewrite and
+    * restored after, so a crash mid-rewrite rebuilds rather than serves
+    * torn layers. O(|store|), never O(corpus). */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val path = root(dir)
+    val staging = s"$path/staging_compact"
+    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    mergedEdges(s, dir)
+      .coalesce(4).write.mode("overwrite").parquet(staging)
+    writeMeta(s, path, "compacting")
+    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/edges")
+    writeMeta(s, path, meta)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // build the corpus edge store, absorb the delta orders' pairs, then
     // answer q128's triangle participation FROM THE STORE: backbone cut
@@ -111,12 +131,24 @@ object GraphStore {
       buildIfStale(s, dir)
       absorb(s, dir)
       Graph.triangleCountsOf(Graph.backboneOf(mergedEdges(s, dir)))
+    }),
+    // the same lifecycle with a COMPACTION between absorb and the read,
+    // serving q132's label propagation from the store: compaction is the
+    // additive merge, so the backbone cut — and every propagation round
+    // on it — must be invisible to the rewrite (q132's oracle verbatim,
+    // the q143 device applied to graph maintenance).
+    "q152_graph_store_lp" -> ((s, dir) => {
+      buildIfStale(s, dir)
+      absorb(s, dir)
+      compact(s, dir)
+      Graph.labelPropOver(s, dir, Graph.backboneOf(mergedEdges(s, dir)))
     })
   )
 
-  // q128's oracle VERBATIM: full-table backbone + triangles — the
+  // q128's/q132's oracles VERBATIM: full-table backbone + read — the
   // incremental store must be invisible to the read (the q143 device).
   val oracles: Map[String, String] = Map(
-    "q150_graph_store" -> Graph.oracles("q128_triangle_backbone")
+    "q150_graph_store" -> Graph.oracles("q128_triangle_backbone"),
+    "q152_graph_store_lp" -> Graph.oracles("q132_label_prop")
   )
 }

@@ -56,11 +56,34 @@ object StoreTxn {
   }
 
   /** Drop every transaction (layers + commit log). The lifecycle queries
-    * reset first so each lap replays a deterministic history. */
+    * reset first so each lap replays a deterministic history.
+    *
+    * If a [[checkpoint]] has FOLDED layers into the base stores (the
+    * `txn_folded` flag on the dedup base), dropping the transaction
+    * history makes the folded base wrong — it holds batches whose
+    * commits no longer exist — so the bases' meta is deleted too and the
+    * next [[ensureBases]] rebuilds them pristine. In production there is
+    * no reset: the folded base IS the steady state. */
   def reset(s: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(root(dir))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val folded = foldedFlag(dir)
+    if (fs.exists(folded)) {
+      fs.delete(folded, true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${DedupIndex.root(dir, variant)}/meta"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${StatsStore.root(dir, variant)}/meta"), true)
+    }
   }
+
+  /** Raised on the dedup base once a checkpoint folds layers into the
+    * bases: from then on the base is the protocol's generation, not the
+    * corpus-pristine build, and only [[reset]] (sandbox) or a corpus
+    * regeneration should rebuild it. */
+  private def foldedFlag(dir: String) =
+    new org.apache.hadoop.fs.Path(s"${DedupIndex.root(dir, variant)}/txn_folded")
 
   /** Committed transaction ids, ascending. O(#transactions) driver-side —
     * the same bounded-collect class as AnnIndex's metadata reads. */
@@ -76,8 +99,26 @@ object StoreTxn {
     * Uncommitted staging is structurally invisible: the path list is
     * built from the commit log, not from a directory listing. */
   private def layered(s: SparkSession, dir: String, base: String,
-      layer: Long => String): DataFrame =
+      layer: Long => String): DataFrame = {
+    requireNoCheckpoint(s, dir)
     s.read.parquet((base +: committedTxns(s, dir).map(layer)): _*)
+  }
+
+  private def marker(dir: String) =
+    new org.apache.hadoop.fs.Path(s"${root(dir)}/ckpt_pending")
+
+  /** Readers refuse while a checkpoint publish is in flight (or died
+    * mid-flight): between the base overwrite and the log truncation the
+    * on-disk state double-counts folded layers, so serving it silently
+    * would be the corruption the protocol exists to prevent. The heal is
+    * redo: re-run [[checkpoint]]. */
+  private def requireNoCheckpoint(s: SparkSession, dir: String): Unit = {
+    val m = marker(dir)
+    if (m.getFileSystem(s.sparkContext.hadoopConfiguration).exists(m))
+      throw new IllegalStateException(
+        s"store-txn checkpoint at ${root(dir)} is in flight or crashed " +
+          "mid-publish; rerun StoreTxn.checkpoint to heal before reading")
+  }
 
   private def dedupTable(s: SparkSession, dir: String, t: String): DataFrame =
     layered(s, dir, s"${DedupIndex.root(dir, variant)}/$t",
@@ -154,6 +195,74 @@ object StoreTxn {
     stage(s, dir, dedupDelta, statsDelta, id)
     commit(s, dir, id)
     id
+  }
+
+  // ---- checkpoint: fold committed layers into the base ----
+
+  /** Stage the merged (base ∪ committed layers) copy of every table,
+    * then raise the pending marker. Split out so the crash window
+    * between marker and publish is spec-drivable; [[checkpoint]] is the
+    * public verb. The staged copies are pure READS of the committed
+    * state — nothing is mutated until the marker is up. */
+  private[graft] def checkpointStage(s: SparkSession, dir: String): Unit = {
+    val staging = s"${root(dir)}/staging_ckpt"
+    dedupTable(s, dir, "exact")
+      .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/exact")
+    dedupTable(s, dir, "shingles")
+      .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/shingles")
+    dedupTable(s, dir, "bands")
+      .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/bands")
+    statsPartials(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats/partials")
+    val m = marker(dir)
+    m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
+  }
+
+  /** CHECKPOINT the commit log: fold every committed layer into a new
+    * base and truncate the log — the compaction verb of the protocol.
+    * Months of daily transactions otherwise stack one layer set per
+    * batch and every reader pays the multi-path listing/open cost (the
+    * small-file problem the single-store compact verbs already solve).
+    *
+    * Crash bracket (redo, not undo):
+    *   1. staged merge first — pure reads, invisible, no marker yet; a
+    *      crash here costs nothing (retry re-stages);
+    *   2. `ckpt_pending` marker raised AFTER staging completes — from
+    *      here readers refuse loudly ([[requireNoCheckpoint]]), because
+    *      the publish window genuinely double-counts;
+    *   3. publish: overwrite the base tables from the staged (immutable)
+    *      copies, truncate the commit log, drop folded layer dirs;
+    *   4. marker cleared LAST. A crash anywhere in 3 heals by re-running
+    *      checkpoint: the marker routes it straight back to publish,
+    *      which is idempotent — every step rewrites from the staged
+    *      copies or deletes. */
+  def checkpoint(s: SparkSession, dir: String): Unit = {
+    val r = root(dir)
+    val staging = s"$r/staging_ckpt"
+    val m = marker(dir)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(m)) checkpointStage(s, dir)
+    val folded = // commit log may already be truncated on a redo
+      try s.read.parquet(s"$r/commits").collect().map(_.getLong(0)).toSeq
+      catch { case _: Exception => Seq.empty[Long] }
+    for (t <- Seq("exact", "shingles", "bands"))
+      s.read.parquet(s"$staging/dedup/$t")
+        .write.mode("overwrite").parquet(s"${DedupIndex.root(dir, variant)}/$t")
+    s.read.parquet(s"$staging/stats/partials")
+      .write.mode("overwrite")
+      .parquet(s"${StatsStore.root(dir, variant)}/partials")
+    import s.implicits._
+    Seq.empty[Long].toDF("txn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$r/commits")
+    fs.mkdirs(foldedFlag(dir)) // base is now the folded generation
+    folded.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$r/t$id"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    fs.delete(m, true)
   }
 
   /** q147: the q134 composed mix run through the TRANSACTIONAL lifecycle

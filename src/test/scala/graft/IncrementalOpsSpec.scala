@@ -479,6 +479,14 @@ class IncrementalOpsSpec extends AnyFunSuite {
     // staleness: a store absorbed past the corpus slice must rebuild
     assert(!GraphStore.isCurrent(spark, sf),
       "absorbed graph store still reads current")
+    // the compacting lifecycle serves label propagation identically too
+    val lpStore = Caches.scoped(
+      GraphStore.queries("q152_graph_store_lp")(spark, sf)
+        .collect().toSeq.map(_.toString))
+    val lpDirect = Caches.scoped(
+      Graph.queries("q132_label_prop")(spark, sf).collect().toSeq.map(_.toString))
+    assert(lpStore == lpDirect,
+      "compacted edge store changed the label-propagation read")
     Caches.releaseAll()
   }
 }

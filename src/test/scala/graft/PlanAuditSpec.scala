@@ -348,6 +348,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q150 shuffles the bounded edge set:\n$p")
     assert(!p.contains("lineitem"),
       s"q150's read must come from the store, not the corpus:\n$p")
+    // the compacted-store label propagation keeps q132's shape (vote
+    // joins broadcast; the left-join folding each round's argmax back
+    // onto the bounded node set may merge-join — 10k rows either way)
+    // and likewise never re-reads the corpus
+    val p52 = plan("q152_graph_store_lp")
+    assert(p52.contains("TakeOrderedAndProject"),
+      s"q152 backbone pays a global sort:\n$p52")
+    assert(p52.contains("BroadcastHashJoin"),
+      s"q152's vote rounds stopped broadcasting the label table:\n$p52")
+    assert(!p52.contains("lineitem"),
+      s"q152's read must come from the store, not the corpus:\n$p52")
   }
 
   test("q139/q140 store reads: windows over bounded store tables, no corpus re-read") {

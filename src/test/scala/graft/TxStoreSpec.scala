@@ -129,6 +129,42 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("checkpoint folds the log into the base; publish window refuses loudly; redo heals") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"))
+    val keepersBefore = keeperSet
+    val statsBefore = statsRows
+
+    StoreTxn.checkpoint(spark, sf)
+    assert(StoreTxn.nextTxnId(spark, sf) == 0L,
+      "checkpoint must truncate the commit log")
+    assert(keeperSet == keepersBefore,
+      "checkpoint changed the dedup read")
+    assert(statsRows == statsBefore,
+      "checkpoint changed the stats read")
+
+    // crash window: marker up, publish not finished — readers must
+    // refuse rather than serve the double-counting intermediate state
+    StoreTxn.checkpointStage(spark, sf)
+    intercept[IllegalStateException](keeperSet)
+    intercept[IllegalStateException](statsRows)
+    // redo heals: the marker routes checkpoint straight to publish
+    StoreTxn.checkpoint(spark, sf)
+    assert(keeperSet == keepersBefore && statsRows == statsBefore,
+      "checkpoint redo diverged")
+
+    // reset heals the folded base for the pristine-base lifecycles
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    assert(keeperSet.size < keepersBefore.size,
+      "reset after checkpoint must rebuild the pristine corpus base")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
