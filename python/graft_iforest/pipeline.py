@@ -440,6 +440,44 @@ def graph_store_edges(spark, data_dir):
     return DataFrame(jdf, spark)
 
 
+def build_distinct_store_if_stale(spark, data_dir):
+    """Build the bitmap-occupancy distinct-count store (q154) if missing
+    or stale; returns the store path."""
+    return _bridge(spark).buildDistinctStoreIfStale(spark._jsparkSession, data_dir)
+
+
+def absorb_distinct_delta(spark, data_dir):
+    """Absorb the delta events' occupied buckets (union-merged layer —
+    cross-batch user overlap dedups structurally)."""
+    _bridge(spark).absorbDistinctDelta(spark._jsparkSession, data_dir)
+
+
+def distinct_occupancy(spark, data_dir):
+    """Per-event-type bucket occupancy from the store alone; the linear-
+    counting estimate is -m*ln(1 - V/m) with m=4096."""
+    jdf = _bridge(spark).distinctOccupancy(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def build_decontam_index_if_stale(spark, data_dir):
+    """Build the persisted benchmark winnow-fingerprint store (q153) if
+    missing or stale; returns the store path."""
+    return _bridge(spark).buildDecontamIndexIfStale(spark._jsparkSession, data_dir)
+
+
+def absorb_decontam_bench(spark, data_dir):
+    """Absorb a newly-shipped benchmark tranche's fingerprints."""
+    _bridge(spark).absorbDecontamBench(spark._jsparkSession, data_dir)
+
+
+def decontam_judge(spark, data_dir, batch_df):
+    """Judge a (doc_id, text) DataFrame against the persisted benchmark
+    fingerprints; rows share >= 2 distinct winnow fingerprints."""
+    jdf = _bridge(spark).decontamJudge(
+        spark._jsparkSession, data_dir, batch_df._jdf)
+    return DataFrame(jdf, spark)
+
+
 def release_caches(spark):
     """Unpersist every cache a query build registered (the consumer side
     of the library's cache protocol) — call after each terminal action."""

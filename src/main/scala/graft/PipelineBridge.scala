@@ -329,6 +329,36 @@ object PipelineBridge {
   def compactGraphStore(s: SparkSession, dir: String): Unit =
     queries.GraphStore.compact(s, dir)
 
+  // --- Mergeable distinct-count store (q154): bitmap occupancy. ---
+
+  /** Build the corpus's occupied-bucket set if missing/stale. */
+  def buildDistinctStoreIfStale(s: SparkSession, dir: String): String =
+    queries.StatsStore.buildLcIfStale(s, dir)
+
+  /** Absorb the delta events' occupied buckets (union-merged layer). */
+  def absorbDistinctDelta(s: SparkSession, dir: String): Unit =
+    queries.StatsStore.absorbLc(s, dir)
+
+  /** Per-event-type bucket occupancy from the store alone (the linear-
+    * counting statistic; estimate = -m ln(1 - V/m) downstream). */
+  def distinctOccupancy(s: SparkSession, dir: String): DataFrame =
+    queries.StatsStore.lcOccupancy(s, dir)
+
+  // --- Persisted benchmark-decontamination store (q153). ---
+
+  /** Build the benchmark fingerprint store (tranche A) if missing/stale. */
+  def buildDecontamIndexIfStale(s: SparkSession, dir: String): String =
+    queries.DecontamIndex.buildIfStale(s, dir)
+
+  /** A new benchmark suite ships: absorb its fingerprints (tranche B). */
+  def absorbDecontamBench(s: SparkSession, dir: String): Unit =
+    queries.DecontamIndex.absorb(s, dir)
+
+  /** Judge a (doc_id, text) frame against the persisted benchmark
+    * fingerprints: flagged docs share >= 2 distinct winnow fingerprints. */
+  def decontamJudge(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    queries.DecontamIndex.judgeDocs(s, dir, batch)
+
   /** q106's PageRank over the nation trade graph (fixed-point integer
     * ranks, exact across engines). */
   def pagerank(s: SparkSession, dir: String): DataFrame =

@@ -385,7 +385,89 @@ object StatsStore {
       .orderBy(col("lang"))
   }
 
+  // ---- mergeable DISTINCT-COUNT store (q154): bitmap occupancy ----
+
+  /** Linear-counting bitmap width. Distinct counts are the aggregate
+    * that does NOT merge by addition — the same user appears in many
+    * batches, so summing per-batch distinct counts overcounts (spec
+    * demonstrates it on this corpus). The classic mergeable form is a
+    * hash bitmap (linear counting, Whang et al. 1990): each batch's
+    * partial is its set of OCCUPIED buckets (hash(user) mod m), merge is
+    * set union — idempotent, so overlap is free — and the store stays
+    * ≤ #groups × m rows. The estimator (−m·ln(1 − V/m)) involves libm,
+    * so the ORACLED read reports the occupancy V itself: exact integers
+    * cross-engine, with the estimate derivable downstream (TUNE records
+    * its accuracy against exact distincts). At m = 4096, V is within a
+    * few percent of exact for the corpus's per-type user cardinalities. */
+  private val lcBuckets = 4096L
+
+  private def corpusEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events").where("event_id % 10 < 7")
+
+  private def deltaEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events").where("event_id % 10 >= 7")
+
+  /** The mergeable partial: the batch's occupied (event_type, bucket)
+    * set. Users spanning batches land on the SAME bucket, so union
+    * dedups them structurally. */
+  private def lcPartials(df: DataFrame): DataFrame =
+    df.selectExpr("event_type",
+        "cast(conv(substring(md5(cast(user_id AS string)), 1, 8), 16, 10)" +
+          s" AS bigint) % $lcBuckets AS bucket")
+      .distinct()
+
+  private def lcFingerprint(s: SparkSession, dir: String): String = {
+    val r = corpusEvents(s, dir)
+      .selectExpr("cast(conv(substring(md5(concat_ws('|', event_type, " +
+        "cast(user_id AS string))), 1, 12), 16, 10) AS bigint) AS h")
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+      .head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  def buildLc(s: SparkSession, dir: String): String = {
+    val path = root(dir, "lc")
+    lcPartials(corpusEvents(s, dir))
+      .write.mode("overwrite").parquet(s"$path/lc")
+    writeMeta(s, path, lcFingerprint(s, dir))
+    path
+  }
+
+  def isLcCurrent(s: SparkSession, dir: String): Boolean =
+    try s.read.parquet(s"${root(dir, "lc")}/meta").head().getString(0) ==
+      lcFingerprint(s, dir)
+    catch { case _: Exception => false }
+
+  def buildLcIfStale(s: SparkSession, dir: String): String =
+    if (isLcCurrent(s, dir)) root(dir, "lc") else buildLc(s, dir)
+
+  def absorbLc(s: SparkSession, dir: String): Unit = {
+    val path = root(dir, "lc")
+    writeMeta(s, path, "absorbed")
+    lcPartials(deltaEvents(s, dir))
+      .write.mode("append").parquet(s"$path/lc")
+  }
+
+  /** Per-type occupancy from the STORE ALONE: union-distinct the layers
+    * (a bounded ≤ #types × m table), count occupied buckets. Equals the
+    * full-table occupancy EXACTLY — union idempotence absorbs the
+    * cross-batch user overlap that defeats additive merging. */
+  def lcOccupancy(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir, "lc")}/lc")
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // distinct users per event type through the bitmap store: build the
+    // corpus's occupied-bucket set, absorb the delta's (users overlap
+    // across the split — the case addition cannot merge), read the
+    // occupancy from the store alone. Oracle recomputes the identical
+    // bucket set over the full table — exact integers.
+    "q154_distinct_store" -> ((s, dir) => {
+      buildLcIfStale(s, dir); absorbLc(s, dir); lcOccupancy(s, dir)
+    }),
     "q107_incremental_stats" -> ((s, dir) => {
       buildIfStale(s, dir); mergedStats(s, dir)
     }),
@@ -461,6 +543,14 @@ object StatsStore {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same (event_type, md5-bucket) distinct set over the full
+    // events table — union-merged layers must land on it exactly
+    "q154_distinct_store" ->
+      """WITH b AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 4096 AS bucket
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_buckets
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q107_incremental_stats" -> fullRecomputeOracle,
     "q136_stats_absorbed" -> fullRecomputeOracle,
     // batch-boundary independence of the merge + semantics-preservation

@@ -489,4 +489,75 @@ class IncrementalOpsSpec extends AnyFunSuite {
       "compacted edge store changed the label-propagation read")
     Caches.releaseAll()
   }
+
+  test("q154: union-merged occupancy == live recompute; additive merge would overcount") {
+    StatsStore.buildLc(spark, sf)
+    StatsStore.absorbLc(spark, sf)
+    val fromStore = Caches.scoped(StatsStore.lcOccupancy(spark, sf)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+    val bucketExpr = "cast(conv(substring(md5(cast(user_id AS string)), 1, 8), " +
+      "16, 10) AS bigint) % 4096 AS bucket"
+    def occ(pred: String) = Caches.scoped(
+      graft.queries.Tables.t(spark, sf, "events").where(pred)
+        .selectExpr("event_type", bucketExpr).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1))))
+    val liveFull = occ("true")
+    assert(fromStore == liveFull,
+      s"store occupancy diverged from the full recompute:\n$fromStore\n$liveFull")
+    // the reason this store unions instead of adding: users span the
+    // corpus/delta split, so per-batch occupancies overlap and their SUM
+    // overcounts the merged truth
+    val sums = (occ("event_id % 10 < 7") ++ occ("event_id % 10 >= 7"))
+      .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).sum) }
+    assert(liveFull.exists { case (t, n) => sums(t) > n },
+      "fixture no longer demonstrates the additive-merge overcount")
+    Caches.releaseAll()
+  }
+
+  test("q153: store judge == live-benchmark judge; planted copies flagged; staleness") {
+    import graft.queries.{DecontamIndex, Tables}
+    val rows = Caches.scoped(
+      DecontamIndex.queries("q153_decontam_store")(spark, sf).collect().toSeq)
+    assert(rows.nonEmpty, "no contamination flagged at all")
+    // planted copies (% 97 = 1 carries a benchmark doc's text) dominate
+    // the flags, and each matches a benchmark doc
+    val planted = rows.filter(_.getLong(0) % 97 == 1)
+    assert(planted.nonEmpty, "fixture lost its planted contaminations")
+    planted.foreach { r =>
+      assert(r.getLong(2) % 97 == 0,
+        s"bench_match is not a benchmark doc: $r")
+    }
+    // store-free recompute: the same judge against LIVE benchmark
+    // fingerprints must agree row-for-row (store == live)
+    graft.functions.WinnowFingerprints.register(spark)
+    def fps(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("doc_id", "lower(regexp_replace(text, '[^a-z0-9]', '')) AS tx")
+      .where("length(tx) >= 11")
+      .selectExpr("doc_id",
+        "explode(array_distinct(winnow_fingerprints(tx, 8, 4))) AS fp")
+    val base = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val src = base
+      .join(base.selectExpr("doc_id + 1 AS p_id", "text AS p_text"),
+        col("p_id") === col("doc_id") && col("doc_id") % 97 === 1, "left")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 97 = 1 AND p_text IS NOT NULL THEN p_text" +
+          " ELSE text END AS text")
+    val bench = fps(base.where("doc_id % 97 = 0"))
+      .selectExpr("doc_id AS bench_id", "fp")
+    val live = Caches.scoped(fps(src.where("doc_id % 97 != 0"))
+      .join(broadcast(bench), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("n_shared_fp"),
+        min(col("bench_id")).as("bench_match"))
+      .where(col("n_shared_fp") >= 2)
+      .orderBy(col("doc_id")).collect().toSeq.map(_.toString))
+    assert(rows.map(_.toString) == live,
+      "persisted benchmark store diverged from the live judge")
+    // absorb flipped the store non-pristine: next lifecycle rebuilds
+    assert(!DecontamIndex.isCurrent(spark, sf),
+      "absorbed decontam store still reads current")
+    Caches.releaseAll()
+  }
 }

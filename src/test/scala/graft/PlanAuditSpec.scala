@@ -361,6 +361,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q152's read must come from the store, not the corpus:\n$p52")
   }
 
+  test("q153 decontam judge broadcasts the benchmark store to the batch fingerprints") {
+    // the whole point of the store shape: corpus×bench, bench side
+    // shipped — no shuffle of the batch fingerprint stream for the join
+    val p = plan("q153_decontam_store")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q153's store join must broadcast the benchmark fingerprints:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q153 shuffles the batch fingerprint stream:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q153 regressed to a ScalaUDF:\n$p")
+  }
+
   test("q139/q140 store reads: windows over bounded store tables, no corpus re-read") {
     // both lifecycle reads merge the persisted partials (a bounded
     // groupBy) — the only corpus-scale work is the build/absorb
