@@ -73,7 +73,7 @@ object DecontamIndex {
 
   private def fingerprint(s: SparkSession, dir: String): String = {
     val r = benchTranche(s, dir, even = true)
-      .selectExpr("cast(conv(substring(md5(text), 1, 12), 16, 10) AS bigint) AS h")
+      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .head()
     s"${r.getLong(0)}:${r.getLong(1)}"

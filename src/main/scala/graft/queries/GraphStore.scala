@@ -54,7 +54,7 @@ object GraphStore {
   private def fingerprint(s: SparkSession, dir: String): String = {
     val r = corpusOp(s, dir).distinct()
       .selectExpr("cast(conv(substring(md5(concat_ws('|', cast(o AS string), " +
-        "cast(p AS string))), 1, 12), 16, 10) AS bigint) AS h")
+        "cast(p AS string))), 1, 8), 16, 10) AS bigint) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .head()
     s"${r.getLong(0)}:${r.getLong(1)}"

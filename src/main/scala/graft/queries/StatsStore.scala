@@ -65,7 +65,7 @@ object StatsStore {
   private def fingerprint(s: SparkSession, dir: String): String = {
     val r = corpusDocs(s, dir)
       .selectExpr("cast(conv(substring(md5(concat_ws('|', lang, source, " +
-        "cast(n_chars AS string))), 1, 12), 16, 10) AS bigint) AS h")
+        "cast(n_chars AS string))), 1, 8), 16, 10) AS bigint) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .head()
     s"${r.getLong(0)}:${r.getLong(1)}"
@@ -419,7 +419,7 @@ object StatsStore {
   private def lcFingerprint(s: SparkSession, dir: String): String = {
     val r = corpusEvents(s, dir)
       .selectExpr("cast(conv(substring(md5(concat_ws('|', event_type, " +
-        "cast(user_id AS string))), 1, 12), 16, 10) AS bigint) AS h")
+        "cast(user_id AS string))), 1, 8), 16, 10) AS bigint) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .head()
     s"${r.getLong(0)}:${r.getLong(1)}"

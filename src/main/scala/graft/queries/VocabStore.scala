@@ -48,7 +48,7 @@ object VocabStore {
   /** Corpus-slice content fingerprint (same device as StatsStore). */
   private def fingerprint(s: SparkSession, dir: String): String = {
     val r = corpusDocs(s, dir)
-      .selectExpr("cast(conv(substring(md5(text), 1, 12), 16, 10) AS bigint) AS h")
+      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .head()
     s"${r.getLong(0)}:${r.getLong(1)}"
