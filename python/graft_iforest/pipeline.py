@@ -409,6 +409,13 @@ def tx_stored_stats(spark, data_dir):
     return DataFrame(jdf, spark)
 
 
+def tx_vocab_coverage(spark, data_dir):
+    """Top-25 vocabulary coverage from base + committed transaction
+    layers (the three-store transaction's vocab read, q155)."""
+    jdf = _bridge(spark).txVocabCoverage(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
 def tx_checkpoint(spark, data_dir):
     """Fold every committed transaction layer into the base stores and
     truncate the commit log — the protocol's compaction verb. Readers

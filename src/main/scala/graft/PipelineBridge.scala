@@ -305,6 +305,10 @@ object PipelineBridge {
   def txStoredStats(s: SparkSession, dir: String): DataFrame =
     queries.StoreTxn.storedStatsTx(s, dir)
 
+  /** q83's vocabulary coverage from base ∪ committed transaction layers. */
+  def txVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.vocabCoverageTx(s, dir)
+
   /** Fold every committed transaction layer into the base stores and
     * truncate the commit log (the protocol's compaction verb). */
   def txCheckpoint(s: SparkSession, dir: String): Unit =

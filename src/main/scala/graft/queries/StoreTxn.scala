@@ -38,9 +38,17 @@ import org.apache.spark.sql.functions._
  * Scale posture matches the stores it coordinates: the judge is q84's
  * delta-driven equi-joins (now against base ∪ layers — same plan, more
  * input paths), layers are O(batch), commits is O(#transactions), and
- * readers never rewrite anything. Compaction (fold committed layers into
- * a new base, truncate commits) is [[DedupIndex.compact]]'s device and
- * composes the same way.
+ * readers never rewrite anything. [[checkpoint]] folds committed layers
+ * into a new base and truncates the log behind a staged-merge +
+ * pending-marker bracket.
+ *
+ * The protocol is store-count-AGNOSTIC: a transaction stages one layer
+ * set per participating store and the single commit row flips them all.
+ * Three stores ride it today — dedup keepers, stats partials, and the
+ * delta's vocabulary counts (q155 reads q83's coverage off the
+ * transactional state, q140's oracle verbatim); adding a fourth is a
+ * stage-writer plus a layered reader, nothing in the commit path
+ * changes.
  */
 object StoreTxn {
 
@@ -75,6 +83,9 @@ object StoreTxn {
         s"${DedupIndex.root(dir, variant)}/meta"), true)
       fs.delete(new org.apache.hadoop.fs.Path(
         s"${StatsStore.root(dir, variant)}/meta"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        VocabStore.partialsPath(dir, variant)
+          .stripSuffix("/partials") + "/meta"), true)
     }
   }
 
@@ -128,10 +139,15 @@ object StoreTxn {
     layered(s, dir, s"${StatsStore.root(dir, variant)}/partials",
       id => s"${root(dir)}/t$id/stats/partials")
 
+  private def vocabPartials(s: SparkSession, dir: String): DataFrame =
+    layered(s, dir, VocabStore.partialsPath(dir, variant),
+      id => s"${root(dir)}/t$id/vocab/partials")
+
   /** Build the immutable base stores if missing/stale. */
   def ensureBases(s: SparkSession, dir: String): Unit = {
     DedupIndex.buildIfStale(s, dir, variant)
     StatsStore.buildIfStale(s, dir, variant)
+    VocabStore.buildIfStale(s, dir, variant)
   }
 
   // ---- the reader surface (base ∪ committed layers) ----
@@ -141,6 +157,10 @@ object StoreTxn {
 
   def storedStatsTx(s: SparkSession, dir: String): DataFrame =
     StatsStore.finalize(statsPartials(s, dir))
+
+  /** q83's vocabulary-coverage read over the transactional state. */
+  def vocabCoverageTx(s: SparkSession, dir: String): DataFrame =
+    VocabStore.coverageOf(vocabPartials(s, dir))
 
   /** q84's judge against the transactional state — base ∪ committed
     * layers, so a batch is judged against everything previous
@@ -178,6 +198,8 @@ object StoreTxn {
       .write.mode("overwrite").parquet(s"$t/dedup/bands")
     StatsStore.partials(statsDelta)
       .write.mode("overwrite").parquet(s"$t/stats/partials")
+    VocabStore.partials(statsDelta)
+      .write.mode("overwrite").parquet(s"$t/vocab/partials")
   }
 
   /** THE COMMIT POINT: one row, one table. Before this append neither
@@ -218,6 +240,9 @@ object StoreTxn {
         sum(col("s2")).as("s2"), min(col("mn")).as("mn"),
         max(col("mx")).as("mx"))
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats/partials")
+    vocabPartials(s, dir)
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/vocab/partials")
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
   }
@@ -255,6 +280,9 @@ object StoreTxn {
     s.read.parquet(s"$staging/stats/partials")
       .write.mode("overwrite")
       .parquet(s"${StatsStore.root(dir, variant)}/partials")
+    s.read.parquet(s"$staging/vocab/partials")
+      .write.mode("overwrite")
+      .parquet(VocabStore.partialsPath(dir, variant))
     import s.implicits._
     Seq.empty[Long].toDF("txn")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/commits")
@@ -370,7 +398,22 @@ object StoreTxn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_tx_store_mix" -> ((s, dir) => txStoreMix(s, dir)),
-    "q151_stream_tx_ingest" -> ((s, dir) => streamTxIngest(s, dir))
+    "q151_stream_tx_ingest" -> ((s, dir) => streamTxIngest(s, dir)),
+    // the N-store generalization read: the SAME transaction that commits
+    // dedup keepers and stats partials also commits the delta's
+    // vocabulary counts, and q83's coverage read off the transactional
+    // state must equal the full-table recompute (q140's oracle
+    // verbatim). One commit row now flips THREE stores at once — the
+    // protocol is store-count-agnostic by construction (a layer set per
+    // store, one log).
+    "q155_tx_vocab_coverage" -> ((s, dir) => {
+      reset(s, dir)
+      ensureBases(s, dir)
+      absorbBoth(s, dir,
+        DedupIndex.deltaDocs(s, dir),
+        Tables.t(s, dir, "documents").where("doc_id % 10 >= 7"))
+      vocabCoverageTx(s, dir)
+    })
   )
 
   // q134's oracle VERBATIM: the transaction protocol must be invisible
@@ -379,6 +422,7 @@ object StoreTxn {
   // per-group dashboard aggregate.
   val oracles: Map[String, String] = Map(
     "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
+    "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
     "q151_stream_tx_ingest" ->
       s"""WITH ${DedupIndex.twoBatchCtes},
          |u2 AS (SELECT d2.doc_id, d2.fp FROM d2

@@ -40,8 +40,9 @@ object VocabStore {
     Tables.t(s, dir, "documents").where("doc_id % 10 >= 7")
 
   /** (word, cnt) partials — map-side combine collapses each partition to
-    * its local vocabulary before the exchange. */
-  private def partials(df: DataFrame): DataFrame =
+    * its local vocabulary before the exchange. `private[queries]`:
+    * [[StoreTxn]] stages the same partials as a transaction layer. */
+  private[queries] def partials(df: DataFrame): DataFrame =
     df.selectExpr("explode(split(text, ' ')) AS word")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
@@ -109,10 +110,15 @@ object VocabStore {
   /** q83's coverage read from the STORE ALONE: merge the layered counts
     * (one |vocab|-bounded groupBy), then rank/coverage over the top-25 —
     * the tiny-table window shape q83 established. */
-  def coverage(s: SparkSession, dir: String): DataFrame = {
+  def coverage(s: SparkSession, dir: String): DataFrame =
+    coverageOf(s.read.parquet(s"${root(dir)}/partials"))
+
+  /** The coverage read over an EXPLICIT partials frame — [[coverage]]
+    * passes the single-store read; [[StoreTxn]] passes base ∪ committed
+    * transaction layers (q155). */
+  private[queries] def coverageOf(p: DataFrame): DataFrame = {
     val freq = Caches.persist(
-      s.read.parquet(s"${root(dir)}/partials")
-        .groupBy(col("word")).agg(sum(col("cnt")).as("cnt")))
+      p.groupBy(col("word")).agg(sum(col("cnt")).as("cnt")))
     val total = freq.agg(sum(col("cnt")).as("total"))
     val w = Window.orderBy(col("cnt").desc, col("word"))
     freq.orderBy(col("cnt").desc, col("word")).limit(25)

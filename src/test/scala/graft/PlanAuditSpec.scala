@@ -326,6 +326,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"q147's stats/cap joins must broadcast the small sides:\n$p")
     assert(!p.contains("ScalaUDF"), s"q147 regressed to a ScalaUDF:\n$p")
+    // the transactional vocab read stays q140-shaped: merged bounded
+    // partials, window over the top-25 only, no corpus path
+    val p55 = plan("q155_tx_vocab_coverage")
+    assert(!p55.contains("documents"),
+      s"q155's coverage read re-reads the corpus:\n$p55")
+    assert(!p55.contains("ScalaUDF"), s"q155 regressed to a ScalaUDF:\n$p55")
     // time-travel verbs are FILTERS over the bounded partials table:
     // no join, no corpus path in the scan
     for (q <- Seq("q148_stats_asof", "q149_stats_changes")) {

@@ -26,6 +26,9 @@ class TxStoreSpec extends AnyFunSuite {
   private def statsRows: Seq[String] = Caches.scoped(
     StoreTxn.storedStatsTx(spark, sf).collect().toSeq.map(_.toString))
 
+  private def vocabRows: Seq[String] = Caches.scoped(
+    StoreTxn.vocabCoverageTx(spark, sf).collect().toSeq.map(_.toString))
+
   test("uncommitted staging is invisible to both stores; commit flips both at once") {
     StoreTxn.reset(spark, sf)
     StoreTxn.ensureBases(spark, sf)
@@ -33,22 +36,27 @@ class TxStoreSpec extends AnyFunSuite {
     val baseStats = statsRows
 
     // stage the full delta as txn 0 — but CRASH before the commit row
+    val baseVocab = vocabRows
     StoreTxn.stage(spark, sf, DedupIndex.deltaDocs(spark, sf),
       statsDelta("doc_id % 10 >= 7"), 0L)
     assert(keeperSet == baseKeepers,
       "dedup reader saw uncommitted staging")
     assert(statsRows == baseStats,
       "stats reader saw uncommitted staging")
+    assert(vocabRows == baseVocab,
+      "vocab reader saw uncommitted staging")
     assert(StoreTxn.nextTxnId(spark, sf) == 0L,
       "crashed stage must not advance the transaction id")
 
-    // the commit point: ONE append — afterwards both stores advance
+    // the commit point: ONE append — afterwards all three stores advance
     StoreTxn.commit(spark, sf, 0L)
     val committedKeepers = keeperSet
     assert(committedKeepers.size > baseKeepers.size,
       "commit did not surface the dedup layer")
     assert(statsRows != baseStats,
       "commit did not surface the stats layer")
+    assert(vocabRows != baseVocab,
+      "commit did not surface the vocab layer")
     // post-commit stats == pristine-store-plus-live-delta merge (the
     // oracled q107 state over the same corpus ∪ delta)
     StatsStore.buildIfStale(spark, sf)
