@@ -416,6 +416,14 @@ def tx_vocab_coverage(spark, data_dir):
     return DataFrame(jdf, spark)
 
 
+def tx_stats_as_of(spark, data_dir, max_txn):
+    """Stats as of a transaction id — time travel over the commit-log
+    prefix (q156); cross-store consistent by construction."""
+    jdf = _bridge(spark).txStatsAsOf(
+        spark._jsparkSession, data_dir, int(max_txn))
+    return DataFrame(jdf, spark)
+
+
 def tx_checkpoint(spark, data_dir):
     """Fold every committed transaction layer into the base stores and
     truncate the commit log — the protocol's compaction verb. Readers

@@ -351,6 +351,45 @@ def main():
     gp.release_caches(spark)
     assert len(pr) == 25 and all(r["pr"] > 0 for r in pr)
 
+    # --- transactional cross-store absorb: one commit advances all three ---
+    gp.tx_reset(spark, sf_dir)
+    gp.tx_ensure_bases(spark, sf_dir)
+    keepers_before = gp.tx_keeper_ids(spark, sf_dir).count()
+    txn = gp.tx_absorb_delta(spark, sf_dir)
+    assert txn == 0, "first transaction id must be 0"
+    keepers_after = gp.tx_keeper_ids(spark, sf_dir).count()
+    assert keepers_after > keepers_before, "commit did not surface keepers"
+    tx_stats = {(r["lang"], r["source"]): r["n_docs"]
+                for r in gp.tx_stored_stats(spark, sf_dir).collect()}
+    assert set(tx_stats) == set(full), "tx stats lost a group"
+    for k, (n, _) in full.items():
+        assert tx_stats[k] == n, f"tx stats diverged at {k}"
+    cov = gp.tx_vocab_coverage(spark, sf_dir).collect()
+    assert len(cov) == 25 and cov[0]["rank"] == 1
+    gp.release_caches(spark)
+
+    # --- time travel + changelog on the tagged stats store ---
+    asof = gp.stats_as_of(spark, sf_dir, 2).collect()
+    chg = gp.stats_changes(spark, sf_dir, 1, 2).collect()
+    assert len(asof) > 0 and len(chg) > 0
+    gp.release_caches(spark)
+
+    # --- graph edge store: merged edges equal the full-table pairs ---
+    gp.build_graph_store_if_stale(spark, sf_dir)
+    gp.absorb_graph_delta(spark, sf_dir)
+    edges = gp.graph_store_edges(spark, sf_dir)
+    n_edges = edges.count()
+    assert n_edges > 0 and edges.groupBy("a", "b").count() \
+        .filter("count > 1").count() == 0, "merged edges not unique per pair"
+    gp.release_caches(spark)
+
+    # --- distinct-count store: occupancy read is bounded by m ---
+    gp.build_distinct_store_if_stale(spark, sf_dir)
+    gp.absorb_distinct_delta(spark, sf_dir)
+    occ = gp.distinct_occupancy(spark, sf_dir).collect()
+    assert len(occ) > 0 and all(0 < r["n_buckets"] <= 4096 for r in occ)
+    gp.release_caches(spark)
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names

@@ -272,13 +272,18 @@ object PipelineBridge {
 
   // --- Time travel (q148) + changelog (q149) on the tagged store. ---
 
-  /** Stats as they stood after `epoch` — a layer filter, no snapshots. */
-  def statsAsOf(s: SparkSession, dir: String, epoch: Long): DataFrame =
+  /** Stats as they stood after `epoch` — a layer filter, no snapshots.
+    * Ensures the tagged store first (build-once, fingerprint-guarded). */
+  def statsAsOf(s: SparkSession, dir: String, epoch: Long): DataFrame = {
+    queries.StatsStore.ensureTagged(s, dir)
     queries.StatsStore.statsAsOf(s, dir, epoch)
+  }
 
   /** The stats contribution of epochs (from, to] alone — the diff read. */
-  def statsChanges(s: SparkSession, dir: String, from: Long, to: Long): DataFrame =
+  def statsChanges(s: SparkSession, dir: String, from: Long, to: Long): DataFrame = {
+    queries.StatsStore.ensureTagged(s, dir)
     queries.StatsStore.statsChanges(s, dir, from, to)
+  }
 
   // --- Transactional cross-store absorb (q147). ---
 
@@ -308,6 +313,11 @@ object PipelineBridge {
   /** q83's vocabulary coverage from base ∪ committed transaction layers. */
   def txVocabCoverage(s: SparkSession, dir: String): DataFrame =
     queries.StoreTxn.vocabCoverageTx(s, dir)
+
+  /** Stats as of transaction `maxTxn` — log-prefix time travel, the
+    * cross-store-consistent historical read. */
+  def txStatsAsOf(s: SparkSession, dir: String, maxTxn: Long): DataFrame =
+    queries.StoreTxn.storedStatsTxAsOf(s, dir, maxTxn)
 
   /** Fold every committed transaction layer into the base stores and
     * truncate the commit log (the protocol's compaction verb). */

@@ -266,7 +266,7 @@ object StatsStore {
     * the right operational shape, since as-of and diff are READ verbs
     * (unlike q146's expire, which rewrites and therefore keeps its own
     * `rt` instance). */
-  private def ensureTagged(s: SparkSession, dir: String,
+  private[graft] def ensureTagged(s: SparkSession, dir: String,
       variant: String = "tt"): Unit = {
     val path = root(dir, variant)
     val ok =

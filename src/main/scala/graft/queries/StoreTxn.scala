@@ -162,6 +162,21 @@ object StoreTxn {
   def vocabCoverageTx(s: SparkSession, dir: String): DataFrame =
     VocabStore.coverageOf(vocabPartials(s, dir))
 
+  /** TIME TRAVEL over the commit log: the stats as they stood after
+    * transaction `maxTxn` — base ∪ layers of committed ids ≤ maxTxn.
+    * The log IS the version history, so every past state is a prefix of
+    * the committed id list: no snapshots, no tags, and (unlike q148's
+    * per-store epoch tagging) the as-of point is CROSS-STORE consistent
+    * by construction — "the world as of transaction k" means the same k
+    * for every store the transaction touched. */
+  def storedStatsTxAsOf(s: SparkSession, dir: String, maxTxn: Long): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val paths = s"${StatsStore.root(dir, variant)}/partials" +:
+      committedTxns(s, dir).filter(_ <= maxTxn)
+        .map(id => s"${root(dir)}/t$id/stats/partials")
+    StatsStore.finalize(s.read.parquet(paths: _*))
+  }
+
   /** q84's judge against the transactional state — base ∪ committed
     * layers, so a batch is judged against everything previous
     * transactions absorbed but never against uncommitted staging. */
@@ -413,6 +428,21 @@ object StoreTxn {
         DedupIndex.deltaDocs(s, dir),
         Tables.t(s, dir, "documents").where("doc_id % 10 >= 7"))
       vocabCoverageTx(s, dir)
+    }),
+    // TIME TRAVEL on the commit log: two transactions land (batch 1 =
+    // doc_id % 10 ∈ {7,8}, batch 2 = % 10 = 9), then the stats read AS
+    // OF transaction 0 must equal the recompute over exactly the docs
+    // ingested through it (q148's oracle verbatim — the same historical
+    // state, reconstructed from the log prefix instead of epoch tags).
+    "q156_tx_stats_asof" -> ((s, dir) => {
+      reset(s, dir)
+      ensureBases(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      absorbBoth(s, dir, DedupIndex.batch1Docs(s, dir),
+        docs.where("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+      absorbBoth(s, dir, DedupIndex.batch2Docs(s, dir),
+        docs.where("doc_id % 10 = 9"))
+      storedStatsTxAsOf(s, dir, maxTxn = 0L)
     })
   )
 
@@ -423,6 +453,7 @@ object StoreTxn {
   val oracles: Map[String, String] = Map(
     "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
     "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
+    "q156_tx_stats_asof" -> StatsStore.oracles("q148_stats_asof"),
     "q151_stream_tx_ingest" ->
       s"""WITH ${DedupIndex.twoBatchCtes},
          |u2 AS (SELECT d2.doc_id, d2.fp FROM d2

@@ -332,6 +332,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p55.contains("documents"),
       s"q155's coverage read re-reads the corpus:\n$p55")
     assert(!p55.contains("ScalaUDF"), s"q155 regressed to a ScalaUDF:\n$p55")
+    // log-prefix time travel is likewise a pure store read
+    val p56 = plan("q156_tx_stats_asof")
+    assert(!p56.contains("documents"),
+      s"q156's as-of read re-reads the corpus:\n$p56")
+    assert(!p56.contains("Join"), s"q156 grew a join:\n$p56")
     // time-travel verbs are FILTERS over the bounded partials table:
     // no join, no corpus path in the scan
     for (q <- Seq("q148_stats_asof", "q149_stats_changes")) {
