@@ -487,7 +487,8 @@ def absorb_decontam_bench(spark, data_dir):
 
 def decontam_judge(spark, data_dir, batch_df):
     """Judge a (doc_id, text) DataFrame against the persisted benchmark
-    fingerprints; rows share >= 2 distinct winnow fingerprints."""
+    fingerprints; a row flags when it contains some benchmark doc (shared
+    distinct fps >= half that bench doc's fingerprint set)."""
     jdf = _bridge(spark).decontamJudge(
         spark._jsparkSession, data_dir, batch_df._jdf)
     return DataFrame(jdf, spark)

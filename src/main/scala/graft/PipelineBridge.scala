@@ -369,7 +369,8 @@ object PipelineBridge {
     queries.DecontamIndex.absorb(s, dir)
 
   /** Judge a (doc_id, text) frame against the persisted benchmark
-    * fingerprints: flagged docs share >= 2 distinct winnow fingerprints. */
+    * fingerprints: a doc flags when it CONTAINS some benchmark doc (shared
+    * distinct fps >= half that bench doc's fingerprint set). */
   def decontamJudge(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
     queries.DecontamIndex.judgeDocs(s, dir, batch)
 

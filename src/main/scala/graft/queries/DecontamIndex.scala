@@ -25,8 +25,21 @@ import org.apache.spark.sql.functions._
  * |bench fps|-bounded and shipped to every executor — no shuffle of the
  * corpus fingerprint stream, no global df statistic to maintain
  * incrementally (exactly the term that does NOT decompose under corpus
- * growth). Contamination verdict: ≥ 2 distinct shared fingerprints,
- * q114's threshold.
+ * growth).
+ *
+ * Contamination verdict: CONTAINMENT per benchmark item — a doc is
+ * flagged when it shares at least HALF of some benchmark doc's distinct
+ * fingerprints ("this doc contains that eval item"). A raw
+ * shared-count threshold does not survive without the corpus-side df
+ * statistic: measured on this corpus (31-word generator vocabulary,
+ * dense organic fingerprint collisions), ≥ 2 shared fps flags 481 of
+ * 494 docs at sf0.001 — useless — while the 0.5-containment rule flags
+ * exactly the 6 planted copies (shared fraction 1.0) plus 2 organic
+ * near-copies, against an organic median fraction of 0.029
+ * (TUNE_r15). The per-bench-doc denominators come from one
+ * |store|-bounded aggregation at judge time, so they are always
+ * consistent with every absorbed tranche — nothing beyond (bench_id,
+ * fp) rows is persisted.
  *
  * The planted contaminations (doc_id % 97 = 1 carries the text of
  * doc_id − 1, a benchmark doc — TextPipeline's q114 device, identical
@@ -44,7 +57,7 @@ object DecontamIndex {
   /** q114's planted source: docs with doc_id % 97 = 1 carry the text of
     * doc (doc_id − 1) — a benchmark (% 97 = 0) doc — so contaminated
     * verdicts are exercised deterministically in both engines. */
-  private def plantedSrc(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def plantedSrc(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.t(s, dir, "documents").select(col("doc_id"), col("text"))
     base
       .join(base.selectExpr("doc_id + 1 AS p_id", "text AS p_text"),
@@ -115,16 +128,25 @@ object DecontamIndex {
 
   /** Judge a batch of documents against the store: fingerprint the
     * BATCH only, broadcast-join the persisted benchmark fingerprints,
-    * flag docs sharing ≥ 2 distinct fingerprints. No benchmark doc is
-    * ever re-read, let alone re-fingerprinted. */
-  def judgeDocs(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    * flag docs CONTAINING some benchmark doc (shared distinct fps ≥
+    * half that bench doc's fp set). No benchmark doc is ever re-read,
+    * let alone re-fingerprinted; the per-bench denominators are one
+    * bounded aggregation over the broadcast store. */
+  def judgeDocs(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val store = s.read.parquet(s"${root(dir)}/fps")
+    val bsz = store.groupBy(col("bench_id"))
+      .agg(countDistinct(col("fp")).as("n_fps"))
     fpsOf(s, batch)
-      .join(broadcast(s.read.parquet(s"${root(dir)}/fps")), Seq("fp"))
+      .join(broadcast(store), Seq("fp"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("fp")).as("shared"))
+      .join(broadcast(bsz), Seq("bench_id"))
+      .where(col("shared") * 2 >= col("n_fps"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("fp")).as("n_shared_fp"),
+      .agg(count(lit(1)).as("n_bench_hits"),
         min(col("bench_id")).as("bench_match"))
-      .where(col("n_shared_fp") >= 2)
       .orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // build tranche A, absorb tranche B, judge the (planted) corpus —
@@ -134,6 +156,27 @@ object DecontamIndex {
       buildIfStale(s, dir)
       absorb(s, dir)
       judgeDocs(s, dir, plantedSrc(s, dir).where("doc_id % 97 != 0"))
+    }),
+    // DECONTAMINATED TRAINING MIX — the composition claim: the store
+    // family's mix pipeline (q73/q134's gates, cap, splits, BPE counts)
+    // with the benchmark-decontamination verdicts as a membership gate.
+    // Membership = all non-benchmark docs MINUS the store's flagged set
+    // (an id anti-join — the corpus never re-fingerprints for the mix);
+    // stats gate from a live full-table aggregation. The oracle replays
+    // fingerprinting, flagging, and the whole q73 chain from scratch —
+    // proof that "train on what the benchmark store clears" lands on
+    // identical bytes cross-engine.
+    "q157_decontam_mix" -> ((s, dir) => {
+      buildIfStale(s, dir)
+      absorb(s, dir)
+      val flagged = judgeDocs(s, dir,
+        plantedSrc(s, dir).where("doc_id % 97 != 0")).select(col("doc_id"))
+      val docs = Tables.t(s, dir, "documents")
+      val keepers = docs.where("doc_id % 97 != 0").select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left_anti")
+      val stats = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      StoreMix.mixFrom(s, dir, keepers, stats)
     })
   )
 
@@ -141,11 +184,60 @@ object DecontamIndex {
     "q153_decontam_store" ->
       s"""WITH ${TextPipeline.duckWinnowExCtes},
          |bench AS (SELECT doc_id AS bench_id, fp FROM ex WHERE doc_id % 97 = 0),
-         |m AS (SELECT c.doc_id, count(DISTINCT c.fp)::BIGINT AS n_shared_fp,
-         |    min(b.bench_id) AS bench_match
+         |bsz AS (SELECT bench_id, count(DISTINCT fp) AS n_fps
+         |  FROM bench GROUP BY bench_id),
+         |ov AS (SELECT c.doc_id, b.bench_id, count(DISTINCT c.fp) AS shared
          |  FROM ex c JOIN bench b ON b.fp = c.fp
-         |  WHERE c.doc_id % 97 != 0 GROUP BY c.doc_id)
-         |SELECT doc_id, n_shared_fp, bench_match FROM m
-         |WHERE n_shared_fp >= 2 ORDER BY doc_id""".stripMargin
+         |  WHERE c.doc_id % 97 != 0 GROUP BY c.doc_id, b.bench_id),
+         |hit AS (SELECT ov.doc_id, ov.bench_id
+         |  FROM ov JOIN bsz USING (bench_id)
+         |  WHERE shared * 2 >= n_fps)
+         |SELECT doc_id, count(*)::BIGINT AS n_bench_hits,
+         |  min(bench_id) AS bench_match
+         |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the q73/q134 mix chain with the decontamination gate replacing the
+    // dedup membership: every constant (quality 6100, repetition 0.10,
+    // cap 5, 2x-mean length gate, 90/5/5 split, >= 2 shared fps) matches
+    // the Spark side textually
+    "q157_decontam_mix" ->
+      s"""WITH RECURSIVE ${TextPipeline.duckBpeCtes},
+         |${TextPipeline.duckQualityCtes},
+         |${TextPipeline.duckRepCtes},
+         |${TextPipeline.duckWinnowExCtes},
+         |bench AS (SELECT doc_id AS bench_id, fp FROM ex WHERE doc_id % 97 = 0),
+         |bsz AS (SELECT bench_id, count(DISTINCT fp) AS n_fps
+         |  FROM bench GROUP BY bench_id),
+         |ov AS (SELECT c.doc_id, b.bench_id, count(DISTINCT c.fp) AS shared
+         |  FROM ex c JOIN bench b ON b.fp = c.fp
+         |  WHERE c.doc_id % 97 != 0 GROUP BY c.doc_id, b.bench_id),
+         |flagged AS (SELECT DISTINCT ov.doc_id
+         |  FROM ov JOIN bsz USING (bench_id)
+         |  WHERE shared * 2 >= n_fps),
+         |stats AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS total_chars
+         |  FROM documents GROUP BY lang, source),
+         |kept AS (SELECT d.doc_id, d.lang, d.source
+         |  FROM documents d
+         |  JOIN qual USING (doc_id)
+         |  JOIN stats st ON st.lang = d.lang AND st.source = d.source
+         |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+         |  LEFT JOIN flagged f ON f.doc_id = d.doc_id
+         |  WHERE d.doc_id % 97 != 0 AND f.doc_id IS NULL
+         |    AND qual.quality_e4 >= 6100 AND NOT ${TextPipeline.duckRepPred}
+         |    AND d.n_chars * st.n_docs <= 2 * st.total_chars),
+         |kh AS (SELECT lang, source, doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM kept),
+         |kr AS (SELECT lang, source, doc_id, hv,
+         |    row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id) AS rn
+         |  FROM kh)
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN hv % 100 < 90 THEN 'train'
+         |       WHEN hv % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+         |  coalesce(cnt.n, 0) AS n_tokens
+         |FROM kr LEFT JOIN cnt USING (doc_id)
+         |WHERE rn <= 5
+         |ORDER BY doc_id""".stripMargin
   )
 }

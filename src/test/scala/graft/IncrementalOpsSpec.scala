@@ -546,15 +546,27 @@ class IncrementalOpsSpec extends AnyFunSuite {
           " ELSE text END AS text")
     val bench = fps(base.where("doc_id % 97 = 0"))
       .selectExpr("doc_id AS bench_id", "fp")
+    val bsz = bench.groupBy(col("bench_id"))
+      .agg(countDistinct(col("fp")).as("n_fps"))
     val live = Caches.scoped(fps(src.where("doc_id % 97 != 0"))
       .join(broadcast(bench), Seq("fp"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("fp")).as("shared"))
+      .join(broadcast(bsz), Seq("bench_id"))
+      .where(col("shared") * 2 >= col("n_fps"))
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("fp")).as("n_shared_fp"),
+      .agg(count(lit(1)).as("n_bench_hits"),
         min(col("bench_id")).as("bench_match"))
-      .where(col("n_shared_fp") >= 2)
       .orderBy(col("doc_id")).collect().toSeq.map(_.toString))
     assert(rows.map(_.toString) == live,
       "persisted benchmark store diverged from the live judge")
+    // the containment rule separates: only the planted copies and true
+    // near-copies flag, not the corpus-wide fingerprint collisions the
+    // raw shared-count rule drowned in (measured 481/494 at >= 2 fps)
+    val nonBench = Tables.t(spark, sf, "documents")
+      .where("doc_id % 97 != 0").count()
+    assert(rows.size < nonBench / 10,
+      s"containment rule stopped separating: ${rows.size} of $nonBench flagged")
     // absorb flipped the store non-pristine: next lifecycle rebuilds
     assert(!DecontamIndex.isCurrent(spark, sf),
       "absorbed decontam store still reads current")
