@@ -182,7 +182,7 @@ object DecontamIndex {
 
   val oracles: Map[String, String] = Map(
     "q153_decontam_store" ->
-      s"""WITH ${TextPipeline.duckWinnowExCtes},
+      s"""WITH ${TextPipeline.duckWinnowExCtes()},
          |bench AS (SELECT doc_id AS bench_id, fp FROM ex WHERE doc_id % 97 = 0),
          |bsz AS (SELECT bench_id, count(DISTINCT fp) AS n_fps
          |  FROM bench GROUP BY bench_id),
@@ -204,7 +204,7 @@ object DecontamIndex {
       s"""WITH RECURSIVE ${TextPipeline.duckBpeCtes},
          |${TextPipeline.duckQualityCtes},
          |${TextPipeline.duckRepCtes},
-         |${TextPipeline.duckWinnowExCtes},
+         |${TextPipeline.duckWinnowExCtes()},
          |bench AS (SELECT doc_id AS bench_id, fp FROM ex WHERE doc_id % 97 = 0),
          |bsz AS (SELECT bench_id, count(DISTINCT fp) AS n_fps
          |  FROM bench GROUP BY bench_id),

@@ -443,6 +443,34 @@ object StoreTxn {
       absorbBoth(s, dir, DedupIndex.batch2Docs(s, dir),
         docs.where("doc_id % 10 = 9"))
       storedStatsTxAsOf(s, dir, maxTxn = 0L)
+    }),
+    // THE FULL OPERATIONAL LOOP, capstone: one atomic transaction absorbs
+    // the delta into dedup + stats + vocab; the benchmark store builds
+    // and absorbs its tranches; then the training mix reads EVERY store —
+    // membership = transactional keepers, minus benchmark docs, minus
+    // the decontamination store's contamination verdicts; length gate
+    // from the transactional stats; q73's quality/repetition gates, cap,
+    // splits, and BPE counts on top. The oracle replays the entire
+    // history (dedup judge chain + winnow containment chain + gates)
+    // from scratch — the one-query proof that the whole store family
+    // COMPOSES into the pipeline it exists for.
+    "q158_tx_full_loop" -> ((s, dir) => {
+      reset(s, dir)
+      ensureBases(s, dir)
+      absorbBoth(s, dir,
+        DedupIndex.deltaDocs(s, dir),
+        Tables.t(s, dir, "documents").where("doc_id % 10 >= 7"))
+      DecontamIndex.buildIfStale(s, dir)
+      DecontamIndex.absorb(s, dir)
+      val flagged = DecontamIndex.judgeDocs(s, dir,
+        DecontamIndex.plantedSrc(s, dir).where("doc_id % 97 != 0"))
+        .select(col("doc_id"))
+      val keepers = keeperIdsTx(s, dir)
+        .where("doc_id % 97 != 0")
+        .join(flagged, Seq("doc_id"), "left_anti")
+      StoreMix.mixFrom(s, dir, keepers,
+        storedStatsTx(s, dir)
+          .select(col("lang"), col("source"), col("n_docs"), col("total_chars")))
     })
   )
 
@@ -454,6 +482,84 @@ object StoreTxn {
     "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
     "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
     "q156_tx_stats_asof" -> StatsStore.oracles("q148_stats_asof"),
+    // q134's full store-free replay (planted dedup chain + absorbed
+    // membership + full-table stats + gates/cap/splits/tokens) with the
+    // decontamination layer added: the prefixed winnow chain flags
+    // contained benchmark items and the kept set excludes benchmark docs
+    // and flagged docs. Every constant matches the Spark side textually.
+    "q158_tx_full_loop" ->
+      s"""WITH RECURSIVE ${TextPipeline.duckBpeCtes},
+         |${TextPipeline.duckQualityCtes},
+         |${TextPipeline.duckRepCtes},
+         |${TextPipeline.duckWinnowExCtes("wn_")},
+         |wbench AS (SELECT doc_id AS bench_id, fp FROM wn_ex
+         |  WHERE doc_id % 97 = 0),
+         |wbsz AS (SELECT bench_id, count(DISTINCT fp) AS n_fps
+         |  FROM wbench GROUP BY bench_id),
+         |wov AS (SELECT c.doc_id, b.bench_id, count(DISTINCT c.fp) AS shared
+         |  FROM wn_ex c JOIN wbench b ON b.fp = c.fp
+         |  WHERE c.doc_id % 97 != 0 GROUP BY c.doc_id, b.bench_id),
+         |flagged AS (SELECT DISTINCT wov.doc_id
+         |  FROM wov JOIN wbsz USING (bench_id)
+         |  WHERE shared * 2 >= n_fps),
+         |src AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7
+         |  UNION ALL
+         |  SELECT d0.doc_id, coalesce(o.text, d0.text) AS text
+         |  FROM documents d0 LEFT JOIN documents o
+         |    ON o.doc_id = d0.doc_id - 7 AND d0.doc_id % 10 = 7
+         |  WHERE d0.doc_id % 10 >= 7),
+         |docs AS (${TextPipeline.duckShingleDocsFrom("src")}),
+         |${TextPipeline.duckBandsCtes},
+         |cand AS (SELECT DISTINCT x.doc_id AS d_id, y.doc_id AS c_id
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.k0 = y.k0
+         |    AND x.k1 = y.k1 AND x.k2 = y.k2
+         |  WHERE x.doc_id % 10 >= 7 AND y.doc_id % 10 < 7),
+         |near AS (SELECT d_id, count(*)::BIGINT AS n_near
+         |  FROM cand
+         |  JOIN docs da ON da.doc_id = d_id
+         |  JOIN docs db ON db.doc_id = c_id
+         |  WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.5
+         |  GROUP BY d_id),
+         |ex AS (SELECT md5(text) AS fp, min(doc_id) AS keeper
+         |  FROM src WHERE doc_id % 10 < 7 GROUP BY fp),
+         |dd AS (SELECT doc_id, md5(text) AS fp
+         |  FROM src WHERE doc_id % 10 >= 7),
+         |uq AS (SELECT dd.doc_id, dd.fp FROM dd
+         |  LEFT JOIN ex USING (fp)
+         |  LEFT JOIN near ON near.d_id = dd.doc_id
+         |  WHERE ex.keeper IS NULL AND coalesce(near.n_near, 0) = 0),
+         |keepers AS (
+         |  SELECT keeper AS doc_id FROM ex
+         |  UNION ALL
+         |  SELECT min(doc_id) AS doc_id FROM uq GROUP BY fp),
+         |stats AS (SELECT lang, source, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS total_chars
+         |  FROM documents GROUP BY lang, source),
+         |kept AS (SELECT d.doc_id, d.lang, d.source
+         |  FROM documents d
+         |  JOIN keepers USING (doc_id)
+         |  JOIN qual USING (doc_id)
+         |  JOIN stats st ON st.lang = d.lang AND st.source = d.source
+         |  LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+         |  LEFT JOIN flagged f ON f.doc_id = d.doc_id
+         |  WHERE d.doc_id % 97 != 0 AND f.doc_id IS NULL
+         |    AND qual.quality_e4 >= 6100 AND NOT ${TextPipeline.duckRepPred}
+         |    AND d.n_chars * st.n_docs <= 2 * st.total_chars),
+         |kh AS (SELECT lang, source, doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+         |  FROM kept),
+         |kr AS (SELECT lang, source, doc_id, hv,
+         |    row_number() OVER (PARTITION BY lang, source ORDER BY hv, doc_id) AS rn
+         |  FROM kh)
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN hv % 100 < 90 THEN 'train'
+         |       WHEN hv % 100 < 95 THEN 'val' ELSE 'test' END AS split,
+         |  coalesce(cnt.n, 0) AS n_tokens
+         |FROM kr LEFT JOIN cnt USING (doc_id)
+         |WHERE rn <= 5
+         |ORDER BY doc_id""".stripMargin,
     "q151_stream_tx_ingest" ->
       s"""WITH ${DedupIndex.twoBatchCtes},
          |u2 AS (SELECT d2.doc_id, d2.fp FROM d2

@@ -1805,28 +1805,30 @@ object TextPipeline {
 
   /** q114's planted source + winnow-fingerprint chain (src → n → r → w
     * → ex: per-doc distinct MOSS fingerprints, Rabin-Karp 8-grams, min
-    * over 4-windows) — shared with [[DecontamIndex]]'s q153 oracle,
-    * which judges the same fingerprints against a PERSISTED benchmark
-    * store instead of the in-query df-banded join. */
-  private[queries] lazy val duckWinnowExCtes =
-    """src AS (
+    * over 4-windows) — shared with [[DecontamIndex]]'s q153/q157/q158
+    * oracles, which judge the same fingerprints against a PERSISTED
+    * benchmark store instead of the in-query df-banded join. The `p`
+    * prefix renames every CTE (q158 composes this chain with q134's,
+    * which also defines `src`). */
+  private[queries] def duckWinnowExCtes(p: String = ""): String =
+    s"""${p}src AS (
       |  SELECT d.doc_id,
       |    CASE WHEN d.doc_id % 97 = 1 AND o.text IS NOT NULL THEN o.text
       |         ELSE d.text END AS text
       |  FROM documents d LEFT JOIN documents o
       |    ON o.doc_id = d.doc_id - 1 AND d.doc_id % 97 = 1),
-      |n AS (SELECT doc_id,
+      |${p}n AS (SELECT doc_id,
       |    lower(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS t
-      |  FROM src),
-      |r AS (SELECT doc_id, list_transform(generate_series(1, length(t) - 7), i ->
+      |  FROM ${p}src),
+      |${p}r AS (SELECT doc_id, list_transform(generate_series(1, length(t) - 7), i ->
       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 7),
       |      j -> CAST(ascii(substr(t, i + j, 1)) AS BIGINT))),
       |      (acc, c) -> (acc * 257 + c) % 1000000007)) AS rh
-      |  FROM n WHERE length(t) >= 11),
-      |w AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(rh) - 3),
+      |  FROM ${p}n WHERE length(t) >= 11),
+      |${p}w AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(rh) - 3),
       |    i -> list_min(rh[i:i+3]))) AS wins
-      |  FROM r),
-      |ex AS (SELECT doc_id, unnest(wins) AS fp FROM w)""".stripMargin
+      |  FROM ${p}r),
+      |${p}ex AS (SELECT doc_id, unnest(wins) AS fp FROM ${p}w)""".stripMargin
 
   private lazy val duckNearDupCtes =
     s"""docs AS ($duckShingleDocs),
@@ -2470,7 +2472,7 @@ object TextPipeline {
     // q51's exact rolling-hash + min-in-window chain over the planted
     // source, then the same df-band and bench-driven inverted join
     "q114_winnow_decontam" ->
-      s"""WITH $duckWinnowExCtes,
+      s"""WITH ${duckWinnowExCtes()},
         |dfq AS (SELECT fp, count(*) AS df FROM ex GROUP BY fp),
         |band AS (SELECT fp FROM dfq WHERE df BETWEEN 2 AND 20),
         |exb AS (SELECT doc_id, fp FROM ex JOIN band USING (fp)),

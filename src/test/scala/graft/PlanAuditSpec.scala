@@ -337,6 +337,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p56.contains("documents"),
       s"q156's as-of read re-reads the corpus:\n$p56")
     assert(!p56.contains("Join"), s"q156 grew a join:\n$p56")
+    // the capstone loop keeps the q134 mix shape: bounded cap agg,
+    // broadcast small sides, no cartesian/NLJ/UDF — the decontam gate
+    // adds an id anti-join, never a fingerprint re-shuffle of the mix
+    val p58 = plan("q158_tx_full_loop")
+    assert(!p58.contains("CartesianProduct"), s"q158 planned a cartesian:\n$p58")
+    assert(!p58.contains("BroadcastNestedLoopJoin"),
+      s"q158 planned a nested-loop join:\n$p58")
+    assert(p58.contains("ObjectHashAggregate"),
+      s"q158's domain cap lost the bounded aggregation:\n$p58")
+    assert(p58.contains("BroadcastHashJoin"),
+      s"q158's stats/cap joins must broadcast the small sides:\n$p58")
+    assert(!p58.contains("ScalaUDF"), s"q158 regressed to a ScalaUDF:\n$p58")
     // time-travel verbs are FILTERS over the bounded partials table:
     // no join, no corpus path in the scan
     for (q <- Seq("q148_stats_asof", "q149_stats_changes")) {
