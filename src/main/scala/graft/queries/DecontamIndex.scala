@@ -49,8 +49,7 @@ import org.apache.spark.sql.functions._
 object DecontamIndex {
 
   private[graft] def root(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     s"${sys.props("java.io.tmpdir")}/graft_decontam_idx_$h"
   }
 

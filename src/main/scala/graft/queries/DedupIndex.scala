@@ -50,8 +50,7 @@ object DedupIndex {
   // subsequent lap (measured 1.36 s -> 2.44 s in the r15 bench before
   // the split).
   private[graft] def root(dir: String, variant: String = ""): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     val v = if (variant.isEmpty) "" else s"_$variant"
     s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_$h$v"
   }
@@ -111,16 +110,26 @@ object DedupIndex {
     * written LAST — a crashed build leaves no meta and judges rebuild. */
   def build(s: SparkSession, dir: String, variant: String = ""): String = {
     val path = root(dir, variant)
-    corpusDocs(s, dir)
-      .selectExpr("md5(text) AS fp", "doc_id")
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").parquet(s"$path/exact")
-    val sh = Caches.persist(TextPipeline.shinglesOf(corpusDocs(s, dir)))
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
-    TextPipeline.minhashBands(sh).write.mode("overwrite").parquet(s"$path/bands")
+    writeDerived(s, corpusDocs(s, dir), path, "overwrite")
     writeMeta(s, path, corpusFingerprint(s, dir), pristine = true)
     path
+  }
+
+  /** Derive and write the store's three tables — exact (fp → keeper,
+    * within-frame duplicates collapsed to min doc_id), shingles, bands —
+    * from a (doc_id, text) frame. THE single definition of the dedup
+    * derivation, shared by [[build]] (overwrite), [[absorbDocs]]
+    * (append) and [[StoreTxn.stage]] (transaction layers): a change to
+    * the derivation cannot silently diverge the lifecycles. */
+  private[queries] def writeDerived(s: SparkSession, docs: DataFrame,
+      base: String, mode: String): Unit = {
+    docs.selectExpr("md5(text) AS fp", "doc_id")
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .write.mode(mode).parquet(s"$base/exact")
+    val sh = Caches.persist(TextPipeline.shinglesOf(docs))
+    sh.write.mode(mode).parquet(s"$base/shingles")
+    TextPipeline.minhashBands(sh).write.mode(mode).parquet(s"$base/bands")
   }
 
   private def writeMeta(s: SparkSession, path: String, fp: String,
@@ -128,6 +137,14 @@ object DedupIndex {
     import s.implicits._
     Seq((fp, pristine)).toDF("fp", "pristine")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Delete the meta record so the next buildIfStale rebuilds — the
+    * store-owned invalidation verb (see VocabStore.invalidate). */
+  private[queries] def invalidate(s: SparkSession, dir: String,
+      variant: String = ""): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir, variant)}/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** True iff the store exists, its recorded corpus fingerprint matches
@@ -244,13 +261,7 @@ object DedupIndex {
     val fp = try s.read.parquet(s"$path/meta").head().getString(0)
              catch { case _: Exception => "" }
     writeMeta(s, path, fp, pristine = false) // invalidate BEFORE mutating
-    kept.selectExpr("md5(text) AS fp", "doc_id")
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
-      .write.mode("append").parquet(s"$path/exact")
-    val sh = Caches.persist(TextPipeline.shinglesOf(kept))
-    sh.write.mode("append").parquet(s"$path/shingles")
-    TextPipeline.minhashBands(sh).write.mode("append").parquet(s"$path/bands")
+    writeDerived(s, kept, path, "append")
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)

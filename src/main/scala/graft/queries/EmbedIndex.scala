@@ -44,8 +44,7 @@ object EmbedIndex {
   // DedupIndex.root — the absorbing q142 lifecycle must not flip q141's
   // pristine store non-current between bench laps.
   private[graft] def root(dir: String, variant: String = ""): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     val v = if (variant.isEmpty) "" else s"_$variant"
     s"${sys.props("java.io.tmpdir")}/graft_embed_idx_$h$v"
   }

@@ -34,8 +34,7 @@ object GraphStore {
 
   // md5 fragment, not hashCode — the family's path-keying standard.
   private[graft] def root(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     s"${sys.props("java.io.tmpdir")}/graft_graph_store_$h"
   }
 

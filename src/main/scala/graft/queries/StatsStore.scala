@@ -35,8 +35,7 @@ object StatsStore {
   // lifecycles q134/q136 vs q107's pristine-store contract) — see
   // DedupIndex.root's note.
   private[graft] def root(dir: String, variant: String = ""): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     val v = if (variant.isEmpty) "" else s"_$variant"
     s"${sys.props("java.io.tmpdir")}/graft_stats_store_$h$v"
   }
@@ -141,6 +140,14 @@ object StatsStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Delete the meta record so the next buildIfStale rebuilds — the
+    * store-owned invalidation verb (see VocabStore.invalidate). */
+  private[queries] def invalidate(s: SparkSession, dir: String,
+      variant: String = ""): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir, variant)}/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** STREAMING store maintenance (q145): the delta arrives as a stream
     * and each micro-batch absorbs its OWN partials into the store via
     * foreachBatch — the shape a continuously-ingesting deployment runs,
@@ -154,8 +161,7 @@ object StatsStore {
     * starts (invalidate-before-mutate, the absorb bracket). */
   def streamAbsorb(s: SparkSession, dir: String, variant: String): Unit = {
     val path = root(dir, variant)
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     val staged = s"${sys.props("java.io.tmpdir")}/graft_stats_feed_$h"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_stats_ckpt_$h"
     deltaDocs(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))

@@ -58,8 +58,7 @@ object StoreTxn {
   private val variant = "tx"
 
   private[graft] def root(dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     s"${sys.props("java.io.tmpdir")}/graft_store_txn_$h"
   }
 
@@ -79,13 +78,9 @@ object StoreTxn {
     val folded = foldedFlag(dir)
     if (fs.exists(folded)) {
       fs.delete(folded, true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${DedupIndex.root(dir, variant)}/meta"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"${StatsStore.root(dir, variant)}/meta"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(
-        VocabStore.partialsPath(dir, variant)
-          .stripSuffix("/partials") + "/meta"), true)
+      DedupIndex.invalidate(s, dir, variant)
+      StatsStore.invalidate(s, dir, variant)
+      VocabStore.invalidate(s, dir, variant)
     }
   }
 
@@ -97,11 +92,27 @@ object StoreTxn {
     new org.apache.hadoop.fs.Path(s"${DedupIndex.root(dir, variant)}/txn_folded")
 
   /** Committed transaction ids, ascending. O(#transactions) driver-side —
-    * the same bounded-collect class as AnnIndex's metadata reads. */
-  private[queries] def committedTxns(s: SparkSession, dir: String): Seq[Long] =
-    try s.read.parquet(s"${root(dir)}/commits")
-      .collect().map(_.getLong(0)).toSeq.sorted
-    catch { case _: Exception => Seq.empty }
+    * the same bounded-collect class as AnnIndex's metadata reads.
+    *
+    * Only a MISSING commit log reads as "no transactions" (the
+    * pre-first-commit state). Any other failure — a torn footer, a
+    * transient IO error — RETHROWS: swallowing it would silently drop
+    * every committed transaction from reads (the exact skew this module
+    * exists to prevent) and make nextTxnId reuse an already-committed
+    * id, overwriting a live layer. */
+  private[queries] def committedTxns(s: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      Seq.empty
+    else
+      try s.read.parquet(p.toString).collect().map(_.getLong(0)).toSeq.sorted
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"store-txn commit log at $p exists but cannot be read — " +
+            "refusing to serve base-only state as if no transactions " +
+            "were committed", e)
+      }
+  }
 
   def nextTxnId(s: SparkSession, dir: String): Long =
     committedTxns(s, dir).lastOption.map(_ + 1).getOrElse(0L)
@@ -143,11 +154,26 @@ object StoreTxn {
     layered(s, dir, VocabStore.partialsPath(dir, variant),
       id => s"${root(dir)}/t$id/vocab/partials")
 
-  /** Build the immutable base stores if missing/stale. */
+  /** Build the immutable base stores if missing/stale. When any base IS
+    * stale (first build, corpus regenerated, or reset-invalidated), the
+    * transaction root is dropped with it: layers and commits computed
+    * against the OLD corpus generation must not survive under a
+    * freshly-built base — without this, a corpus regeneration would
+    * rebuild the bases pristine while `layered` kept unioning the old
+    * generation's layers into every read. */
   def ensureBases(s: SparkSession, dir: String): Unit = {
-    DedupIndex.buildIfStale(s, dir, variant)
-    StatsStore.buildIfStale(s, dir, variant)
-    VocabStore.buildIfStale(s, dir, variant)
+    val fresh = DedupIndex.isCurrent(s, dir, variant) &&
+      StatsStore.isCurrent(s, dir, variant) &&
+      VocabStore.isCurrent(s, dir, variant)
+    if (!fresh) {
+      val p = new org.apache.hadoop.fs.Path(root(dir))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(foldedFlag(dir), true)
+      DedupIndex.build(s, dir, variant)
+      StatsStore.build(s, dir, variant)
+      VocabStore.build(s, dir, variant)
+    }
   }
 
   // ---- the reader surface (base ∪ committed layers) ----
@@ -171,6 +197,16 @@ object StoreTxn {
     * for every store the transaction touched. */
   def storedStatsTxAsOf(s: SparkSession, dir: String, maxTxn: Long): DataFrame = {
     requireNoCheckpoint(s, dir)
+    // a checkpoint FOLDS committed layers into the base — history before
+    // the fold is no longer reconstructable from a log prefix, so an
+    // as-of read against a folded generation must refuse loudly rather
+    // than silently return the full folded state labeled as historical
+    val folded = foldedFlag(dir)
+    if (folded.getFileSystem(s.sparkContext.hadoopConfiguration).exists(folded))
+      throw new IllegalStateException(
+        s"store-txn history at ${root(dir)} was folded by a checkpoint; " +
+          "as-of reads cannot reconstruct pre-checkpoint states — keep " +
+          "the log (skip checkpoints) where time travel is required")
     val paths = s"${StatsStore.root(dir, variant)}/partials" +:
       committedTxns(s, dir).filter(_ <= maxTxn)
         .map(id => s"${root(dir)}/t$id/stats/partials")
@@ -203,14 +239,7 @@ object StoreTxn {
     dedupDelta.join(keptIds, Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$t/kept")
     val kept = s.read.parquet(s"$t/kept")
-    kept.selectExpr("md5(text) AS fp", "doc_id")
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").parquet(s"$t/dedup/exact")
-    val sh = Caches.persist(TextPipeline.shinglesOf(kept))
-    sh.write.mode("overwrite").parquet(s"$t/dedup/shingles")
-    TextPipeline.minhashBands(sh)
-      .write.mode("overwrite").parquet(s"$t/dedup/bands")
+    DedupIndex.writeDerived(s, kept, s"$t/dedup", "overwrite")
     StatsStore.partials(statsDelta)
       .write.mode("overwrite").parquet(s"$t/stats/partials")
     VocabStore.partials(statsDelta)
@@ -304,8 +333,14 @@ object StoreTxn {
     fs.mkdirs(foldedFlag(dir)) // base is now the folded generation
     folded.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$r/t$id"), true))
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    // marker cleared BEFORE the staging delete: from the truncated-log
+    // write above the on-disk state is fully consistent, so readers may
+    // resume — deleting staging first would leave a crash window where
+    // the marker survives with no staged copies to redo from, wedging
+    // every reader permanently. A stale staging dir, by contrast, is
+    // harmless (the next checkpoint overwrites it).
     fs.delete(m, true)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   /** q147: the q134 composed mix run through the TRANSACTIONAL lifecycle
@@ -354,8 +389,7 @@ object StoreTxn {
   private def streamTxIngest(s: SparkSession, dir: String): DataFrame = {
     reset(s, dir)
     ensureBases(s, dir)
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     val feed = s"${sys.props("java.io.tmpdir")}/graft_txn_feed_$h"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_txn_ckpt_$h"
     val fs = new org.apache.hadoop.fs.Path(feed)

@@ -103,8 +103,7 @@ object Streaming {
     * role; this staging exists only to make a bounded replay behave like
     * one. */
   private def stagedEventsDir(s: SparkSession, dir: String, eventType: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft_staged_${eventType}_$h"
     val ev = Tables.t(s, dir, "events")
     ev.where(col("event_type") === eventType)
@@ -297,8 +296,7 @@ object Streaming {
     // growing directory in production (GraftBinStreamSpec pins the
     // incremental file-discovery path).
     "q119_stream_graftbin" -> ((s, dir) => {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val h = Tables.dirHash(dir)
       val staged = s"${sys.props("java.io.tmpdir")}/graft_binstream_$h"
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
@@ -320,8 +318,7 @@ object Streaming {
     // whole stream→binary-sink→scan chain must land on the parquet
     // source's numbers.
     "q120_stream_to_graftbin" -> ((s, dir) => {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val h = Tables.dirHash(dir)
       val sink = s"${sys.props("java.io.tmpdir")}/graft_binsink_$h"
       val ckpt = s"${sys.props("java.io.tmpdir")}/graft_binsink_ckpt_$h"
       for (d <- Seq(sink, ckpt)) {
@@ -374,8 +371,7 @@ object Streaming {
     // is a key-partitioned aggregate of batch-sized input against a
     // state table that grows with |users|, never with the stream.
     "q131_stream_upsert" -> ((s, dir) => {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val h = Tables.dirHash(dir)
       val staged = s"${sys.props("java.io.tmpdir")}/graft_upsert_feed_$h"
       val stateRoot = s"${sys.props("java.io.tmpdir")}/graft_upsert_state_$h"
       val ckpt = s"${sys.props("java.io.tmpdir")}/graft_upsert_ckpt_$h"

@@ -7,6 +7,13 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, Times
 /** Shared parquet table loader for the testdata star schema. */
 object Tables {
 
+  /** The store family's path-keying hash: an 8-byte md5 fragment of the
+    * data dir (NOT `hashCode` — see DedupIndex.root's collision note).
+    * One definition so the keying scheme has one place to change. */
+  private[graft] def dirHash(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Projection normalizing generation-dependent timestamp physical types
     * to session-local TIMESTAMP, or None when the schema is already clean
     * (the common case — avoid inserting a no-op Project over every scan).

@@ -27,8 +27,7 @@ object VocabStore {
   // corpus-only vocabulary in its steady state — gets its own root
   // (the same isolation rule as DedupIndex/StatsStore variants).
   private def root(dir: String, variant: String = ""): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val h = Tables.dirHash(dir)
     val v = if (variant.isEmpty) "" else s"_$variant"
     s"${sys.props("java.io.tmpdir")}/graft_vocab_store_$h$v"
   }
@@ -106,6 +105,15 @@ object VocabStore {
   // root is private; the spec reaches the partials through this.
   private[graft] def partialsPath(dir: String, variant: String = ""): String =
     s"${root(dir, variant)}/partials"
+
+  /** Delete the meta record so the next buildIfStale rebuilds — each
+    * store owns its own layout; [[StoreTxn]] invalidates through this
+    * instead of carving paths from outside. */
+  private[queries] def invalidate(s: SparkSession, dir: String,
+      variant: String = ""): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir, variant)}/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** q83's coverage read from the STORE ALONE: merge the layered counts
     * (one |vocab|-bounded groupBy), then rank/coverage over the top-25 —

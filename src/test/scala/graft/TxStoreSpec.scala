@@ -173,6 +173,46 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("generation guards: corrupt log loud; asOf refuses folded history; stale base drops old layers") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+
+    // a commit log that EXISTS but cannot be read must refuse, not
+    // silently serve base-only state (and not reuse committed txn ids)
+    val fs = new org.apache.hadoop.fs.Path(StoreTxn.root(sf))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val junk = new org.apache.hadoop.fs.Path(
+      s"${StoreTxn.root(sf)}/commits/part-junk.parquet")
+    val out = fs.create(junk)
+    out.write("not a parquet file".getBytes("UTF-8"))
+    out.close()
+    intercept[IllegalStateException](keeperSet)
+    intercept[IllegalStateException](StoreTxn.nextTxnId(spark, sf))
+    fs.delete(junk, false)
+
+    // a checkpoint folds history into the base — log-prefix time travel
+    // must refuse rather than return folded data labeled as historical
+    StoreTxn.checkpoint(spark, sf)
+    intercept[IllegalStateException](
+      StoreTxn.storedStatsTxAsOf(spark, sf, 0L).collect())
+
+    // a stale base (corpus regeneration in production; a meta delete
+    // here) must take the old generation's commits and layers with it
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"))
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${graft.queries.StatsStore.root(sf, "tx")}/meta"), true)
+    StoreTxn.ensureBases(spark, sf)
+    assert(StoreTxn.nextTxnId(spark, sf) == 0L,
+      "base rebuild kept the old generation's commit log")
+    val baseOnly = keeperSet
+    assert(!baseOnly.exists(_ % 10 >= 7),
+      "base rebuild kept old-generation dedup layers")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
