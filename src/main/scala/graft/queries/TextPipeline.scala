@@ -1663,7 +1663,7 @@ object TextPipeline {
     * (half-up via (2a+b) div 2b): the double form `round(0.4*u +
     * 0.3*(1-s) + ..., 4)` lands on .xxxx5 shortest-repr boundaries that
     * Spark and DuckDB round in opposite directions (caught at sf0.1). */
-  private def docQuality(s: SparkSession, dir: String,
+  private[queries] def docQuality(s: SparkSession, dir: String,
       withLang: Boolean = false): DataFrame = {
     val keep = if (withLang) Seq("doc_id", "lang") else Seq("doc_id")
     t(s, dir, "documents")

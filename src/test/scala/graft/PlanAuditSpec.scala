@@ -826,6 +826,28 @@ class PlanAuditSpec extends AnyFunSuite {
   // seed join against broadcast(part-brands)
   private val lpRoundsInPlan = 4
 
+  test("q159 bigram gate scores in-row: no join on the scoring path, no UDF") {
+    // the model is a collected ≤729-row table embedded as ONE map
+    // literal, so scoring must plan as scan → project (in-row aggregate
+    // lookup) with the only join being the deliberate 1-row broadcast
+    // mean product — a SortMergeJoin or cartesian here means scoring
+    // regressed to a per-position explode + shuffle
+    val p = plan("q159_bigram_lm_gate")
+    assert(!p.contains("SortMergeJoin"),
+      s"q159 shuffles the corpus to score it:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q159 planned a cartesian:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q159 regressed to a ScalaUDF:\n$p")
+  }
+
+  test("q160 diversity sample: stratum window, no cartesian, no UDF") {
+    val p = plan("q160_diversity_sample")
+    assert(p.contains("Window"), s"q160 lost the per-stratum window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q160 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q160 planned a nested-loop join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q160 regressed to a ScalaUDF:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
