@@ -15,17 +15,42 @@ session, exactly as the Scala consumers (Bench/Verify) do.
 from pyspark.sql import DataFrame
 
 __all__ = [
-    "run_query", "query_names", "exact_dedup", "minhash_near_dup",
-    "dedup_clusters", "split_assign", "mix_pipeline", "weighted_take",
-    "mix_take",
-    "ann_topk_lsh", "ann_topk_ivf",
+    # query surface
+    "run_query", "query_names",
+    # dedup one-shots + mix shaping
+    "exact_dedup", "minhash_near_dup", "dedup_clusters", "split_assign",
+    "mix_pipeline", "weighted_take", "mix_take",
+    # ANN: live and persisted tiers
+    "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq",
     "build_ann_index", "append_ann_index", "ann_index_current",
-    "persisted_topk_lsh", "persisted_topk_ivf",
-    "build_stats_store", "stats_store_current", "build_stats_store_if_stale",
-    "merged_stats", "absorb_stats_delta", "stored_stats", "pagerank",
-    "compact_dedup_index", "compact_stats_store",
-    "build_tagged_stats_store", "absorb_stats_epoch", "expire_stats_epochs",
-    "tagged_stored_stats",
+    "persisted_topk_lsh", "persisted_topk_ivf", "persisted_topk_pq",
+    "persisted_topk_ivfpq",
+    # text scrubbing
+    "scrub",
+    # incremental dedup store
+    "build_dedup_index", "build_dedup_index_if_stale", "dedup_index_current",
+    "dedup_delta_verdicts", "absorb_dedup_delta",
+    "dedup_stream_delta_verdicts", "compact_dedup_index",
+    # stats store (flat + epoch-tagged)
+    "build_stats_store", "build_stats_store_if_stale", "stats_store_current",
+    "merged_stats", "absorb_stats_delta", "stored_stats",
+    "compact_stats_store", "build_tagged_stats_store", "absorb_stats_epoch",
+    "expire_stats_epochs", "tagged_stored_stats", "stats_as_of",
+    "stats_changes",
+    # transactional cross-store commits
+    "tx_reset", "tx_ensure_bases", "tx_absorb_delta", "tx_keeper_ids",
+    "tx_stored_stats", "tx_vocab_coverage", "tx_stats_as_of",
+    "tx_checkpoint",
+    # graph-edge store
+    "build_graph_store_if_stale", "absorb_graph_delta", "graph_store_edges",
+    "compact_graph_store", "pagerank",
+    # distinct-count store
+    "build_distinct_store_if_stale", "absorb_distinct_delta",
+    "distinct_occupancy",
+    # decontamination store
+    "build_decontam_index_if_stale", "absorb_decontam_bench",
+    "decontam_judge",
+    # session upkeep
     "release_caches",
 ]
 

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.IntegerType
  * is already unspecified).
  *
  * Fires only on the safe shape: a single row_number window expression,
- * uniform sort direction, non-nullable sort keys (min/max skip nulls,
- * ranking windows don't).
+ * a NON-EMPTY partition spec, uniform sort direction, non-nullable sort
+ * keys (min/max skip nulls, ranking windows don't). The partition spec
+ * must be non-empty because a global (no-grouping-keys) aggregate always
+ * emits exactly one row — on a runtime-empty input the window form yields
+ * zero rows but the rewritten form would fabricate a phantom row of
+ * default values.
  */
 object RewriteTopOnePerKey extends Rule[LogicalPlan] {
 
@@ -61,6 +65,7 @@ object RewriteTopOnePerKey extends Rule[LogicalPlan] {
   private def rewritable(rnAttr: Attribute, w: Window): Boolean = w.windowExpressions match {
     case Seq(a @ Alias(WindowExpression(_: RowNumber, spec), _)) =>
       a.exprId == rnAttr.exprId &&
+        spec.partitionSpec.nonEmpty &&
         spec.orderSpec.nonEmpty &&
         spec.orderSpec.map(_.direction).distinct.size == 1 &&
         spec.orderSpec.forall(!_.child.nullable)

@@ -44,11 +44,15 @@ import org.apache.spark.sql.functions._
  *
  * The protocol is store-count-AGNOSTIC: a transaction stages one layer
  * set per participating store and the single commit row flips them all.
- * Three stores ride it today — dedup keepers, stats partials, and the
- * delta's vocabulary counts (q155 reads q83's coverage off the
- * transactional state, q140's oracle verbatim); adding a fourth is a
- * stage-writer plus a layered reader, nothing in the commit path
- * changes.
+ * Five stores ride it today — dedup keepers, stats partials, and the
+ * delta's vocabulary counts via [[absorbBoth]] (q155 reads q83's
+ * coverage off the transactional state, q140's oracle verbatim), plus
+ * the ingest pair — graph edge partials and embed bucket rows — via
+ * [[absorbIngest]] (q162/q163). A transaction stages only the stores
+ * its verb covers; readers union base ∪ the committed layers that
+ * exist for their store (see [[layered]]'s crash-safety note). Adding
+ * another store is a stage-writer plus a layered reader, nothing in
+ * the commit path changes.
  */
 object StoreTxn {
 
@@ -81,6 +85,8 @@ object StoreTxn {
       DedupIndex.invalidate(s, dir, variant)
       StatsStore.invalidate(s, dir, variant)
       VocabStore.invalidate(s, dir, variant)
+      GraphStore.invalidate(s, dir, variant)
+      EmbedIndex.invalidate(s, dir, variant)
     }
   }
 
@@ -105,8 +111,17 @@ object StoreTxn {
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
       Seq.empty
     else
-      try s.read.parquet(p.toString).collect().map(_.getLong(0)).toSeq.sorted
-      catch {
+      try {
+        val ids = s.read.parquet(p.toString).collect().map(_.getLong(0)).toSeq.sorted
+        val dups = ids.zip(ids.drop(1)).collect { case (a, b) if a == b => a }.distinct
+        if (dups.nonEmpty) throw new IllegalStateException(
+          s"store-txn commit log at $p contains duplicate transaction ids " +
+            s"${dups.mkString(",")} — two writers raced id allocation (see the " +
+            "single-writer requirement on nextTxnId); their layers overwrote " +
+            "each other, so the layered state is not trustworthy")
+        ids
+      } catch {
+        case e: IllegalStateException => throw e
         case e: Exception => throw new IllegalStateException(
           s"store-txn commit log at $p exists but cannot be read — " +
             "refusing to serve base-only state as if no transactions " +
@@ -114,16 +129,45 @@ object StoreTxn {
       }
   }
 
+  /** Next transaction id = max committed + 1.
+    *
+    * SINGLE-WRITER REQUIREMENT: id allocation is read-then-use with no
+    * lock — two concurrent drivers (or an absorb racing checkpointStage
+    * before the pending marker is raised) mint the SAME id, overwrite
+    * each other's `t<id>/` staging, and append duplicate commit rows.
+    * The commit append itself is rename-atomic, but nothing arbitrates
+    * the id. Exactly one process may run absorb/checkpoint against a
+    * given store root at a time (the same assumption Delta makes of a
+    * filesystem without putIfAbsent); [[committedTxns]] detects the
+    * violation after the fact by failing loudly on duplicate ids. On an
+    * object store you'd replace this with a conditional-PUT of the
+    * `t<id>` manifest, which makes allocation itself the atomic step. */
   def nextTxnId(s: SparkSession, dir: String): Long =
     committedTxns(s, dir).lastOption.map(_ + 1).getOrElse(0L)
 
-  /** Base table ∪ the matching layer of every COMMITTED transaction.
-    * Uncommitted staging is structurally invisible: the path list is
-    * built from the commit log, not from a directory listing. */
+  /** Base table ∪ the matching layer of every COMMITTED transaction
+    * THAT STAGED ONE. Uncommitted staging is structurally invisible: the
+    * candidate path list is built from the commit log, not from a
+    * directory listing. A committed transaction may not have touched
+    * every store (absorbBoth stages dedup+stats+vocab; absorbIngest
+    * stages graph+embed), so each store keeps only the layers that
+    * exist — a bounded O(#txns) existence probe that is crash-safe
+    * because staging completes strictly before the commit row lands:
+    * for a COMMITTED id, a store's layer dir exists iff that
+    * transaction staged that store. */
   private def layered(s: SparkSession, dir: String, base: String,
       layer: Long => String): DataFrame = {
     requireNoCheckpoint(s, dir)
-    s.read.parquet((base +: committedTxns(s, dir).map(layer)): _*)
+    s.read.parquet((base +: existingLayers(s, dir, layer)): _*)
+  }
+
+  private def existingLayers(s: SparkSession, dir: String,
+      layer: Long => String): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    committedTxns(s, dir).map(layer).filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
   }
 
   private def marker(dir: String) =
@@ -154,6 +198,14 @@ object StoreTxn {
     layered(s, dir, VocabStore.partialsPath(dir, variant),
       id => s"${root(dir)}/t$id/vocab/partials")
 
+  private def graphEdgeLayers(s: SparkSession, dir: String): DataFrame =
+    layered(s, dir, s"${GraphStore.root(dir, variant)}/edges",
+      id => s"${root(dir)}/t$id/graph/edges")
+
+  private def embedBuckets(s: SparkSession, dir: String): DataFrame =
+    layered(s, dir, s"${EmbedIndex.root(dir, variant)}/buckets",
+      id => s"${root(dir)}/t$id/embed/buckets")
+
   /** Build the immutable base stores if missing/stale. When any base IS
     * stale (first build, corpus regenerated, or reset-invalidated), the
     * transaction root is dropped with it: layers and commits computed
@@ -164,7 +216,9 @@ object StoreTxn {
   def ensureBases(s: SparkSession, dir: String): Unit = {
     val fresh = DedupIndex.isCurrent(s, dir, variant) &&
       StatsStore.isCurrent(s, dir, variant) &&
-      VocabStore.isCurrent(s, dir, variant)
+      VocabStore.isCurrent(s, dir, variant) &&
+      GraphStore.isCurrent(s, dir, variant) &&
+      EmbedIndex.isCurrent(s, dir, variant)
     if (!fresh) {
       val p = new org.apache.hadoop.fs.Path(root(dir))
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -173,6 +227,8 @@ object StoreTxn {
       DedupIndex.build(s, dir, variant)
       StatsStore.build(s, dir, variant)
       VocabStore.build(s, dir, variant)
+      GraphStore.build(s, dir, variant)
+      EmbedIndex.build(s, dir, variant)
     }
   }
 
@@ -187,6 +243,18 @@ object StoreTxn {
   /** q83's vocabulary-coverage read over the transactional state. */
   def vocabCoverageTx(s: SparkSession, dir: String): DataFrame =
     VocabStore.coverageOf(vocabPartials(s, dir))
+
+  /** The merged co-purchase edge list over the transactional state —
+    * base edges ∪ committed graph layers, one additive groupBy (the
+    * GraphStore.mergedEdges read against layered paths). */
+  def mergedEdgesTx(s: SparkSession, dir: String): DataFrame =
+    graphEdgeLayers(s, dir)
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+
+  /** q141's embedding-dedup judge against the transactional state —
+    * candidates come from base buckets ∪ committed embed layers. */
+  def judgeEmbedTx(s: SparkSession, dir: String, delta: DataFrame): DataFrame =
+    EmbedIndex.judgeAgainstBuckets(s, dir, delta, embedBuckets(s, dir))
 
   /** TIME TRAVEL over the commit log: the stats as they stood after
     * transaction `maxTxn` — base ∪ layers of committed ids ≤ maxTxn.
@@ -263,6 +331,42 @@ object StoreTxn {
     id
   }
 
+  /** Stage transaction `id` for the INGEST pair — the two stores whose
+    * absorbs previously committed independently (the r15 residual: a
+    * crash between q150's graph absorb and q141's embed absorb left
+    * edges covering the batch while the vector index didn't, the exact
+    * skew absorbBoth closes for the text stores):
+    *   - graph: the delta batch's own pair aggregation (additive
+    *     partials, GraphStore.absorb's layer) under `t<id>/graph/edges`;
+    *   - embed: the batch's 'unique' survivors judged against the
+    *     COMMITTED transactional index (base ∪ layers — txn 0 sees the
+    *     pristine base, exactly q142's absorb) under
+    *     `t<id>/embed/buckets`.
+    * Overwrite mode throughout (crashed-stage retry replaces partials);
+    * invisible until [[commit]]. */
+  def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
+      id: Long): Unit = {
+    val t = s"${root(dir)}/t$id"
+    GraphStore.deltaPairs(s, dir)
+      .write.mode("overwrite").parquet(s"$t/graph/edges")
+    val keptIds = judgeEmbedTx(s, dir, embedDelta)
+      .where("verdict = 'unique'").select(col("vec_id"))
+    embedDelta.select(col("bucket"), col("vec_id")).join(keptIds, Seq("vec_id"))
+      .select(col("bucket"), col("vec_id"))
+      .write.mode("overwrite").parquet(s"$t/embed/buckets")
+  }
+
+  /** The atomic ingest absorb: graph edge partials and embed bucket
+    * rows land under ONE commit row — both stores advance in the same
+    * instant or not at all (TxStoreSpec pins the crash window). */
+  def absorbIngest(s: SparkSession, dir: String,
+      embedDelta: DataFrame): Long = {
+    val id = nextTxnId(s, dir)
+    stageIngest(s, dir, embedDelta, id)
+    commit(s, dir, id)
+    id
+  }
+
   // ---- checkpoint: fold committed layers into the base ----
 
   /** Stage the merged (base ∪ committed layers) copy of every table,
@@ -287,6 +391,12 @@ object StoreTxn {
     vocabPartials(s, dir)
       .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/vocab/partials")
+    // the ingest pair folds too — without this, dropping t<id> dirs at
+    // publish would silently delete committed graph/embed layers
+    mergedEdgesTx(s, dir)
+      .coalesce(4).write.mode("overwrite").parquet(s"$staging/graph/edges")
+    embedBuckets(s, dir)
+      .coalesce(4).write.mode("overwrite").parquet(s"$staging/embed/buckets")
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
   }
@@ -315,9 +425,24 @@ object StoreTxn {
     val m = marker(dir)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(m)) checkpointStage(s, dir)
-    val folded = // commit log may already be truncated on a redo
-      try s.read.parquet(s"$r/commits").collect().map(_.getLong(0)).toSeq
-      catch { case _: Exception => Seq.empty[Long] }
+    // Commit log may be ABSENT on a redo past truncation — that reads as
+    // "nothing left to fold". Any other read failure RETHROWS (mirroring
+    // committedTxns' policy): treating a transient IO error as
+    // already-truncated would silently skip deleting the folded t<id>
+    // layer dirs, a permanent disk leak only reclaimed if a later txn
+    // happens to reuse the same id.
+    val commitsPath = new org.apache.hadoop.fs.Path(s"$r/commits")
+    val folded =
+      if (!fs.exists(commitsPath)) Seq.empty[Long]
+      else
+        try s.read.parquet(commitsPath.toString).collect().map(_.getLong(0)).toSeq
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"store-txn commit log at $commitsPath exists but cannot be read " +
+              "during checkpoint publish — refusing to treat it as already " +
+              "truncated; fix the IO error and re-run checkpoint (redo is " +
+              "idempotent)", e)
+        }
     for (t <- Seq("exact", "shingles", "bands"))
       s.read.parquet(s"$staging/dedup/$t")
         .write.mode("overwrite").parquet(s"${DedupIndex.root(dir, variant)}/$t")
@@ -327,6 +452,12 @@ object StoreTxn {
     s.read.parquet(s"$staging/vocab/partials")
       .write.mode("overwrite")
       .parquet(VocabStore.partialsPath(dir, variant))
+    s.read.parquet(s"$staging/graph/edges")
+      .write.mode("overwrite")
+      .parquet(s"${GraphStore.root(dir, variant)}/edges")
+    s.read.parquet(s"$staging/embed/buckets")
+      .write.mode("overwrite")
+      .parquet(s"${EmbedIndex.root(dir, variant)}/buckets")
     import s.implicits._
     Seq.empty[Long].toDF("txn")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/commits")
@@ -478,6 +609,28 @@ object StoreTxn {
         docs.where("doc_id % 10 = 9"))
       storedStatsTxAsOf(s, dir, maxTxn = 0L)
     }),
+    // THE INGEST PAIR UNDER THE TRANSACTION FAMILY: graph edge partials
+    // and embed bucket rows staged as ONE transaction's layers — closing
+    // the r15 residual (q150's graph absorb and q141's embed absorb
+    // committed independently, re-opening the cross-store crash window
+    // q147 closed for the text stores). q162 reads q128's triangle
+    // participation from the transactional merged edges — q128's oracle
+    // VERBATIM, the q150 device with the commit-log indirection added.
+    "q162_tx_graph_store" -> ((s, dir) => {
+      reset(s, dir)
+      ensureBases(s, dir)
+      absorbIngest(s, dir, EmbedIndex.batch1Vecs(s, dir))
+      Graph.triangleCountsOf(Graph.backboneOf(mergedEdgesTx(s, dir)))
+    }),
+    // the embed half of the same transaction: batch 2 judged against
+    // base ∪ the committed batch-1 layer — q142's two-batch oracle
+    // VERBATIM (the store protocol must be invisible to the verdicts).
+    "q163_tx_embed_judge" -> ((s, dir) => {
+      reset(s, dir)
+      ensureBases(s, dir)
+      absorbIngest(s, dir, EmbedIndex.batch1Vecs(s, dir))
+      judgeEmbedTx(s, dir, EmbedIndex.batch2Vecs(s, dir))
+    }),
     // THE FULL OPERATIONAL LOOP, capstone: one atomic transaction absorbs
     // the delta into dedup + stats + vocab; the benchmark store builds
     // and absorbs its tranches; then the training mix reads EVERY store —
@@ -516,6 +669,8 @@ object StoreTxn {
     "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
     "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
     "q156_tx_stats_asof" -> StatsStore.oracles("q148_stats_asof"),
+    "q162_tx_graph_store" -> Graph.oracles("q128_triangle_backbone"),
+    "q163_tx_embed_judge" -> EmbedIndex.oracles("q142_embed_two_batch"),
     // q134's full store-free replay (planted dedup chain + absorbed
     // membership + full-table stats + gates/cap/splits/tokens) with the
     // decontamination layer added: the prefixed winnow chain flags

@@ -49,6 +49,34 @@ class TopOnePerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteTopOnePerKey does not fire without PARTITION BY (empty input must yield zero rows)") {
+    val prior = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prior :+ RewriteTopOnePerKey
+      // row_number() OVER (ORDER BY ...) = 1 with no PARTITION BY: a global
+      // aggregate rewrite would always emit one row, so a runtime-empty
+      // input would fabricate a phantom row of codegen defaults. The rule
+      // must leave the window in place. The input goes through parquet so
+      // the emptiness is a RUNTIME fact — on a LocalRelation,
+      // ConvertToLocalRelation evaluates the filter at plan time and
+      // PropagateEmptyRelation collapses the whole query, masking the bug.
+      val dir = java.nio.file.Files.createTempDirectory("top1_empty").toString
+      sample().write.mode("overwrite").parquet(dir)
+      val empty = spark.read.parquet(dir).filter($"v" > 1e9)
+      val w = Window.orderBy($"v".desc, $"id".desc)
+      val top = empty.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      assert(top.queryExecution.optimizedPlan.toString.contains("Window"),
+        "global row_number()=1 must NOT be rewritten to an aggregate")
+      assert(top.count() === 0L, "empty input must produce zero rows, not a phantom row")
+      // and the non-empty global case still returns the correct single row
+      val one = sample().withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(one.toSeq == Seq(("a", 2L, 30.0)))
+    } finally {
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+
   test("RewriteTopOnePerKey does not fire on ascending+descending mixed ordering") {
     val prior = spark.experimental.extraOptimizations
     try {
