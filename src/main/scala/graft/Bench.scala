@@ -123,9 +123,20 @@ object Bench {
     // "methodology" makes protocol changes machine-visible round-over-round
     // (the r6→r7 interleaving shift looked like a broad regression until
     // adjudicated by hand — an artifact field settles that up front).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,""" +
       s""""methodology":"interleaved","statistic":"median_of_repeats",""" +
-      s""""queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}""")
+      s""""queries":$qs,"queries_min":$qsMin,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json artifact keeps only a 2,000-char tail of
+    // the sbt output, which truncates the grid to ~58 of 161 queries and
+    // blinds round-over-round comparison for the rest (the r15 q59
+    // investigation). Persist the FULL grid to a committed file as well —
+    // overwritten per run, committed with the round docs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"BENCH: could not write $outFile: $e") }
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
     }

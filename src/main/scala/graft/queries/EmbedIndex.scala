@@ -125,6 +125,14 @@ object EmbedIndex {
   def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
     if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
 
+  /** Delete the meta record so the next buildIfStale rebuilds — the
+    * store-owned invalidation verb (see DedupIndex.invalidate). */
+  private[graft] def invalidate(s: SparkSession, dir: String,
+      variant: String = ""): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir, variant)}/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Judge every delta vector against the persisted bucket index: one
     * bucket equi-join for candidates, one vec_id equi-join to rehydrate
     * candidate vectors from the corpus, exact cosine, then the
@@ -138,11 +146,18 @@ object EmbedIndex {
     * — the multi-batch surface (q142 judges batch 2 against the store
     * AFTER batch 1 was absorbed). */
   def judgeVecs(s: SparkSession, dir: String, delta: DataFrame,
-      variant: String = ""): DataFrame = {
+      variant: String = ""): DataFrame =
+    judgeAgainstBuckets(s, dir, delta,
+      s.read.parquet(s"${root(dir, variant)}/buckets"))
+
+  /** The judge against an EXPLICIT (bucket, vec_id) index frame — the
+    * surface StoreTxn needs to judge against base ∪ committed layers
+    * instead of a single store directory. */
+  private[queries] def judgeAgainstBuckets(s: SparkSession, dir: String,
+      delta: DataFrame, buckets: DataFrame): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val path = root(dir, variant)
     val cand = delta.select(col("vec_id").as("d_id"), col("e").as("ae"), col("bucket"))
-      .join(s.read.parquet(s"$path/buckets").withColumnRenamed("vec_id", "c_id"),
+      .join(buckets.withColumnRenamed("vec_id", "c_id"),
         Seq("bucket"))
       .join(TextPipeline.embDoubles(s, dir)
           .select(col("vec_id").as("c_id"), col("e").as("be")),

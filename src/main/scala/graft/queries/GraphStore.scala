@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
 object GraphStore {
 
   // md5 fragment, not hashCode — the family's path-keying standard.
-  private[graft] def root(dir: String): String = {
+  // variant: independent store instances (EmbedIndex.root's rationale);
+  // StoreTxn's immutable base lives under the "tx" variant.
+  private[graft] def root(dir: String, variant: String = ""): String = {
     val h = Tables.dirHash(dir)
-    s"${sys.props("java.io.tmpdir")}/graft_graph_store_$h"
+    val v = if (variant.isEmpty) "" else s"_$variant"
+    s"${sys.props("java.io.tmpdir")}/graft_graph_store_$h$v"
   }
 
   private def orderParts(s: SparkSession, dir: String): DataFrame =
@@ -47,6 +50,11 @@ object GraphStore {
 
   private def deltaOp(s: SparkSession, dir: String): DataFrame =
     orderParts(s, dir).where("o % 10 >= 7")
+
+  /** The delta batch's own pair aggregation — the additive partial a
+    * transaction stages as its graph layer (StoreTxn). */
+  private[queries] def deltaPairs(s: SparkSession, dir: String): DataFrame =
+    Graph.coPairsOf(deltaOp(s, dir))
 
   /** Corpus-slice content fingerprint: distinct (o, p) count +
     * order-independent hash-sum — any membership change moves it. */
@@ -65,21 +73,29 @@ object GraphStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  def build(s: SparkSession, dir: String): String = {
-    val path = root(dir)
+  def build(s: SparkSession, dir: String, variant: String = ""): String = {
+    val path = root(dir, variant)
     Graph.coPairsOf(corpusOp(s, dir))
       .write.mode("overwrite").parquet(s"$path/edges")
     writeMeta(s, path, fingerprint(s, dir))
     path
   }
 
-  def isCurrent(s: SparkSession, dir: String): Boolean =
-    try s.read.parquet(s"${root(dir)}/meta").head().getString(0) ==
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
+    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
       fingerprint(s, dir)
     catch { case _: Exception => false }
 
-  def buildIfStale(s: SparkSession, dir: String): String =
-    if (isCurrent(s, dir)) root(dir) else build(s, dir)
+  def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
+    if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
+
+  /** Delete the meta record so the next buildIfStale rebuilds — the
+    * store-owned invalidation verb (see DedupIndex.invalidate). */
+  private[graft] def invalidate(s: SparkSession, dir: String,
+      variant: String = ""): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir, variant)}/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 
   /** Absorb a batch of orders: ONE pair aggregation over the batch,
     * appended as a layer. Meta flips to "absorbed" FIRST so a crashed

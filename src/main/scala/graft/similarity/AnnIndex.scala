@@ -464,14 +464,42 @@ object AnnIndex {
    * mid-rewrite leaves a metadata-less index every loader refuses and
    * the build-if-stale retry heals.
    */
-  def compactLsh(s: SparkSession, dir: String, path: String): Unit = {
+  def compactLsh(s: SparkSession, dir: String, path: String): Unit =
+    compactAssignments(s, path, "lsh")
+
+  /** [[compactLsh]]'s contract for the IVF tier: [[appendIvf]] stacks
+    * (list_id, vec_id) layers; the rewrite merges them verbatim —
+    * centroids and metadata untouched. */
+  def compactIvf(s: SparkSession, dir: String, path: String): Unit =
+    compactAssignments(s, path, "ivf")
+
+  /** [[compactLsh]]'s contract for the PQ tier: [[appendPq]] stacks
+    * (vec_id, codes) layers; codebooks and metadata untouched. */
+  def compactPq(s: SparkSession, dir: String, path: String): Unit =
+    compactAssignments(s, path, "pq")
+
+  /** [[compactLsh]]'s contract for the IVF-PQ tier: [[appendIvfPq]]
+    * stacks (list_id, vec_id, codes) layers; coarse centroids, residual
+    * codebooks, and metadata untouched. */
+  def compactIvfPq(s: SparkSession, dir: String, path: String): Unit =
+    compactAssignments(s, path, "ivfpq")
+
+  /** The shared rewrite: every persisted tier keeps its growing table
+    * under `assignments/` (the geometry — hyperplanes / centroids /
+    * codebooks — is written once and never appended), so one verb
+    * serves all four methods. The method check is a safety rail: the
+    * caller names the tier it believes it is compacting, and a mismatch
+    * means the path points at a different index. */
+  private def compactAssignments(s: SparkSession, path: String,
+      expect: String): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods._
     implicit val formats: Formats = DefaultFormats
     val meta = readMeta(s, path)
     val method = (meta \ "method").extract[String]
-    if (method != "lsh")
-      throw new IllegalStateException(s"compactLsh on a '$method' index at $path")
+    if (method != expect)
+      throw new IllegalStateException(
+        s"compact for method '$expect' on a '$method' index at $path")
     val staging = s"$path/staging_compact"
     s.read.parquet(s"$path/assignments").coalesce(4)
       .write.mode("overwrite").parquet(staging)

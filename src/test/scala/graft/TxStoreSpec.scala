@@ -213,6 +213,43 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("ingest pair: uncommitted graph/embed staging invisible; one commit flips both") {
+    import graft.queries.EmbedIndex
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    def edgeCount: Long = StoreTxn.mergedEdgesTx(spark, sf).count()
+    def judged: Seq[String] = Caches.scoped(
+      StoreTxn.judgeEmbedTx(spark, sf, EmbedIndex.batch2Vecs(spark, sf))
+        .collect().toSeq.map(_.toString))
+    val baseEdges = edgeCount
+    val baseJudge = judged
+
+    // stage graph pairs + embed batch-1 survivors as txn 0; CRASH before
+    // the commit row: neither store may move
+    StoreTxn.stageIngest(spark, sf, EmbedIndex.batch1Vecs(spark, sf), 0L)
+    assert(edgeCount == baseEdges, "graph reader saw uncommitted staging")
+    assert(judged == baseJudge, "embed judge saw uncommitted staging")
+    assert(StoreTxn.nextTxnId(spark, sf) == 0L)
+
+    // ONE append — both stores advance in the same instant
+    StoreTxn.commit(spark, sf, 0L)
+    assert(edgeCount > baseEdges, "commit did not surface the graph layer")
+    assert(judged != baseJudge, "commit did not surface the embed layer")
+    // a mixed history: text-store txns skip the ingest stores' readers —
+    // txn 1 stages only dedup/stats/vocab, and the graph/embed reads are
+    // unchanged by its commit (the existence-filtered layered read)
+    val edgesAfterIngest = edgeCount
+    val judgeAfterIngest = judged
+    StoreTxn.stage(spark, sf, DedupIndex.deltaDocs(spark, sf),
+      statsDelta("doc_id % 10 >= 7"), 1L)
+    StoreTxn.commit(spark, sf, 1L)
+    assert(edgeCount == edgesAfterIngest,
+      "a text-store transaction changed the graph read")
+    assert(judged == judgeAfterIngest,
+      "a text-store transaction changed the embed read")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))

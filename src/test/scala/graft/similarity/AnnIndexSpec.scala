@@ -287,7 +287,19 @@ class AnnIndexSpec extends AnyFunSuite {
     (0L until 50L).foreach { i =>
       assert(after(i + 10000) == after(i), s"duplicate of $i landed in a different list")
     }
-    assert(AnnIndex.ivfTopK(spark, corpus, path).collect().nonEmpty)
+    // COMPACTION: the append layers collapse to <= 4 files; the index
+    // still validates and answers bit-for-bit (the q143 invisibility
+    // contract applied to the IVF tier)
+    val topkBefore = rows(AnnIndex.ivfTopK(spark, corpus, path))
+    AnnIndex.compactIvf(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path),
+      "compaction must not invalidate the index")
+    assert(assigns(path) == after, "compaction changed the assignment rows")
+    val files = new java.io.File(s"$path/assignments").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files <= 4, s"assignments not compacted: $files files")
+    assert(rows(AnnIndex.ivfTopK(spark, corpus, path)) == topkBefore,
+      "compaction changed a topk answer")
   }
 
   test("interrupted rebuild fails loud: a metadata-less index never serves") {
@@ -511,6 +523,18 @@ class AnnIndexSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2))).toMap
     assert(oldCodes == beforeCodes,
       "append rewrote pre-existing list assignments or code words")
+    // COMPACTION between appends: rows identical, index current, and the
+    // drift-bound refusal below still fires off the preserved metadata
+    val topkBeforeCompact = rows(AnnIndex.ivfPqTopK(spark, corpus, path))
+    AnnIndex.compactIvfPq(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path),
+      "compaction must not invalidate the index")
+    assert(spark.read.parquet(s"$path/assignments").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Byte](2))).toMap
+      .view.filterKeys(_ < 200).toMap == beforeCodes,
+      "compaction changed code rows")
+    assert(rows(AnnIndex.ivfPqTopK(spark, corpus, path)) == topkBeforeCompact,
+      "compaction changed a topk answer")
     // grow to 500 (2.5x trained): the COARSE 1.25x bound refuses
     all.filter(col("vec_id") >= 240)
       .write.mode("append").parquet(s"$corpus/embeddings.parquet")
@@ -554,6 +578,18 @@ class AnnIndexSpec extends AnyFunSuite {
     val oldCodes = after.where("vec_id < 200").collect()
       .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     assert(oldCodes == beforeCodes, "append rewrote pre-existing code words")
+    // COMPACTION between appends: rows identical, index current, and the
+    // drift-bound refusal below still fires off the preserved metadata
+    val topkBeforeCompact = rows(AnnIndex.pqTopK(spark, corpus, path))
+    AnnIndex.compactPq(spark, corpus, path)
+    assert(AnnIndex.isCurrent(spark, corpus, path),
+      "compaction must not invalidate the index")
+    assert(spark.read.parquet(s"$path/assignments").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      .view.filterKeys(_ < 200).toMap == beforeCodes,
+      "compaction changed code rows")
+    assert(rows(AnnIndex.pqTopK(spark, corpus, path)) == topkBeforeCompact,
+      "compaction changed a topk answer")
     // grow to 500 total (2.5x the trained 200): refuse, index left intact
     all.filter(col("vec_id") >= 290)
       .write.mode("append").parquet(s"$corpus/embeddings.parquet")
