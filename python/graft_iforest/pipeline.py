@@ -24,7 +24,7 @@ __all__ = [
     "ann_topk_lsh", "ann_topk_ivf", "ann_topk_pq", "ann_topk_ivfpq",
     "build_ann_index", "append_ann_index", "ann_index_current",
     "persisted_topk_lsh", "persisted_topk_ivf", "persisted_topk_pq",
-    "persisted_topk_ivfpq",
+    "persisted_topk_ivfpq", "compact_ann_index",
     # text scrubbing
     "scrub",
     # incremental dedup store
@@ -40,7 +40,15 @@ __all__ = [
     # transactional cross-store commits
     "tx_reset", "tx_ensure_bases", "tx_absorb_delta", "tx_keeper_ids",
     "tx_stored_stats", "tx_vocab_coverage", "tx_stats_as_of",
-    "tx_checkpoint",
+    "tx_checkpoint", "tx_absorb_ingest", "tx_merged_edges",
+    "tx_judge_embed_batch2",
+    # vocabulary store
+    "build_vocab_store_if_stale", "absorb_vocab_delta", "vocab_coverage",
+    "vocab_words", "vocab_oov_rates", "compact_vocab_store",
+    # embedding-dedup store
+    "build_embed_index_if_stale", "embed_delta_verdicts", "embed_batch1",
+    "embed_batch2", "embed_judge", "absorb_embed_batch",
+    "compact_embed_index",
     # graph-edge store
     "build_graph_store_if_stale", "absorb_graph_delta", "graph_store_edges",
     "compact_graph_store", "pagerank",
@@ -516,6 +524,117 @@ def decontam_judge(spark, data_dir, batch_df):
     distinct fps >= half that bench doc's fingerprint set)."""
     jdf = _bridge(spark).decontamJudge(
         spark._jsparkSession, data_dir, batch_df._jdf)
+    return DataFrame(jdf, spark)
+
+
+def compact_ann_index(spark, data_dir, index_path, method="lsh"):
+    """Collapse a persisted ANN index's append layers under assignments/
+    into a few coalesced files — geometry and metadata untouched, answers
+    bit-identical before/after. ``method`` in {lsh, ivf, pq, ivfpq} must
+    name the tier the index was built as (mismatch throws)."""
+    b, js = _bridge(spark), spark._jsparkSession
+    verbs = {"lsh": b.compactLshIndex, "ivf": b.compactIvfIndex,
+             "pq": b.compactPqIndex, "ivfpq": b.compactIvfPqIndex}
+    if method not in verbs:
+        raise ValueError(f"unknown ANN method '{method}' — expected one of {sorted(verbs)}")
+    verbs[method](js, data_dir, index_path)
+
+
+def build_vocab_store_if_stale(spark, data_dir):
+    """Build the corpus word-count partials store (q83/q140) if missing
+    or stale; returns the store path."""
+    return _bridge(spark).buildVocabStoreIfStale(spark._jsparkSession, data_dir)
+
+
+def absorb_vocab_delta(spark, data_dir):
+    """Absorb the delta's word counts as an additive layer."""
+    _bridge(spark).absorbVocabDelta(spark._jsparkSession, data_dir)
+
+
+def vocab_coverage(spark, data_dir):
+    """q83's top-25 coverage read from the store alone."""
+    jdf = _bridge(spark).vocabCoverage(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def vocab_words(spark, data_dir, k=24):
+    """The frozen top-``k`` tokenizer vocabulary from the store."""
+    jdf = _bridge(spark).vocabWords(spark._jsparkSession, data_dir, k)
+    return DataFrame(jdf, spark)
+
+
+def vocab_oov_rates(spark, data_dir):
+    """q144's per-language OOV drift gate of the delta against the frozen
+    corpus vocabulary."""
+    jdf = _bridge(spark).vocabOovRates(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def compact_vocab_store(spark, data_dir):
+    """Collapse the vocab store's layers to one row per word."""
+    _bridge(spark).compactVocabStore(spark._jsparkSession, data_dir)
+
+
+def build_embed_index_if_stale(spark, data_dir):
+    """Build the corpus sign-bucket embedding-dedup index (q141) if
+    missing or stale; returns the store path."""
+    return _bridge(spark).buildEmbedIndexIfStale(spark._jsparkSession, data_dir)
+
+
+def embed_delta_verdicts(spark, data_dir):
+    """Judge the canonical delta slice against the persisted index."""
+    jdf = _bridge(spark).embedDeltaVerdicts(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def embed_batch1(spark, data_dir):
+    """Batch 1 of the q142 lifecycle as a (vec_id, e, bucket) DataFrame."""
+    jdf = _bridge(spark).embedBatch1(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def embed_batch2(spark, data_dir):
+    """Batch 2 of the q142 lifecycle (planted against batch-1 vectors)."""
+    jdf = _bridge(spark).embedBatch2(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def embed_judge(spark, data_dir, batch_df):
+    """Judge an arbitrary (vec_id, e, bucket) DataFrame against the
+    persisted index (exact cosine on bucket-mates; verdicts
+    exact/near/unique)."""
+    jdf = _bridge(spark).embedJudge(
+        spark._jsparkSession, data_dir, batch_df._jdf)
+    return DataFrame(jdf, spark)
+
+
+def absorb_embed_batch(spark, data_dir, batch_df):
+    """Absorb a judged batch's 'unique' survivors into the index."""
+    _bridge(spark).absorbEmbedBatch(
+        spark._jsparkSession, data_dir, batch_df._jdf)
+
+
+def compact_embed_index(spark, data_dir):
+    """Collapse the bucket index's absorb layers (judge-invisible)."""
+    _bridge(spark).compactEmbedIndex(spark._jsparkSession, data_dir)
+
+
+def tx_absorb_ingest(spark, data_dir):
+    """Atomically absorb the delta orders' graph pairs and embed batch 1's
+    unique survivors as ONE transaction (q162/q163); returns the txn id."""
+    return _bridge(spark).txAbsorbIngest(spark._jsparkSession, data_dir)
+
+
+def tx_merged_edges(spark, data_dir):
+    """The merged co-purchase edge list over the transactional state."""
+    jdf = _bridge(spark).txMergedEdges(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def tx_judge_embed_batch2(spark, data_dir):
+    """Judge embed batch 2 against the transactional index (base plus
+    committed layers) — q142's verdicts when batch 1 rode a transaction."""
+    jdf = _bridge(spark).txJudgeEmbedBatch2(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

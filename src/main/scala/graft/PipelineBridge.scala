@@ -379,6 +379,99 @@ object PipelineBridge {
   def pagerank(s: SparkSession, dir: String): DataFrame =
     queries.Graph.pagerank(s, dir)
 
+  // --- ANN index compaction (one verb per persisted tier): collapse
+  // append layers under assignments/ into a few coalesced files;
+  // bit-identical answers before/after (AnnIndexSpec). ---
+
+  def compactLshIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.compactLsh(s, dir, path)
+
+  def compactIvfIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.compactIvf(s, dir, path)
+
+  def compactPqIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.compactPq(s, dir, path)
+
+  def compactIvfPqIndex(s: SparkSession, dir: String, path: String): Unit =
+    similarity.AnnIndex.compactIvfPq(s, dir, path)
+
+  // --- Incremental vocabulary store (q83/q140/q144). ---
+
+  /** Build the corpus word-count partials if missing/stale. */
+  def buildVocabStoreIfStale(s: SparkSession, dir: String): String =
+    queries.VocabStore.buildIfStale(s, dir)
+
+  /** Absorb the delta's word counts as an additive layer. */
+  def absorbVocabDelta(s: SparkSession, dir: String): Unit =
+    queries.VocabStore.absorb(s, dir)
+
+  /** q83's top-25 coverage read from the store alone. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    queries.VocabStore.coverage(s, dir)
+
+  /** The frozen top-`k` tokenizer vocabulary from the store. */
+  def vocabWords(s: SparkSession, dir: String, k: Int): DataFrame =
+    queries.VocabStore.vocabWords(s, dir, k = k)
+
+  /** q144's per-language OOV drift gate of the delta vs the frozen
+    * vocabulary. */
+  def vocabOovRates(s: SparkSession, dir: String): DataFrame =
+    queries.VocabStore.oovRates(s, dir)
+
+  /** Collapse the vocab store's layers to one row per word. */
+  def compactVocabStore(s: SparkSession, dir: String): Unit =
+    queries.VocabStore.compact(s, dir)
+
+  // --- Incremental embedding-dedup store (q141/q142). ---
+
+  /** Build the corpus sign-bucket index if missing/stale. */
+  def buildEmbedIndexIfStale(s: SparkSession, dir: String): String =
+    queries.EmbedIndex.buildIfStale(s, dir)
+
+  /** Judge the canonical delta slice against the persisted index. */
+  def embedDeltaVerdicts(s: SparkSession, dir: String): DataFrame =
+    queries.EmbedIndex.deltaVerdicts(s, dir)
+
+  /** The q142 lifecycle's batch frames — (vec_id, e, bucket) with the
+    * planted duplicates — so Python callers can drive judge/absorb
+    * without rebuilding the bucketing arithmetic clientside. */
+  def embedBatch1(s: SparkSession, dir: String): DataFrame =
+    queries.EmbedIndex.batch1Vecs(s, dir)
+
+  def embedBatch2(s: SparkSession, dir: String): DataFrame =
+    queries.EmbedIndex.batch2Vecs(s, dir)
+
+  /** Judge an arbitrary (vec_id, e, bucket) frame against the index. */
+  def embedJudge(s: SparkSession, dir: String, batch: DataFrame): DataFrame =
+    queries.EmbedIndex.judgeVecs(s, dir, batch)
+
+  /** Absorb a judged batch's unique survivors into the index. */
+  def absorbEmbedBatch(s: SparkSession, dir: String, batch: DataFrame): Unit =
+    queries.EmbedIndex.absorbVecs(s, dir, batch)
+
+  /** Collapse the bucket index's absorb layers (judge-invisible). */
+  def compactEmbedIndex(s: SparkSession, dir: String): Unit =
+    queries.EmbedIndex.compact(s, dir)
+
+  // --- Ingest-pair transaction verbs (q162/q163): graph edge partials
+  // and embed bucket rows land under ONE commit row. ---
+
+  /** Atomically absorb the delta orders' graph pairs and embed batch 1's
+    * unique survivors as one transaction; returns the txn id. */
+  def txAbsorbIngest(s: SparkSession, dir: String): Long =
+    queries.StoreTxn.absorbIngest(s, dir,
+      queries.EmbedIndex.batch1Vecs(s, dir))
+
+  /** The merged co-purchase edges over the transactional state. */
+  def txMergedEdges(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.mergedEdgesTx(s, dir)
+
+  /** Judge embed batch 2 against the transactional index (base ∪
+    * committed layers) — q142's verdicts when batch 1 rode a txn. */
+  def txJudgeEmbedBatch2(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.judgeEmbedTx(s, dir,
+      queries.EmbedIndex.batch2Vecs(s, dir))
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this
