@@ -123,7 +123,7 @@ object SparkEntry {
    * escape alone is lossy), so two data roots can never collide onto one
    * index.
    */
-  private def annIndexPath(dir: String, leaf: String): String = {
+  private[graft] def annIndexPath(dir: String, leaf: String): String = {
     // The readable escape is LOSSY ("/data/x" and "/data_x" both escape to
     // "_data_x"), so an md5 fragment of the raw dir disambiguates — two
     // data roots colliding onto one index path would otherwise alternate

@@ -418,8 +418,8 @@ object AnnIndex {
     val numPlanes = (meta \ "numPlanes").extract[Int]
     val numTables = (meta \ "numTables").extract[Int]
     val (newRows, liveListing) = appendableNewRows(s, dir, path, meta)
-    val planes = s.read.parquet(s"$path/model").orderBy("plane_id")
-      .collect().map(_.getSeq[Double](1).toArray)
+    val planes = s.read.parquet(s"$path/model").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     val bc = s.sparkContext.broadcast(planes)
     val indexBuckets = ColumnBridge.column(
       LshBuckets(ColumnBridge.expression(col("e")), bc, numTables, numPlanes, 1))
@@ -545,8 +545,8 @@ object AnnIndex {
     val adaptive = (meta \ "adaptive").extractOrElse[Boolean](false)
     val minCollisions = (meta \ "minCollisions").extractOrElse[Int](1)
     val poolFrac = (meta \ "poolFrac").extractOrElse[Double](0.0)
-    val planes = s.read.parquet(s"$path/model").orderBy("plane_id")
-      .collect().map(_.getSeq[Double](1).toArray)
+    val planes = s.read.parquet(s"$path/model").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     val bc = s.sparkContext.broadcast(planes)
     graft.functions.CosineSimilarity.register(s)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -700,8 +700,8 @@ object AnnIndex {
           s"against geometry trained at $trainedRows (> ${ivfDriftBound}x) — " +
           s"recall/scan decay past the measured knee (TUNE_r12.txt ivfdrift); " +
           s"rebuild with saveIvf")
-    val centroids = s.read.parquet(s"$path/model").orderBy("list_id")
-      .collect().map(_.getSeq[Double](1).toArray)
+    val centroids = s.read.parquet(s"$path/model").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     val bc = s.sparkContext.broadcast(centroids)
     val assignList = element_at(ColumnBridge.column(
       IvfLists(ColumnBridge.expression(col("e")), bc, 1)), 1)
@@ -796,7 +796,7 @@ object AnnIndex {
   private def loadBooks(s: SparkSession, path: String, m: Int,
       k: Int): Array[Array[Array[Double]]] = {
     val rows = s.read.parquet(s"$path/model")
-      .orderBy("sub_id", "code_id").collect()
+      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
     require(rows.length == m * k,
       s"PQ model at $path has ${rows.length} sub-centroids, expected ${m * k}")
     rows.grouped(k).map(_.map(_.getSeq[Double](2).toArray).toArray).toArray
@@ -1113,8 +1113,11 @@ object AnnIndex {
     val meta = readMeta(s, path)
     requireCurrent(s, dir, path, meta)
     val nprobe = (meta \ "nprobe").extract[Int]
-    val centroids = s.read.parquet(s"$path/model").orderBy("list_id")
-      .collect().map(_.getSeq[Double](1).toArray)
+    // sort driver-side: the model is kilobytes, and an .orderBy would pay
+    // a full shuffle stage per query lap (the r16 q59 DIAG's geometry
+    // phase — same at every geometry load site in this file)
+    val centroids = s.read.parquet(s"$path/model").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
     val bc = s.sparkContext.broadcast(centroids)
     graft.functions.CosineSimilarity.register(s)
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
