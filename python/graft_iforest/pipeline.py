@@ -40,8 +40,8 @@ __all__ = [
     # transactional cross-store commits
     "tx_reset", "tx_ensure_bases", "tx_absorb_delta", "tx_keeper_ids",
     "tx_stored_stats", "tx_vocab_coverage", "tx_stats_as_of",
-    "tx_checkpoint", "tx_absorb_ingest", "tx_merged_edges",
-    "tx_judge_embed_batch2",
+    "tx_checkpoint", "tx_ensure_ingest_bases", "tx_absorb_ingest",
+    "tx_merged_edges", "tx_judge_embed_batch2",
     # vocabulary store
     "build_vocab_store_if_stale", "absorb_vocab_delta", "vocab_coverage",
     "vocab_words", "vocab_oov_rates", "compact_vocab_store",
@@ -617,6 +617,12 @@ def absorb_embed_batch(spark, data_dir, batch_df):
 def compact_embed_index(spark, data_dir):
     """Collapse the bucket index's absorb layers (judge-invisible)."""
     _bridge(spark).compactEmbedIndex(spark._jsparkSession, data_dir)
+
+
+def tx_ensure_ingest_bases(spark, data_dir):
+    """Build/guard the ingest pair's immutable tx bases (graph edges +
+    embed buckets) — required before the first :func:`tx_absorb_ingest`."""
+    _bridge(spark).txEnsureIngestBases(spark._jsparkSession, data_dir)
 
 
 def tx_absorb_ingest(spark, data_dir):

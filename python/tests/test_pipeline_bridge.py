@@ -423,7 +423,7 @@ def main():
 
     # --- ingest-pair transaction: graph + embed under ONE commit row ---
     gp.tx_reset(spark, sf_dir)
-    gp.tx_ensure_bases(spark, sf_dir)
+    gp.tx_ensure_ingest_bases(spark, sf_dir)
     edges_before = gp.tx_merged_edges(spark, sf_dir).count()
     txn_ingest = gp.tx_absorb_ingest(spark, sf_dir)
     assert txn_ingest == 0, "first transaction after reset must be 0"

@@ -456,6 +456,11 @@ object PipelineBridge {
   // --- Ingest-pair transaction verbs (q162/q163): graph edge partials
   // and embed bucket rows land under ONE commit row. ---
 
+  /** Build/guard the ingest pair's immutable tx bases (graph edges +
+    * embed buckets) — required before the first txAbsorbIngest. */
+  def txEnsureIngestBases(s: SparkSession, dir: String): Unit =
+    queries.StoreTxn.ensureIngestBases(s, dir)
+
   /** Atomically absorb the delta orders' graph pairs and embed batch 1's
     * unique survivors as one transaction; returns the txn id. */
   def txAbsorbIngest(s: SparkSession, dir: String): Long =

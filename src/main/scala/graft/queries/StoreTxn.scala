@@ -216,9 +216,7 @@ object StoreTxn {
   def ensureBases(s: SparkSession, dir: String): Unit = {
     val fresh = DedupIndex.isCurrent(s, dir, variant) &&
       StatsStore.isCurrent(s, dir, variant) &&
-      VocabStore.isCurrent(s, dir, variant) &&
-      GraphStore.isCurrent(s, dir, variant) &&
-      EmbedIndex.isCurrent(s, dir, variant)
+      VocabStore.isCurrent(s, dir, variant)
     if (!fresh) {
       val p = new org.apache.hadoop.fs.Path(root(dir))
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -227,6 +225,24 @@ object StoreTxn {
       DedupIndex.build(s, dir, variant)
       StatsStore.build(s, dir, variant)
       VocabStore.build(s, dir, variant)
+    }
+  }
+
+  /** [[ensureBases]] for the INGEST pair (graph edges + embed buckets) —
+    * a separate verb, not more stores in ensureBases, so the text-family
+    * transactions (q147/q151/q155-158) don't pay two extra corpus-slice
+    * staleness probes per run for stores they never read. Same
+    * generation rule: a stale base drops the whole transaction root,
+    * because layers computed against the old corpus generation must not
+    * survive under a freshly-built base. */
+  def ensureIngestBases(s: SparkSession, dir: String): Unit = {
+    val fresh = GraphStore.isCurrent(s, dir, variant) &&
+      EmbedIndex.isCurrent(s, dir, variant)
+    if (!fresh) {
+      val p = new org.apache.hadoop.fs.Path(root(dir))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(foldedFlag(dir), true)
       GraphStore.build(s, dir, variant)
       EmbedIndex.build(s, dir, variant)
     }
@@ -392,13 +408,28 @@ object StoreTxn {
       .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/vocab/partials")
     // the ingest pair folds too — without this, dropping t<id> dirs at
-    // publish would silently delete committed graph/embed layers
-    mergedEdgesTx(s, dir)
-      .coalesce(4).write.mode("overwrite").parquet(s"$staging/graph/edges")
-    embedBuckets(s, dir)
-      .coalesce(4).write.mode("overwrite").parquet(s"$staging/embed/buckets")
+    // publish would silently delete committed graph/embed layers. A
+    // session that never ran ensureIngestBases has no ingest bases (and
+    // by the stage-before-commit bracket, no committed ingest layers
+    // either), so those stores are skipped — base existence is the
+    // participation test.
+    if (hasIngestBases(s, dir)) {
+      mergedEdgesTx(s, dir)
+        .coalesce(4).write.mode("overwrite").parquet(s"$staging/graph/edges")
+      embedBuckets(s, dir)
+        .coalesce(4).write.mode("overwrite").parquet(s"$staging/embed/buckets")
+    }
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
+  }
+
+  private def hasIngestBases(s: SparkSession, dir: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(s"${GraphStore.root(dir, variant)}/edges",
+        s"${EmbedIndex.root(dir, variant)}/buckets").forall { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
   }
 
   /** CHECKPOINT the commit log: fold every committed layer into a new
@@ -452,12 +483,17 @@ object StoreTxn {
     s.read.parquet(s"$staging/vocab/partials")
       .write.mode("overwrite")
       .parquet(VocabStore.partialsPath(dir, variant))
-    s.read.parquet(s"$staging/graph/edges")
-      .write.mode("overwrite")
-      .parquet(s"${GraphStore.root(dir, variant)}/edges")
-    s.read.parquet(s"$staging/embed/buckets")
-      .write.mode("overwrite")
-      .parquet(s"${EmbedIndex.root(dir, variant)}/buckets")
+    // staged ingest copies exist iff the stage saw ingest bases — the
+    // same participation test, applied to the redo side
+    val stagedGraph = new org.apache.hadoop.fs.Path(s"$staging/graph/edges")
+    if (fs.exists(stagedGraph)) {
+      s.read.parquet(stagedGraph.toString)
+        .write.mode("overwrite")
+        .parquet(s"${GraphStore.root(dir, variant)}/edges")
+      s.read.parquet(s"$staging/embed/buckets")
+        .write.mode("overwrite")
+        .parquet(s"${EmbedIndex.root(dir, variant)}/buckets")
+    }
     import s.implicits._
     Seq.empty[Long].toDF("txn")
       .coalesce(1).write.mode("overwrite").parquet(s"$r/commits")
@@ -618,7 +654,7 @@ object StoreTxn {
     // VERBATIM, the q150 device with the commit-log indirection added.
     "q162_tx_graph_store" -> ((s, dir) => {
       reset(s, dir)
-      ensureBases(s, dir)
+      ensureIngestBases(s, dir)
       absorbIngest(s, dir, EmbedIndex.batch1Vecs(s, dir))
       Graph.triangleCountsOf(Graph.backboneOf(mergedEdgesTx(s, dir)))
     }),
@@ -627,7 +663,7 @@ object StoreTxn {
     // VERBATIM (the store protocol must be invisible to the verdicts).
     "q163_tx_embed_judge" -> ((s, dir) => {
       reset(s, dir)
-      ensureBases(s, dir)
+      ensureIngestBases(s, dir)
       absorbIngest(s, dir, EmbedIndex.batch1Vecs(s, dir))
       judgeEmbedTx(s, dir, EmbedIndex.batch2Vecs(s, dir))
     }),

@@ -216,7 +216,8 @@ class TxStoreSpec extends AnyFunSuite {
   test("ingest pair: uncommitted graph/embed staging invisible; one commit flips both") {
     import graft.queries.EmbedIndex
     StoreTxn.reset(spark, sf)
-    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.ensureBases(spark, sf)       // text bases: txn 1 below stages them
+    StoreTxn.ensureIngestBases(spark, sf) // ingest bases: txn 0 stages these
     def edgeCount: Long = StoreTxn.mergedEdgesTx(spark, sf).count()
     def judged: Seq[String] = Caches.scoped(
       StoreTxn.judgeEmbedTx(spark, sf, EmbedIndex.batch2Vecs(spark, sf))
