@@ -40,8 +40,8 @@ __all__ = [
     # transactional cross-store commits
     "tx_reset", "tx_ensure_bases", "tx_absorb_delta", "tx_keeper_ids",
     "tx_stored_stats", "tx_vocab_coverage", "tx_stats_as_of",
-    "tx_checkpoint", "tx_ensure_ingest_bases", "tx_absorb_ingest",
-    "tx_merged_edges", "tx_judge_embed_batch2",
+    "tx_checkpoint", "tx_vacuum", "tx_ensure_ingest_bases",
+    "tx_absorb_ingest", "tx_merged_edges", "tx_judge_embed_batch2",
     # vocabulary store
     "build_vocab_store_if_stale", "absorb_vocab_delta", "vocab_coverage",
     "vocab_words", "vocab_oov_rates", "compact_vocab_store",
@@ -462,6 +462,14 @@ def tx_checkpoint(spark, data_dir):
     truncate the commit log — the protocol's compaction verb. Readers
     refuse loudly during (or after a crashed) publish; rerunning heals."""
     _bridge(spark).txCheckpoint(spark._jsparkSession, data_dir)
+
+
+def tx_vacuum(spark, data_dir):
+    """Reclaim orphaned transaction staging: uncommitted t<id> dirs left
+    by crashed-and-abandoned absorbs, plus checkpoint staging that died
+    before raising its marker. Refuses while a checkpoint publish is in
+    flight. Returns the reclaimed transaction ids, ascending."""
+    return list(_bridge(spark).txVacuum(spark._jsparkSession, data_dir))
 
 
 def compact_graph_store(spark, data_dir):

@@ -366,6 +366,11 @@ def main():
         assert tx_stats[k] == n, f"tx stats diverged at {k}"
     cov = gp.tx_vocab_coverage(spark, sf_dir).collect()
     assert len(cov) == 25 and cov[0]["rank"] == 1
+    # vacuum: nothing staged-but-uncommitted right now, so it reclaims
+    # nothing and the committed reads are untouched
+    assert gp.tx_vacuum(spark, sf_dir) == [], "vacuum reclaimed a committed layer"
+    assert gp.tx_keeper_ids(spark, sf_dir).count() == keepers_after, \
+        "vacuum changed a committed read"
     gp.release_caches(spark)
 
     # --- time travel + changelog on the tagged stats store ---

@@ -321,6 +321,11 @@ object PipelineBridge {
 
   /** Fold every committed transaction layer into the base stores and
     * truncate the commit log (the protocol's compaction verb). */
+  /** Reclaim orphaned transaction staging (abandoned uncommitted t<id>
+    * dirs + pre-marker checkpoint staging); returns reclaimed txn ids. */
+  def txVacuum(s: SparkSession, dir: String): Array[Long] =
+    queries.StoreTxn.vacuum(s, dir).toArray
+
   def txCheckpoint(s: SparkSession, dir: String): Unit =
     queries.StoreTxn.checkpoint(s, dir)
 

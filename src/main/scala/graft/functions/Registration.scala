@@ -21,4 +21,19 @@ private[graft] object Registration {
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
+
+  /** Register EVERY stateless native function (GraftExtensions' list).
+    *
+    * The pre-stream guard for foreachBatch queries: each micro-batch
+    * runs on a CLONED session whose function registry is copied at
+    * stream START, so the batch closure's own defensive `X.register(s)`
+    * call lands on the OUTER session and cannot help a clone whose copy
+    * predates it. A run whose stores were already current (no build, so
+    * no incidental registration before the stream) would otherwise hit
+    * UNRESOLVED_ROUTINE on the first tick — latent in any fresh session
+    * that runs a streaming query first. Call this before `.start()`. */
+  def ensureAllNative(spark: SparkSession): Unit =
+    graft.plans.GraftExtensions.functions.foreach { case (n, b) =>
+      ensure(spark, n)(b)
+    }
 }

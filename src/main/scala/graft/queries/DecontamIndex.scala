@@ -201,6 +201,9 @@ object DecontamIndex {
   private def streamGate(s: SparkSession, dir: String): DataFrame = {
     buildIfStale(s, dir)
     absorb(s, dir)
+    // pre-stream registration (Registration.ensureAllNative's note):
+    // the in-batch judge needs winnow_fingerprints bound before .start()
+    graft.functions.Registration.ensureAllNative(s)
     val h = Tables.dirHash(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft_decontam_gate_$h"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_decontam_gate_ckpt_$h"

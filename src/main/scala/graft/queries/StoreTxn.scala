@@ -202,9 +202,25 @@ object StoreTxn {
     layered(s, dir, s"${GraphStore.root(dir, variant)}/edges",
       id => s"${root(dir)}/t$id/graph/edges")
 
-  private def embedBuckets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embedBuckets(s: SparkSession, dir: String): DataFrame =
     layered(s, dir, s"${EmbedIndex.root(dir, variant)}/buckets",
       id => s"${root(dir)}/t$id/embed/buckets")
+
+  /** The tick-i BATCH ingest absorb — the non-streaming equivalent of
+    * one q166 micro-batch (tick 1 = embed batch 1 + the o%10 ∈ {7,8}
+    * order tranche's pairs; tick 2 = embed batch 2 + o%10 = 9). The
+    * spec replays both ticks batch-wise and bit-compares the resulting
+    * edge and bucket state against the streamed run. */
+  private[graft] def absorbIngestTick(s: SparkSession, dir: String,
+      tick: Int): Long = {
+    val op = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val (vecs, tranche) =
+      if (tick == 1) (EmbedIndex.batch1Vecs(s, dir),
+        op.where("o % 10 >= 7 AND o % 10 < 9"))
+      else (EmbedIndex.batch2Vecs(s, dir), op.where("o % 10 = 9"))
+    absorbIngest(s, dir, vecs, Graph.coPairsOf(tranche))
+  }
 
   /** Build the immutable base stores if missing/stale. When any base IS
     * stale (first build, corpus regenerated, or reset-invalidated), the
@@ -361,9 +377,17 @@ object StoreTxn {
     * Overwrite mode throughout (crashed-stage retry replaces partials);
     * invisible until [[commit]]. */
   def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
-      id: Long): Unit = {
+      id: Long): Unit =
+    stageIngest(s, dir, embedDelta, GraphStore.deltaPairs(s, dir), id)
+
+  /** The tranche-explicit form: a STREAMING ingest (q166) delivers the
+    * delta one tick at a time, so each transaction stages its own
+    * tick's pair aggregation, not the whole delta's — additive partials
+    * sum across transactions to the one-shot absorb exactly. */
+  def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
+      graphPairs: DataFrame, id: Long): Unit = {
     val t = s"${root(dir)}/t$id"
-    GraphStore.deltaPairs(s, dir)
+    graphPairs
       .write.mode("overwrite").parquet(s"$t/graph/edges")
     val keptIds = judgeEmbedTx(s, dir, embedDelta)
       .where("verdict = 'unique'").select(col("vec_id"))
@@ -376,9 +400,16 @@ object StoreTxn {
     * rows land under ONE commit row — both stores advance in the same
     * instant or not at all (TxStoreSpec pins the crash window). */
   def absorbIngest(s: SparkSession, dir: String,
-      embedDelta: DataFrame): Long = {
+      embedDelta: DataFrame): Long =
+    absorbIngest(s, dir, embedDelta, GraphStore.deltaPairs(s, dir))
+
+  /** Tranche-explicit atomic ingest absorb (see the [[stageIngest]]
+    * overload): one tick's embed rows and ITS OWN graph pair partials
+    * land under one commit row. */
+  def absorbIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
+      graphPairs: DataFrame): Long = {
     val id = nextTxnId(s, dir)
-    stageIngest(s, dir, embedDelta, id)
+    stageIngest(s, dir, embedDelta, graphPairs, id)
     commit(s, dir, id)
     id
   }
@@ -510,6 +541,49 @@ object StoreTxn {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
+  /** VACUUM orphaned staging — the reclamation verb of the protocol.
+    * The redo discipline means a crashed absorb's `t<id>/` staging is
+    * normally OVERWRITTEN by the retry, but a batch that is simply
+    * abandoned (pipeline decommissioned, delta withdrawn, retry never
+    * scheduled) leaves its uncommitted staging on disk forever — it is
+    * structurally invisible to every reader (the path list comes from
+    * the commit log, never a directory listing), so nothing ever
+    * touches it again. Deletes:
+    *   - every `t<id>/` dir whose id is NOT in the commit log. For a
+    *     committed id the dir is a live layer and survives; after a
+    *     checkpoint the log is truncated and ALL remaining t dirs are
+    *     folded garbage (checkpoint already deletes the ones it folded
+    *     — vacuum additionally catches staging that raced it);
+    *   - a `staging_ckpt/` left by a checkpointStage that died BEFORE
+    *     raising the pending marker (with the marker up, the staged
+    *     copies are the redo source and MUST survive — vacuum refuses
+    *     via [[requireNoCheckpoint]] and the caller heals by re-running
+    *     [[checkpoint]] first).
+    * This is the one verb that lists the transaction root (listing is
+    * its point: orphans are precisely what the commit log does NOT
+    * reference) — the listing is O(#staged txns), driver-side, same
+    * bounded class as the commit-log read. Same single-writer
+    * requirement as [[nextTxnId]]: vacuum must not race a live absorb,
+    * whose not-yet-committed staging is indistinguishable from an
+    * orphan. Returns the reclaimed txn ids, ascending. */
+  def vacuum(s: SparkSession, dir: String): Seq[Long] = {
+    requireNoCheckpoint(s, dir)
+    val p = new org.apache.hadoop.fs.Path(root(dir))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val committed = committedTxns(s, dir).toSet
+    val orphans = fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.matches("t\\d+"))
+      .filter(t => !committed.contains(t.getName.drop(1).toLong))
+    orphans.foreach(t => fs.delete(t, true))
+    // no pending marker (requireNoCheckpoint above) => any staging_ckpt
+    // is a pre-marker crash remnant, never a redo source
+    fs.delete(new org.apache.hadoop.fs.Path(s"${root(dir)}/staging_ckpt"), true)
+    orphans.map(_.getName.drop(1).toLong).sorted
+  }
+
   /** q147: the q134 composed mix run through the TRANSACTIONAL lifecycle
     * — reset, build the immutable bases, absorb the delta into both
     * stores as ONE transaction, then build the mix from the
@@ -556,6 +630,9 @@ object StoreTxn {
   private def streamTxIngest(s: SparkSession, dir: String): DataFrame = {
     reset(s, dir)
     ensureBases(s, dir)
+    // pre-stream registration (Registration.ensureAllNative's note):
+    // the in-batch dedup judge needs minhash_sig bound before .start()
+    graft.functions.Registration.ensureAllNative(s)
     val h = Tables.dirHash(dir)
     val feed = s"${sys.props("java.io.tmpdir")}/graft_txn_feed_$h"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_txn_ckpt_$h"
@@ -600,16 +677,102 @@ object StoreTxn {
     q.awaitTermination()
 
     // the ingest dashboard: both stores, no live input
+    ingestDashboard(s, dir)
+  }
+
+  /** The q151 operational read — per (lang, source), total docs + chars
+    * (stats store) next to the kept-after-dedup count (dedup store),
+    * computed from the transactional state alone. Shared by q151
+    * (streaming ingestion) and q165 (vacuum lifecycle): the same read
+    * over the same final state, whatever the history that produced it. */
+  private def ingestDashboard(s: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"))
     val stats = storedStatsTx(s, dir)
       .select(col("lang"), col("source"), col("n_docs"), col("total_chars"))
     val kept = keeperIdsTx(s, dir)
-      .join(meta.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+      .join(meta, Seq("doc_id"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_keepers"))
     stats.join(kept, Seq("lang", "source"), "left")
       .selectExpr("lang", "source", "n_docs", "total_chars",
         "coalesce(n_keepers, 0L) AS n_keepers")
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** q166: TRANSACTIONAL STREAMING for the INGEST PAIR — q151's device
+    * applied to the graph + embed stores. A production ingest tick
+    * delivers a batch of orders AND that batch's vectors together; here
+    * the parquet feed streams the vector rows (embed batch 1 as tick 1,
+    * batch 2 as tick 2 — q142's lifecycle) tagged with an `epoch`
+    * column, and each micro-batch looks up its tick's ORDER tranche by
+    * that tag (tick 1 = o%10 ∈ {7,8}, tick 2 = o%10 = 9 — disjoint,
+    * union = the full delta). foreachBatch commits the tick's embed
+    * survivors (judged against the COMMITTED layered index, so tick 2's
+    * planted copies see absorbed tick 1) and the tick's OWN pair
+    * aggregation as ONE transaction — a driver kill between the graph
+    * and embed writes can no longer strand a half-ingested tick.
+    *
+    * Because pair weights are additive partials and the tranches
+    * partition the delta, the streamed merged edges equal the one-shot
+    * absorb EXACTLY — the terminal triangle read is q128's oracle
+    * VERBATIM (q162's proof, now under streaming cadence). The embed
+    * half's streamed state is pinned in TxStoreSpec (bit-compare vs the
+    * q163 batch lifecycle). Feed-file order is forced the q151/q131
+    * way: explicit modification times + maxFilesPerTrigger=1 — the
+    * embed judge is order-SENSITIVE (tick 2 must see absorbed tick 1).
+    */
+  private def streamTxIngestPair(s: SparkSession, dir: String): DataFrame = {
+    reset(s, dir)
+    ensureIngestBases(s, dir)
+    // pre-stream registration: the micro-batch clone's registry is
+    // copied at stream start (Registration.ensureAllNative's note) —
+    // the embed judge's cosine_similarity must be bound BEFORE .start()
+    graft.functions.Registration.ensureAllNative(s)
+    val h = Tables.dirHash(dir)
+    val feed = s"${sys.props("java.io.tmpdir")}/graft_ingest_feed_$h"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ingest_ckpt_$h"
+    val feedPath = new org.apache.hadoop.fs.Path(feed)
+    val fs = feedPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    EmbedIndex.batch1Vecs(s, dir).withColumn("epoch", lit(1))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val base = System.currentTimeMillis() - 3600000L
+    val aParts = fs.listStatus(feedPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+    EmbedIndex.batch2Vecs(s, dir).withColumn("epoch", lit(2))
+      .coalesce(1).write.mode("append").parquet(feed)
+    val aNames = aParts.map(_.getPath.getName).toSet
+    fs.listStatus(feedPath)
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        !aNames(st.getPath.getName))
+      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+
+    val schema = s.read.parquet(feed).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val op = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val commitTick: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        // the tick tag — a batch-sized driver agg, same bounded class as
+        // the commit-log read (maxFilesPerTrigger=1 makes it single-valued)
+        val epoch = b.agg(max(col("epoch"))).head().getInt(0)
+        val tranche =
+          if (epoch == 1) op.where("o % 10 >= 7 AND o % 10 < 9")
+          else op.where("o % 10 = 9")
+        absorbIngest(s, dir, b.drop("epoch"), Graph.coPairsOf(tranche))
+        ()
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(commitTick)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Graph.triangleCountsOf(Graph.backboneOf(mergedEdgesTx(s, dir)))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -667,6 +830,36 @@ object StoreTxn {
       absorbIngest(s, dir, EmbedIndex.batch1Vecs(s, dir))
       judgeEmbedTx(s, dir, EmbedIndex.batch2Vecs(s, dir))
     }),
+    // STREAMING INGESTION for the INGEST PAIR: each tick's embed
+    // survivors + its own graph pair partials commit atomically inside
+    // foreachBatch; the streamed additive partials merge to the
+    // one-shot absorb exactly, so the terminal triangle read is q128's
+    // oracle VERBATIM — q162's proof under streaming cadence.
+    "q166_stream_tx_ingest_pair" -> ((s, dir) => streamTxIngestPair(s, dir)),
+    // VACUUM LIFECYCLE: commit batch 1, stage batch 2 and ABANDON it
+    // (the crashed-absorb-whose-retry-never-came shape — uncommitted
+    // staging is invisible but otherwise immortal), vacuum reclaims
+    // exactly that staging, then batch 2 is absorbed for real and the
+    // q151 dashboard reads the final state — q151's oracle VERBATIM,
+    // because a reclamation pass between two commits must leave no
+    // observable trace. The require guards make a silent no-op vacuum
+    // (which would still pass the oracle — the retry overwrites the
+    // orphan) fail the query instead.
+    "q165_tx_vacuum" -> ((s, dir) => {
+      reset(s, dir)
+      ensureBases(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      absorbBoth(s, dir, DedupIndex.batch1Docs(s, dir),
+        docs.where("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+      stage(s, dir, DedupIndex.batch2Docs(s, dir),
+        docs.where("doc_id % 10 = 9"), nextTxnId(s, dir)) // crash: no commit
+      val reclaimed = vacuum(s, dir)
+      require(reclaimed == Seq(1L),
+        s"vacuum must reclaim exactly the abandoned staging t1, got $reclaimed")
+      absorbBoth(s, dir, DedupIndex.batch2Docs(s, dir),
+        docs.where("doc_id % 10 = 9"))
+      ingestDashboard(s, dir)
+    }),
     // THE FULL OPERATIONAL LOOP, capstone: one atomic transaction absorbs
     // the delta into dedup + stats + vocab; the benchmark store builds
     // and absorbs its tranches; then the training mix reads EVERY store —
@@ -706,6 +899,7 @@ object StoreTxn {
     "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
     "q156_tx_stats_asof" -> StatsStore.oracles("q148_stats_asof"),
     "q162_tx_graph_store" -> Graph.oracles("q128_triangle_backbone"),
+    "q166_stream_tx_ingest_pair" -> Graph.oracles("q128_triangle_backbone"),
     "q163_tx_embed_judge" -> EmbedIndex.oracles("q142_embed_two_batch"),
     // q134's full store-free replay (planted dedup chain + absorbed
     // membership + full-table stats + gates/cap/splits/tokens) with the
@@ -785,7 +979,17 @@ object StoreTxn {
          |FROM kr LEFT JOIN cnt USING (doc_id)
          |WHERE rn <= 5
          |ORDER BY doc_id""".stripMargin,
-    "q151_stream_tx_ingest" ->
+    "q151_stream_tx_ingest" -> ingestDashboardOracle,
+    // the SAME oracle VERBATIM: q165's history inserts an abandoned
+    // staging and a vacuum between the two commits, and the final state
+    // must be indistinguishable — reclamation is reader-invisible.
+    "q165_tx_vacuum" -> ingestDashboardOracle
+  )
+
+  /** q151's oracle — the full two-batch judge history replay (batch 2
+    * judged against absorbed batch 1) plus the per-group dashboard
+    * aggregate. A val so q165 (vacuum lifecycle) shares it verbatim. */
+  private lazy val ingestDashboardOracle: String =
       s"""WITH ${DedupIndex.twoBatchCtes},
          |u2 AS (SELECT d2.doc_id, d2.fp FROM d2
          |  LEFT JOIN ex2 USING (fp)
@@ -805,5 +1009,4 @@ object StoreTxn {
          |  coalesce(k.n_keepers, 0)::BIGINT AS n_keepers
          |FROM stats s LEFT JOIN kstats k USING (lang, source)
          |ORDER BY s.lang, s.source""".stripMargin
-  )
 }

@@ -303,6 +303,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val p64 = plan("q164_stream_decontam_gate")
     assert(!p64.contains("Join"), s"q164's terminal read re-joins:\n$p64")
     assert(!p64.contains("ScalaUDF"), s"q164 regressed to a ScalaUDF:\n$p64")
+    // q165: the vacuum lifecycle's terminal read is the q151 dashboard —
+    // two group-sized aggregates joined, never a cartesian or a UDF
+    val p65 = plan("q165_tx_vacuum")
+    assert(!p65.contains("CartesianProduct"), s"q165 planned a cartesian:\n$p65")
+    assert(!p65.contains("ScalaUDF"), s"q165 regressed to a ScalaUDF:\n$p65")
+    // q166: the streamed ingest pair's terminal read keeps q162's shape
+    val p66 = plan("q166_stream_tx_ingest_pair")
+    assert(p66.contains("TakeOrderedAndProject"),
+      s"q166 backbone pays a global sort:\n$p66")
+    assert(!p66.contains("SortMergeJoin"),
+      s"q166 shuffles the bounded edge set:\n$p66")
+    assert(!p66.contains("ScalaUDF"), s"q166 regressed to a ScalaUDF:\n$p66")
   }
 
   test("q143/q144/q145 maintenance lifecycles keep the store plan shapes") {

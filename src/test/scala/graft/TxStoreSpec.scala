@@ -173,6 +173,52 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("vacuum reclaims abandoned staging only; refuses mid-checkpoint; drops pre-marker ckpt staging") {
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val r = StoreTxn.root(sf)
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    // txn 0 commits; txn 1 is staged then ABANDONED (crash, retry never comes)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    val committedKeepers = keeperSet
+    val committedStats = statsRows
+    StoreTxn.stage(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"), 1L)
+    assert(exists(s"$r/t1"), "precondition: abandoned staging on disk")
+
+    assert(StoreTxn.vacuum(spark, sf) == Seq(1L),
+      "vacuum must reclaim exactly the uncommitted staging")
+    assert(!exists(s"$r/t1"), "orphaned staging survived vacuum")
+    assert(exists(s"$r/t0"), "vacuum deleted a COMMITTED layer")
+    assert(keeperSet == committedKeepers && statsRows == committedStats,
+      "vacuum changed a committed read")
+    assert(StoreTxn.vacuum(spark, sf).isEmpty, "vacuum is not idempotent")
+
+    // a checkpointStage that died BEFORE raising the marker leaves
+    // staging_ckpt with no marker — vacuum reclaims it
+    val fs = new org.apache.hadoop.fs.Path(r)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$r/staging_ckpt/dedup"))
+    StoreTxn.vacuum(spark, sf)
+    assert(!exists(s"$r/staging_ckpt"),
+      "pre-marker checkpoint staging survived vacuum")
+
+    // with the marker UP the staged copies are the redo source: refuse
+    StoreTxn.checkpointStage(spark, sf)
+    intercept[IllegalStateException](StoreTxn.vacuum(spark, sf))
+    assert(exists(s"$r/staging_ckpt"),
+      "vacuum deleted the redo source of an in-flight checkpoint")
+    // heal by redo, then nothing is left to reclaim
+    StoreTxn.checkpoint(spark, sf)
+    assert(StoreTxn.vacuum(spark, sf).isEmpty)
+    StoreTxn.reset(spark, sf) // heal the folded base for later lifecycles
+    Caches.releaseAll()
+  }
+
   test("generation guards: corrupt log loud; asOf refuses folded history; stale base drops old layers") {
     StoreTxn.reset(spark, sf)
     StoreTxn.ensureBases(spark, sf)
@@ -248,6 +294,33 @@ class TxStoreSpec extends AnyFunSuite {
       "a text-store transaction changed the graph read")
     assert(judged == judgeAfterIngest,
       "a text-store transaction changed the embed read")
+    Caches.releaseAll()
+  }
+
+  test("q166 streamed ingest pair == two batch tick absorbs, bit-identically") {
+    // streamed: q166's full lifecycle (reset + two foreachBatch commits)
+    val streamedTri = Caches.scoped(
+      SparkEntry.queries("q166_stream_tx_ingest_pair")(spark, sf)
+        .collect().toSeq.map(_.toString))
+    assert(streamedTri.nonEmpty)
+    val sEdges = Caches.scoped(
+      StoreTxn.mergedEdgesTx(spark, sf).collect().toSeq.map(_.toString).sorted)
+    val sBuckets = Caches.scoped(
+      StoreTxn.embedBuckets(spark, sf).collect().toSeq.map(_.toString).sorted)
+    assert(StoreTxn.nextTxnId(spark, sf) == 2L,
+      "streamed run must have committed exactly two transactions")
+
+    // batch: the same two ticks absorbed without the stream
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureIngestBases(spark, sf)
+    StoreTxn.absorbIngestTick(spark, sf, 1)
+    StoreTxn.absorbIngestTick(spark, sf, 2)
+    val bEdges = Caches.scoped(
+      StoreTxn.mergedEdgesTx(spark, sf).collect().toSeq.map(_.toString).sorted)
+    val bBuckets = Caches.scoped(
+      StoreTxn.embedBuckets(spark, sf).collect().toSeq.map(_.toString).sorted)
+    assert(sEdges == bEdges, "streamed merged edges diverged from batch absorbs")
+    assert(sBuckets == bBuckets, "streamed bucket state diverged from batch absorbs")
     Caches.releaseAll()
   }
 
