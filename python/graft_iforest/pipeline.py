@@ -42,6 +42,7 @@ __all__ = [
     "tx_stored_stats", "tx_vocab_coverage", "tx_stats_as_of",
     "tx_checkpoint", "tx_vacuum", "tx_ensure_ingest_bases",
     "tx_absorb_ingest", "tx_merged_edges", "tx_judge_embed_batch2",
+    "tx_ensure_ann_base", "tx_absorb_ingest_tick", "tx_ann_topk",
     # vocabulary store
     "build_vocab_store_if_stale", "absorb_vocab_delta", "vocab_coverage",
     "vocab_words", "vocab_oov_rates", "compact_vocab_store",
@@ -649,6 +650,27 @@ def tx_judge_embed_batch2(spark, data_dir):
     """Judge embed batch 2 against the transactional index (base plus
     committed layers) — q142's verdicts when batch 1 rode a transaction."""
     jdf = _bridge(spark).txJudgeEmbedBatch2(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def tx_ensure_ann_base(spark, data_dir):
+    """Build/guard the transactional ANN tier's base (q169) — required
+    before the first ``with_ann`` ingest absorb."""
+    _bridge(spark).txEnsureAnnBase(spark._jsparkSession, data_dir)
+
+
+def tx_absorb_ingest_tick(spark, data_dir, tick, with_ann=False):
+    """Atomically absorb ingest tick 1 or 2 (embed batch + its order
+    tranche's graph pairs), optionally landing the tick's survivors in
+    the transactional ANN index too; returns the txn id."""
+    return _bridge(spark).txAbsorbIngestTick(
+        spark._jsparkSession, data_dir, tick, with_ann)
+
+
+def tx_ann_topk(spark, data_dir):
+    """Fixed-geometry top-k probes against the transactional ANN index
+    (base plus committed layers) — q169's terminal read."""
+    jdf = _bridge(spark).txAnnTopK(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

@@ -482,6 +482,23 @@ object PipelineBridge {
     queries.StoreTxn.judgeEmbedTx(s, dir,
       queries.EmbedIndex.batch2Vecs(s, dir))
 
+  /** Build/guard the transactional ANN tier's base (q169) — required
+    * before the first withAnn ingest absorb. */
+  def txEnsureAnnBase(s: SparkSession, dir: String): Unit =
+    queries.StoreTxn.ensureAnnBase(s, dir)
+
+  /** Atomically absorb ingest tick 1 or 2 (embed batch + its order
+    * tranche's graph pairs), optionally landing the tick's survivors in
+    * the transactional ANN index too; returns the txn id. */
+  def txAbsorbIngestTick(s: SparkSession, dir: String, tick: Int,
+      withAnn: Boolean): Long =
+    queries.StoreTxn.absorbIngestTick(s, dir, tick, withAnn)
+
+  /** q54-geometry top-k probes against the transactional ANN index
+    * (base ∪ committed layers) — q169's terminal read. */
+  def txAnnTopK(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.annTopKTx(s, dir)
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this

@@ -225,6 +225,77 @@ object EmbedIndex {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
+  /** STREAMING SEMANTIC ARRIVAL GATE — the two-batch lifecycle (q142)
+    * under streaming cadence: the vector feed arrives as micro-batches
+    * (batch 1 = tick 1, batch 2 = tick 2 — file mtimes +
+    * maxFilesPerTrigger=1 force the order, the q151/q166 device), each
+    * tick is judged against the CURRENT store inside foreachBatch, its
+    * verdicts append to a result table, and its 'unique' survivors are
+    * absorbed before the next tick fires. Because each vector lives in
+    * exactly one tick and absorb-then-judge is exactly the batch
+    * lifecycle's order, tick 2's streamed verdicts equal q142's batch
+    * verdicts ROW FOR ROW — q168 shares q142's oracle verbatim, making
+    * this the ORACLED streaming form of the semantic dedup gate (q166
+    * pins the streamed embed state in spec only; here the stream's own
+    * output is cross-engine-proven). Deployment shape: the crawl's
+    * embedding feed is gated at arrival time, before the expensive
+    * pipeline stages ever see a semantic duplicate. */
+  private def streamGate(s: SparkSession, dir: String): DataFrame = {
+    buildIfStale(s, dir, "sg")
+    // micro-batch clones copy the function registry at stream START
+    // (Registration.ensureAllNative's note) — the judge's
+    // cosine_similarity must be bound before .start()
+    graft.functions.Registration.ensureAllNative(s)
+    val h = Tables.dirHash(dir)
+    val feed = s"${sys.props("java.io.tmpdir")}/graft_embed_gate_feed_$h"
+    val out = s"${sys.props("java.io.tmpdir")}/graft_embed_gate_out_$h"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_embed_gate_ckpt_$h"
+    val feedPath = new org.apache.hadoop.fs.Path(feed)
+    val fs = feedPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    batch1Vecs(s, dir).withColumn("epoch", lit(1))
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val base = System.currentTimeMillis() - 3600000L
+    val aParts = fs.listStatus(feedPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+    batch2Vecs(s, dir).withColumn("epoch", lit(2))
+      .coalesce(1).write.mode("append").parquet(feed)
+    val aNames = aParts.map(_.getPath.getName).toSet
+    fs.listStatus(feedPath)
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        !aNames(st.getPath.getName))
+      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+
+    val schema = s.read.parquet(feed).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    // explicit function value — the inline lambda is ambiguous between
+    // the Scala and Java foreachBatch overloads on 2.13 (q131's note)
+    val gateTick: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        // tick tag — single-valued by maxFilesPerTrigger=1 (q166's note)
+        val epoch = b.agg(max(col("epoch"))).head().getInt(0)
+        val delta = b.drop("epoch")
+        judgeVecs(s, dir, delta, "sg").withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(out)
+        absorbVecs(s, dir, delta, "sg")
+        ()
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(gateTick)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).where("epoch = 2")
+      .select(col("vec_id"), col("n_sim"), col("best_match"),
+        col("best_cos_r"), col("verdict"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_embed_dedup_store" -> ((s, dir) => {
       buildIfStale(s, dir); deltaVerdicts(s, dir)
@@ -237,7 +308,11 @@ object EmbedIndex {
       buildIfStale(s, dir, "b2")
       absorbVecs(s, dir, batch1Vecs(s, dir), "b2")
       judgeVecs(s, dir, batch2Vecs(s, dir), "b2")
-    })
+    }),
+    // Streaming form of the q142 lifecycle — tick-wise judge + absorb
+    // inside foreachBatch; tick 2's streamed verdicts are q142's batch
+    // verdicts exactly (oracle shared verbatim below).
+    "q168_stream_embed_gate" -> ((s, dir) => streamGate(s, dir))
   )
 
   // DuckDB recomputes the whole flow: planted delta, sign buckets, exact
@@ -281,7 +356,13 @@ object EmbedIndex {
     // corpus, kept1 = its 'unique' vectors, store2 = corpus ∪ kept1
     // (kept vectors keep their JUDGED form — for mod-8 raw vectors that
     // is the raw embedding), batch-2 verdicts vs store2.
-    "q142_embed_two_batch" ->
+    "q142_embed_two_batch" -> twoBatchOracle,
+    // q142's oracle verbatim: the streamed two-tick history IS the batch
+    // two-batch history (disjoint ticks, judge-before-absorb per tick).
+    "q168_stream_embed_gate" -> twoBatchOracle
+  )
+
+  private lazy val twoBatchOracle: String =
       s"""WITH emb AS (SELECT vec_id,
          |    list_transform(embedding, x -> x::DOUBLE) AS e,
          |    (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
@@ -328,5 +409,4 @@ object EmbedIndex {
          |       ELSE 'unique' END AS verdict
          |FROM b2 LEFT JOIN best2 ON best2.d_id = b2.vec_id
          |ORDER BY b2.vec_id""".stripMargin
-  )
 }

@@ -87,6 +87,7 @@ object StoreTxn {
       VocabStore.invalidate(s, dir, variant)
       GraphStore.invalidate(s, dir, variant)
       EmbedIndex.invalidate(s, dir, variant)
+      AnnTxStore.invalidate(s, dir)
     }
   }
 
@@ -206,20 +207,24 @@ object StoreTxn {
     layered(s, dir, s"${EmbedIndex.root(dir, variant)}/buckets",
       id => s"${root(dir)}/t$id/embed/buckets")
 
+  private[graft] def annBucketsTx(s: SparkSession, dir: String): DataFrame =
+    layered(s, dir, s"${AnnTxStore.root(dir)}/buckets",
+      id => s"${root(dir)}/t$id/ann/buckets")
+
   /** The tick-i BATCH ingest absorb — the non-streaming equivalent of
     * one q166 micro-batch (tick 1 = embed batch 1 + the o%10 ∈ {7,8}
     * order tranche's pairs; tick 2 = embed batch 2 + o%10 = 9). The
     * spec replays both ticks batch-wise and bit-compares the resulting
     * edge and bucket state against the streamed run. */
   private[graft] def absorbIngestTick(s: SparkSession, dir: String,
-      tick: Int): Long = {
+      tick: Int, withAnn: Boolean = false): Long = {
     val op = Tables.t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
     val (vecs, tranche) =
       if (tick == 1) (EmbedIndex.batch1Vecs(s, dir),
         op.where("o % 10 >= 7 AND o % 10 < 9"))
       else (EmbedIndex.batch2Vecs(s, dir), op.where("o % 10 = 9"))
-    absorbIngest(s, dir, vecs, Graph.coPairsOf(tranche))
+    absorbIngest(s, dir, vecs, Graph.coPairsOf(tranche), withAnn)
   }
 
   /** Build the immutable base stores if missing/stale. When any base IS
@@ -264,6 +269,19 @@ object StoreTxn {
     }
   }
 
+  /** [[ensureIngestBases]]' generation rule for the ANN tier — its own
+    * verb for the same reason the ingest pair got one: only the search
+    * transaction (q169) pays this staleness probe. */
+  def ensureAnnBase(s: SparkSession, dir: String): Unit = {
+    if (!AnnTxStore.isCurrent(s, dir)) {
+      val p = new org.apache.hadoop.fs.Path(root(dir))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(foldedFlag(dir), true)
+      AnnTxStore.build(s, dir)
+    }
+  }
+
   // ---- the reader surface (base ∪ committed layers) ----
 
   def keeperIdsTx(s: SparkSession, dir: String): DataFrame =
@@ -287,6 +305,31 @@ object StoreTxn {
     * candidates come from base buckets ∪ committed embed layers. */
   def judgeEmbedTx(s: SparkSession, dir: String, delta: DataFrame): DataFrame =
     EmbedIndex.judgeAgainstBuckets(s, dir, delta, embedBuckets(s, dir))
+
+  /** q54's fixed-geometry top-k probes against the TRANSACTIONAL index
+    * — candidate membership is base ∪ committed ann layers, so a search
+    * session sees exactly the vectors the commit log says have landed.
+    * Probes (the five smallest corpus ids, all in the base slice)
+    * broadcast against the bucket equi-join; candidates rehydrate their
+    * vectors from the corpus table, which is EXACT for every indexed id
+    * (only the embed gate's raw-form survivors ever enter — AnnTxStore's
+    * scaladoc). Bounded per-probe top-10 via TopKPerKey, never a global
+    * sort. */
+  def annTopKTx(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val emb = TextPipeline.embDoubles(s, dir)
+    val cand = annBucketsTx(s, dir)
+      .join(emb.select(col("vec_id"), col("e").as("be")), Seq("vec_id"))
+    val probes = emb.where("vec_id < 5")
+      .selectExpr("vec_id AS q_id", s"${TextPipeline.fixedBucket} AS b54",
+        "e AS ae")
+    val scored = broadcast(probes).join(cand, Seq("b54"))
+      .where(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS neighbor_id",
+        "cosine_similarity(ae, be) AS cos")
+    graft.plans.TopKPerKey.topK(scored, "q_id", "cos", "neighbor_id", 10, "cosine")
+      .orderBy(col("q_id"), col("rn"))
+  }
 
   /** TIME TRAVEL over the commit log: the stats as they stood after
     * transaction `maxTxn` — base ∪ layers of committed ids ≤ maxTxn.
@@ -385,7 +428,7 @@ object StoreTxn {
     * tick's pair aggregation, not the whole delta's — additive partials
     * sum across transactions to the one-shot absorb exactly. */
   def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
-      graphPairs: DataFrame, id: Long): Unit = {
+      graphPairs: DataFrame, id: Long, withAnn: Boolean = false): Unit = {
     val t = s"${root(dir)}/t$id"
     graphPairs
       .write.mode("overwrite").parquet(s"$t/graph/edges")
@@ -394,6 +437,17 @@ object StoreTxn {
     embedDelta.select(col("bucket"), col("vec_id")).join(keptIds, Seq("vec_id"))
       .select(col("bucket"), col("vec_id"))
       .write.mode("overwrite").parquet(s"$t/embed/buckets")
+    // The ANN tier's layer: the SAME survivor set (read back from the
+    // just-staged embed rows — one parquet read instead of a second
+    // judge pass), assigned to q54's fixed-hyperplane buckets. The gate
+    // decides WHAT enters the index; this stages WHERE it lands —
+    // both invisible until the one commit row.
+    if (withAnn) {
+      val kept = s.read.parquet(s"$t/embed/buckets").select(col("vec_id"))
+      AnnTxStore.withB54(embedDelta.join(kept, Seq("vec_id")))
+        .select(col("b54"), col("vec_id"))
+        .write.mode("overwrite").parquet(s"$t/ann/buckets")
+    }
   }
 
   /** The atomic ingest absorb: graph edge partials and embed bucket
@@ -407,9 +461,9 @@ object StoreTxn {
     * overload): one tick's embed rows and ITS OWN graph pair partials
     * land under one commit row. */
   def absorbIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
-      graphPairs: DataFrame): Long = {
+      graphPairs: DataFrame, withAnn: Boolean = false): Long = {
     val id = nextTxnId(s, dir)
-    stageIngest(s, dir, embedDelta, graphPairs, id)
+    stageIngest(s, dir, embedDelta, graphPairs, id, withAnn)
     commit(s, dir, id)
     id
   }
@@ -450,6 +504,11 @@ object StoreTxn {
       embedBuckets(s, dir)
         .coalesce(4).write.mode("overwrite").parquet(s"$staging/embed/buckets")
     }
+    // the ANN tier folds by the same participation test
+    if (hasAnnBase(s, dir)) {
+      annBucketsTx(s, dir)
+        .coalesce(4).write.mode("overwrite").parquet(s"$staging/ann/buckets")
+    }
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
   }
@@ -461,6 +520,11 @@ object StoreTxn {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).exists(hp)
     }
+  }
+
+  private def hasAnnBase(s: SparkSession, dir: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(s"${AnnTxStore.root(dir)}/buckets")
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
   /** CHECKPOINT the commit log: fold every committed layer into a new
@@ -524,6 +588,12 @@ object StoreTxn {
       s.read.parquet(s"$staging/embed/buckets")
         .write.mode("overwrite")
         .parquet(s"${EmbedIndex.root(dir, variant)}/buckets")
+    }
+    val stagedAnn = new org.apache.hadoop.fs.Path(s"$staging/ann/buckets")
+    if (fs.exists(stagedAnn)) {
+      s.read.parquet(stagedAnn.toString)
+        .write.mode("overwrite")
+        .parquet(s"${AnnTxStore.root(dir)}/buckets")
     }
     import s.implicits._
     Seq.empty[Long].toDF("txn")
@@ -836,6 +906,24 @@ object StoreTxn {
     // one-shot absorb exactly, so the terminal triangle read is q128's
     // oracle VERBATIM — q162's proof under streaming cadence.
     "q166_stream_tx_ingest_pair" -> ((s, dir) => streamTxIngestPair(s, dir)),
+    // TRANSACTIONAL ANN SEARCH — the similarity-search tier joins the
+    // ingest transaction: each tick's embed-gate survivors land in the
+    // fixed-geometry ANN index ([[AnnTxStore]]) in the SAME commit as
+    // the gate's buckets and the tick's graph partials, so a search
+    // session can never see a vector the gate hasn't admitted (or miss
+    // one it has). The terminal read is q54's bucket-probe top-k over
+    // base ∪ committed layers — with integer hyperplanes the WHOLE
+    // transactionally-maintained search path is DuckDB-replayable: the
+    // oracle recomputes both ticks' judge verdicts, the survivor sets,
+    // and the probe ranking from scratch.
+    "q169_tx_ann_search" -> ((s, dir) => {
+      reset(s, dir)
+      ensureIngestBases(s, dir)
+      ensureAnnBase(s, dir)
+      absorbIngestTick(s, dir, 1, withAnn = true)
+      absorbIngestTick(s, dir, 2, withAnn = true)
+      annTopKTx(s, dir)
+    }),
     // VACUUM LIFECYCLE: commit batch 1, stage batch 2 and ABANDON it
     // (the crashed-absorb-whose-retry-never-came shape — uncommitted
     // staging is invisible but otherwise immortal), vacuum reclaims
@@ -901,6 +989,67 @@ object StoreTxn {
     "q162_tx_graph_store" -> Graph.oracles("q128_triangle_backbone"),
     "q166_stream_tx_ingest_pair" -> Graph.oracles("q128_triangle_backbone"),
     "q163_tx_embed_judge" -> EmbedIndex.oracles("q142_embed_two_batch"),
+    // The transactionally-maintained ANN search replayed store-free:
+    // q142's two-tick judge chain yields each tick's 'unique' survivors
+    // (kept1 judged vs the corpus slice, kept2 vs slice ∪ kept1 — the
+    // embed-gate SIGN buckets decide candidacy there), the index id set
+    // is slice ∪ kept1 ∪ kept2, and q54's FIXED-hyperplane probe ranks
+    // top-10 per query id over exactly that membership. Survivors are
+    // raw-form by construction (planted copies always judge exact/near),
+    // so rehydrating from the raw corpus table is exact on both sides.
+    "q169_tx_ann_search" ->
+      s"""WITH emb AS (SELECT vec_id,
+         |    list_transform(embedding, x -> x::DOUBLE) AS e,
+         |    (embedding[1] > 0)::INT * 4 + (embedding[2] > 0)::INT * 2
+         |      + (embedding[3] > 0)::INT AS bucket,
+         |    (2*e[1] - e[5] + e[9] >= 0)::INT * 8
+         |      + (e[2] + e[6] - 2*e[10] >= 0)::INT * 4
+         |      + (e[3] - e[7] + e[11] >= 0)::INT * 2
+         |      + (-e[4] + e[8] + 2*e[12] >= 0)::INT AS b54
+         |  FROM embeddings),
+         |b1 AS (SELECT d.vec_id, coalesce(o.e, d.e) AS e,
+         |    coalesce(o.bucket, d.bucket) AS bucket
+         |  FROM emb d LEFT JOIN emb o
+         |    ON o.vec_id = d.vec_id - 7 AND d.vec_id % 10 = 7
+         |  WHERE d.vec_id % 10 IN (7, 8)),
+         |b2 AS (SELECT d.vec_id, coalesce(o.e, d.e) AS e,
+         |    coalesce(o.bucket, d.bucket) AS bucket
+         |  FROM emb d LEFT JOIN emb o
+         |    ON o.vec_id = d.vec_id - 1 AND d.vec_id % 20 = 9
+         |  WHERE d.vec_id % 10 = 9),
+         |store1 AS (SELECT vec_id, e, bucket FROM emb WHERE vec_id % 10 < 7),
+         |cand1 AS (SELECT s.vec_id AS d_id,
+         |    ${TextPipeline.duckCos("s", "t")} AS cos
+         |  FROM b1 s JOIN store1 t ON s.bucket = t.bucket),
+         |best1 AS (SELECT d_id, max(cos) AS best_cos
+         |  FROM cand1 GROUP BY d_id),
+         |kept1 AS (SELECT b1.vec_id, b1.e, b1.bucket
+         |  FROM b1 LEFT JOIN best1 ON best1.d_id = b1.vec_id
+         |  WHERE best1.best_cos IS NULL OR best1.best_cos < 0.3),
+         |store2 AS (SELECT vec_id, e, bucket FROM store1
+         |  UNION ALL SELECT vec_id, e, bucket FROM kept1),
+         |cand2 AS (SELECT s.vec_id AS d_id,
+         |    ${TextPipeline.duckCos("s", "t")} AS cos
+         |  FROM b2 s JOIN store2 t ON s.bucket = t.bucket),
+         |best2 AS (SELECT d_id, max(cos) AS best_cos
+         |  FROM cand2 GROUP BY d_id),
+         |kept2 AS (SELECT b2.vec_id
+         |  FROM b2 LEFT JOIN best2 ON best2.d_id = b2.vec_id
+         |  WHERE best2.best_cos IS NULL OR best2.best_cos < 0.3),
+         |idx AS (SELECT vec_id FROM store1
+         |  UNION ALL SELECT vec_id FROM kept1
+         |  UNION ALL SELECT vec_id FROM kept2),
+         |cand AS (SELECT m.vec_id, m.e, m.b54
+         |  FROM idx i JOIN emb m USING (vec_id)),
+         |probes AS (SELECT vec_id AS q_id, e, b54 FROM emb WHERE vec_id < 5),
+         |scored AS (SELECT p.q_id, c.vec_id AS neighbor_id,
+         |    ${TextPipeline.duckCos("p", "c")} AS cos
+         |  FROM probes p JOIN cand c ON c.b54 = p.b54 AND c.vec_id != p.q_id),
+         |ranked AS (SELECT q_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, neighbor_id, round(cos, 4) AS cosine, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     // q134's full store-free replay (planted dedup chain + absorbed
     // membership + full-table stats + gates/cap/splits/tokens) with the
     // decontamination layer added: the prefixed winnow chain flags

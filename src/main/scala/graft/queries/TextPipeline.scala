@@ -675,6 +675,63 @@ object TextPipeline {
         .limit(20)
     }),
 
+    // ALIGNMENT-FREE DUPLICATED-SPAN SCRUB — the sliding-window form of
+    // q81. Fixed 8-token chunking only catches boilerplate that happens
+    // to land on chunk boundaries: the same 10-token banner pasted at
+    // offset 3 in one doc and offset 5 in another never produces two
+    // equal chunks, so q81 keeps both copies. Here EVERY 8-token window
+    // (stride 1) is a candidate span — that is the practical
+    // approximation of Lee et al. 2021's ExactSubstr suffix-array dedup
+    // (any shared substring of >= k tokens contains a shared k-token
+    // window, so sliding-window coverage == substring coverage at
+    // granularity k) without a distributed suffix array. A token is
+    // SCRUBBED when any cross-document duplicated span covers its
+    // position; survivors reassemble in order.
+    //
+    // Scale shape: spans are in-row (one explode, |tokens| rows — 8x
+    // q81's chunk count but the same linear class as the shingle ops);
+    // span document-frequency is ONE gram-keyed groupBy; the dup set is
+    // df >= 2-filtered BEFORE the coverage join, so only true boilerplate
+    // spans fan out into (doc, position) coverage rows (bounded by 8x
+    // their occurrence count); the distinct + anti-join are both
+    // (doc_id, pos) equi-hash ops. Reassembly sorts each doc's own
+    // surviving token list in-row — no corpus-global window. Scrubbing
+    // every occurrence (not all-but-one) is deliberate: position-coverage
+    // keeps the operator embarrassingly shuffle-parallel, and for
+    // boilerplate (df >= 2 across docs) removing all copies is the
+    // CCNet-style choice; docs scrubbed to nothing survive as '' (q81's
+    // keep_reason contract).
+    "q167_span_scrub" -> ((s, dir) => {
+      val tk = Caches.persist(
+        t(s, dir, "documents").selectExpr("doc_id", "split(text, ' ') AS tk"))
+      val occ = Caches.persist(tk.selectExpr("doc_id",
+          "explode(CASE WHEN size(tk) >= 8 THEN transform(sequence(1, size(tk) - 7), " +
+            "i -> struct(cast(i AS bigint) AS pos, array_join(slice(tk, i, 8), ' ') AS gram)) " +
+            "ELSE cast(array() AS array<struct<pos: bigint, gram: string>>) END) AS o")
+        .selectExpr("doc_id", "o.pos AS pos", "o.gram AS gram"))
+      val dup = occ.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") >= 2)
+        .select(col("gram"))
+      val covered = occ.join(dup, Seq("gram"))
+        .selectExpr("doc_id", "explode(sequence(pos, pos + 7)) AS pos")
+        .distinct()
+      val toksPos = tk.selectExpr("doc_id", "posexplode(tk) AS (p0, tok)")
+        .selectExpr("doc_id", "cast(p0 + 1 AS bigint) AS pos", "tok")
+      val kept = toksPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          collect_list(struct(col("pos"), col("tok"))).as("pts"))
+        .selectExpr("doc_id", "n_kept",
+          "array_join(transform(array_sort(pts), x -> x.tok), ' ') AS clean_text")
+      tk.selectExpr("doc_id", "cast(size(tk) AS bigint) AS n_tokens")
+        .join(kept, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "n_tokens",
+          "cast(n_tokens - coalesce(n_kept, 0L) AS bigint) AS n_scrubbed",
+          "coalesce(clean_text, '') AS clean_text")
+        .orderBy(col("doc_id"))
+    }),
+
     // VOCABULARY COVERAGE — tokenizer-training prep: the global word
     // frequency table, truncated to the top V = 25 words (rank by count
     // desc, word asc — fully deterministic), each with its cumulative
@@ -1713,7 +1770,7 @@ object TextPipeline {
     * 3-sparse +-1/2 vector). Double arithmetic with the same association
     * order as the DuckDB oracle, so bucket ids are bit-identical. Spark
     * array indexing is 0-based (DuckDB's is 1-based — the oracle shifts). */
-  private val fixedBucket =
+  private[queries] val fixedBucket =
     "cast(2*e[0] - e[4] + e[8] >= 0 AS int) * 8 + " +
       "cast(e[1] + e[5] - 2*e[9] >= 0 AS int) * 4 + " +
       "cast(e[2] - e[6] + e[10] >= 0 AS int) * 2 + " +
@@ -2259,6 +2316,34 @@ object TextPipeline {
          |  (CAST(ceil(len(d.tk) / 8.0) AS BIGINT) - coalesce(k.n_kept, 0))::BIGINT
          |    AS n_removed,
          |  coalesce(k.kept_text, '') AS clean_text
+         |FROM d LEFT JOIN kept k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Sliding spans replayed with the same coverage semantics: every
+    // stride-1 8-token window, df >= 2 across DISTINCT docs, positions
+    // pos..pos+7 scrubbed, survivors string_agg'd in position order.
+    "q167_span_scrub" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |occ AS (SELECT doc_id, i AS pos,
+         |    array_to_string(tk[i:i+7], ' ') AS gram
+         |  FROM d, unnest(generate_series(1, len(tk) - 7)) AS t(i)
+         |  WHERE len(tk) >= 8),
+         |dup AS (SELECT gram FROM occ GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT occ.doc_id, occ.pos + j AS pos
+         |  FROM occ JOIN dup USING (gram),
+         |    unnest(generate_series(0, 7)) AS u(j)),
+         |toks AS (SELECT doc_id, i AS pos, tk[i] AS tok
+         |  FROM d, unnest(generate_series(1, len(tk))) AS t(i)),
+         |kept AS (SELECT t.doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+         |  FROM toks t LEFT JOIN cov
+         |    ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+         |  WHERE cov.doc_id IS NULL
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id, len(d.tk)::BIGINT AS n_tokens,
+         |  (len(d.tk) - coalesce(k.n_kept, 0))::BIGINT AS n_scrubbed,
+         |  coalesce(k.clean_text, '') AS clean_text
          |FROM d LEFT JOIN kept k USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 

@@ -174,6 +174,21 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(files <= 4, s"buckets not compacted: $files files")
   }
 
+  test("q168 streamed embed gate == q142 batch lifecycle, row-identically") {
+    import graft.queries.Caches
+    val streamed = Caches.scoped(
+      SparkEntry.queries("q168_stream_embed_gate")(spark, sf)
+        .collect().toSeq.map(_.toString))
+    val batch = Caches.scoped(
+      SparkEntry.queries("q142_embed_two_batch")(spark, sf)
+        .collect().toSeq.map(_.toString))
+    assert(streamed.nonEmpty, "stream gate produced no verdicts")
+    assert(streamed == batch,
+      s"streamed tick-2 verdicts diverged from the batch lifecycle:\n" +
+        s"streamed=${streamed.take(3)}\nbatch=${batch.take(3)}")
+    Caches.releaseAll()
+  }
+
   test("VocabStore.compact: coverage unchanged, layers collapse to one per word") {
     import graft.queries.VocabStore
     val v = "cptspec"

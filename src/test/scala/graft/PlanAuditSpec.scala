@@ -317,6 +317,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p66.contains("ScalaUDF"), s"q166 regressed to a ScalaUDF:\n$p66")
   }
 
+  test("q167/q168 keep scrub and stream-gate plan shapes") {
+    // q167: span fan-out, dup aggregation, coverage and anti-join are all
+    // equi-hash ops — any cartesian/NLJ here is quadratic in corpus size
+    val p67 = plan("q167_span_scrub")
+    assert(!p67.contains("CartesianProduct"), s"q167 planned a cartesian:\n$p67")
+    assert(!p67.contains("BroadcastNestedLoopJoin"),
+      s"q167 planned a nested-loop join:\n$p67")
+    assert(!p67.contains("ScalaUDF"), s"q167 regressed to a ScalaUDF:\n$p67")
+    // q168: judging ran inside foreachBatch — the terminal read is a
+    // bare scan+filter+sort over the verdict table (q164's contract)
+    val p68 = plan("q168_stream_embed_gate")
+    assert(!p68.contains("Join"), s"q168's terminal read re-joins:\n$p68")
+    assert(!p68.contains("ScalaUDF"), s"q168 regressed to a ScalaUDF:\n$p68")
+    // q169: the transactional ANN probe — probes broadcast into the
+    // bucket equi-join, never a cartesian or NLJ; scoring stays native
+    val p69 = plan("q169_tx_ann_search")
+    assert(p69.contains("BroadcastHashJoin"),
+      s"q169's probe join must broadcast the probes:\n$p69")
+    assert(!p69.contains("CartesianProduct"), s"q169 planned a cartesian:\n$p69")
+    assert(!p69.contains("BroadcastNestedLoopJoin"),
+      s"q169 planned a nested-loop join:\n$p69")
+    assert(!p69.contains("ScalaUDF"), s"q169 regressed to a ScalaUDF:\n$p69")
+  }
+
   test("q143/q144/q145 maintenance lifecycles keep the store plan shapes") {
     // q143's post-compaction judge must stay q84-shaped (the rewrite
     // changes files, never the join strategy); q144's vocab join must

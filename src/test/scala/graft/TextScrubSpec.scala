@@ -126,4 +126,63 @@ class TextScrubSpec extends AnyFunSuite {
     assert(got.exists(r => r.getLong(2) < r.getLong(1)),
       "no doc with any unique shingle")
   }
+
+  test("q167: sliding-span scrub equals a driver brute-force recompute") {
+    val got = graft.queries.Caches.scoped(
+      SparkEntry.queries("q167_span_scrub")(spark, sf)
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))))
+
+    // independent recompute: plain Scala over the collected corpus.
+    // split(" ", -1) matches Spark's split(text, ' ') (limit -1 keeps
+    // trailing empty strings).
+    val docs = graft.queries.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .sortBy(_._1)
+    val grams = docs.flatMap { case (id, tk) =>
+      if (tk.size >= 8)
+        (1 to tk.size - 7).map(i => (id, i, tk.slice(i - 1, i + 7).mkString(" ")))
+      else Seq.empty
+    }
+    val dup = grams.groupBy(_._3)
+      .filter { case (_, occ) => occ.map(_._1).distinct.size >= 2 }.keySet
+    val covered: Map[Long, Set[Int]] = grams.filter(g => dup(g._3))
+      .flatMap { case (id, p, _) => (p to p + 7).map(id -> _) }
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+    val want = docs.map { case (id, tk) =>
+      val cov = covered.getOrElse(id, Set.empty)
+      val kept = tk.zipWithIndex.collect { case (t, i) if !cov(i + 1) => t }
+      (id, tk.size.toLong, cov.size.toLong, kept.mkString(" "))
+    }.toSeq
+
+    assert(got == want)
+    // the corpus actually contains cross-document boilerplate spans
+    assert(got.exists(_._3 > 0), "no doc with any scrubbed span")
+    assert(got.exists(r => r._3 == 0 && r._2 > 0), "no untouched doc")
+  }
+
+  test("q167 scrubs offset-shifted boilerplate that q81's aligned chunks keep") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_span_fixture").toString
+    val span = (1 to 8).map(i => s"s$i")
+    // the same 8-token span at token offset 4 in doc 1 and offset 6 in
+    // doc 2 — never aligned to an 8-token chunk boundary in either doc
+    val d1 = ((1 to 3).map(i => s"a$i") ++ span ++ (1 to 4).map(i => s"x$i")).mkString(" ")
+    val d2 = ((1 to 5).map(i => s"b$i") ++ span ++ (1 to 2).map(i => s"y$i")).mkString(" ")
+    Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val scrub = graft.queries.Caches.scoped(
+      SparkEntry.queries("q167_span_scrub")(spark, tmp).collect().toSeq)
+    assert(scrub.map(_.getLong(2)) == Seq(8L, 8L),
+      s"each doc must scrub exactly the shared span: $scrub")
+    assert(scrub.map(_.getString(3)) == Seq("a1 a2 a3 x1 x2 x3 x4", "b1 b2 b3 b4 b5 y1 y2"))
+
+    // q81's aligned chunking sees no equal chunk across the two docs
+    val chunk = graft.queries.Caches.scoped(
+      SparkEntry.queries("q81_chunk_dedup")(spark, tmp).collect().toSeq)
+    assert(chunk.map(_.getLong(2)).forall(_ == 0L),
+      s"fixed chunks must keep the unaligned boilerplate: $chunk")
+    graft.queries.Caches.releaseAll()
+  }
 }

@@ -297,6 +297,63 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q169 ann tier: staging invisible until commit; membership tracks the gate; checkpoint folds it") {
+    import graft.queries.{AnnTxStore, EmbedIndex}
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)       // checkpoint below folds the text stores too
+    StoreTxn.ensureIngestBases(spark, sf)
+    StoreTxn.ensureAnnBase(spark, sf)
+    def annIds: Set[Long] = Caches.scoped(
+      StoreTxn.annBucketsTx(spark, sf).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    def embIds: Set[Long] = Caches.scoped(
+      StoreTxn.embedBuckets(spark, sf).select("vec_id")
+        .collect().map(_.getLong(0)).toSet)
+    val baseAnn = annIds
+    assert(baseAnn == embIds, "base ann membership must equal the embed gate's")
+
+    // stage tick 1 WITH the ann tier, crash before the commit row: the
+    // search index must not move (the graph payload is irrelevant here —
+    // the orphan staging is overwritten by the real absorb's redo below)
+    val fakePairs = Tables.t(spark, sf, "lineitem")
+      .selectExpr("l_orderkey AS a", "l_partkey AS b").limit(5)
+      .withColumn("w", lit(1L))
+    StoreTxn.stageIngest(spark, sf, EmbedIndex.batch1Vecs(spark, sf),
+      fakePairs, 0L, withAnn = true)
+    assert(annIds == baseAnn, "ann reader saw uncommitted staging")
+
+    StoreTxn.absorbIngestTick(spark, sf, 1, withAnn = true)
+    StoreTxn.absorbIngestTick(spark, sf, 2, withAnn = true)
+    val grown = annIds
+    assert(grown.size > baseAnn.size, "the ticks absorbed no survivors")
+    assert(grown == embIds, "ann membership must track the embed gate exactly")
+
+    // every stored b54 equals a raw recompute over the corpus table
+    // (survivors are raw-form — AnnTxStore's rehydration contract)
+    val stored = Caches.scoped(
+      StoreTxn.annBucketsTx(spark, sf)
+        .collect().map(r => (r.getLong(1), r.getInt(0))).toSet)
+    val emb = Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS e")
+    val expected = Caches.scoped(
+      AnnTxStore.withB54(emb)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        .filter(p => grown.contains(p._1)))
+    assert(stored == expected, "a stored b54 diverged from the raw recompute")
+
+    val topkBefore = Caches.scoped(
+      StoreTxn.annTopKTx(spark, sf).collect().toSeq.map(_.toString))
+    assert(topkBefore.size == 50, s"expected 5 probes x 10: ${topkBefore.size}")
+
+    // checkpoint folds the ann layers into the base; the read is invariant
+    StoreTxn.checkpoint(spark, sf)
+    assert(annIds == grown, "checkpoint changed the ann membership")
+    val topkAfter = Caches.scoped(
+      StoreTxn.annTopKTx(spark, sf).collect().toSeq.map(_.toString))
+    assert(topkBefore == topkAfter, "checkpoint changed a search answer")
+    Caches.releaseAll()
+  }
+
   test("q166 streamed ingest pair == two batch tick absorbs, bit-identically") {
     // streamed: q166's full lifecycle (reset + two foreachBatch commits)
     val streamedTri = Caches.scoped(
