@@ -50,6 +50,9 @@ __all__ = [
     "build_embed_index_if_stale", "embed_delta_verdicts", "embed_batch1",
     "embed_batch2", "embed_judge", "absorb_embed_batch",
     "compact_embed_index",
+    # mergeable sketch store
+    "build_cms_if_stale", "absorb_cms_delta", "cms_heavy_hitters",
+    "build_kmv_store", "absorb_kmv_delta", "kmv_sample",
     # graph-edge store
     "build_graph_store_if_stale", "absorb_graph_delta", "graph_store_edges",
     "compact_graph_store", "pagerank",
@@ -533,6 +536,42 @@ def decontam_judge(spark, data_dir, batch_df):
     distinct fps >= half that bench doc's fingerprint set)."""
     jdf = _bridge(spark).decontamJudge(
         spark._jsparkSession, data_dir, batch_df._jdf)
+    return DataFrame(jdf, spark)
+
+
+def build_cms_if_stale(spark, data_dir):
+    """Build the count-min + heavy-hitter-candidate store (q170) from the
+    corpus slice if missing or stale; returns the store root."""
+    return _bridge(spark).buildCmsIfStale(spark._jsparkSession, data_dir)
+
+
+def absorb_cms_delta(spark, data_dir):
+    """Append the delta's 4x1024 counter layer + top-50 candidate layer
+    (counters merge by addition, candidates by union)."""
+    _bridge(spark).absorbCmsDelta(spark._jsparkSession, data_dir)
+
+
+def cms_heavy_hitters(spark, data_dir):
+    """Top-20 heavy-hitter estimates (min over sketch rows) from the
+    store alone — one-sided: est >= true count."""
+    jdf = _bridge(spark).cmsHeavyHitters(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def build_kmv_store(spark, data_dir):
+    """Rebuild the bottom-k (KMV) sample store's corpus layer (q171)."""
+    _bridge(spark).buildKmvStore(spark._jsparkSession, data_dir)
+
+
+def absorb_kmv_delta(spark, data_dir):
+    """Append the delta's bottom-64 md5-priority layer."""
+    _bridge(spark).absorbKmvDelta(spark._jsparkSession, data_dir)
+
+
+def kmv_sample(spark, data_dir):
+    """The merged bottom-64 sample — exactly the full table's bottom-k
+    (batches partition the corpus), with integer KMV priorities."""
+    jdf = _bridge(spark).kmvSample(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

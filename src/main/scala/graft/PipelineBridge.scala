@@ -499,6 +499,33 @@ object PipelineBridge {
   def txAnnTopK(s: SparkSession, dir: String): DataFrame =
     queries.StoreTxn.annTopKTx(s, dir)
 
+  // --- Mergeable sketch store verbs (q170/q171/q175) ---
+
+  /** Build the count-min + candidate store from the corpus slice if its
+    * fingerprint is stale; returns the store root. */
+  def buildCmsIfStale(s: SparkSession, dir: String): String =
+    queries.SketchStore.buildCmsIfStale(s, dir)
+
+  /** Append the delta's counter + candidate layers (additive merge). */
+  def absorbCmsDelta(s: SparkSession, dir: String): Unit =
+    queries.SketchStore.absorbCms(s, dir)
+
+  /** Top-20 heavy-hitter estimates from the store alone. */
+  def cmsHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    queries.SketchStore.heavyHitters(s, dir)
+
+  /** Rebuild the bottom-k sample store's corpus layer. */
+  def buildKmvStore(s: SparkSession, dir: String): Unit =
+    queries.SketchStore.buildKmv(s, dir)
+
+  /** Append the delta's bottom-k layer. */
+  def absorbKmvDelta(s: SparkSession, dir: String): Unit =
+    queries.SketchStore.absorbKmv(s, dir)
+
+  /** The merged bottom-64 sample — exactly the global bottom-k. */
+  def kmvSample(s: SparkSession, dir: String): DataFrame =
+    queries.SketchStore.kmvSample(s, dir)
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * TEXT-PIPELINE DIAGNOSTICS — three operators a training-data pipeline
+ * runs over every corpus refresh, complementing [[TextPipeline]]'s
+ * cleaning/dedup/mix machinery:
+ *
+ *  - q172 CONTENT-DEFINED CHUNKING dedup (the gear/Rabin CDC idea from
+ *    storage dedup, on the token stream): chunk boundaries are decided
+ *    by the HASH OF LOCAL CONTENT (cut after a token whose trailing
+ *    4-gram hashes to 0 mod 8), so an insertion early in a document
+ *    shifts only the chunk it lands in — boundaries re-synchronize,
+ *    unlike q103's fixed-width chunks where one added token re-keys
+ *    every later chunk. The read is the chunk-level duplication report
+ *    per language: how much of the corpus is re-usable chunk storage vs
+ *    unique content.
+ *
+ *  - q173 TOKENIZER FERTILITY: subword tokens per whitespace word and
+ *    chars per subword, per language — THE health metric for tokenizer
+ *    fit (a language with fertility 3× another trains slower and packs
+ *    worse at the same character budget). True-BPE counts via the
+ *    native [[graft.functions.BpeEncode]]; the oracle replays the merge
+ *    chain through [[TextPipeline.duckBpeCtes]] (one source of truth).
+ *
+ *  - q174 CURRICULUM ORDERING: a deterministic global training order —
+ *    shortest (easiest) documents first, md5-shuffled within equal
+ *    lengths so batches stay decorrelated, doc_id tiebreak — plus the
+ *    schedule decile each document lands in. The rank is
+ *    [[graft.plans.RangedRank]] (range-partition + local rank + bounded
+ *    offset collect), NEVER an unpartitioned window: at 100 TB the
+ *    curriculum index is exactly the operator that tempts a single-task
+ *    global sort.
+ */
+object TextDiag {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  // ---- q172: content-defined chunking ----
+
+  /** Boundary divisor: cut when hash(4-gram) ≡ 0 (mod 8) → mean chunk
+    * ≈ 8 tokens past the 4-token window. */
+  private val cdcDiv = 8L
+
+  private[graft] def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs(s, dir)
+      .selectExpr("doc_id", "lang", "posexplode(split(text, ' ')) AS (pos, w)")
+    // cut AFTER a token whose trailing 4-gram hashes to 0 mod 8; the
+    // first 3 tokens never cut (no full window yet)
+    val cut = tok
+      .withColumn("w3", lag(col("w"), 3).over(win))
+      .withColumn("w2", lag(col("w"), 2).over(win))
+      .withColumn("w1", lag(col("w"), 1).over(win))
+      .withColumn("cut", expr(
+        "CASE WHEN pos >= 3 AND cast(conv(substring(md5(concat(" +
+          s"w3, ' ', w2, ' ', w1, ' ', w)), 1, 8), 16, 10) AS bigint) % $cdcDiv = 0 " +
+          "THEN 1 ELSE 0 END"))
+    // a token's chunk = number of cuts STRICTLY before it
+    val assigned = cut.withColumn("chunk_id",
+      coalesce(sum(col("cut")).over(
+        win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    assigned.groupBy(col("doc_id"), col("lang"), col("chunk_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w)))," +
+          " x -> x.w), ' ')").as("chunk"),
+        count(lit(1)).as("n_tok"))
+  }
+
+  /** Per-language chunk-duplication report: unique-vs-total CDC chunks
+    * (by content hash, cross-document) and the realized mean chunk
+    * length — integer fixed-point, exact cross-engine. */
+  def cdcReport(s: SparkSession, dir: String): DataFrame =
+    cdcChunks(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(expr("md5(chunk)")).as("n_distinct"),
+        sum(col("n_tok")).as("n_tokens"))
+      .selectExpr("lang", "n_chunks", "n_distinct",
+        "(n_chunks - n_distinct) * 1000000L div n_chunks AS dup_frac_e6",
+        "n_tokens * 1000L div n_chunks AS mean_tok_e3")
+      .orderBy(col("lang"))
+
+  // ---- q173: tokenizer fertility ----
+
+  def fertility(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BpeEncode.register(s)
+    docs(s, dir)
+      .selectExpr("lang", "length(text) AS n_chars",
+        "size(split(text, ' ')) AS n_ws",
+        // coalesce: NULL text = 0 subwords on both engines (q48's note)
+        "size(bpe_encode(coalesce(text, ''))) AS n_bpe")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("total_ws"),
+        sum(col("n_bpe")).as("total_bpe"),
+        sum(col("n_chars")).as("total_chars"))
+      .selectExpr("lang", "n_docs", "total_ws", "total_bpe", "total_chars",
+        "total_bpe * 1000000L div total_ws AS fertility_e6",
+        "total_chars * 1000000L div total_bpe AS chars_per_bpe_e6")
+      .orderBy(col("lang"))
+  }
+
+  // ---- q174: curriculum ordering ----
+
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).selectExpr("doc_id", "n_chars",
+      "cast(conv(substring(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint) AS shuf")
+    val ranked = graft.plans.RangedRank.rankBy(s, base, "n_chars", "shuf", "doc_id")
+    val total = docs(s, dir).agg(count(lit(1)).as("n_tot"))
+    ranked.crossJoin(broadcast(total))
+      .selectExpr("doc_id", "n_chars", "rn",
+        "(rn - 1) * 10 div n_tot AS phase")
+      .orderBy(col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_cdc_chunks" -> ((s, dir) => cdcReport(s, dir)),
+    "q173_fertility" -> ((s, dir) => fertility(s, dir)),
+    // rankBy persists its shuffled input (RangedRank's eager-totals
+    // trade); the consumer releases it via Caches.releaseAll after the
+    // terminal action — the repo's standard protocol.
+    "q174_curriculum" -> ((s, dir) => curriculum(s, dir))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the same trailing-4-gram cut rule, strict-prefix cut count, and
+    // position-ordered chunk reassembly
+    "q172_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, lang, u['pos'] AS pos, u['w'] AS w FROM (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(generate_series(1, len(tk)),
+         |      i -> {'pos': i - 1, 'w': tk[i]})) AS u
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents))),
+         |f AS (SELECT doc_id, lang, pos, w,
+         |    lag(w, 3) OVER win AS w3, lag(w, 2) OVER win AS w2,
+         |    lag(w, 1) OVER win AS w1
+         |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (SELECT doc_id, lang, pos, w,
+         |    CASE WHEN pos >= 3 AND ('0x' || substr(md5(w3 || ' ' || w2 || ' '
+         |      || w1 || ' ' || w), 1, 8))::BIGINT % $cdcDiv = 0
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM f),
+         |c AS (SELECT doc_id, lang, pos, w,
+         |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM g),
+         |ch AS (SELECT doc_id, lang, chunk_id,
+         |    string_agg(w, ' ' ORDER BY pos) AS chunk, count(*)::BIGINT AS n_tok
+         |  FROM c GROUP BY doc_id, lang, chunk_id)
+         |SELECT lang, count(*)::BIGINT AS n_chunks,
+         |  count(DISTINCT md5(chunk))::BIGINT AS n_distinct,
+         |  ((count(*) - count(DISTINCT md5(chunk))) * 1000000
+         |    // count(*))::BIGINT AS dup_frac_e6,
+         |  (sum(n_tok) * 1000 // count(*))::BIGINT AS mean_tok_e3
+         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+    // q48's merge-chain CTEs joined back to documents for lang
+    "q173_fertility" ->
+      s"""WITH RECURSIVE ${TextPipeline.duckBpeCtes},
+         |d AS (SELECT d.lang, length(d.text) AS n_chars,
+         |    len(string_split(d.text, ' ')) AS n_ws, coalesce(c.n, 0) AS n_bpe
+         |  FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(n_ws)::BIGINT AS total_ws, sum(n_bpe)::BIGINT AS total_bpe,
+         |  sum(n_chars)::BIGINT AS total_chars,
+         |  ((sum(n_bpe) * 1000000) // sum(n_ws))::BIGINT AS fertility_e6,
+         |  ((sum(n_chars) * 1000000) // sum(n_bpe))::BIGINT AS chars_per_bpe_e6
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q174_curriculum" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS shuf
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, shuf, doc_id) AS rn,
+        |    count(*) OVER () AS n_tot
+        |  FROM b)
+        |SELECT doc_id, n_chars, rn::BIGINT AS rn,
+        |  ((rn - 1) * 10 // n_tot)::BIGINT AS phase
+        |FROM r ORDER BY rn""".stripMargin
+  )
+}
