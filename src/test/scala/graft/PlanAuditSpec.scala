@@ -918,6 +918,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"q160 regressed to a ScalaUDF:\n$p")
   }
 
+  test("q170 heavy-hitter read joins BROADCAST counters; store-only inputs") {
+    // the read's only inputs are the two bounded store tables: the
+    // candidate×row fan-out joins the ≤4096-row merged counter table,
+    // which must broadcast — an SMJ or cartesian here means the sketch
+    // read started shuffling, and a documents path means it re-scanned
+    // the corpus it exists to avoid
+    val p = plan("q170_cms_store")
+    assert(p.contains("BroadcastHashJoin"), s"q170 lost the broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q170 shuffles the sketch read:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q170 planned a cartesian:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q170's read path touches the corpus:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q170 regressed to a ScalaUDF:\n$p")
+  }
+
+  test("q171 per-batch bottom-k is TakeOrdered, read is store-only") {
+    val p = plan("q171_kmv_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q171 lost the bounded top-k:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"q171's read path touches the corpus:\n$p")
+  }
+
+  test("q172 CDC is two key-partitioned windows + aggregates: no join, no UDF") {
+    val p = plan("q172_cdc_chunks")
+    assert(!p.contains("Join"), s"q172 grew a join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q172 moves the corpus through one partition:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q172 regressed to a ScalaUDF:\n$p")
+  }
+
+  test("q174 curriculum rank never funnels the corpus through one task") {
+    // the whole point of RangedRank here: a global training order at
+    // 100 TB must not single-partition the corpus. The one allowed
+    // SinglePartition is the deliberate 1-ROW total-count aggregate (its
+    // final agg necessarily lands on one partition — of one row); a
+    // Window.orderBy regression would add a second, corpus-sized one.
+    val p = plan("q174_curriculum")
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      s"q174 moves the corpus through one partition:\n$p")
+    // and the rank window stays partitioned by the range-partition id
+    assert(!p.contains("windowspecdefinition(rn"),
+      s"q174 ranks via an unpartitioned window again:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q174 regressed to a ScalaUDF:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
