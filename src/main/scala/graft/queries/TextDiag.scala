@@ -104,6 +104,89 @@ object TextDiag {
       .orderBy(col("lang"))
   }
 
+  // ---- q176: BPE merge learning (tokenizer training) ----
+
+  /** Number of merges learned — enough to exercise re-ranking across
+    * iterations while keeping the generated oracle readable. */
+  private val bpeIters = 8
+
+  /** Learn the top-8 BPE merges from the corpus (Sennrich et al. 2016):
+    * q48/q77 APPLY a merge table; this TRAINS one. The industrial-scale
+    * shape — all iterations run on the WORD-FREQUENCY table, never the
+    * corpus: tokenize once into |vocab| (word, freq) rows (cached), then
+    * each round is a vocab-sized adjacent-pair aggregation, ONE collected
+    * argmax row (cnt desc, pair asc — deterministic), and a
+    * delimiter-safe single-scan replace applying the merge. At 100 TB
+    * the corpus pass happens once; 8 rounds cost 8 × O(|vocab|).
+    *
+    * Merge application is SINGLE-SCAN left-to-right non-overlapping
+    * (both engines' `replace` advance past the matched region in
+    * original coordinates — verified ' a b a b ' → ' ab a b ' on both),
+    * so a same-char run merges once per round rather than to fixpoint;
+    * unmerged repeats simply re-compete in later rounds. The oracle
+    * replays all 8 rounds as GENERATED CTE layers computing their own
+    * argmax — structural SQL, no data baked in. */
+  def bpeLearn(s: SparkSession, dir: String): DataFrame = {
+    val pre = graft.functions.BpeTokenizer.preTokenRegex
+    val wf = Caches.persist(docs(s, dir)
+      .selectExpr(s"explode(regexp_extract_all(coalesce(text, ''), '$pre', 0)) AS w")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // ' a b c ' — leading/trailing delimiters make ' A B ' matching
+      // token-exact (q48's sequence encoding)
+      .withColumn("s", expr("concat(' ', regexp_replace(w, '(.)', '$1 '))")))
+    var seq = wf.select(col("freq"), col("s"))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (i <- 0 until bpeIters) {
+      val best = seq
+        .selectExpr("freq", "split(trim(s), ' ') AS tk")
+        .where("size(tk) >= 2")
+        .selectExpr("freq",
+          "explode(transform(sequence(0, size(tk) - 2)," +
+            " j -> struct(tk[j] AS a, tk[j + 1] AS b))) AS pr")
+        .groupBy(col("pr.a").as("lhs"), col("pr.b").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .head() // ONE row per round — the argmax, nothing corpus-sized
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((i + 1L, a, b, c))
+      // functions.replace with lit() — token text never parses as SQL
+      seq = seq.withColumn("s",
+        replace(col("s"), lit(s" $a $b "), lit(s" $a$b ")))
+    }
+    import s.implicits._
+    merges.result().toDF("rank", "lhs", "rhs", "pair_cnt")
+      .orderBy(col("rank"))
+  }
+
+  private def bpeLearnOracle: String = {
+    val pre = graft.functions.BpeTokenizer.preTokenRegex
+    val layers = (0 until bpeIters).map { i =>
+      s"""p$i AS (SELECT u['a'] AS lhs, u['b'] AS rhs, freq FROM (
+         |  SELECT freq, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |    j -> {'a': tk[j], 'b': tk[j + 1]})) AS u
+         |  FROM (SELECT freq, string_split(trim(s), ' ') AS tk FROM s$i)
+         |  WHERE len(tk) >= 2)),
+         |c$i AS (SELECT lhs, rhs, sum(freq)::BIGINT AS cnt
+         |  FROM p$i GROUP BY lhs, rhs),
+         |b$i AS (SELECT lhs, rhs, cnt FROM c$i
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s${i + 1} AS (SELECT freq, replace(s, ' ' || lhs || ' ' || rhs || ' ',
+         |    ' ' || lhs || rhs || ' ') AS s FROM s$i CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until bpeIters)
+      .map(i => s"SELECT ${i + 1} AS rank, lhs, rhs, cnt FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT w, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(coalesce(text, ''), '$pre')) AS w
+       |    FROM documents) GROUP BY w),
+       |s0 AS (SELECT freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+       |  FROM w0),
+       |$layers,
+       |m AS ($union)
+       |SELECT rank::BIGINT AS rank, lhs, rhs, cnt AS pair_cnt
+       |FROM m ORDER BY rank""".stripMargin
+  }
+
   // ---- q174: curriculum ordering ----
 
   def curriculum(s: SparkSession, dir: String): DataFrame = {
@@ -123,7 +206,11 @@ object TextDiag {
     // rankBy persists its shuffled input (RangedRank's eager-totals
     // trade); the consumer releases it via Caches.releaseAll after the
     // terminal action — the repo's standard protocol.
-    "q174_curriculum" -> ((s, dir) => curriculum(s, dir))
+    "q174_curriculum" -> ((s, dir) => curriculum(s, dir)),
+    // tokenizer TRAINING: the learned 8-merge table (argmax per round
+    // over vocab-sized pair counts). The cached word-freq table is the
+    // consumer-released persist.
+    "q176_bpe_learn" -> ((s, dir) => bpeLearn(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +256,10 @@ object TextDiag {
          |  ((sum(n_bpe) * 1000000) // sum(n_ws))::BIGINT AS fertility_e6,
          |  ((sum(n_chars) * 1000000) // sum(n_bpe))::BIGINT AS chars_per_bpe_e6
          |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    // 8 generated CTE layers, each computing its own argmax and applying
+    // it with the delimiter-safe replace — structural replay, no data
+    // baked into the SQL
+    "q176_bpe_learn" -> bpeLearnOracle,
     "q174_curriculum" ->
       """WITH b AS (SELECT doc_id, n_chars,
         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS shuf
