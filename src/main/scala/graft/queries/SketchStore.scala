@@ -243,6 +243,46 @@ object SketchStore {
   // over the corpus slice) and the q171 lap is the full lifecycle by
   // design, like q145/q154.
 
+  // ---- q177: stratified mergeable sample (bottom-k per language) ----
+
+  private val strataK = 16
+
+  /** 48-bit md5 priority (12 hex chars): q171's device narrowed so the
+    * value stays EXACT inside the top-k aggregator's double score
+    * (2^48 < 2^53). */
+  private val prio48 =
+    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 12), 16, 10) AS bigint)"
+
+  /** The batch's per-language bottom-16 — via the bounded [[graft.plans
+    * .TopKPerKey]] aggregation (map-side partials hold ≤ k rows per
+    * language; never a rank window), negated because the aggregator
+    * keeps maxima. */
+  private def strataPartial(df: DataFrame): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      df.selectExpr("lang", "doc_id", s"-($prio48) AS negp"),
+      "lang", "negp", "doc_id", strataK, "negp")
+      .selectExpr("lang", "doc_id", "cast(-negp AS bigint) AS priority")
+
+  def buildStrata(s: SparkSession, dir: String): Unit =
+    strataPartial(corpusDocs(s, dir))
+      .write.mode("overwrite").parquet(s"${root(dir)}/strata")
+
+  def absorbStrata(s: SparkSession, dir: String): Unit =
+    strataPartial(deltaDocs(s, dir))
+      .write.mode("append").parquet(s"${root(dir)}/strata")
+
+  /** The merged per-language sample from the store alone: re-take the
+    * bottom-16 over the layered bottom-16s (≤ #batches × #langs × k
+    * rows) — exactly the full table's per-language bottom-16, the same
+    * partition argument as [[kmvSample]] applied per stratum. */
+  def strataSample(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(
+      s.read.parquet(s"${root(dir)}/strata")
+        .selectExpr("lang", "doc_id", "-cast(priority AS double) AS negp"),
+      "lang", "negp", "doc_id", strataK, "negp")
+      .selectExpr("lang", "doc_id", "cast(-negp AS bigint) AS priority", "rn")
+      .orderBy(col("lang"), col("rn"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // heavy hitters through the sketch store: build the corpus's 4×1024
     // counters + top-50 candidates, absorb the delta's (counts split
@@ -257,6 +297,12 @@ object SketchStore {
     // bottom-64 exactly.
     "q171_kmv_sample" -> ((s, dir) => {
       buildKmv(s, dir); absorbKmv(s, dir); kmvSample(s, dir)
+    }),
+    // stratified form: per-language bottom-16 through the bounded top-k
+    // aggregation — the uniform-per-stratum inspection sample that a
+    // global bottom-k (q171) skews toward the dominant language.
+    "q177_stratified_sample" -> ((s, dir) => {
+      buildStrata(s, dir); absorbStrata(s, dir); strataSample(s, dir)
     }),
     // the STREAMING lifecycle: corpus builds, the delta streams as two
     // micro-batches each committing counter + candidate layers from
@@ -334,6 +380,17 @@ object SketchStore {
          |    row_number() OVER (ORDER BY est_cnt DESC, word) AS rank
          |  FROM est ORDER BY est_cnt DESC, word LIMIT 20)
          |SELECT rank::BIGINT AS rank, word, est_cnt FROM top ORDER BY rank""".stripMargin,
+    // the full table's per-language bottom-16 by the 48-bit md5 priority
+    "q177_stratified_sample" ->
+      s"""WITH p AS (SELECT lang, doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS priority
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id, priority,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY priority, doc_id) AS rn
+         |  FROM p)
+         |SELECT lang, doc_id, priority, rn::INT AS rn
+         |FROM r WHERE rn <= $strataK ORDER BY lang, rn""".stripMargin,
     // the full table's bottom-64 by the same 60-bit md5 priority
     "q171_kmv_sample" ->
       s"""WITH p AS (SELECT doc_id, lang,
