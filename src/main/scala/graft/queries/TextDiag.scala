@@ -84,6 +84,37 @@ object TextDiag {
         "n_tokens * 1000L div n_chunks AS mean_tok_e3")
       .orderBy(col("lang"))
 
+  /** q178 — CDC boilerplate SCRUB: drop every chunk whose content hash
+    * appears in ≥ 2 documents, reassemble the survivors in chunk order.
+    * The third member of the scrub family: q81 removes duplicated
+    * FIXED-width chunks (cheap, but an insertion re-keys every later
+    * chunk), q167 scrubs every duplicated stride-1 8-token window
+    * (alignment-free, but generates n candidate grams per doc); CDC
+    * chunks re-synchronize after edits like q167 while generating ~n/8
+    * candidates like q81 — the middle of the cost/recall frontier.
+    * Same plan skeleton as q81: chunk fingerprint df-aggregation, an
+    * anti-join keeping singleton chunks, order-preserving reassembly. */
+  def cdcScrub(s: SparkSession, dir: String): DataFrame = {
+    val ch = Caches.persist(cdcChunks(s, dir)
+      .withColumn("fp", expr("md5(chunk)")))
+    val dup = ch.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2)
+      .select(col("fp"))
+    val kept = ch.join(dup, Seq("fp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tok")).as("n_kept"),
+        collect_list(struct(col("chunk_id"), col("chunk"))).as("cs"))
+      .selectExpr("doc_id", "n_kept",
+        "array_join(transform(array_sort(cs), x -> x.chunk), ' ') AS clean_text")
+    ch.groupBy(col("doc_id")).agg(sum(col("n_tok")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens",
+        "cast(n_tokens - coalesce(n_kept, 0L) AS bigint) AS n_scrubbed",
+        "coalesce(clean_text, '') AS clean_text")
+      .orderBy(col("doc_id"))
+  }
+
   // ---- q173: tokenizer fertility ----
 
   def fertility(s: SparkSession, dir: String): DataFrame = {
@@ -202,6 +233,7 @@ object TextDiag {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_cdc_chunks" -> ((s, dir) => cdcReport(s, dir)),
+    "q178_cdc_scrub" -> ((s, dir) => cdcScrub(s, dir)),
     "q173_fertility" -> ((s, dir) => fertility(s, dir)),
     // rankBy persists its shuffled input (RangedRank's eager-totals
     // trade); the consumer releases it via Caches.releaseAll after the
@@ -213,37 +245,63 @@ object TextDiag {
     "q176_bpe_learn" -> ((s, dir) => bpeLearn(s, dir))
   )
 
+  /** The CDC chunking chain (tokenize → cut flags → strict-prefix chunk
+    * ids → reassembled chunks), shared verbatim by q172 and q178 —
+    * extracted so the scrub's oracle PROVES it reads the same chunks the
+    * report counts. NOT margin-stripped here: the consuming templates
+    * interpolate it and stripMargin once over the whole SQL (stripping
+    * twice would eat one pipe of the `||` concat continuations). */
+  private lazy val cdcCtes: String =
+    s"""t AS (SELECT doc_id, lang, u['pos'] AS pos, u['w'] AS w FROM (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(generate_series(1, len(tk)),
+       |      i -> {'pos': i - 1, 'w': tk[i]})) AS u
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents))),
+       |f AS (SELECT doc_id, lang, pos, w,
+       |    lag(w, 3) OVER win AS w3, lag(w, 2) OVER win AS w2,
+       |    lag(w, 1) OVER win AS w1
+       |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |g AS (SELECT doc_id, lang, pos, w,
+       |    CASE WHEN pos >= 3 AND ('0x' || substr(md5(w3 || ' ' || w2 || ' '
+       |      || w1 || ' ' || w), 1, 8))::BIGINT % $cdcDiv = 0
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM f),
+       |c AS (SELECT doc_id, lang, pos, w,
+       |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |  FROM g),
+       |ch AS (SELECT doc_id, lang, chunk_id,
+       |    string_agg(w, ' ' ORDER BY pos) AS chunk, count(*)::BIGINT AS n_tok
+       |  FROM c GROUP BY doc_id, lang, chunk_id)"""
+
   val oracles: Map[String, String] = Map(
     // the same trailing-4-gram cut rule, strict-prefix cut count, and
     // position-ordered chunk reassembly
     "q172_cdc_chunks" ->
-      s"""WITH t AS (SELECT doc_id, lang, u['pos'] AS pos, u['w'] AS w FROM (
-         |  SELECT doc_id, lang,
-         |    unnest(list_transform(generate_series(1, len(tk)),
-         |      i -> {'pos': i - 1, 'w': tk[i]})) AS u
-         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents))),
-         |f AS (SELECT doc_id, lang, pos, w,
-         |    lag(w, 3) OVER win AS w3, lag(w, 2) OVER win AS w2,
-         |    lag(w, 1) OVER win AS w1
-         |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-         |g AS (SELECT doc_id, lang, pos, w,
-         |    CASE WHEN pos >= 3 AND ('0x' || substr(md5(w3 || ' ' || w2 || ' '
-         |      || w1 || ' ' || w), 1, 8))::BIGINT % $cdcDiv = 0
-         |      THEN 1 ELSE 0 END AS cut
-         |  FROM f),
-         |c AS (SELECT doc_id, lang, pos, w,
-         |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
-         |  FROM g),
-         |ch AS (SELECT doc_id, lang, chunk_id,
-         |    string_agg(w, ' ' ORDER BY pos) AS chunk, count(*)::BIGINT AS n_tok
-         |  FROM c GROUP BY doc_id, lang, chunk_id)
+      s"""WITH $cdcCtes
          |SELECT lang, count(*)::BIGINT AS n_chunks,
          |  count(DISTINCT md5(chunk))::BIGINT AS n_distinct,
          |  ((count(*) - count(DISTINCT md5(chunk))) * 1000000
          |    // count(*))::BIGINT AS dup_frac_e6,
          |  (sum(n_tok) * 1000 // count(*))::BIGINT AS mean_tok_e3
          |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+    // q172's chunk chain VERBATIM, then the df >= 2 drop rule and the
+    // chunk-order reassembly
+    "q178_cdc_scrub" ->
+      s"""WITH $cdcCtes,
+         |dupfp AS (SELECT md5(chunk) AS fp FROM ch
+         |  GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT doc_id, chunk_id, chunk, n_tok FROM ch
+         |  WHERE md5(chunk) NOT IN (SELECT fp FROM dupfp)),
+         |k AS (SELECT doc_id, sum(n_tok)::BIGINT AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, sum(n_tok)::BIGINT AS n_tokens
+         |  FROM ch GROUP BY doc_id)
+         |SELECT t.doc_id, n_tokens,
+         |  (n_tokens - coalesce(n_kept, 0))::BIGINT AS n_scrubbed,
+         |  coalesce(clean_text, '') AS clean_text
+         |FROM tot t LEFT JOIN k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // q48's merge-chain CTEs joined back to documents for lang
     "q173_fertility" ->
       s"""WITH RECURSIVE ${TextPipeline.duckBpeCtes},
