@@ -84,8 +84,12 @@ object QualityModel {
     * is loud under ANSI on a missing key — impossible here by
     * construction (the model is trained over the identical frame), and
     * a silent 0 would mask a model/corpus mismatch. */
-  private def bigramGate(s: SparkSession, dir: String): DataFrame = {
-    val m = typedlit(bigramModel(s, dir))
+  private def bigramGate(s: SparkSession, dir: String): DataFrame =
+    bigramGate(s, dir, bigramModel(s, dir))
+
+  private def bigramGate(s: SparkSession, dir: String,
+      model: Map[String, Long]): DataFrame = {
+    val m = typedlit(model)
     val scored = Caches.persist(plantedNorm(s, dir)
       .withColumn("m", m)
       .selectExpr("doc_id",
@@ -100,6 +104,69 @@ object QualityModel {
         "cast(doc_id % 37 = 0 AS int) AS is_planted")
       .orderBy(col("doc_id"))
   }
+
+  // ---- q179: the gate's model as a PERSISTED MERGEABLE STORE ----
+  // q159 retrains per lap; production trains the bigram table once and
+  // advances it per batch. Counts merge by addition (VocabStore's
+  // algebra over a 729-cell key space), so the store is ≤ 729 rows per
+  // layer and the absorbed store's merged model EQUALS the full-corpus
+  // train — which is exactly what lets q179 share q159's oracle
+  // verbatim: gate-from-store must reproduce gate-from-scratch.
+
+  private def lmRoot(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_lm_store_${Tables.dirHash(dir)}"
+
+  private def lmCorpus(s: SparkSession, dir: String): DataFrame =
+    plantedNorm(s, dir).where("doc_id % 10 < 7")
+
+  private def lmDelta(s: SparkSession, dir: String): DataFrame =
+    plantedNorm(s, dir).where("doc_id % 10 >= 7")
+
+  private def lmPartials(df: DataFrame): DataFrame =
+    df.selectExpr(
+        "explode(transform(sequence(1, length(nt) - 1), i -> substring(nt, i, 2))) AS bg")
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+
+  private def lmFingerprint(s: SparkSession, dir: String): String = {
+    val r = lmCorpus(s, dir)
+      .selectExpr("cast(conv(substring(md5(nt), 1, 8), 16, 10) AS bigint) AS h")
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+      .head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  private def writeLmMeta(s: SparkSession, v: String, dir: String): Unit = {
+    import s.implicits._
+    Seq(v).toDF("fp").coalesce(1)
+      .write.mode("overwrite").parquet(s"${lmRoot(dir)}/meta")
+  }
+
+  def buildLm(s: SparkSession, dir: String): Unit = {
+    lmPartials(lmCorpus(s, dir))
+      .coalesce(1).write.mode("overwrite").parquet(s"${lmRoot(dir)}/counts")
+    writeLmMeta(s, lmFingerprint(s, dir), dir)
+  }
+
+  def isLmCurrent(s: SparkSession, dir: String): Boolean =
+    try s.read.parquet(s"${lmRoot(dir)}/meta").head().getString(0) ==
+      lmFingerprint(s, dir)
+    catch { case _: Exception => false }
+
+  def buildLmIfStale(s: SparkSession, dir: String): Unit =
+    if (!isLmCurrent(s, dir)) buildLm(s, dir)
+
+  def absorbLm(s: SparkSession, dir: String): Unit = {
+    writeLmMeta(s, "absorbed", dir)
+    lmPartials(lmDelta(s, dir))
+      .coalesce(1).write.mode("append").parquet(s"${lmRoot(dir)}/counts")
+  }
+
+  /** The merged model from the store alone — ≤ #batches × 729 rows in,
+    * ≤ 729 out; the same bounded-collect class as the live train. */
+  private[graft] def storedLmModel(s: SparkSession, dir: String): Map[String, Long] =
+    s.read.parquet(s"${lmRoot(dir)}/counts")
+      .groupBy(col("bg")).agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** q160: 6 leading sign bits partition the embedding space into 64
     * strata; within each, rank by (quality desc, doc_id) and keep the
@@ -122,14 +189,21 @@ object QualityModel {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_bigram_lm_gate" -> ((s, dir) => bigramGate(s, dir)),
+    // the model STORE lifecycle: build the corpus slice's 729-cell
+    // partials, absorb the delta's, gate from the merged store — must
+    // reproduce q159's from-scratch gate exactly (oracle verbatim)
+    "q179_lm_store" -> ((s, dir) => {
+      buildLmIfStale(s, dir); absorbLm(s, dir)
+      bigramGate(s, dir, storedLmModel(s, dir))
+    }),
     "q160_diversity_sample" -> ((s, dir) => diversitySample(s, dir))
   )
 
-  val oracles: Map[String, String] = Map(
-    // the full lifecycle from scratch: plant, normalize, train, score,
-    // gate — every value an exact integer, both engines walk the same
-    // fixed-point arithmetic
-    "q159_bigram_lm_gate" ->
+  // the full lifecycle from scratch: plant, normalize, train, score,
+  // gate — every value an exact integer, both engines walk the same
+  // fixed-point arithmetic. Shared VERBATIM by q179: the store-served
+  // gate must land on the from-scratch recompute.
+  private lazy val bigramGateOracle: String =
       s"""WITH p AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 37 = 0
@@ -152,7 +226,11 @@ object QualityModel {
          |  (CASE WHEN s.score_e6 * 2 < g.mean_e6 THEN 1 ELSE 0 END)::INT
          |    AS is_flagged,
          |  (CASE WHEN s.doc_id % 37 = 0 THEN 1 ELSE 0 END)::INT AS is_planted
-         |FROM score s, g ORDER BY s.doc_id""".stripMargin,
+         |FROM score s, g ORDER BY s.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q159_bigram_lm_gate" -> bigramGateOracle,
+    "q179_lm_store" -> bigramGateOracle,
 
     // q141's sign-bit device widened to 6 bits (DuckDB arrays are
     // 1-based: embedding[1..6] here == Spark's embedding[0..5]),

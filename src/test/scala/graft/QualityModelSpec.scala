@@ -31,6 +31,23 @@ class QualityModelSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0), "a score fell to zero")
   }
 
+  test("q179: the absorbed LM store serves the exact from-scratch gate") {
+    // the oracle proves value identity; this pins WHY it holds — the
+    // merged 729-cell store model IS the full-corpus model, cell for
+    // cell (additive merge over the batch partition), so flags and the
+    // planted/organic separation carry over unchanged
+    val live = graft.queries.Caches.scoped(
+      SparkEntry.queries("q159_bigram_lm_gate")(spark, sf).collect().toSeq)
+    val stored = graft.queries.Caches.scoped(
+      SparkEntry.queries("q179_lm_store")(spark, sf).collect().toSeq)
+    assert(stored.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) ==
+      live.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))),
+      "store-served gate diverged from the from-scratch gate")
+    val model = graft.queries.QualityModel.storedLmModel(spark, sf)
+    assert(model.nonEmpty && model.size <= 729,
+      s"model size ${model.size} outside the alphabet bound")
+  }
+
   test("q160: every stratum represented, top-3 per stratum, ranks dense") {
     val rows = graft.queries.Caches.scoped(
       SparkEntry.queries("q160_diversity_sample")(spark, sf).collect().toSeq)
