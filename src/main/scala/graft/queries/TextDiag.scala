@@ -46,9 +46,12 @@ object TextDiag {
     * ≈ 8 tokens past the 4-token window. */
   private val cdcDiv = 8L
 
-  private[graft] def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(docs(s, dir))
+
+  private def cdcChunksOf(input: DataFrame): DataFrame = {
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val tok = docs(s, dir)
+    val tok = input
       .selectExpr("doc_id", "lang", "posexplode(split(text, ' ')) AS (pos, w)")
     // cut AFTER a token whose trailing 4-gram hashes to 0 mod 8; the
     // first 3 tokens never cut (no full window yet)
@@ -112,6 +115,78 @@ object TextDiag {
       .selectExpr("doc_id", "n_tokens",
         "cast(n_tokens - coalesce(n_kept, 0L) AS bigint) AS n_scrubbed",
         "coalesce(clean_text, '') AS clean_text")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- q180: incremental CDC chunk store (storage dedup) ----
+
+  /** The store form of the chunk family — the storage-dedup asymmetry:
+    * chunk fingerprints of everything ingested persist once; a new
+    * batch is chunked and judged (what fraction of each document's
+    * chunks is already stored, i.e. dedup-able bytes) by ONE fp
+    * equi-join, then its distinct fingerprints absorb as a layer.
+    * Judge-before-absorb, [[DedupIndex]]'s order. The judge join
+    * shuffles on fp — at 100 TB the store side is corpus-scale, so the
+    * shuffle is the honest cost; a deployment co-buckets the store by
+    * fp so only the O(delta) probe side moves (q57's device). */
+  private def cdcRoot(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_cdc_store_${Tables.dirHash(dir)}"
+
+  private def cdcCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where("doc_id % 10 < 7")
+
+  private def cdcDelta(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).where("doc_id % 10 >= 7")
+
+  private def cdcFps(input: DataFrame): DataFrame =
+    cdcChunksOf(input).selectExpr("md5(chunk) AS fp").distinct()
+
+  private def cdcStoreFingerprint(s: SparkSession, dir: String): String = {
+    val r = cdcCorpus(s, dir)
+      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+      .head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  def buildCdcStore(s: SparkSession, dir: String): Unit = {
+    val path = cdcRoot(dir)
+    cdcFps(cdcCorpus(s, dir)).write.mode("overwrite").parquet(s"$path/fps")
+    import s.implicits._
+    Seq(cdcStoreFingerprint(s, dir)).toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def isCdcStoreCurrent(s: SparkSession, dir: String): Boolean =
+    try s.read.parquet(s"${cdcRoot(dir)}/meta").head().getString(0) ==
+      cdcStoreFingerprint(s, dir)
+    catch { case _: Exception => false }
+
+  def buildCdcStoreIfStale(s: SparkSession, dir: String): Unit =
+    if (!isCdcStoreCurrent(s, dir)) buildCdcStore(s, dir)
+
+  def absorbCdcStore(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    import s.implicits._
+    Seq("absorbed").toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"${cdcRoot(dir)}/meta")
+    cdcFps(batch)
+      .write.mode("append").parquet(s"${cdcRoot(dir)}/fps")
+  }
+
+  /** Judge a batch against the store's committed layers: per document,
+    * total chunks vs chunks whose fingerprint is already stored — the
+    * dedup-able fraction a content-addressed store would not re-write. */
+  def judgeCdc(s: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val stored = s.read.parquet(s"${cdcRoot(dir)}/fps").distinct()
+      .withColumn("known", lit(1L))
+    cdcChunksOf(batch)
+      .selectExpr("doc_id", "md5(chunk) AS fp")
+      .join(stored, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("known"), lit(0L))).as("n_known"))
+      .selectExpr("doc_id", "n_chunks", "n_known",
+        "n_known * 1000000L div n_chunks AS known_frac_e6")
       .orderBy(col("doc_id"))
   }
 
@@ -234,6 +309,15 @@ object TextDiag {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_cdc_chunks" -> ((s, dir) => cdcReport(s, dir)),
     "q178_cdc_scrub" -> ((s, dir) => cdcScrub(s, dir)),
+    // the chunk store's TWO-BATCH lifecycle (q135's shape at chunk
+    // granularity): build the corpus fingerprint set (if stale), absorb
+    // batch 1, judge batch 2 against corpus ∪ batch 1 — dedup-able
+    // fractions a content-addressed store would skip writing
+    "q180_cdc_store" -> ((s, dir) => {
+      buildCdcStoreIfStale(s, dir)
+      absorbCdcStore(s, dir, cdcDelta(s, dir).where("doc_id % 10 < 9"))
+      judgeCdc(s, dir, cdcDelta(s, dir).where("doc_id % 10 = 9"))
+    }),
     "q173_fertility" -> ((s, dir) => fertility(s, dir)),
     // rankBy persists its shuffled input (RangedRank's eager-totals
     // trade); the consumer releases it via Caches.releaseAll after the
@@ -246,33 +330,37 @@ object TextDiag {
   )
 
   /** The CDC chunking chain (tokenize → cut flags → strict-prefix chunk
-    * ids → reassembled chunks), shared verbatim by q172 and q178 —
-    * extracted so the scrub's oracle PROVES it reads the same chunks the
-    * report counts. NOT margin-stripped here: the consuming templates
+    * ids → reassembled chunks), shared verbatim by q172/q178 and — CTE
+    * names suffixed, documents WHERE-sliced — twice by q180, so every
+    * consumer's oracle PROVES it reads the same chunks the report
+    * counts. NOT margin-stripped here: the consuming templates
     * interpolate it and stripMargin once over the whole SQL (stripping
     * twice would eat one pipe of the `||` concat continuations). */
-  private lazy val cdcCtes: String =
-    s"""t AS (SELECT doc_id, lang, u['pos'] AS pos, u['w'] AS w FROM (
+  private def cdcCtesFor(sfx: String, pred: String): String =
+    s"""t$sfx AS (SELECT doc_id, lang, u['pos'] AS pos, u['w'] AS w FROM (
        |  SELECT doc_id, lang,
        |    unnest(list_transform(generate_series(1, len(tk)),
        |      i -> {'pos': i - 1, 'w': tk[i]})) AS u
-       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents))),
-       |f AS (SELECT doc_id, lang, pos, w,
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk
+       |        FROM documents WHERE $pred))),
+       |f$sfx AS (SELECT doc_id, lang, pos, w,
        |    lag(w, 3) OVER win AS w3, lag(w, 2) OVER win AS w2,
        |    lag(w, 1) OVER win AS w1
-       |  FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
-       |g AS (SELECT doc_id, lang, pos, w,
+       |  FROM t$sfx WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |g$sfx AS (SELECT doc_id, lang, pos, w,
        |    CASE WHEN pos >= 3 AND ('0x' || substr(md5(w3 || ' ' || w2 || ' '
        |      || w1 || ' ' || w), 1, 8))::BIGINT % $cdcDiv = 0
        |      THEN 1 ELSE 0 END AS cut
-       |  FROM f),
-       |c AS (SELECT doc_id, lang, pos, w,
+       |  FROM f$sfx),
+       |c$sfx AS (SELECT doc_id, lang, pos, w,
        |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
-       |  FROM g),
-       |ch AS (SELECT doc_id, lang, chunk_id,
+       |  FROM g$sfx),
+       |ch$sfx AS (SELECT doc_id, lang, chunk_id,
        |    string_agg(w, ' ' ORDER BY pos) AS chunk, count(*)::BIGINT AS n_tok
-       |  FROM c GROUP BY doc_id, lang, chunk_id)"""
+       |  FROM c$sfx GROUP BY doc_id, lang, chunk_id)"""
+
+  private lazy val cdcCtes: String = cdcCtesFor("", "TRUE")
 
   val oracles: Map[String, String] = Map(
     // the same trailing-4-gram cut rule, strict-prefix cut count, and
@@ -285,6 +373,21 @@ object TextDiag {
          |    // count(*))::BIGINT AS dup_frac_e6,
          |  (sum(n_tok) * 1000 // count(*))::BIGINT AS mean_tok_e3
          |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+    // the chunk chain twice (suffixed, WHERE-sliced): store = distinct
+    // chunk fps of corpus ∪ batch 1 (doc_id % 10 < 9), judged batch =
+    // the % 10 = 9 slice, the same left-join membership count
+    "q180_cdc_store" ->
+      s"""WITH ${cdcCtesFor("s", "doc_id % 10 < 9")},
+         |${cdcCtesFor("d", "doc_id % 10 = 9")},
+         |sfp AS (SELECT DISTINCT md5(chunk) AS fp FROM chs),
+         |dfp AS (SELECT doc_id, md5(chunk) AS fp FROM chd),
+         |j AS (SELECT d.doc_id, count(*)::BIGINT AS n_chunks,
+         |    sum(CASE WHEN s.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_known
+         |  FROM dfp d LEFT JOIN sfp s ON s.fp = d.fp GROUP BY d.doc_id)
+         |SELECT doc_id, n_chunks, n_known,
+         |  (n_known * 1000000 // n_chunks)::BIGINT AS known_frac_e6
+         |FROM j ORDER BY doc_id""".stripMargin,
     // q172's chunk chain VERBATIM, then the df >= 2 drop rule and the
     // chunk-order reassembly
     "q178_cdc_scrub" ->
