@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * PERSISTED INVERTED-INDEX SEARCH STORE — the retrieval member of the
+ * incremental-store family ([[VocabStore]], [[StatsStore]], [[DedupIndex]]).
+ * q99 proved BM25 needs no index when the query terms are known up front
+ * (two corpus scans, zero shuffles); this store is the complementary
+ * deployment: the corpus is indexed ONCE, new batches absorb in O(delta),
+ * and every later query — any terms — answers from the index alone,
+ * never rescanning 100 TB of text. The layout is the classic positional
+ * inverted index (cf. Lucene's postings + norms, re-expressed as parquet
+ * tables Catalyst can prune):
+ *
+ *  - `postings/` — one row per (term, doc) with tf, the doc's length
+ *    DENORMALIZED in (so the score path needs NO corpus-scale doc-length
+ *    join — dl is known at posting-build time and is immutable), and the
+ *    sorted token-position array that makes phrase queries answerable.
+ *    PARTITIONED BY a 16-way term-hash bucket: a query's terms map to a
+ *    handful of `tb=` directories, so the scan physically skips ~13/16 of
+ *    the index regardless of corpus size (partition pruning — the spec
+ *    pins the PartitionFilters). Within a bucket the `term` equality
+ *    pushes to parquet row-group stats.
+ *  - `stats/` — (n_docs, sum_dl) ADDITIVE partials, one row per batch:
+ *    the corpus-level BM25 normalizer is a constant-size merge, never a
+ *    corpus aggregation at query time.
+ *  - `meta/` — the family's fingerprint bracket (written LAST on build,
+ *    flipped non-pristine by absorb), so a stale or half-built index is
+ *    always detected.
+ *
+ * Merging is UNION: ingest batches partition the corpus by doc, so their
+ * posting sets are disjoint and base ∪ layers IS the full-corpus index —
+ * the absorbed store answers exactly what a from-scratch index would,
+ * which is what lets q181 reuse q99's full-table DuckDB oracle verbatim.
+ *
+ * Scale shape: the build is one exploded scan + one (doc_id, term)-keyed
+ * aggregation (the unavoidable token-scale shuffle, paid once); absorb
+ * pays it only on the delta; the BM25/phrase reads scan only the query
+ * terms' partitions, aggregate a df-bounded frame, and broadcast two
+ * single-row stat tables — no corpus scan, no corpus shuffle (the spec
+ * asserts the read plans never touch documents.parquet).
+ */
+object SearchStore {
+
+  // md5-fragment path keying — see DedupIndex.root.
+  private def root(dir: String, variant: String = ""): String = {
+    val v = if (variant.isEmpty) "" else s"_$variant"
+    s"${sys.props("java.io.tmpdir")}/graft_search_store_${Tables.dirHash(dir)}$v"
+  }
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").where("doc_id % 10 < 7")
+
+  private def deltaDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents").where("doc_id % 10 >= 7")
+
+  private def writeMeta(s: SparkSession, path: String, v: String): Unit = {
+    import s.implicits._
+    Seq(v).toDF("fp").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Corpus-slice content fingerprint (VocabStore's device). */
+  private def fingerprint(s: SparkSession, dir: String): String = {
+    val r = corpusDocs(s, dir)
+      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+      .head()
+    s"${r.getLong(0)}:${r.getLong(1)}"
+  }
+
+  /** Term-hash partition fanout. 16 directories keeps the sandbox file
+    * count sane; at 100 TB the same layout widens to 1-4k buckets so each
+    * stays one task's worth of postings. */
+  private val termBuckets = 16
+
+  /** The batch's postings: (tb, term, doc_id, tf, dl, positions). One
+    * exploded scan, one (doc_id, term)-keyed aggregation — tf and the
+    * sorted position list come out of the same group, dl rides along as
+    * a group constant. Spark's murmur3 `hash` keys the bucket: stable
+    * across sessions (fixed seed 42) and store-internal only, so no
+    * cross-engine contract rests on it. */
+  private[queries] def postings(df: DataFrame): DataFrame =
+    df.selectExpr("doc_id", "cast(size(split(text, ' ')) AS bigint) AS dl",
+        "split(text, ' ') AS w")
+      .select(col("doc_id"), col("dl"), posexplode(col("w")).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"), max(col("dl")).as("dl"))
+      .select(
+        pmod(hash(col("term")), lit(termBuckets)).as("tb"),
+        col("term"), col("doc_id"),
+        size(col("positions")).cast("bigint").as("tf"),
+        col("dl"), col("positions"))
+
+  /** The batch's corpus-stat partial: one (n_docs, sum_dl) row, merged by
+    * addition (doc-disjoint batches). */
+  private def statPartial(df: DataFrame): DataFrame =
+    df.selectExpr("cast(size(split(text, ' ')) AS bigint) AS dl")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  def build(s: SparkSession, dir: String, variant: String = ""): String = {
+    val path = root(dir, variant)
+    postings(corpusDocs(s, dir))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    statPartial(corpusDocs(s, dir))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    writeMeta(s, path, fingerprint(s, dir))
+    path
+  }
+
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
+    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
+      fingerprint(s, dir)
+    catch { case _: Exception => false }
+
+  def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
+    if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
+
+  /** Absorb the delta batch: append its postings under the same `tb=`
+    * directories (new files per partition — union merge, no read-modify-
+    * write) and its one stat row; flip meta non-pristine LAST so a crash
+    * between the appends reads as stale, never as silently current. */
+  def absorb(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    postings(deltaDocs(s, dir))
+      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+    statPartial(deltaDocs(s, dir))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    writeMeta(s, path, "absorbed")
+  }
+
+  /** COMPACT the appended posting layers: per-batch files under each
+    * `tb=` directory fold into one rewrite (rows are already disjoint —
+    * compaction here is file-count hygiene, not a merge), stats fold to
+    * one row. [[VocabStore.compact]]'s staged-rewrite discipline: stage,
+    * flip meta, swap, restore meta, delete staging — a reader at any
+    * point sees either the old layout or the new, both complete. */
+  def compact(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_compact"
+    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    // repartition BY the partition column: every bucket's rows land in one
+    // task, so each tb= dir folds to a single file (without it, each read
+    // task re-writes a sliver into every bucket and the file count never
+    // drops — the whole point of the verb). Parallelism = #buckets.
+    s.read.parquet(s"$path/postings").repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$staging/postings")
+    s.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+    writeMeta(s, path, "compacting")
+    s.read.parquet(s"$staging/postings").repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    s.read.parquet(s"$staging/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    writeMeta(s, path, meta)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  // root is private; the spec reaches the layers through these.
+  private[graft] def statsPath(dir: String, variant: String = ""): String =
+    s"${root(dir, variant)}/stats"
+  private[graft] def postingsPath(dir: String, variant: String = ""): String =
+    s"${root(dir, variant)}/postings"
+
+  /** Delete the meta record so the next buildIfStale rebuilds. */
+  private[graft] def invalidate(s: SparkSession, dir: String,
+      variant: String = ""): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir, variant)}/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** The query terms' bucket literals, resolved through the SAME `hash`
+    * expression the writer used (one LocalTableScan job over |terms|
+    * rows — bounded, driver-side by construction). Literal values are
+    * what lets Catalyst prune `tb=` directories at planning time. */
+  private def bucketsOf(s: SparkSession, terms: Seq[String]): Seq[Int] = {
+    import s.implicits._
+    terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(termBuckets)).as("tb"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+  }
+
+  /** The pruned posting scan for a term set: partition pruning on the
+    * bucket literals + a pushed `term IN` filter inside the surviving
+    * buckets. Everything downstream of this frame is df-bounded. */
+  private def termPostings(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame =
+    s.read.parquet(s"${root(dir)}/postings")
+      .where(col("tb").isin(bucketsOf(s, terms): _*) &&
+        col("term").isin(terms: _*))
+
+  private val bm25Terms = Seq("spark", "merge", "window")
+
+  /** q99's BM25 (k1=1.2, b=0.75, linear N/df idf, exact e4 integer
+    * arithmetic) answered from the STORE ALONE: pruned postings scan →
+    * per-doc tf pivot (dl rides along — no doc-length join) → two
+    * broadcast single-row stat frames (df per term from the pruned scan,
+    * N/Σdl from the additive stats table) → the identical integer score
+    * → global top-10 (TakeOrderedAndProject). The corpus is never
+    * touched. */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val p = Caches.persist(termPostings(s, dir, bm25Terms))
+    val dfCols = bm25Terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"df$i")
+    }
+    val dfs = p.agg(dfCols.head, dfCols.tail: _*)
+    val stats = s.read.parquet(s"${root(dir)}/stats")
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+    val tfCols = bm25Terms.zipWithIndex.map { case (tm, i) =>
+      coalesce(max(when(col("term") === tm, col("tf"))), lit(0L)).as(s"tf$i")
+    } :+ max(col("dl")).as("dl")
+    p.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs))
+      .withColumn("norm_e4",
+        expr("2500 + (7500 * dl * 10000) div (sum_dl * 10000 div n)"))
+      .withColumn("score_e4", expr(bm25Terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN (tf$i * 22000 * n * 10000) div " +
+          s"((tf$i * 10000 + (12 * norm_e4) div 10) * df$i) ELSE 0 END)")
+        .mkString(" + ")))
+      .where(col("score_e4") > 0)
+      .select(col("doc_id"), col("dl"), col("score_e4"))
+      .orderBy(col("score_e4").desc, col("doc_id")).limit(10)
+  }
+
+  /** Positional phrase search — the query class ONLY a positional index
+    * answers without rescanning text: docs where "merge" is immediately
+    * followed by "window", ranked by occurrence count. Both terms'
+    * position lists come out of the same pruned scan; adjacency is
+    * `|{p+1 : p ∈ pos(merge)} ∩ pos(window)|` — positions are distinct
+    * by construction, so the intersection size IS the occurrence count
+    * (overlapping repeats like "merge window merge window" count each
+    * start exactly once per index, matching the oracle's token-wise
+    * scan). */
+  def phrase(s: SparkSession, dir: String, a: String = "merge",
+      b: String = "window"): DataFrame =
+    termPostings(s, dir, Seq(a, b))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(when(col("term") === a, col("positions")), ignoreNulls = true).as("pa"),
+        first(when(col("term") === b, col("positions")), ignoreNulls = true).as("pb"))
+      .where(col("pa").isNotNull && col("pb").isNotNull)
+      .withColumn("phrase_tf",
+        size(array_intersect(expr("transform(pa, x -> x + 1)"), col("pb")))
+          .cast("bigint"))
+      .where(col("phrase_tf") > 0)
+      .select(col("doc_id"), col("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id")).limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // index the corpus slice → absorb the delta's postings → answer BM25
+    // from the index alone; q99's full-table oracle closes the lifecycle
+    // (union-merged postings over a doc-partition == the full index)
+    "q181_bm25_store" -> ((s, dir) => {
+      buildIfStale(s, dir); absorb(s, dir); bm25(s, dir)
+    }),
+    // same lifecycle (independent laps rebuild — absorb flips meta), then
+    // the phrase read over the positional lists
+    "q182_phrase_search" -> ((s, dir) => {
+      buildIfStale(s, dir); absorb(s, dir); phrase(s, dir)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // q99's oracle VERBATIM — the absorbed index must reproduce the
+    // from-scratch full-table BM25 exactly
+    "q181_bm25_store" -> TextPipeline.oracles("q99_bm25_search"),
+    // token-wise adjacency scan over the full table: position i starts
+    // the phrase iff ts[i]='merge' and ts[i+1]='window' (1-based; the
+    // Spark side's 0-based positions cancel out in adjacency)
+    "q182_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(list_filter(generate_series(1, len(ts) - 1),
+        |      i -> ts[i] = 'merge' AND ts[i + 1] = 'window'))::BIGINT AS phrase_tf
+        |  FROM t)
+        |SELECT doc_id, phrase_tf FROM c WHERE phrase_tf > 0
+        |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
+  )
+}
