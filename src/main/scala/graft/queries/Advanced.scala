@@ -458,6 +458,37 @@ object Advanced {
         .select(col("o_orderkey"), col("o_custkey"), col("day_n"), col("avg_30d_cents"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // Blocked EDIT-DISTANCE record linkage — the fuzzy-matching modality
+    // the dedup family still lacked (q25 minhash = set overlap, q27 =
+    // n-gram Jaccard, q32 = simhash bits; none catches a two-letter typo
+    // in a short name). The O(n²) distance matrix is tamed twice:
+    // (1) the join runs on the DISTINCT-NAME DICTIONARY, not rows — the
+    // name-level rollup collapses the corpus to its |names| vocabulary
+    // first (100 TB of parts is still a few thousand distinct names),
+    // with per-name counts carried so row mass is recoverable;
+    // (2) candidate pairs block on the name's final token (the head noun
+    // — the standard blocking-key tradeoff, documented: a typo in the
+    // blocking token itself is missed, which is what q27's sorted-
+    // neighborhood pass covers from the other side). Within a block,
+    // `levenshtein` (codegen'd built-in, same classic DP both engines)
+    // keeps pairs at distance 1-4 — distance 0 is exact duplication,
+    // q20's job. The dictionary is kilobytes, so the self-join
+    // broadcasts; no corpus shuffle exists anywhere in the plan.
+    "q184_fuzzy_linkage" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n"))
+        .select(col("p_name").as("name"), col("n"),
+          element_at(split(col("p_name"), " "), -1).as("blk"))
+      val a = names.select(col("name").as("name_a"), col("n").as("n_a"), col("blk"))
+      val b = names.select(col("name").as("name_b"), col("n").as("n_b"), col("blk"))
+      a.join(broadcast(b), "blk")
+        .where(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+        .where(col("dist").between(1, 4))
+        .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -712,5 +743,18 @@ object Advanced {
         |  date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate)
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same dictionary rollup, same final-token block, same classic
+    // Levenshtein DP (both engines implement the textbook distance)
+    "q184_fuzzy_linkage" ->
+      """WITH names AS (SELECT p_name AS name, count(*)::BIGINT AS n,
+        |    string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name)::BIGINT AS dist,
+        |  a.n AS n_a, b.n AS n_b
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 4
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }

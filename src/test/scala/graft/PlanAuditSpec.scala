@@ -964,6 +964,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"q174 regressed to a ScalaUDF:\n$p")
   }
 
+  test("q184 fuzzy linkage joins the broadcast dictionary, never a cartesian") {
+    val p = plan("q184_fuzzy_linkage")
+    assert(p.contains("BroadcastHashJoin"), s"q184 dictionary join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q184 planned a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q184 planned a nested loop:\n$p")
+    assert(!p.contains("ScalaUDF"), s"q184 regressed to a ScalaUDF:\n$p")
+  }
+
+  test("q181/q182 search-store reads prune term buckets (tb partition filter)") {
+    // lifecycle queries: run build+absorb once, then pin the read plans
+    graft.queries.SearchStore.invalidate(spark, sf)
+    graft.queries.SearchStore.buildIfStale(spark, sf)
+    graft.queries.SearchStore.absorb(spark, sf)
+    for (df <- Seq(graft.queries.SearchStore.bm25(spark, sf),
+        graft.queries.SearchStore.phrase(spark, sf))) {
+      val p = graft.queries.Caches.scoped(df.queryExecution.executedPlan.toString)
+      assert("""PartitionFilters: \[[^\]]*tb""".r.findFirstIn(p).isDefined, p)
+      assert(p.contains("TakeOrderedAndProject"), s"top-k lost its heap plan:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
