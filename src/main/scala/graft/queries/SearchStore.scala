@@ -95,7 +95,7 @@ object SearchStore {
 
   /** The batch's corpus-stat partial: one (n_docs, sum_dl) row, merged by
     * addition (doc-disjoint batches). */
-  private def statPartial(df: DataFrame): DataFrame =
+  private[queries] def statPartial(df: DataFrame): DataFrame =
     df.selectExpr("cast(size(split(text, ' ')) AS bigint) AS dl")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
@@ -117,15 +117,23 @@ object SearchStore {
   def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
     if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
 
-  /** Absorb the delta batch: append its postings under the same `tb=`
+  /** Absorb a delta batch: append its postings under the same `tb=`
     * directories (new files per partition — union merge, no read-modify-
     * write) and its one stat row; flip meta non-pristine LAST so a crash
     * between the appends reads as stale, never as silently current. */
-  def absorb(s: SparkSession, dir: String, variant: String = ""): Unit = {
+  def absorb(s: SparkSession, dir: String, variant: String = ""): Unit =
+    absorbFrame(s, deltaDocs(s, dir), dir, variant)
+
+  /** The frame-explicit absorb — a streaming ingest (q186) delivers the
+    * delta one micro-batch at a time; postings/stats partials over any
+    * doc-partition of the delta union/sum to the one-shot absorb
+    * exactly. */
+  def absorbFrame(s: SparkSession, batch: DataFrame, dir: String,
+      variant: String = ""): Unit = {
     val path = root(dir, variant)
-    postings(deltaDocs(s, dir))
+    postings(batch)
       .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    statPartial(deltaDocs(s, dir))
+    statPartial(batch)
       .coalesce(1).write.mode("append").parquet(s"$path/stats")
     writeMeta(s, path, "absorbed")
   }
@@ -177,23 +185,27 @@ object SearchStore {
     * expression the writer used (one LocalTableScan job over |terms|
     * rows — bounded, driver-side by construction). Literal values are
     * what lets Catalyst prune `tb=` directories at planning time. */
-  private def bucketsOf(s: SparkSession, terms: Seq[String]): Seq[Int] = {
+  private[queries] def bucketsOf(s: SparkSession, terms: Seq[String]): Seq[Int] = {
     import s.implicits._
     terms.toDF("term")
       .select(pmod(hash(col("term")), lit(termBuckets)).as("tb"))
       .collect().map(_.getInt(0)).distinct.toSeq
   }
 
-  /** The pruned posting scan for a term set: partition pruning on the
-    * bucket literals + a pushed `term IN` filter inside the surviving
-    * buckets. Everything downstream of this frame is df-bounded. */
+  /** The term-set filter: bucket literals (partition pruning on the
+    * base's `tb=` dirs; an ordinary pushed predicate on unpartitioned
+    * transaction layers) + the `term IN` inside surviving buckets. */
+  private[queries] def termFilter(s: SparkSession,
+      terms: Seq[String]): org.apache.spark.sql.Column =
+    col("tb").isin(bucketsOf(s, terms): _*) && col("term").isin(terms: _*)
+
+  /** The pruned posting scan for a term set. Everything downstream of
+    * this frame is df-bounded. */
   private def termPostings(s: SparkSession, dir: String,
       terms: Seq[String]): DataFrame =
-    s.read.parquet(s"${root(dir)}/postings")
-      .where(col("tb").isin(bucketsOf(s, terms): _*) &&
-        col("term").isin(terms: _*))
+    s.read.parquet(s"${root(dir)}/postings").where(termFilter(s, terms))
 
-  private val bm25Terms = Seq("spark", "merge", "window")
+  private[queries] val bm25Terms = Seq("spark", "merge", "window")
 
   /** q99's BM25 (k1=1.2, b=0.75, linear N/df idf, exact e4 integer
     * arithmetic) answered from the STORE ALONE: pruned postings scan →
@@ -202,13 +214,21 @@ object SearchStore {
     * N/Σdl from the additive stats table) → the identical integer score
     * → global top-10 (TakeOrderedAndProject). The corpus is never
     * touched. */
-  def bm25(s: SparkSession, dir: String): DataFrame = {
-    val p = Caches.persist(termPostings(s, dir, bm25Terms))
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Of(termPostings(s, dir, bm25Terms),
+      s.read.parquet(s"${root(dir)}/stats"))
+
+  /** The BM25 read over EXPLICIT frames — [[bm25]] passes the single-
+    * store pruned scan; [[StoreTxn]] passes base ∪ committed transaction
+    * layers (the q155/q163 device). `tp` must already be filtered to
+    * [[bm25Terms]]; `statsDf` is the raw additive partials. */
+  private[queries] def bm25Of(tp: DataFrame, statsDf: DataFrame): DataFrame = {
+    val p = Caches.persist(tp)
     val dfCols = bm25Terms.zipWithIndex.map { case (tm, i) =>
       sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"df$i")
     }
     val dfs = p.agg(dfCols.head, dfCols.tail: _*)
-    val stats = s.read.parquet(s"${root(dir)}/stats")
+    val stats = statsDf
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sum_dl"))
     val tfCols = bm25Terms.zipWithIndex.map { case (tm, i) =>
       coalesce(max(when(col("term") === tm, col("tf"))), lit(0L)).as(s"tf$i")

@@ -88,6 +88,7 @@ object StoreTxn {
       GraphStore.invalidate(s, dir, variant)
       EmbedIndex.invalidate(s, dir, variant)
       AnnTxStore.invalidate(s, dir)
+      SearchStore.invalidate(s, dir, variant)
     }
   }
 
@@ -211,6 +212,32 @@ object StoreTxn {
     layered(s, dir, s"${AnnTxStore.root(dir)}/buckets",
       id => s"${root(dir)}/t$id/ann/buckets")
 
+  /** The search index's pruned postings over the transactional state.
+    * NOT [[layered]]: the base is hive-partitioned on `tb=` while the
+    * transaction layers keep tb as an ordinary column (a multi-root
+    * read mixing the two layouts trips partition discovery), so the
+    * base prunes directories and each small layer takes the same
+    * predicate as a pushed filter, then the frames union. */
+  private def allSearchPostingsTx(s: SparkSession, dir: String): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val cols = Seq("tb", "term", "doc_id", "tf", "dl", "positions")
+    val frames =
+      s.read.parquet(SearchStore.postingsPath(dir, variant)) +:
+        existingLayers(s, dir, id => s"${root(dir)}/t$id/search/postings")
+          .map(p => s.read.parquet(p))
+    frames.map(_.select(cols.map(col): _*)).reduce(_.unionByName(_))
+  }
+
+  private def searchPostingsTx(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame =
+    // the predicate pushes through the union to every leg (partition
+    // pruning on the hive-layout base, a pushed filter on the layers)
+    allSearchPostingsTx(s, dir).where(SearchStore.termFilter(s, terms))
+
+  private def searchStatsTx(s: SparkSession, dir: String): DataFrame =
+    layered(s, dir, SearchStore.statsPath(dir, variant),
+      id => s"${root(dir)}/t$id/search/stats")
+
   /** The tick-i BATCH ingest absorb — the non-streaming equivalent of
     * one q166 micro-batch (tick 1 = embed batch 1 + the o%10 ∈ {7,8}
     * order tranche's pairs; tick 2 = embed batch 2 + o%10 = 9). The
@@ -279,6 +306,18 @@ object StoreTxn {
       fs.delete(p, true)
       fs.delete(foldedFlag(dir), true)
       AnnTxStore.build(s, dir)
+    }
+  }
+
+  /** The generation rule for the inverted-index base (q185) — its own
+    * verb so only the search transaction pays the staleness probe. */
+  def ensureSearchBase(s: SparkSession, dir: String): Unit = {
+    if (!SearchStore.isCurrent(s, dir, variant)) {
+      val p = new org.apache.hadoop.fs.Path(root(dir))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(foldedFlag(dir), true)
+      SearchStore.build(s, dir, variant)
     }
   }
 
@@ -468,6 +507,36 @@ object StoreTxn {
     id
   }
 
+  /** Stage a document tranche's search-index increment: its postings
+    * (tb kept as an ordinary column — see [[searchPostingsTx]]) and its
+    * one additive stat row, both invisible until [[commit]]. Overwrite
+    * mode: a crashed-stage retry replaces the partial layer. */
+  def stageSearch(s: SparkSession, dir: String, batch: DataFrame,
+      id: Long): Unit = {
+    val t = s"${root(dir)}/t$id"
+    SearchStore.postings(batch)
+      .write.mode("overwrite").parquet(s"$t/search/postings")
+    SearchStore.statPartial(batch)
+      .coalesce(1).write.mode("overwrite").parquet(s"$t/search/stats")
+  }
+
+  /** The atomic search absorb: one tranche's postings + stat partial
+    * land under one commit row. Doc-disjoint tranches union to the
+    * one-shot index exactly, so the committed read serves q99's
+    * full-table oracle verbatim. */
+  def absorbSearch(s: SparkSession, dir: String, batch: DataFrame): Long = {
+    val id = nextTxnId(s, dir)
+    stageSearch(s, dir, batch, id)
+    commit(s, dir, id)
+    id
+  }
+
+  /** q99's BM25 off the TRANSACTIONAL index — base ∪ committed layers
+    * through [[SearchStore.bm25Of]]. */
+  def bm25Tx(s: SparkSession, dir: String): DataFrame =
+    SearchStore.bm25Of(searchPostingsTx(s, dir, SearchStore.bm25Terms),
+      searchStatsTx(s, dir))
+
   // ---- checkpoint: fold committed layers into the base ----
 
   /** Stage the merged (base ∪ committed layers) copy of every table,
@@ -477,21 +546,27 @@ object StoreTxn {
     * state — nothing is mutated until the marker is up. */
   private[graft] def checkpointStage(s: SparkSession, dir: String): Unit = {
     val staging = s"${root(dir)}/staging_ckpt"
-    dedupTable(s, dir, "exact")
-      .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/exact")
-    dedupTable(s, dir, "shingles")
-      .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/shingles")
-    dedupTable(s, dir, "bands")
-      .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/bands")
-    statsPartials(s, dir)
-      .groupBy(col("lang"), col("source"))
-      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
-        sum(col("s2")).as("s2"), min(col("mn")).as("mn"),
-        max(col("mx")).as("mx"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats/partials")
-    vocabPartials(s, dir)
-      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/vocab/partials")
+    // the text trio folds by the same participation test as the other
+    // tiers (a search- or ingest-only session never built these bases —
+    // and by the stage-before-commit bracket has no committed text
+    // layers to lose either)
+    if (hasTextBases(s, dir)) {
+      dedupTable(s, dir, "exact")
+        .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/exact")
+      dedupTable(s, dir, "shingles")
+        .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/shingles")
+      dedupTable(s, dir, "bands")
+        .coalesce(4).write.mode("overwrite").parquet(s"$staging/dedup/bands")
+      statsPartials(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+          sum(col("s2")).as("s2"), min(col("mn")).as("mn"),
+          max(col("mx")).as("mx"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats/partials")
+      vocabPartials(s, dir)
+        .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/vocab/partials")
+    }
     // the ingest pair folds too — without this, dropping t<id> dirs at
     // publish would silently delete committed graph/embed layers. A
     // session that never ran ensureIngestBases has no ingest bases (and
@@ -509,6 +584,16 @@ object StoreTxn {
       annBucketsTx(s, dir)
         .coalesce(4).write.mode("overwrite").parquet(s"$staging/ann/buckets")
     }
+    // ... and the search tier: postings union-fold (plain layout in
+    // staging; the publish re-partitions into the base's tb= dirs),
+    // stats fold to one additive row
+    if (hasSearchBase(s, dir)) {
+      allSearchPostingsTx(s, dir)
+        .coalesce(4).write.mode("overwrite").parquet(s"$staging/search/postings")
+      searchStatsTx(s, dir)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/search/stats")
+    }
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
   }
@@ -525,6 +610,21 @@ object StoreTxn {
   private def hasAnnBase(s: SparkSession, dir: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(s"${AnnTxStore.root(dir)}/buckets")
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  private def hasSearchBase(s: SparkSession, dir: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(SearchStore.postingsPath(dir, variant))
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  private def hasTextBases(s: SparkSession, dir: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(s"${DedupIndex.root(dir, variant)}/exact",
+        s"${StatsStore.root(dir, variant)}/partials",
+        VocabStore.partialsPath(dir, variant)).forall { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
   }
 
   /** CHECKPOINT the commit log: fold every committed layer into a new
@@ -569,15 +669,20 @@ object StoreTxn {
               "truncated; fix the IO error and re-run checkpoint (redo is " +
               "idempotent)", e)
         }
-    for (t <- Seq("exact", "shingles", "bands"))
-      s.read.parquet(s"$staging/dedup/$t")
-        .write.mode("overwrite").parquet(s"${DedupIndex.root(dir, variant)}/$t")
-    s.read.parquet(s"$staging/stats/partials")
-      .write.mode("overwrite")
-      .parquet(s"${StatsStore.root(dir, variant)}/partials")
-    s.read.parquet(s"$staging/vocab/partials")
-      .write.mode("overwrite")
-      .parquet(VocabStore.partialsPath(dir, variant))
+    // staged text copies exist iff the stage saw the text bases — the
+    // participation test, applied to the redo side like graph/ann below
+    val stagedDedup = new org.apache.hadoop.fs.Path(s"$staging/dedup/exact")
+    if (fs.exists(stagedDedup)) {
+      for (t <- Seq("exact", "shingles", "bands"))
+        s.read.parquet(s"$staging/dedup/$t")
+          .write.mode("overwrite").parquet(s"${DedupIndex.root(dir, variant)}/$t")
+      s.read.parquet(s"$staging/stats/partials")
+        .write.mode("overwrite")
+        .parquet(s"${StatsStore.root(dir, variant)}/partials")
+      s.read.parquet(s"$staging/vocab/partials")
+        .write.mode("overwrite")
+        .parquet(VocabStore.partialsPath(dir, variant))
+    }
     // staged ingest copies exist iff the stage saw ingest bases — the
     // same participation test, applied to the redo side
     val stagedGraph = new org.apache.hadoop.fs.Path(s"$staging/graph/edges")
@@ -594,6 +699,15 @@ object StoreTxn {
       s.read.parquet(stagedAnn.toString)
         .write.mode("overwrite")
         .parquet(s"${AnnTxStore.root(dir)}/buckets")
+    }
+    val stagedSearch = new org.apache.hadoop.fs.Path(s"$staging/search/postings")
+    if (fs.exists(stagedSearch)) {
+      s.read.parquet(stagedSearch.toString).repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(SearchStore.postingsPath(dir, variant))
+      s.read.parquet(s"$staging/search/stats")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(SearchStore.statsPath(dir, variant))
     }
     import s.implicits._
     Seq.empty[Long].toDF("txn")
@@ -924,6 +1038,22 @@ object StoreTxn {
       absorbIngestTick(s, dir, 2, withAnn = true)
       annTopKTx(s, dir)
     }),
+    // TRANSACTIONAL INVERTED INDEX: the q181 search store's increments
+    // as commit-log layers — two doc tranches land as two transactions,
+    // then BM25 reads base ∪ committed postings. A crash between a
+    // tranche's postings write and its stats write can no longer skew
+    // the ranker (a half-landed batch would shift every score through
+    // N/Σdl while its postings are missing); q99's full-table oracle
+    // closes the lifecycle because doc-disjoint union layers ARE the
+    // one-shot index.
+    "q185_tx_search" -> ((s, dir) => {
+      reset(s, dir)
+      ensureSearchBase(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      absorbSearch(s, dir, docs.where("doc_id % 10 IN (7, 8)"))
+      absorbSearch(s, dir, docs.where("doc_id % 10 = 9"))
+      bm25Tx(s, dir)
+    }),
     // VACUUM LIFECYCLE: commit batch 1, stage batch 2 and ABANDON it
     // (the crashed-absorb-whose-retry-never-came shape — uncommitted
     // staging is invisible but otherwise immortal), vacuum reclaims
@@ -983,6 +1113,9 @@ object StoreTxn {
   // q135's two-batch CTE chain with the batch-2 keeper fold and the
   // per-group dashboard aggregate.
   val oracles: Map[String, String] = Map(
+    // q99's oracle VERBATIM — the committed transactional index must
+    // rank exactly like a from-scratch full-table BM25
+    "q185_tx_search" -> TextPipeline.oracles("q99_bm25_search"),
     "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
     "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
     "q156_tx_stats_asof" -> StatsStore.oracles("q148_stats_asof"),

@@ -381,6 +381,42 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q185 search tier: uncommitted postings invisible; commit shifts every score") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureSearchBase(spark, sf)
+    def ranks: Seq[String] = Caches.scoped(
+      StoreTxn.bm25Tx(spark, sf).collect().toSeq.map(_.toString))
+    val baseRanks = ranks
+
+    // stage tranche 1 but crash before the commit row: the ranker must
+    // still serve the base index — postings AND the N/Σdl normalizer
+    val docs = Tables.t(spark, sf, "documents")
+    StoreTxn.stageSearch(spark, sf, docs.where("doc_id % 10 IN (7, 8)"), 0L)
+    assert(ranks == baseRanks, "BM25 saw uncommitted postings or stats")
+
+    StoreTxn.commit(spark, sf, 0L)
+    val committed = ranks
+    assert(committed != baseRanks, "commit did not surface the search layer")
+
+    // after the second tranche the transactional index must equal the
+    // plain single-store full lifecycle (q181's absorbed state)
+    StoreTxn.absorbSearch(spark, sf, docs.where("doc_id % 10 = 9"))
+    val txFull = ranks
+    graft.queries.SearchStore.invalidate(spark, sf)
+    graft.queries.SearchStore.buildIfStale(spark, sf)
+    graft.queries.SearchStore.absorb(spark, sf)
+    val plain = Caches.scoped(
+      graft.queries.SearchStore.bm25(spark, sf).collect().toSeq.map(_.toString))
+    assert(txFull == plain,
+      "transactional index diverged from the single-store lifecycle")
+
+    // checkpoint folds the postings layers into the tb-partitioned base
+    // and must be invisible to the ranker
+    StoreTxn.checkpoint(spark, sf)
+    assert(ranks == txFull, "checkpoint fold changed the BM25 ranking")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
