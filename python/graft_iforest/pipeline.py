@@ -50,6 +50,13 @@ __all__ = [
     "build_embed_index_if_stale", "embed_delta_verdicts", "embed_batch1",
     "embed_batch2", "embed_judge", "absorb_embed_batch",
     "compact_embed_index",
+    # inverted-index search store
+    "build_search_store_if_stale", "absorb_search_delta", "search_bm25",
+    "search_phrase", "compact_search_store", "tx_ensure_search_base",
+    "tx_absorb_search", "tx_search_bm25",
+    # zone-map data-skipping store
+    "build_zonemap_store_if_stale", "absorb_zonemap_delta",
+    "zonemap_range_aggregate",
     # mergeable sketch store
     "build_cms_if_stale", "absorb_cms_delta", "cms_heavy_hitters",
     "build_kmv_store", "absorb_kmv_delta", "kmv_sample",
@@ -710,6 +717,70 @@ def tx_ann_topk(spark, data_dir):
     """Fixed-geometry top-k probes against the transactional ANN index
     (base plus committed layers) — q169's terminal read."""
     jdf = _bridge(spark).txAnnTopK(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def build_search_store_if_stale(spark, data_dir):
+    """Build the positional postings index (q181) if missing or stale;
+    returns the store path."""
+    return _bridge(spark).buildSearchStoreIfStale(spark._jsparkSession, data_dir)
+
+
+def absorb_search_delta(spark, data_dir):
+    """Append the delta's postings + stat partial (union merge)."""
+    _bridge(spark).absorbSearchDelta(spark._jsparkSession, data_dir)
+
+
+def search_bm25(spark, data_dir):
+    """q99's BM25 top-10 answered from the index alone."""
+    jdf = _bridge(spark).searchBm25(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def search_phrase(spark, data_dir, a="merge", b="window"):
+    """Positional phrase search: docs where ``a`` is immediately
+    followed by ``b``, ranked by occurrence count (q182)."""
+    jdf = _bridge(spark).searchPhrase(spark._jsparkSession, data_dir, a, b)
+    return DataFrame(jdf, spark)
+
+
+def compact_search_store(spark, data_dir):
+    """Fold appended posting layers, one file per term bucket."""
+    _bridge(spark).compactSearchStore(spark._jsparkSession, data_dir)
+
+
+def tx_ensure_search_base(spark, data_dir):
+    """Build/guard the search tier's immutable transactional base."""
+    _bridge(spark).txEnsureSearchBase(spark._jsparkSession, data_dir)
+
+
+def tx_absorb_search(spark, data_dir, tranche_pred):
+    """Atomically absorb one doc tranche's postings + stats as a
+    transaction (q185); returns the txn id."""
+    return _bridge(spark).txAbsorbSearch(
+        spark._jsparkSession, data_dir, tranche_pred)
+
+
+def tx_search_bm25(spark, data_dir):
+    """BM25 off the transactional index (base + committed layers)."""
+    jdf = _bridge(spark).txSearchBm25(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def build_zonemap_store_if_stale(spark, data_dir):
+    """Cluster + zone the base slice (q183) if missing or stale;
+    returns the store path."""
+    return _bridge(spark).buildZoneMapStoreIfStale(spark._jsparkSession, data_dir)
+
+
+def absorb_zonemap_delta(spark, data_dir):
+    """Append the delta's files and zone only the new ones."""
+    _bridge(spark).absorbZoneMapDelta(spark._jsparkSession, data_dir)
+
+
+def zonemap_range_aggregate(spark, data_dir):
+    """The zone-pruned range aggregate (q183's read)."""
+    jdf = _bridge(spark).zoneMapRangeAggregate(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

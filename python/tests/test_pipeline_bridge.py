@@ -439,6 +439,36 @@ def main():
         "ingest commit did not surface the embed layer"
     gp.release_caches(spark)
 
+    # --- inverted-index search store lifecycle (q181/q182 from Python) ---
+    gp.build_search_store_if_stale(spark, sf_dir)
+    gp.absorb_search_delta(spark, sf_dir)
+    bm = gp.search_bm25(spark, sf_dir).collect()
+    assert len(bm) == 10, "BM25 top-10 came back short"
+    ph = gp.search_phrase(spark, sf_dir).collect()
+    assert ph and all(r["phrase_tf"] > 0 for r in ph)
+    gp.compact_search_store(spark, sf_dir)
+    bm2 = gp.search_bm25(spark, sf_dir).collect()
+    assert [r.asDict() for r in bm2] == [r.asDict() for r in bm], \
+        "search compaction changed the BM25 ranking"
+    gp.release_caches(spark)
+
+    # --- transactional search tier: two tranches, one ranking (q185) ---
+    gp.tx_reset(spark, sf_dir)
+    gp.tx_ensure_search_base(spark, sf_dir)
+    assert gp.tx_absorb_search(spark, sf_dir, "doc_id % 10 IN (7, 8)") == 0
+    gp.tx_absorb_search(spark, sf_dir, "doc_id % 10 = 9")
+    txbm = gp.tx_search_bm25(spark, sf_dir).collect()
+    assert [r.asDict() for r in txbm] == [r.asDict() for r in bm], \
+        "transactional index diverged from the single-store lifecycle"
+    gp.release_caches(spark)
+
+    # --- zone-map store: pruned read present and non-degenerate ---
+    gp.build_zonemap_store_if_stale(spark, sf_dir)
+    gp.absorb_zonemap_delta(spark, sf_dir)
+    zr = gp.zonemap_range_aggregate(spark, sf_dir).collect()
+    assert zr and all(r["n_orders"] > 0 for r in zr)
+    gp.release_caches(spark)
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names

@@ -458,6 +458,56 @@ object PipelineBridge {
   def compactEmbedIndex(s: SparkSession, dir: String): Unit =
     queries.EmbedIndex.compact(s, dir)
 
+  // --- Persisted inverted-index search store (q181/q182/q185/q186). ---
+
+  /** Build the positional postings index if missing/stale. */
+  def buildSearchStoreIfStale(s: SparkSession, dir: String): String =
+    queries.SearchStore.buildIfStale(s, dir)
+
+  /** Append the delta's postings + stat partial (union merge). */
+  def absorbSearchDelta(s: SparkSession, dir: String): Unit =
+    queries.SearchStore.absorb(s, dir)
+
+  /** q99's BM25 top-10 answered from the index alone. */
+  def searchBm25(s: SparkSession, dir: String): DataFrame =
+    queries.SearchStore.bm25(s, dir)
+
+  /** Positional phrase search ("a immediately followed by b"). */
+  def searchPhrase(s: SparkSession, dir: String, a: String, b: String): DataFrame =
+    queries.SearchStore.phrase(s, dir, a, b)
+
+  /** Fold appended posting layers, one file per term bucket. */
+  def compactSearchStore(s: SparkSession, dir: String): Unit =
+    queries.SearchStore.compact(s, dir)
+
+  /** Build/guard the search tier's immutable tx base (q185). */
+  def txEnsureSearchBase(s: SparkSession, dir: String): Unit =
+    queries.StoreTxn.ensureSearchBase(s, dir)
+
+  /** Atomically absorb one doc tranche's postings + stats as a
+    * transaction; returns the txn id. */
+  def txAbsorbSearch(s: SparkSession, dir: String, tranchePred: String): Long =
+    queries.StoreTxn.absorbSearch(s, dir,
+      queries.Tables.t(s, dir, "documents").where(tranchePred))
+
+  /** BM25 off the transactional index (base ∪ committed layers). */
+  def txSearchBm25(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.bm25Tx(s, dir)
+
+  // --- Zone-map data-skipping store (q183). ---
+
+  /** Cluster + zone the base slice if missing/stale. */
+  def buildZoneMapStoreIfStale(s: SparkSession, dir: String): String =
+    queries.ZoneMapStore.buildIfStale(s, dir)
+
+  /** Append the delta's files and zone only the new ones. */
+  def absorbZoneMapDelta(s: SparkSession, dir: String): Unit =
+    queries.ZoneMapStore.absorb(s, dir)
+
+  /** The zone-pruned range aggregate (q183's read). */
+  def zoneMapRangeAggregate(s: SparkSession, dir: String): DataFrame =
+    queries.ZoneMapStore.rangeAggregate(s, dir)
+
   // --- Ingest-pair transaction verbs (q162/q163): graph edge partials
   // and embed bucket rows land under ONE commit row. ---
 

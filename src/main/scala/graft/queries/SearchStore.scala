@@ -202,10 +202,52 @@ object SearchStore {
   /** The pruned posting scan for a term set. Everything downstream of
     * this frame is df-bounded. */
   private def termPostings(s: SparkSession, dir: String,
-      terms: Seq[String]): DataFrame =
-    s.read.parquet(s"${root(dir)}/postings").where(termFilter(s, terms))
+      terms: Seq[String], variant: String = ""): DataFrame =
+    s.read.parquet(s"${root(dir, variant)}/postings").where(termFilter(s, terms))
 
   private[queries] val bm25Terms = Seq("spark", "merge", "window")
+
+  /** STREAMING index ingestion (q186): the delta arrives as a stream and
+    * each micro-batch appends its OWN postings + stat partial via
+    * foreachBatch — how a continuously-crawling deployment keeps its
+    * search index live instead of re-indexing nightly. Postings of a
+    * doc-partition union (and stats sum) independently of batch
+    * boundaries and arrival order, so the drained store state equals the
+    * one-shot absorb exactly — q99's full-table oracle applies verbatim.
+    * The delta is staged into 4 range files replayed one per micro-batch
+    * (the q131 cadence device); meta flips non-pristine BEFORE the
+    * stream starts (invalidate-before-mutate, the absorb bracket). */
+  def streamAbsorb(s: SparkSession, dir: String, variant: String): Unit = {
+    val path = root(dir, variant)
+    val h = Tables.dirHash(dir)
+    val staged = s"${sys.props("java.io.tmpdir")}/graft_search_feed_$h"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_search_ckpt_$h"
+    deltaDocs(s, dir).select(col("doc_id"), col("text"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    writeMeta(s, path, "absorbed")
+    val stream = s.readStream.schema(s.read.parquet(staged).schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    // explicit function value — the inline lambda is ambiguous between
+    // the Scala and Java foreachBatch overloads on 2.13 (q131's note)
+    val absorbBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val b = batch.toDF()
+        postings(b)
+          .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+        statPartial(b)
+          .coalesce(1).write.mode("append").parquet(s"$path/stats")
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(absorbBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 
   /** q99's BM25 (k1=1.2, b=0.75, linear N/df idf, exact e4 integer
     * arithmetic) answered from the STORE ALONE: pruned postings scan →
@@ -214,9 +256,9 @@ object SearchStore {
     * N/Σdl from the additive stats table) → the identical integer score
     * → global top-10 (TakeOrderedAndProject). The corpus is never
     * touched. */
-  def bm25(s: SparkSession, dir: String): DataFrame =
-    bm25Of(termPostings(s, dir, bm25Terms),
-      s.read.parquet(s"${root(dir)}/stats"))
+  def bm25(s: SparkSession, dir: String, variant: String = ""): DataFrame =
+    bm25Of(termPostings(s, dir, bm25Terms, variant),
+      s.read.parquet(s"${root(dir, variant)}/stats"))
 
   /** The BM25 read over EXPLICIT frames — [[bm25]] passes the single-
     * store pruned scan; [[StoreTxn]] passes base ∪ committed transaction
@@ -282,6 +324,16 @@ object SearchStore {
     // the phrase read over the positional lists
     "q182_phrase_search" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); phrase(s, dir)
+    }),
+    // own variant (q181's absorbing lifecycle flips the shared store
+    // every lap): index the corpus → stream the delta in micro-batches
+    // → compact the streamed layers → BM25 off the store; compact's
+    // reader-invisibility puts the maintenance verb on the oracled path
+    "q186_stream_search_ingest" -> ((s, dir) => {
+      buildIfStale(s, dir, "strm")
+      streamAbsorb(s, dir, "strm")
+      compact(s, dir, "strm")
+      bm25(s, dir, "strm")
     })
   )
 
@@ -299,6 +351,9 @@ object SearchStore {
         |      i -> ts[i] = 'merge' AND ts[i + 1] = 'window'))::BIGINT AS phrase_tf
         |  FROM t)
         |SELECT doc_id, phrase_tf FROM c WHERE phrase_tf > 0
-        |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin,
+    // q99's oracle once more: batch-boundary-independent partials mean
+    // the streamed, compacted index ranks exactly like the one-shot one
+    "q186_stream_search_ingest" -> TextPipeline.oracles("q99_bm25_search")
   )
 }
