@@ -105,6 +105,11 @@ object SearchStore {
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     statPartial(corpusDocs(s, dir))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // overwrite semantics must cover the delete layer too: a tombstone
+    // set surviving a rebuild would exclude docs whose negative stat
+    // partials the fresh stats table no longer carries
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
     writeMeta(s, path, fingerprint(s, dir))
     path
   }
@@ -313,6 +318,119 @@ object SearchStore {
       .select(col("doc_id"), col("phrase_tf"))
       .orderBy(col("phrase_tf").desc, col("doc_id")).limit(10)
 
+  /** SNIPPET EXTRACTION (q189) — the result-page read: the positional
+    * index finds and ranks the phrase hits (no corpus involvement, same
+    * pruned scan as [[phrase]]), then ONLY the top-10 doc ids hydrate
+    * their text through one broadcast join against the document store —
+    * the classic search-engine split (inverted index answers WHO
+    * matches; the doc store is touched per-hit, never per-corpus). The
+    * snippet is the token window [first−1, first+2] around the first
+    * occurrence, recomputed 1-based on both engines so the oracle
+    * hashes the exact string. */
+  def snippet(s: SparkSession, dir: String, a: String = "merge",
+      b: String = "window", variant: String = ""): DataFrame = {
+    val hits = termPostings(s, dir, Seq(a, b), variant)
+      .groupBy(col("doc_id"))
+      .agg(
+        first(when(col("term") === a, col("positions")), ignoreNulls = true).as("pa"),
+        first(when(col("term") === b, col("positions")), ignoreNulls = true).as("pb"))
+      .where(col("pa").isNotNull && col("pb").isNotNull)
+      // 0-based merge pos p ∈ pa matches iff p+1 ∈ pb; the intersected
+      // value p+1 IS the 1-based index of the phrase start
+      .withColumn("starts", array_intersect(expr("transform(pa, x -> x + 1)"), col("pb")))
+      .withColumn("phrase_tf", size(col("starts")).cast("bigint"))
+      .where(col("phrase_tf") > 0)
+      .withColumn("fi", array_min(col("starts")))
+      .orderBy(col("phrase_tf").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"), col("phrase_tf"), col("fi"))
+    Tables.t(s, dir, "documents")
+      .join(broadcast(hits), "doc_id")
+      .withColumn("ts", split(col("text"), " "))
+      .selectExpr("doc_id", "phrase_tf", "cast(fi AS bigint) AS first_tok",
+        "concat_ws(' ', slice(ts, greatest(1, fi - 1)," +
+          " least(size(ts), fi + 2) - greatest(1, fi - 1) + 1)) AS snippet")
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+  }
+
+  /** MERGE-ON-READ DELETE (q187): retire documents from the index
+    * without rewriting a single posting file — the GDPR/takedown verb a
+    * 100 TB index cannot serve by re-indexing. Two layers land:
+    *
+    *  - `tombstones/` — the retired doc ids (append-only; readers
+    *    anti-join it, and the set broadcasts because deletions are tiny
+    *    relative to the corpus);
+    *  - a NEGATIVE stat partial — (-n_docs, -Σdl) for the retired docs,
+    *    appended to the SAME additive stats table. Addition doesn't care
+    *    about sign, so N and Σdl stay exact through any interleaving of
+    *    absorbs and deletes, and the BM25 normalizer never drifts from
+    *    the live doc set.
+    *
+    * The postings themselves stay in place until [[compact]]-with-
+    * tombstones folds them out (`purge`) — exactly Delta/Iceberg's
+    * delete-vector + OPTIMIZE split: reads pay one bounded anti-join
+    * now, the rewrite happens on maintenance schedule, and the two
+    * states are reader-identical (the spec pins it). */
+  def delete(s: SparkSession, dir: String, pred: String,
+      variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val victims = Tables.t(s, dir, "documents").where(pred)
+    victims.select(col("doc_id"))
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    statPartial(victims)
+      .selectExpr("-n_docs AS n_docs", "-sum_dl AS sum_dl")
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    writeMeta(s, path, "absorbed")
+  }
+
+  private def tombstones(s: SparkSession, dir: String,
+      variant: String = ""): Option[DataFrame] = {
+    val p = s"${root(dir, variant)}/tombstones"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    if (hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp))
+      Some(s.read.parquet(p))
+    else None
+  }
+
+  /** Anti-join the tombstone set out of a postings frame (broadcast —
+    * deletions are small by construction; a no-op when none exist). */
+  private def live(s: SparkSession, dir: String, p: DataFrame,
+      variant: String = ""): DataFrame =
+    tombstones(s, dir, variant)
+      .map(t => p.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(p)
+
+  /** [[bm25]] over the live (non-tombstoned) index. */
+  def bm25Live(s: SparkSession, dir: String, variant: String = ""): DataFrame =
+    bm25Of(live(s, dir, termPostings(s, dir, bm25Terms, variant), variant),
+      s.read.parquet(s"${root(dir, variant)}/stats"))
+
+  /** PURGE: fold the tombstoned postings out for real — [[compact]]'s
+    * staged rewrite with the anti-join applied, after which the
+    * tombstone set and the rewrite are reader-equivalent and the
+    * tombstones drop. Stats are already exact (the negative partials
+    * landed at delete time) so they only fold, never re-derive. */
+  def purge(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_purge"
+    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    live(s, dir, s.read.parquet(s"$path/postings"), variant)
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$staging/postings")
+    s.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+    writeMeta(s, path, "purging")
+    s.read.parquet(s"$staging/postings").repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
+    s.read.parquet(s"$staging/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    writeMeta(s, path, meta)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // index the corpus slice → absorb the delta's postings → answer BM25
     // from the index alone; q99's full-table oracle closes the lifecycle
@@ -334,6 +452,26 @@ object SearchStore {
       streamAbsorb(s, dir, "strm")
       compact(s, dir, "strm")
       bm25(s, dir, "strm")
+    }),
+    // index full corpus (build + absorb) → tombstone a 1-in-7 slice →
+    // rank the LIVE docs; then purge rewrites the tombstones out and
+    // the read must not move (reader-equivalence of the delete-vector
+    // and the rewrite — asserted right here on the oracled path)
+    "q187_search_delete" -> ((s, dir) => {
+      buildIfStale(s, dir, "del")
+      absorbFrame(s, deltaDocs(s, dir), dir, "del")
+      delete(s, dir, "doc_id % 7 = 3", "del")
+      val before = bm25Live(s, dir, "del").collect().toSeq
+      purge(s, dir, "del")
+      val after = bm25Live(s, dir, "del")
+      require(after.collect().toSeq == before,
+        "purge changed the live ranking — tombstones and rewrite diverge")
+      after
+    }),
+    // rank phrase hits from the index, hydrate only the top-10 through
+    // the doc store, emit the context window around the first occurrence
+    "q189_search_snippet" -> ((s, dir) => {
+      buildIfStale(s, dir); absorb(s, dir); snippet(s, dir)
     })
   )
 
@@ -354,6 +492,28 @@ object SearchStore {
         |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin,
     // q99's oracle once more: batch-boundary-independent partials mean
     // the streamed, compacted index ranks exactly like the one-shot one
-    "q186_stream_search_ingest" -> TextPipeline.oracles("q99_bm25_search")
+    "q186_stream_search_ingest" -> TextPipeline.oracles("q99_bm25_search"),
+    // q99's oracle over the SURVIVING docs: the tombstoned slice must
+    // vanish from postings, df, AND the N/Σdl normalizer. The corpus
+    // filter splices into the base CTE (the only "FROM documents" in
+    // the oracle — st/sc select FROM base)
+    "q187_search_delete" -> TextPipeline.oracles("q99_bm25_search")
+      .replace("FROM documents)", "FROM documents WHERE NOT (doc_id % 7 = 3))"),
+    // the same 1-based first-occurrence arithmetic and inclusive token
+    // slice, so the snippet string hashes identically
+    "q189_search_snippet" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |m AS (SELECT doc_id, ts,
+        |    list_filter(generate_series(1, len(ts) - 1),
+        |      i -> ts[i] = 'merge' AND ts[i + 1] = 'window') AS hits
+        |  FROM t),
+        |h AS (SELECT doc_id, ts, len(hits)::BIGINT AS phrase_tf,
+        |    hits[1] AS fi
+        |  FROM m WHERE len(hits) > 0
+        |  ORDER BY len(hits) DESC, doc_id LIMIT 10)
+        |SELECT doc_id, phrase_tf, fi::BIGINT AS first_tok,
+        |  array_to_string(ts[greatest(1, fi - 1):least(len(ts), fi + 2)], ' ')
+        |    AS snippet
+        |FROM h ORDER BY phrase_tf DESC, doc_id""".stripMargin
   )
 }

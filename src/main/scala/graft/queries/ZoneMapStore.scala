@@ -131,6 +131,42 @@ object ZoneMapStore {
 
   private[graft] def zonesPath(dir: String): String = s"${root(dir)}/zones"
 
+  /** RECLUSTER (q188) — the OPTIMIZE verb: absorbed files overlap the
+    * base's key ranges (each absorb is range-clustered within itself
+    * but not against the existing layout), so every absorb widens the
+    * pruning's false-positive set. The rewrite re-ranges the WHOLE
+    * layout into disjoint files and re-derives the zones — after it, a
+    * range predicate selects the minimal file set again (the spec pins
+    * both: fewer files picked, pairwise-disjoint zones). Staged-rewrite
+    * discipline: layout staged first, meta flipped, swap, zones
+    * recomputed from the FINAL files (zone rows must reference the
+    * file names readers will open), meta restored. O(|store|) by
+    * design — the periodic maintenance pass that buys back every
+    * interim absorb, Delta OPTIMIZE's cost model. */
+  def recluster(s: SparkSession, dir: String): Unit = {
+    val path = root(dir)
+    val staging = s"$path/staging_recluster"
+    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    s.read.parquet(s"$path/layout")
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(staging)
+    writeMeta(s, path, "reclustering")
+    // re-range on the swap too: a plain rewrite packs staged files into
+    // tasks by SIZE, so one output file could span two non-adjacent
+    // ranges and break the disjointness the verb exists to restore
+    s.read.parquet(staging)
+      .repartitionByRange(16, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$path/layout")
+    zonesOf(s.read.parquet(s"$path/layout"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/zones")
+    writeMeta(s, path, meta)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   /** The files whose zone intersects [lo, hi] — the manifest-pruning
     * collect (#files rows, the same bounded driver step a lakehouse
     * planner runs), plus the bounds themselves, derived from the zone
@@ -166,17 +202,28 @@ object ZoneMapStore {
     // recomputes from the raw table, closing layout+zones+pruning
     "q183_zonemap_store" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); rangeAggregate(s, dir)
+    }),
+    // same lifecycle + the OPTIMIZE pass between absorb and read: the
+    // aggregate must not move (q183's oracle verbatim) while the file
+    // set the range query touches shrinks back to minimal
+    "q188_zonemap_recluster" -> ((s, dir) => {
+      buildIfStale(s, dir); absorb(s, dir); recluster(s, dir)
+      rangeAggregate(s, dir)
     })
   )
 
+  private val rangeOracle: String =
+    """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+      |b AS (SELECT (m * 3) // 10 AS lo, (m * 5) // 10 AS hi FROM mk)
+      |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q183_zonemap_store" ->
-      """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
-        |b AS (SELECT (m * 3) // 10 AS lo, (m * 5) // 10 AS hi FROM mk)
-        |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue,
-        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-        |FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    "q183_zonemap_store" -> rangeOracle,
+    // the same oracle verbatim — reclustering is reader-invisible
+    "q188_zonemap_recluster" -> rangeOracle
   )
 }

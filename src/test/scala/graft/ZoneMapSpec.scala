@@ -61,6 +61,32 @@ class ZoneMapSpec extends AnyFunSuite {
       s"zone table out of sync: ${zones.size} zones vs ${files.size} files")
   }
 
+  test("recluster restores disjoint zones and shrinks the pruned file set") {
+    lifecycle()
+    val (pickedBefore, lo, hi) = ZoneMapStore.prunedFiles(spark, sf)
+    ZoneMapStore.recluster(spark, sf)
+    val (pickedAfter, lo2, hi2) = ZoneMapStore.prunedFiles(spark, sf)
+    assert((lo2, hi2) == (lo, hi), "recluster moved the key-space bounds")
+    assert(pickedAfter.size <= pickedBefore.size,
+      s"recluster widened the pruned set: ${pickedBefore.size} -> ${pickedAfter.size}")
+    // zones are pairwise disjoint after the rewrite
+    val zones = spark.read.parquet(ZoneMapStore.zonesPath(sf))
+      .select("min_key", "max_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    zones.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping zones after recluster: $aMax > $bMin")
+      case _ =>
+    }
+    // and the read is unchanged
+    val agg = ZoneMapStore.rangeAggregate(spark, sf).collect().toSeq.map(_.toSeq)
+    ZoneMapStore.invalidate(spark, sf)
+    ZoneMapStore.buildIfStale(spark, sf)
+    ZoneMapStore.absorb(spark, sf)
+    val plain = ZoneMapStore.rangeAggregate(spark, sf).collect().toSeq.map(_.toSeq)
+    assert(agg == plain, "recluster changed the range aggregate")
+  }
+
   test("zone rows carry exact per-file min/max under overlapping absorb") {
     lifecycle()
     val zones = spark.read.parquet(ZoneMapStore.zonesPath(sf)).collect()
