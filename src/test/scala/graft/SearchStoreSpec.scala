@@ -76,6 +76,44 @@ class SearchStoreSpec extends AnyFunSuite {
     assert(Caches.scoped(rows(SearchStore.bm25(spark, sf))) == before)
   }
 
+  test("delete hides victims from the live read; purge folds them out for real") {
+    // q187's oracle cross-checks the ranking; this pins the mechanics
+    SearchStore.invalidate(spark, sf, "spec_del")
+    SearchStore.buildIfStale(spark, sf, "spec_del")
+    SearchStore.absorbFrame(spark,
+      queries.Tables.t(spark, sf, "documents").where("doc_id % 10 >= 7"),
+      sf, "spec_del")
+    val before = Caches.scoped(rows(SearchStore.bm25(spark, sf, "spec_del")))
+    SearchStore.delete(spark, sf, "doc_id % 7 = 3", "spec_del")
+    val live = Caches.scoped(rows(SearchStore.bm25Live(spark, sf, "spec_del")))
+    assert(live != before, "delete was invisible to the live read")
+    val liveIds = live.map(_.head.asInstanceOf[Long])
+    assert(liveIds.forall(_ % 7 != 3), "a tombstoned doc survived in the ranking")
+    // purge: read unchanged, tombstone dir gone, plain read now agrees
+    SearchStore.purge(spark, sf, "spec_del")
+    assert(Caches.scoped(rows(SearchStore.bm25Live(spark, sf, "spec_del"))) == live)
+    val ts = new java.io.File(
+      new java.io.File(SearchStore.postingsPath(sf, "spec_del")).getParent,
+      "tombstones")
+    assert(!ts.exists(), "purge left the tombstone set behind")
+    assert(Caches.scoped(rows(SearchStore.bm25(spark, sf, "spec_del"))) == live,
+      "post-purge plain read still sees dead postings or stats")
+  }
+
+  test("snippet hydration touches only the hit set (broadcast join, no corpus shuffle)") {
+    freshLifecycle()
+    val df = SearchStore.snippet(spark, sf)
+    val p = Caches.scoped(df.queryExecution.executedPlan.toString)
+    assert(p.contains("BroadcastHashJoin"), s"hit hydration not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-scale join in snippet path:\n$p")
+    val out = Caches.scoped(rows(df))
+    assert(out.nonEmpty && out.size <= 10)
+    // every snippet contains the phrase itself
+    val snips = Caches.scoped(
+      SearchStore.snippet(spark, sf).collect().toSeq.map(_.getAs[String]("snippet")))
+    assert(snips.forall(_.contains("merge window")), snips.mkString("; "))
+  }
+
   test("stats table stays additive: build writes one partial, absorb one more") {
     SearchStore.invalidate(spark, sf)
     SearchStore.buildIfStale(spark, sf)
