@@ -318,6 +318,44 @@ object SearchStore {
       .select(col("doc_id"), col("phrase_tf"))
       .orderBy(col("phrase_tf").desc, col("doc_id")).limit(10)
 
+  /** RELATED-TERMS MINING (q190) — the index as an analytics store:
+    * doc-level co-occurrence lift between the top-`k` df terms, the
+    * "users who searched X…" / query-expansion statistic. Everything
+    * derives from the postings table — the corpus text is never
+    * re-tokenized: df is a |vocab|-bounded aggregate over the index,
+    * the top-k cut collects k strings (driver-side, bounded by
+    * construction), the pair join runs over the PRUNED top-k postings
+    * only (each doc contributes ≤ C(k,2) pairs — the k cap is what
+    * keeps the self-join linear in corpus size), and N comes from the
+    * additive stats table. lift_e6 = ⌊1e6·P(a,b)/(P(a)P(b))⌋ in pure
+    * integer arithmetic (log-PMI would cost cross-engine float parity
+    * for no analytic gain at fixed k). */
+  def relatedTerms(s: SparkSession, dir: String, k: Int = 12,
+      variant: String = ""): DataFrame = {
+    val all = s.read.parquet(s"${root(dir, variant)}/postings")
+    val dfTable = Caches.persist(
+      all.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val top = dfTable.orderBy(col("df").desc, col("term")).limit(k)
+    val topTerms = top.select("term").collect().map(_.getString(0)).toSeq
+    val e = Caches.persist(
+      s.read.parquet(s"${root(dir, variant)}/postings")
+        .where(termFilter(s, topTerms)).select(col("doc_id"), col("term")))
+    val n = s.read.parquet(s"${root(dir, variant)}/stats")
+      .agg(sum(col("n_docs")).as("n"))
+    val pairs = e.select(col("doc_id"), col("term").as("term_a"))
+      .join(e.select(col("doc_id"), col("term").as("term_b")), "doc_id")
+      .where(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(top.select(col("term").as("term_a"), col("df").as("n_a"))), "term_a")
+      .join(broadcast(top.select(col("term").as("term_b"), col("df").as("n_b"))), "term_b")
+      .crossJoin(broadcast(n))
+      .selectExpr("term_a", "term_b", "n_a", "n_b", "n_both",
+        "(n_both * n * 1000000L) div (n_a * n_b) AS lift_e6")
+      .orderBy(col("term_a"), col("term_b"))
+  }
+
   /** SNIPPET EXTRACTION (q189) — the result-page read: the positional
     * index finds and ranks the phrase hits (no corpus involvement, same
     * pruned scan as [[phrase]]), then ONLY the top-10 doc ids hydrate
@@ -472,6 +510,10 @@ object SearchStore {
     // the doc store, emit the context window around the first occurrence
     "q189_search_snippet" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); snippet(s, dir)
+    }),
+    // co-occurrence lift of the top-12 df terms, all from the index
+    "q190_related_terms" -> ((s, dir) => {
+      buildIfStale(s, dir); absorb(s, dir); relatedTerms(s, dir)
     })
   )
 
@@ -514,6 +556,24 @@ object SearchStore {
         |SELECT doc_id, phrase_tf, fi::BIGINT AS first_tok,
         |  array_to_string(ts[greatest(1, fi - 1):least(len(ts), fi + 2)], ' ')
         |    AS snippet
-        |FROM h ORDER BY phrase_tf DESC, doc_id""".stripMargin
+        |FROM h ORDER BY phrase_tf DESC, doc_id""".stripMargin,
+    // same doc-level distinct term sets, same (df DESC, term) top-12
+    // cut, same integer lift
+    "q190_related_terms" ->
+      """WITH ex AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM ex GROUP BY term),
+        |top AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 12),
+        |e AS (SELECT ex.doc_id, ex.term FROM ex JOIN top USING (term)),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |p AS (SELECT a.term AS term_a, b.term AS term_b,
+        |    count(*)::BIGINT AS n_both
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.term < b.term
+        |  GROUP BY 1, 2)
+        |SELECT term_a, term_b, ta.df AS n_a, tb.df AS n_b, n_both,
+        |  (n_both * n * 1000000) // (ta.df * tb.df) AS lift_e6
+        |FROM p JOIN top ta ON ta.term = p.term_a
+        |  JOIN top tb ON tb.term = p.term_b, nn
+        |ORDER BY term_a, term_b""".stripMargin
   )
 }
