@@ -89,6 +89,7 @@ object StoreTxn {
       EmbedIndex.invalidate(s, dir, variant)
       AnnTxStore.invalidate(s, dir)
       SearchStore.invalidate(s, dir, variant)
+      ZoneMapStore.invalidate(s, dir, variant)
     }
   }
 
@@ -537,6 +538,90 @@ object StoreTxn {
     SearchStore.bm25Of(searchPostingsTx(s, dir, SearchStore.bm25Terms),
       searchStatsTx(s, dir))
 
+  // ---- transactional parquet table (q191): ACID appends over plain
+  // files. The zone table IS the manifest: appended data files land in
+  // the shared layout directory but readers resolve the file list from
+  // base zones ∪ committed zone layers — never a directory listing — so
+  // a file is invisible until its manifest rows' commit row exists. This
+  // is the Delta/Iceberg table contract rebuilt on the same commit log
+  // the other six stores ride (data files outside the log, manifests
+  // inside it, vacuum for unreferenced files). ----
+
+  /** The generation rule for the table tier's clustered base. */
+  def ensureZoneBase(s: SparkSession, dir: String): Unit = {
+    if (!ZoneMapStore.isCurrent(s, dir, variant)) {
+      val p = new org.apache.hadoop.fs.Path(root(dir))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      fs.delete(foldedFlag(dir), true)
+      ZoneMapStore.build(s, dir, variant)
+    }
+  }
+
+  /** Base manifest ∪ committed zone layers — the transactional file
+    * list. */
+  private def zoneManifestTx(s: SparkSession, dir: String): DataFrame =
+    layered(s, dir, ZoneMapStore.zonesPath(dir, variant),
+      id => s"${root(dir)}/t$id/table/zones")
+
+  /** Stage one tranche: its data files append to the layout (invisible —
+    * nothing references them yet), its manifest rows land under the
+    * transaction dir. The new-file diff lists the layout before/after
+    * (bounded driver op, exact under the documented single-writer
+    * assumption); a crashed-stage retry overwrites the zone layer
+    * wholesale and appends fresh files — the orphans are
+    * [[vacuumTable]]'s job, exactly like abandoned txn staging. */
+  def stageTableAppend(s: SparkSession, dir: String, tranche: DataFrame,
+      id: Long): Unit = {
+    val layout = ZoneMapStore.layoutPath(dir, variant)
+    val hp = new org.apache.hadoop.fs.Path(layout)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val known =
+      if (fs.exists(hp))
+        fs.listStatus(hp).map(_.getPath.toString)
+          .filter(_.endsWith(".parquet")).map(ZoneMapStore.normPath).toSet
+      else Set.empty[String]
+    val fresh = ZoneMapStore.appendFiles(s, tranche, dir, variant, 2, known)
+    ZoneMapStore.zonesOf(s.read.parquet(fresh: _*))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${root(dir)}/t$id/table/zones")
+  }
+
+  /** The atomic table append: data files + manifest rows behind one
+    * commit row. */
+  def absorbTableAppend(s: SparkSession, dir: String,
+      tranche: DataFrame): Long = {
+    val id = nextTxnId(s, dir)
+    stageTableAppend(s, dir, tranche, id)
+    commit(s, dir, id)
+    id
+  }
+
+  /** q183's range aggregate over the transactional manifest. */
+  def tableRangeAggregateTx(s: SparkSession, dir: String): DataFrame =
+    ZoneMapStore.rangeAggregateOf(s,
+      ZoneMapStore.prunedFilesOf(zoneManifestTx(s, dir)))
+
+  /** VACUUM for the table tier: delete layout files no manifest row —
+    * base or committed layer — references. Reclaims crashed-stage
+    * orphans and the data files a [[reset]] log-drop stranded. Like
+    * [[vacuum]], this is the one verb that LISTS the layout (orphans
+    * are precisely what the manifests do not reference); returns the
+    * reclaimed paths. Single-writer: must not race a stage. */
+  def vacuumTable(s: SparkSession, dir: String): Seq[String] = {
+    val layout = ZoneMapStore.layoutPath(dir, variant)
+    val hp = new org.apache.hadoop.fs.Path(layout)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return Seq.empty
+    val referenced = zoneManifestTx(s, dir)
+      .select("file").collect().map(_.getString(0)).toSet
+    val orphans = fs.listStatus(hp).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).map(ZoneMapStore.normPath)
+      .filterNot(referenced).toIndexedSeq
+    orphans.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    orphans
+  }
+
   // ---- checkpoint: fold committed layers into the base ----
 
   /** Stage the merged (base ∪ committed layers) copy of every table,
@@ -594,6 +679,12 @@ object StoreTxn {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/search/stats")
     }
+    // the table tier folds its MANIFEST only — the data files already
+    // live outside the log and stay referenced by the folded base zones
+    if (hasZoneBase(s, dir)) {
+      zoneManifestTx(s, dir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/table/zones")
+    }
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
   }
@@ -614,6 +705,11 @@ object StoreTxn {
 
   private def hasSearchBase(s: SparkSession, dir: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(SearchStore.postingsPath(dir, variant))
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  private def hasZoneBase(s: SparkSession, dir: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(ZoneMapStore.zonesPath(dir, variant))
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
@@ -708,6 +804,12 @@ object StoreTxn {
       s.read.parquet(s"$staging/search/stats")
         .coalesce(1).write.mode("overwrite")
         .parquet(SearchStore.statsPath(dir, variant))
+    }
+    val stagedZones = new org.apache.hadoop.fs.Path(s"$staging/table/zones")
+    if (fs.exists(stagedZones)) {
+      s.read.parquet(stagedZones.toString)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(ZoneMapStore.zonesPath(dir, variant))
     }
     import s.implicits._
     Seq.empty[Long].toDF("txn")
@@ -1054,6 +1156,25 @@ object StoreTxn {
       absorbSearch(s, dir, docs.where("doc_id % 10 = 9"))
       bm25Tx(s, dir)
     }),
+    // TRANSACTIONAL TABLE APPENDS: two order tranches land as ACID
+    // commits (data files invisible until their manifest rows' commit
+    // row exists — the reader resolves files from the manifest, never a
+    // listing), then the range query answers off the committed manifest
+    // with zone pruning. vacuumTable first reclaims the files the
+    // previous lap's reset stranded (the require pins that a vacuum
+    // between histories leaves the committed read untouched — q183's
+    // oracle closes the whole lifecycle).
+    "q191_tx_table_append" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
+      require(vacuumTable(s, dir).isEmpty,
+        "committed table files read as orphans — manifest diverged")
+      tableRangeAggregateTx(s, dir)
+    }),
     // VACUUM LIFECYCLE: commit batch 1, stage batch 2 and ABANDON it
     // (the crashed-absorb-whose-retry-never-came shape — uncommitted
     // staging is invisible but otherwise immortal), vacuum reclaims
@@ -1116,6 +1237,9 @@ object StoreTxn {
     // q99's oracle VERBATIM — the committed transactional index must
     // rank exactly like a from-scratch full-table BM25
     "q185_tx_search" -> TextPipeline.oracles("q99_bm25_search"),
+    // q183's oracle verbatim — the committed manifest must serve exactly
+    // the full-table range aggregate
+    "q191_tx_table_append" -> ZoneMapStore.oracles("q183_zonemap_store"),
     "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
     "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
     "q156_tx_stats_asof" -> StatsStore.oracles("q148_stats_asof"),

@@ -39,8 +39,10 @@ import org.apache.spark.sql.functions._
  */
 object ZoneMapStore {
 
-  private def root(dir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_zonemap_store_${Tables.dirHash(dir)}"
+  private def root(dir: String, variant: String = ""): String = {
+    val v = if (variant.isEmpty) "" else s"_$variant"
+    s"${sys.props("java.io.tmpdir")}/graft_zonemap_store_${Tables.dirHash(dir)}$v"
+  }
 
   private def baseOrders(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "orders").where("o_orderkey % 10 < 7")
@@ -66,11 +68,11 @@ object ZoneMapStore {
 
   /** Scheme-free path ("/tmp/...") so zone rows, Hadoop listings
     * (file:/...), and input_file_name URIs (file:///...) all compare. */
-  private def normPath(p: String): String = new java.net.URI(p).getPath
+  private[queries] def normPath(p: String): String = new java.net.URI(p).getPath
 
   /** Zone rows of an explicit file set: one pass over just those files,
     * grouped by the file each row came from. */
-  private def zonesOf(df: DataFrame): DataFrame =
+  private[queries] def zonesOf(df: DataFrame): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
@@ -82,8 +84,8 @@ object ZoneMapStore {
   private def udfFreeNorm(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^[a-zA-Z0-9+.-]+:/+", "/")
 
-  def build(s: SparkSession, dir: String): String = {
-    val path = root(dir)
+  def build(s: SparkSession, dir: String, variant: String = ""): String = {
+    val path = root(dir, variant)
     cols(baseOrders(s, dir))
       .repartitionByRange(16, col("o_orderkey"))
       .sortWithinPartitions(col("o_orderkey"))
@@ -94,13 +96,13 @@ object ZoneMapStore {
     path
   }
 
-  def isCurrent(s: SparkSession, dir: String): Boolean =
-    try s.read.parquet(s"${root(dir)}/meta").head().getString(0) ==
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
+    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
       fingerprint(s, dir)
     catch { case _: Exception => false }
 
-  def buildIfStale(s: SparkSession, dir: String): String =
-    if (isCurrent(s, dir)) root(dir) else build(s, dir)
+  def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
+    if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
 
   /** Append the delta's files (their key ranges may overlap the base's —
     * per-file zones stay exact under overlap), then zone ONLY the new
@@ -124,12 +126,37 @@ object ZoneMapStore {
     writeMeta(s, path, "absorbed")
   }
 
-  private[graft] def invalidate(s: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/meta")
+  private[graft] def invalidate(s: SparkSession, dir: String,
+      variant: String = ""): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${root(dir, variant)}/meta")
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  private[graft] def zonesPath(dir: String): String = s"${root(dir)}/zones"
+  private[graft] def zonesPath(dir: String, variant: String = ""): String =
+    s"${root(dir, variant)}/zones"
+  private[graft] def layoutPath(dir: String, variant: String = ""): String =
+    s"${root(dir, variant)}/layout"
+
+  /** Append `df` to the layout as `nFiles` range-clustered files and
+    * return the NEW file paths (layout listing diff against `known` —
+    * a #files-sized driver op; append-mode part files have unique
+    * names, so the diff is exact under the documented single-writer
+    * assumption). The transaction layer stages manifest rows for
+    * exactly these files. */
+  private[queries] def appendFiles(s: SparkSession, df: DataFrame,
+      dir: String, variant: String, nFiles: Int,
+      known: Set[String]): Seq[String] = {
+    val layout = layoutPath(dir, variant)
+    cols(df)
+      .repartitionByRange(nFiles, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode("append").parquet(layout)
+    val hp = new org.apache.hadoop.fs.Path(layout)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(hp).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).map(normPath)
+      .filterNot(known).toIndexedSeq
+  }
 
   /** RECLUSTER (q188) — the OPTIMIZE verb: absorbed files overlap the
     * base's key ranges (each absorb is range-clustered within itself
@@ -171,8 +198,13 @@ object ZoneMapStore {
     * collect (#files rows, the same bounded driver step a lakehouse
     * planner runs), plus the bounds themselves, derived from the zone
     * table so the read path never scans the corpus. */
-  private[graft] def prunedFiles(s: SparkSession, dir: String): (Seq[String], Long, Long) = {
-    val zones = s.read.parquet(s"${root(dir)}/zones")
+  private[graft] def prunedFiles(s: SparkSession, dir: String): (Seq[String], Long, Long) =
+    prunedFilesOf(s.read.parquet(s"${root(dir)}/zones"))
+
+  /** The manifest prune over an EXPLICIT zones frame — [[prunedFiles]]
+    * passes the single-store manifest; [[StoreTxn]] passes base ∪
+    * committed zone layers (q191's transactional-table read). */
+  private[queries] def prunedFilesOf(zones: DataFrame): (Seq[String], Long, Long) = {
     val maxKey = zones.agg(max(col("max_key"))).head().getLong(0)
     val (lo, hi) = (maxKey * 3 / 10, maxKey * 5 / 10)
     val picked = zones
@@ -184,8 +216,12 @@ object ZoneMapStore {
   /** The pruned range aggregate: zone-selected files only, residual
     * predicate re-applied (zones are conservative), then a #statuses-
     * sized rollup. */
-  def rangeAggregate(s: SparkSession, dir: String): DataFrame = {
-    val (files, lo, hi) = prunedFiles(s, dir)
+  def rangeAggregate(s: SparkSession, dir: String): DataFrame =
+    rangeAggregateOf(s, prunedFiles(s, dir))
+
+  private[queries] def rangeAggregateOf(s: SparkSession,
+      pruned: (Seq[String], Long, Long)): DataFrame = {
+    val (files, lo, hi) = pruned
     s.read.parquet(files: _*)
       .where(col("o_orderkey").between(lo, hi))
       .groupBy(col("o_orderstatus"))

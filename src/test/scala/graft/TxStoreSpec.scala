@@ -417,6 +417,52 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q191 table tier: staged data files invisible via manifest; vacuum reclaims orphans") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    def agg: Seq[String] = Caches.scoped(
+      StoreTxn.tableRangeAggregateTx(spark, sf).collect().toSeq.map(_.toString))
+    def layoutFiles: Int = {
+      val d = new java.io.File(queries.ZoneMapStore.layoutPath(sf, "tx"))
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val baseAgg = agg
+    val baseFiles = layoutFiles
+
+    // stage tranche 1 but crash pre-commit: the data files ARE on disk,
+    // yet the read — manifest-driven, never a listing — must not move
+    val orders = queries.Tables.t(spark, sf, "orders")
+    StoreTxn.stageTableAppend(spark, sf, orders.where("o_orderkey % 10 IN (7, 8)"), 0L)
+    assert(layoutFiles > baseFiles, "stage wrote no data files")
+    assert(agg == baseAgg, "reader saw uncommitted data files")
+
+    // the abandoned stage's files are unreferenced orphans: vacuum
+    // reclaims exactly them and the committed read still doesn't move
+    val reclaimed = StoreTxn.vacuumTable(spark, sf)
+    assert(reclaimed.nonEmpty, "vacuum reclaimed nothing")
+    assert(layoutFiles == baseFiles, "vacuum left orphan data files")
+    assert(agg == baseAgg, "vacuum disturbed the committed read")
+
+    // redo: stage again (fresh files), commit — now the read advances
+    StoreTxn.stageTableAppend(spark, sf, orders.where("o_orderkey % 10 IN (7, 8)"), 0L)
+    StoreTxn.commit(spark, sf, 0L)
+    val afterT1 = agg
+    assert(afterT1 != baseAgg, "commit did not surface the appended tranche")
+    assert(StoreTxn.vacuumTable(spark, sf).isEmpty,
+      "committed files read as orphans")
+
+    // second tranche, then checkpoint: manifest folds into the base
+    // zones, data files stay put, the read is unchanged
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 = 9"))
+    val full = agg
+    StoreTxn.checkpoint(spark, sf)
+    assert(agg == full, "checkpoint fold changed the table read")
+    assert(StoreTxn.vacuumTable(spark, sf).isEmpty,
+      "checkpoint stranded committed data files")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
