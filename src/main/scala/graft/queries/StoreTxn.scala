@@ -597,10 +597,80 @@ object StoreTxn {
     id
   }
 
-  /** q183's range aggregate over the transactional manifest. */
+  /** The committed DELETE VECTOR: folded base deletes (if a checkpoint
+    * has run) ∪ committed delete layers. None when no delete has ever
+    * committed — the common case pays nothing. */
+  private def tableDeletesTx(s: SparkSession, dir: String,
+      maxTxn: Long = Long.MaxValue): Option[DataFrame] = {
+    requireNoCheckpoint(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val paths = (ZoneMapStore.deletesPath(dir, variant) +:
+      committedTxns(s, dir).filter(_ <= maxTxn)
+        .map(id => s"${root(dir)}/t$id/table/deletes"))
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    if (paths.isEmpty) None else Some(s.read.parquet(paths: _*))
+  }
+
+  /** Stage a MERGE-ON-READ delete (q193): the victims' keys land as a
+    * delete-vector layer — no data file is touched; readers anti-join
+    * the committed set (broadcast: deletions are small relative to the
+    * table). Iceberg v2's equality-delete shape on this commit log. */
+  def stageTableDelete(s: SparkSession, dir: String, pred: String,
+      id: Long): Unit =
+    Tables.t(s, dir, "orders").where(pred).select(col("o_orderkey"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${root(dir)}/t$id/table/deletes")
+
+  /** The atomic table delete: one commit row flips the delete vector. */
+  def absorbTableDelete(s: SparkSession, dir: String, pred: String): Long = {
+    val id = nextTxnId(s, dir)
+    stageTableDelete(s, dir, pred, id)
+    commit(s, dir, id)
+    id
+  }
+
+  /** q183's range aggregate over the transactional manifest, with the
+    * committed delete vector anti-joined out between scan and rollup. */
   def tableRangeAggregateTx(s: SparkSession, dir: String): DataFrame =
     ZoneMapStore.rangeAggregateOf(s,
-      ZoneMapStore.prunedFilesOf(zoneManifestTx(s, dir)))
+      ZoneMapStore.prunedFilesOf(zoneManifestTx(s, dir)),
+      df => tableDeletesTx(s, dir)
+        .map(d => df.join(broadcast(d), Seq("o_orderkey"), "left_anti"))
+        .getOrElse(df))
+
+  /** TIME TRAVEL on the transactional table (q192): the manifest as of
+    * transaction `maxTxn` — base zones ∪ committed zone layers with id
+    * ≤ maxTxn — IS the table snapshot, because data files are immutable
+    * once written: no data is copied, no file is rewritten, history is
+    * a filter on the commit log exactly like [[storedStatsTxAsOf]]
+    * (whose folded-generation refusal this inherits: after a checkpoint
+    * the log prefix no longer reconstructs the snapshot). */
+  def tableRangeAggregateTxAsOf(s: SparkSession, dir: String,
+      maxTxn: Long): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val folded = foldedFlag(dir)
+    if (folded.getFileSystem(s.sparkContext.hadoopConfiguration).exists(folded))
+      throw new IllegalStateException(
+        s"store-txn history at ${root(dir)} was folded by a checkpoint; " +
+          "as-of reads cannot reconstruct pre-checkpoint states — keep " +
+          "the log (skip checkpoints) where time travel is required")
+    val conf = s.sparkContext.hadoopConfiguration
+    val paths = ZoneMapStore.zonesPath(dir, variant) +:
+      committedTxns(s, dir).filter(_ <= maxTxn)
+        .map(id => s"${root(dir)}/t$id/table/zones")
+        .filter { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+    ZoneMapStore.rangeAggregateOf(s,
+      ZoneMapStore.prunedFilesOf(s.read.parquet(paths: _*)),
+      df => tableDeletesTx(s, dir, maxTxn)
+        .map(d => df.join(broadcast(d), Seq("o_orderkey"), "left_anti"))
+        .getOrElse(df))
+  }
 
   /** VACUUM for the table tier: delete layout files no manifest row —
     * base or committed layer — references. Reclaims crashed-stage
@@ -684,6 +754,11 @@ object StoreTxn {
     if (hasZoneBase(s, dir)) {
       zoneManifestTx(s, dir)
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/table/zones")
+      // the delete vector folds alongside (dropping t<id> dirs at
+      // publish would otherwise resurrect every deleted row)
+      tableDeletesTx(s, dir).foreach(
+        _.distinct().coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/table/deletes"))
     }
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
@@ -810,6 +885,11 @@ object StoreTxn {
       s.read.parquet(stagedZones.toString)
         .coalesce(1).write.mode("overwrite")
         .parquet(ZoneMapStore.zonesPath(dir, variant))
+      val stagedDeletes = new org.apache.hadoop.fs.Path(s"$staging/table/deletes")
+      if (fs.exists(stagedDeletes))
+        s.read.parquet(stagedDeletes.toString)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(ZoneMapStore.deletesPath(dir, variant))
     }
     import s.implicits._
     Seq.empty[Long].toDF("txn")
@@ -1175,6 +1255,36 @@ object StoreTxn {
         "committed table files read as orphans — manifest diverged")
       tableRangeAggregateTx(s, dir)
     }),
+    // TABLE TIME TRAVEL: both tranches commit, then the read pins the
+    // manifest AS OF txn 0 — the snapshot after tranche 1, with tranche
+    // 2's files on disk and in the log but outside the prefix. No file
+    // is copied; the snapshot is a commit-log filter. The oracle
+    // recomputes over exactly the docs ingested through txn 0 (base ∪
+    // tranche 1), including the snapshot-local key-space bounds.
+    "q192_tx_table_asof" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
+      tableRangeAggregateTxAsOf(s, dir, maxTxn = 0L)
+    }),
+    // MERGE-ON-READ TABLE DELETE: append both tranches, then retire a
+    // 1-in-13 key slice as a delete-vector commit — no data file moves;
+    // the read anti-joins the committed vector. The oracle keeps the
+    // FULL-table key bounds (a delete vector does not rewrite manifests)
+    // and drops the victims from the aggregate only.
+    "q193_tx_table_delete" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
+      absorbTableDelete(s, dir, "o_orderkey % 13 = 5")
+      tableRangeAggregateTx(s, dir)
+    }),
     // VACUUM LIFECYCLE: commit batch 1, stage batch 2 and ABANDON it
     // (the crashed-absorb-whose-retry-never-came shape — uncommitted
     // staging is invisible but otherwise immortal), vacuum reclaims
@@ -1240,6 +1350,28 @@ object StoreTxn {
     // q183's oracle verbatim — the committed manifest must serve exactly
     // the full-table range aggregate
     "q191_tx_table_append" -> ZoneMapStore.oracles("q183_zonemap_store"),
+    // the snapshot through txn 0: base slice ∪ tranche 1 — bounds AND
+    // rows both restricted to the snapshot
+    "q192_tx_table_asof" ->
+      """WITH snap AS (SELECT * FROM orders WHERE o_orderkey % 10 != 9),
+        |mk AS (SELECT max(o_orderkey) AS m FROM snap),
+        |b AS (SELECT (m * 3) // 10 AS lo, (m * 5) // 10 AS hi FROM mk)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM snap, b WHERE o_orderkey BETWEEN lo AND hi
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // full-table bounds (the delete vector rewrites nothing), victims
+    // dropped from the rollup only
+    "q193_tx_table_delete" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+        |b AS (SELECT (m * 3) // 10 AS lo, (m * 5) // 10 AS hi FROM mk)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders, b WHERE o_orderkey BETWEEN lo AND hi
+        |  AND NOT (o_orderkey % 13 = 5)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q147_tx_store_mix" -> StoreMix.oracles("q134_store_mix"),
     "q155_tx_vocab_coverage" -> VocabStore.oracles("q140_vocab_store"),
     "q156_tx_stats_asof" -> StatsStore.oracles("q148_stats_asof"),

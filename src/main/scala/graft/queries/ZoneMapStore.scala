@@ -92,6 +92,11 @@ object ZoneMapStore {
       .write.mode("overwrite").parquet(s"$path/layout")
     zonesOf(s.read.parquet(s"$path/layout"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/zones")
+    // overwrite semantics cover the delete vector too: a stale folded
+    // delete set surviving a rebuild would hide rows the fresh layout
+    // legitimately contains
+    val del = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    del.getFileSystem(s.sparkContext.hadoopConfiguration).delete(del, true)
     writeMeta(s, path, fingerprint(s, dir))
     path
   }
@@ -136,6 +141,8 @@ object ZoneMapStore {
     s"${root(dir, variant)}/zones"
   private[graft] def layoutPath(dir: String, variant: String = ""): String =
     s"${root(dir, variant)}/layout"
+  private[graft] def deletesPath(dir: String, variant: String = ""): String =
+    s"${root(dir, variant)}/deletes"
 
   /** Append `df` to the layout as `nFiles` range-clustered files and
     * return the NEW file paths (layout listing diff against `known` —
@@ -219,11 +226,15 @@ object ZoneMapStore {
   def rangeAggregate(s: SparkSession, dir: String): DataFrame =
     rangeAggregateOf(s, prunedFiles(s, dir))
 
+  /** `scrub` interposes between the pruned scan and the rollup — the
+    * identity for plain reads; [[StoreTxn]] passes the delete-vector
+    * anti-join (q193's merge-on-read read path). */
   private[queries] def rangeAggregateOf(s: SparkSession,
-      pruned: (Seq[String], Long, Long)): DataFrame = {
+      pruned: (Seq[String], Long, Long),
+      scrub: DataFrame => DataFrame = identity): DataFrame = {
     val (files, lo, hi) = pruned
-    s.read.parquet(files: _*)
-      .where(col("o_orderkey").between(lo, hi))
+    scrub(s.read.parquet(files: _*)
+      .where(col("o_orderkey").between(lo, hi)))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("revenue"),

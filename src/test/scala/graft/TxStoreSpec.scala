@@ -463,6 +463,30 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q193 delete vector: invisible until commit; checkpoint must not resurrect") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    def agg: Seq[String] = Caches.scoped(
+      StoreTxn.tableRangeAggregateTx(spark, sf).collect().toSeq.map(_.toString))
+    val orders = queries.Tables.t(spark, sf, "orders")
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 >= 7"))
+    val full = agg
+
+    // staged delete, crash pre-commit: nothing moves
+    StoreTxn.stageTableDelete(spark, sf, "o_orderkey % 13 = 5", 1L)
+    assert(agg == full, "reader saw an uncommitted delete vector")
+    StoreTxn.commit(spark, sf, 1L)
+    val afterDelete = agg
+    assert(afterDelete != full, "commit did not surface the delete vector")
+
+    // checkpoint folds manifest AND delete vector: dropping the t<id>
+    // dirs must not resurrect the deleted rows
+    StoreTxn.checkpoint(spark, sf)
+    assert(agg == afterDelete, "checkpoint resurrected deleted rows")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
