@@ -56,7 +56,11 @@ __all__ = [
     "tx_absorb_search", "tx_search_bm25",
     # zone-map data-skipping store
     "build_zonemap_store_if_stale", "absorb_zonemap_delta",
-    "zonemap_range_aggregate",
+    "zonemap_range_aggregate", "recluster_zonemap",
+    # transactional table
+    "tx_ensure_zone_base", "tx_absorb_table_append",
+    "tx_absorb_table_delete", "tx_table_range_aggregate",
+    "tx_table_range_aggregate_as_of", "tx_vacuum_table",
     # mergeable sketch store
     "build_cms_if_stale", "absorb_cms_delta", "cms_heavy_hitters",
     "build_kmv_store", "absorb_kmv_delta", "kmv_sample",
@@ -782,6 +786,49 @@ def zonemap_range_aggregate(spark, data_dir):
     """The zone-pruned range aggregate (q183's read)."""
     jdf = _bridge(spark).zoneMapRangeAggregate(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
+
+
+def recluster_zonemap(spark, data_dir):
+    """Re-range overlapping absorbed files back to disjoint zones
+    (q188's OPTIMIZE pass)."""
+    _bridge(spark).reclusterZoneMap(spark._jsparkSession, data_dir)
+
+
+def tx_ensure_zone_base(spark, data_dir):
+    """Build/guard the table tier's clustered transactional base."""
+    _bridge(spark).txEnsureZoneBase(spark._jsparkSession, data_dir)
+
+
+def tx_absorb_table_append(spark, data_dir, tranche_pred):
+    """Atomically append one order tranche — data files + manifest rows
+    behind one commit row (q191); returns the txn id."""
+    return _bridge(spark).txAbsorbTableAppend(
+        spark._jsparkSession, data_dir, tranche_pred)
+
+
+def tx_absorb_table_delete(spark, data_dir, pred):
+    """Atomically retire a key slice as a delete-vector commit (q193)."""
+    return _bridge(spark).txAbsorbTableDelete(
+        spark._jsparkSession, data_dir, pred)
+
+
+def tx_table_range_aggregate(spark, data_dir):
+    """The range aggregate over the committed manifest minus the
+    committed delete vector."""
+    jdf = _bridge(spark).txTableRangeAggregate(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def tx_table_range_aggregate_as_of(spark, data_dir, max_txn):
+    """The same read as of transaction ``max_txn`` (q192 time travel)."""
+    jdf = _bridge(spark).txTableRangeAggregateAsOf(
+        spark._jsparkSession, data_dir, max_txn)
+    return DataFrame(jdf, spark)
+
+
+def tx_vacuum_table(spark, data_dir):
+    """Reclaim layout files no manifest references; returns their paths."""
+    return list(_bridge(spark).txVacuumTable(spark._jsparkSession, data_dir))
 
 
 def release_caches(spark):

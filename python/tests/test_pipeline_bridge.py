@@ -467,6 +467,26 @@ def main():
     gp.absorb_zonemap_delta(spark, sf_dir)
     zr = gp.zonemap_range_aggregate(spark, sf_dir).collect()
     assert zr and all(r["n_orders"] > 0 for r in zr)
+    gp.recluster_zonemap(spark, sf_dir)
+    zr2 = gp.zonemap_range_aggregate(spark, sf_dir).collect()
+    assert [r.asDict() for r in zr2] == [r.asDict() for r in zr], \
+        "recluster changed the range aggregate"
+    gp.release_caches(spark)
+
+    # --- transactional table: append -> as-of -> delete from Python ---
+    gp.tx_reset(spark, sf_dir)
+    gp.tx_ensure_zone_base(spark, sf_dir)
+    gp.tx_vacuum_table(spark, sf_dir)
+    assert gp.tx_absorb_table_append(spark, sf_dir, "o_orderkey % 10 IN (7, 8)") == 0
+    gp.tx_absorb_table_append(spark, sf_dir, "o_orderkey % 10 = 9")
+    full_tbl = gp.tx_table_range_aggregate(spark, sf_dir).collect()
+    snap = gp.tx_table_range_aggregate_as_of(spark, sf_dir, 0).collect()
+    assert snap != full_tbl, "as-of snapshot equals the full table"
+    gp.tx_absorb_table_delete(spark, sf_dir, "o_orderkey % 13 = 5")
+    after_del = gp.tx_table_range_aggregate(spark, sf_dir).collect()
+    assert after_del != full_tbl, "delete vector was invisible"
+    assert gp.tx_vacuum_table(spark, sf_dir) == [], \
+        "committed files read as orphans"
     gp.release_caches(spark)
 
     # --- the generic runner exposes the whole query surface ---

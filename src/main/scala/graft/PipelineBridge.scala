@@ -508,6 +508,41 @@ object PipelineBridge {
   def zoneMapRangeAggregate(s: SparkSession, dir: String): DataFrame =
     queries.ZoneMapStore.rangeAggregate(s, dir)
 
+  /** Re-range overlapping absorbed files back to disjoint zones. */
+  def reclusterZoneMap(s: SparkSession, dir: String): Unit =
+    queries.ZoneMapStore.recluster(s, dir)
+
+  // --- Transactional table verbs (q191-q194). ---
+
+  /** Build/guard the table tier's clustered transactional base. */
+  def txEnsureZoneBase(s: SparkSession, dir: String): Unit =
+    queries.StoreTxn.ensureZoneBase(s, dir)
+
+  /** Atomically append one order tranche (data files + manifest rows
+    * behind one commit row); returns the txn id. */
+  def txAbsorbTableAppend(s: SparkSession, dir: String,
+      tranchePred: String): Long =
+    queries.StoreTxn.absorbTableAppend(s, dir,
+      queries.Tables.t(s, dir, "orders").where(tranchePred))
+
+  /** Atomically retire a key slice as a delete-vector commit. */
+  def txAbsorbTableDelete(s: SparkSession, dir: String, pred: String): Long =
+    queries.StoreTxn.absorbTableDelete(s, dir, pred)
+
+  /** The range aggregate over the committed manifest minus the
+    * committed delete vector. */
+  def txTableRangeAggregate(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.tableRangeAggregateTx(s, dir)
+
+  /** The same read as of transaction `maxTxn` (snapshot time travel). */
+  def txTableRangeAggregateAsOf(s: SparkSession, dir: String,
+      maxTxn: Long): DataFrame =
+    queries.StoreTxn.tableRangeAggregateTxAsOf(s, dir, maxTxn)
+
+  /** Reclaim layout files no manifest references; returns their paths. */
+  def txVacuumTable(s: SparkSession, dir: String): Array[String] =
+    queries.StoreTxn.vacuumTable(s, dir).toArray
+
   // --- Ingest-pair transaction verbs (q162/q163): graph edge partials
   // and embed bucket rows land under ONE commit row. ---
 

@@ -672,6 +672,53 @@ object StoreTxn {
         .getOrElse(df))
   }
 
+  /** STREAMING table appends (q194): each micro-batch lands as its own
+    * ACID commit — the continuously-ingesting deployment where a crash
+    * between ticks can never expose a torn tranche, because the manifest
+    * rows and the commit row of each tick stand or fall together. Feed
+    * staging + deterministic micro-batch order are the q151/q166 device
+    * (two range files, mtime-ordered, maxFilesPerTrigger=1). */
+  private def streamTableAppend(s: SparkSession, dir: String): DataFrame = {
+    reset(s, dir)
+    ensureZoneBase(s, dir)
+    vacuumTable(s, dir)
+    val h = Tables.dirHash(dir)
+    val feed = s"${sys.props("java.io.tmpdir")}/graft_table_feed_$h"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_table_ckpt_$h"
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val orders = Tables.t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    orders.where("o_orderkey % 10 IN (7, 8)")
+      .coalesce(1).write.mode("overwrite").parquet(feed)
+    val base = System.currentTimeMillis() - 3600000L
+    val feedPath = new org.apache.hadoop.fs.Path(feed)
+    val aParts = fs.listStatus(feedPath)
+      .filter(_.getPath.getName.startsWith("part-"))
+    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+    orders.where("o_orderkey % 10 = 9")
+      .coalesce(1).write.mode("append").parquet(feed)
+    val aNames = aParts.map(_.getPath.getName).toSet
+    fs.listStatus(feedPath)
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        !aNames(st.getPath.getName))
+      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    val stream = s.readStream.schema(s.read.parquet(feed).schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    // explicit function value — the inline lambda is ambiguous between
+    // the Scala and Java foreachBatch overloads on 2.13 (q131's note)
+    val commitBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => { absorbTableAppend(s, dir, batch.toDF()); () }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(commitBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    tableRangeAggregateTx(s, dir)
+  }
+
   /** VACUUM for the table tier: delete layout files no manifest row —
     * base or committed layer — references. Reclaims crashed-stage
     * orphans and the data files a [[reset]] log-drop stranded. Like
@@ -1270,6 +1317,11 @@ object StoreTxn {
       absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
       tableRangeAggregateTxAsOf(s, dir, maxTxn = 0L)
     }),
+    // STREAMING ACID APPENDS: the two tranches arrive as micro-batches,
+    // each committing atomically inside foreachBatch; the drained
+    // manifest equals the batch lifecycle exactly (q183's oracle
+    // verbatim — commit-per-tick is reader-invisible)
+    "q194_stream_table_append" -> ((s, dir) => streamTableAppend(s, dir)),
     // MERGE-ON-READ TABLE DELETE: append both tranches, then retire a
     // 1-in-13 key slice as a delete-vector commit — no data file moves;
     // the read anti-joins the committed vector. The oracle keeps the
@@ -1361,6 +1413,8 @@ object StoreTxn {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM snap, b WHERE o_orderkey BETWEEN lo AND hi
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q183's oracle verbatim — per-tick commits land on the same bytes
+    "q194_stream_table_append" -> ZoneMapStore.oracles("q183_zonemap_store"),
     // full-table bounds (the delete vector rewrites nothing), victims
     // dropped from the rollup only
     "q193_tx_table_delete" ->
