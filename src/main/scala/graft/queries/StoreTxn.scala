@@ -559,10 +559,16 @@ object StoreTxn {
   }
 
   /** Base manifest ∪ committed zone layers — the transactional file
-    * list. */
-  private def zoneManifestTx(s: SparkSession, dir: String): DataFrame =
-    layered(s, dir, ZoneMapStore.zonesPath(dir, variant),
-      id => s"${root(dir)}/t$id/table/zones")
+    * list. Per-path reads (a folded base carries the ftxn sequence
+    * column, fresh layers don't — mixed schemas must not meet in one
+    * scan), normalized to the manifest's four columns. */
+  private def zoneManifestTx(s: SparkSession, dir: String): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val cols = Seq("file", "min_key", "max_key", "n_rows").map(col)
+    val paths = ZoneMapStore.zonesPath(dir, variant) +:
+      existingLayers(s, dir, id => s"${root(dir)}/t$id/table/zones")
+    paths.map(p => s.read.parquet(p).select(cols: _*)).reduce(_.unionByName(_))
+  }
 
   /** Stage one tranche: its data files append to the layout (invisible —
     * nothing references them yet), its manifest rows land under the
@@ -597,9 +603,14 @@ object StoreTxn {
     id
   }
 
-  /** The committed DELETE VECTOR: folded base deletes (if a checkpoint
-    * has run) ∪ committed delete layers. None when no delete has ever
-    * committed — the common case pays nothing. */
+  /** The committed DELETE VECTOR with SEQUENCE NUMBERS: every delete row
+    * carries the txn that issued it (`dtxn` — written at stage time, so
+    * a checkpoint fold preserves it), because a delete applies only to
+    * files from EARLIER transactions. That ordering is what makes
+    * upserts (q195) expressible as delete + append under one txn: the
+    * replacing rows' files carry the same sequence number as the delete
+    * and survive it — Iceberg's sequence-number rule. None when no
+    * delete has ever committed — the common case pays nothing. */
   private def tableDeletesTx(s: SparkSession, dir: String,
       maxTxn: Long = Long.MaxValue): Option[DataFrame] = {
     requireNoCheckpoint(s, dir)
@@ -614,13 +625,37 @@ object StoreTxn {
     if (paths.isEmpty) None else Some(s.read.parquet(paths: _*))
   }
 
+  /** Every committed file tagged with its sequence number: base files
+    * carry the ftxn a prior checkpoint folded (or −1 when pristine),
+    * layer files their transaction id. Bounded (#files rows), reads
+    * each layer separately so mixed schemas never meet one scan. */
+  private def fileTxnMap(s: SparkSession, dir: String,
+      maxTxn: Long = Long.MaxValue): DataFrame = {
+    val base = s.read.parquet(ZoneMapStore.zonesPath(dir, variant))
+    val baseTagged =
+      if (base.columns.contains("ftxn")) base.select(col("file"), col("ftxn"))
+      else base.select(col("file"), lit(-1L).as("ftxn"))
+    val conf = s.sparkContext.hadoopConfiguration
+    val layers = committedTxns(s, dir).filter(_ <= maxTxn).flatMap { id =>
+      val p = s"${root(dir)}/t$id/table/zones"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (hp.getFileSystem(conf).exists(hp))
+        Some(s.read.parquet(p).select(col("file"), lit(id).as("ftxn")))
+      else None
+    }
+    (baseTagged +: layers).reduce(_.unionByName(_))
+  }
+
   /** Stage a MERGE-ON-READ delete (q193): the victims' keys land as a
-    * delete-vector layer — no data file is touched; readers anti-join
-    * the committed set (broadcast: deletions are small relative to the
-    * table). Iceberg v2's equality-delete shape on this commit log. */
+    * delete-vector layer tagged with this txn's sequence number — no
+    * data file is touched; readers drop a row iff some committed delete
+    * with a HIGHER sequence number than the row's file names its key
+    * (broadcast: deletions are small relative to the table). Iceberg
+    * v2's equality-delete shape on this commit log. */
   def stageTableDelete(s: SparkSession, dir: String, pred: String,
       id: Long): Unit =
-    Tables.t(s, dir, "orders").where(pred).select(col("o_orderkey"))
+    Tables.t(s, dir, "orders").where(pred)
+      .select(col("o_orderkey"), lit(id).as("dtxn"))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${root(dir)}/t$id/table/deletes")
 
@@ -632,14 +667,51 @@ object StoreTxn {
     id
   }
 
+  /** UPSERT (q195) — MERGE INTO as one transaction: a delete vector for
+    * the incoming keys plus the replacing rows' files, both at the same
+    * sequence number, one commit row. Readers resolve it row-free: old
+    * files (lower ftxn) lose the keys, the new files (ftxn == dtxn)
+    * keep them. */
+  def stageTableUpsert(s: SparkSession, dir: String, pred: String,
+      tranche: DataFrame, id: Long): Unit = {
+    stageTableDelete(s, dir, pred, id)
+    stageTableAppend(s, dir, tranche, id)
+  }
+
+  def absorbTableUpsert(s: SparkSession, dir: String, pred: String,
+      tranche: DataFrame): Long = {
+    val id = nextTxnId(s, dir)
+    stageTableUpsert(s, dir, pred, tranche, id)
+    commit(s, dir, id)
+    id
+  }
+
+  /** The sequence-number scrub: keep a row iff no committed delete with
+    * a higher sequence number than its file's names its key. Two
+    * broadcast joins (file→ftxn is #files rows; per-key max-dtxn is
+    * |delete-vector| rows) — nothing corpus-scale moves. */
+  private def deleteScrub(s: SparkSession, dir: String,
+      maxTxn: Long = Long.MaxValue): DataFrame => DataFrame =
+    df => tableDeletesTx(s, dir, maxTxn) match {
+      case None => df
+      case Some(dels) =>
+        val dmax = dels.groupBy(col("o_orderkey"))
+          .agg(max(col("dtxn")).as("dmax"))
+        df.withColumn("__file",
+            regexp_replace(input_file_name(), "^[a-zA-Z0-9+.-]+:/+", "/"))
+          .join(broadcast(fileTxnMap(s, dir, maxTxn)),
+            col("__file") === col("file"), "left")
+          .join(broadcast(dmax), Seq("o_orderkey"), "left")
+          .where(col("dmax").isNull || col("dmax") <= col("ftxn"))
+          .drop("__file", "file", "ftxn", "dmax")
+    }
+
   /** q183's range aggregate over the transactional manifest, with the
-    * committed delete vector anti-joined out between scan and rollup. */
+    * committed delete vector resolved out between scan and rollup. */
   def tableRangeAggregateTx(s: SparkSession, dir: String): DataFrame =
     ZoneMapStore.rangeAggregateOf(s,
       ZoneMapStore.prunedFilesOf(zoneManifestTx(s, dir)),
-      df => tableDeletesTx(s, dir)
-        .map(d => df.join(broadcast(d), Seq("o_orderkey"), "left_anti"))
-        .getOrElse(df))
+      deleteScrub(s, dir))
 
   /** TIME TRAVEL on the transactional table (q192): the manifest as of
     * transaction `maxTxn` — base zones ∪ committed zone layers with id
@@ -665,11 +737,12 @@ object StoreTxn {
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(conf).exists(hp)
         }
+    val cols = Seq("file", "min_key", "max_key", "n_rows").map(col)
+    val snapshot = paths.map(p => s.read.parquet(p).select(cols: _*))
+      .reduce(_.unionByName(_))
     ZoneMapStore.rangeAggregateOf(s,
-      ZoneMapStore.prunedFilesOf(s.read.parquet(paths: _*)),
-      df => tableDeletesTx(s, dir, maxTxn)
-        .map(d => df.join(broadcast(d), Seq("o_orderkey"), "left_anti"))
-        .getOrElse(df))
+      ZoneMapStore.prunedFilesOf(snapshot),
+      deleteScrub(s, dir, maxTxn))
   }
 
   /** STREAMING table appends (q194): each micro-batch lands as its own
@@ -717,6 +790,32 @@ object StoreTxn {
       .start()
     q.awaitTermination()
     tableRangeAggregateTx(s, dir)
+  }
+
+  /** TABLE CHANGELOG (q196): what each transaction did, recovered from
+    * the commit log alone — rows added (manifest layer n_rows sums) and
+    * keys deleted (delete layer counts) per txn, without replaying a
+    * batch or touching a data file. One bounded driver loop over the
+    * committed ids (#txns, the same class as committedTxns itself). */
+  def tableChangelogTx(s: SparkSession, dir: String): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    val rows = committedTxns(s, dir).map { id =>
+      val zp = s"${root(dir)}/t$id/table/zones"
+      val dp = s"${root(dir)}/t$id/table/deletes"
+      val added =
+        if (exists(zp))
+          s.read.parquet(zp).agg(sum(col("n_rows"))).head().getLong(0)
+        else 0L
+      val deleted = if (exists(dp)) s.read.parquet(dp).count() else 0L
+      (id, added, deleted)
+    }
+    import s.implicits._
+    rows.toDF("txn", "rows_added", "keys_deleted").orderBy(col("txn"))
   }
 
   /** VACUUM for the table tier: delete layout files no manifest row —
@@ -799,12 +898,20 @@ object StoreTxn {
     // the table tier folds its MANIFEST only — the data files already
     // live outside the log and stay referenced by the folded base zones
     if (hasZoneBase(s, dir)) {
+      // the fold PRESERVES sequence numbers: each manifest row carries
+      // its file's ftxn and each delete row its dtxn, so the
+      // delete-applies-to-earlier-files rule keeps resolving correctly
+      // after the t<id> dirs drop (folding them away would let a folded
+      // delete re-kill the upsert rows that superseded it)
       zoneManifestTx(s, dir)
+        .join(fileTxnMap(s, dir), Seq("file"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/table/zones")
       // the delete vector folds alongside (dropping t<id> dirs at
-      // publish would otherwise resurrect every deleted row)
+      // publish would otherwise resurrect every deleted row); only the
+      // per-key MAX sequence matters to the resolution rule
       tableDeletesTx(s, dir).foreach(
-        _.distinct().coalesce(1)
+        _.groupBy(col("o_orderkey")).agg(max(col("dtxn")).as("dtxn"))
+          .coalesce(1)
           .write.mode("overwrite").parquet(s"$staging/table/deletes"))
     }
     val m = marker(dir)
@@ -1322,6 +1429,37 @@ object StoreTxn {
     // manifest equals the batch lifecycle exactly (q183's oracle
     // verbatim — commit-per-tick is reader-invisible)
     "q194_stream_table_append" -> ((s, dir) => streamTableAppend(s, dir)),
+    // UPSERT / MERGE INTO: tranche 2 lands twice — original rows, then
+    // a one-transaction upsert replacing them with doubled totals. The
+    // sequence-number rule resolves it without rewriting a file: the
+    // delete vector (same txn) kills the keys in EARLIER files only,
+    // the replacing files survive it. Oracle: full table with tranche
+    // 2's prices doubled.
+    "q195_tx_table_upsert" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
+      absorbTableUpsert(s, dir, "o_orderkey % 10 = 9",
+        orders.where("o_orderkey % 10 = 9")
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+      tableRangeAggregateTx(s, dir)
+    }),
+    // CHANGELOG: per-transaction rows-added / keys-deleted recovered
+    // from the log alone — no batch replay, no data file read; the
+    // oracle recomputes each tranche's cardinality from the predicates
+    "q196_tx_table_changelog" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
+      absorbTableDelete(s, dir, "o_orderkey % 13 = 5")
+      tableChangelogTx(s, dir)
+    }),
     // MERGE-ON-READ TABLE DELETE: append both tranches, then retire a
     // 1-in-13 key slice as a delete-vector commit — no data file moves;
     // the read anti-joins the committed vector. The oracle keeps the
@@ -1415,6 +1553,31 @@ object StoreTxn {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // q183's oracle verbatim — per-tick commits land on the same bytes
     "q194_stream_table_append" -> ZoneMapStore.oracles("q183_zonemap_store"),
+    // the upserted table: tranche 2's totals doubled, bounds unchanged
+    // (keys are identical before and after the merge)
+    "q195_tx_table_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 9 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |mk AS (SELECT max(o_orderkey) AS m FROM t),
+        |b AS (SELECT (m * 3) // 10 AS lo, (m * 5) // 10 AS hi FROM mk)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM t, b WHERE o_orderkey BETWEEN lo AND hi
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // each txn's ledger row from the tranche predicates
+    "q196_tx_table_changelog" ->
+      """SELECT 0::BIGINT AS txn,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 IN (7, 8))::BIGINT
+        |    AS rows_added,
+        |  0::BIGINT AS keys_deleted
+        |UNION ALL SELECT 1,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 9)::BIGINT, 0
+        |UNION ALL SELECT 2, 0,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 5)::BIGINT
+        |ORDER BY txn""".stripMargin,
     // full-table bounds (the delete vector rewrites nothing), victims
     // dropped from the rollup only
     "q193_tx_table_delete" ->

@@ -487,6 +487,44 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q195 upsert: replacing rows survive their own delete; checkpoint keeps the merge") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    def agg: Seq[String] = Caches.scoped(
+      StoreTxn.tableRangeAggregateTx(spark, sf).collect().toSeq.map(_.toString))
+    val orders = queries.Tables.t(spark, sf, "orders")
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 = 9"))
+    val before = agg
+    StoreTxn.absorbTableUpsert(spark, sf, "o_orderkey % 10 = 9",
+      orders.where("o_orderkey % 10 = 9")
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    val merged = agg
+    assert(merged != before, "upsert was invisible")
+    // row COUNT must be unchanged (replace, not append+keep-both) —
+    // compare the n_orders column across the two states
+    def counts(rows: Seq[String]) =
+      Caches.scoped(StoreTxn.tableRangeAggregateTx(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap)
+    val mergedCounts = counts(merged)
+    StoreTxn.reset(spark, sf); StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 = 9"))
+    val plainCounts = counts(before)
+    assert(mergedCounts == plainCounts,
+      s"upsert changed cardinality: $plainCounts -> $mergedCounts")
+    // redo the merge and checkpoint: sequence numbers must survive the
+    // fold — the folded delete (dtxn) must not re-kill the folded
+    // replacing files (ftxn == dtxn)
+    StoreTxn.absorbTableUpsert(spark, sf, "o_orderkey % 10 = 9",
+      orders.where("o_orderkey % 10 = 9")
+        .withColumn("o_totalprice", col("o_totalprice") * 2))
+    val mergedAgain = agg
+    StoreTxn.checkpoint(spark, sf)
+    assert(agg == mergedAgain, "checkpoint fold broke the upsert resolution")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
