@@ -61,6 +61,7 @@ __all__ = [
     "tx_ensure_zone_base", "tx_absorb_table_append",
     "tx_absorb_table_delete", "tx_table_range_aggregate",
     "tx_table_range_aggregate_as_of", "tx_vacuum_table",
+    "tx_absorb_table_upsert", "tx_table_changelog", "tx_search_bm25_as_of",
     # mergeable sketch store
     "build_cms_if_stale", "absorb_cms_delta", "cms_heavy_hitters",
     "build_kmv_store", "absorb_kmv_delta", "kmv_sample",
@@ -829,6 +830,27 @@ def tx_table_range_aggregate_as_of(spark, data_dir, max_txn):
 def tx_vacuum_table(spark, data_dir):
     """Reclaim layout files no manifest references; returns their paths."""
     return list(_bridge(spark).txVacuumTable(spark._jsparkSession, data_dir))
+
+
+def tx_absorb_table_upsert(spark, data_dir, pred, set_expr):
+    """MERGE INTO as one transaction (q195): delete the matching keys
+    and append the replacing rows (``set_expr`` rewrites o_totalprice)
+    at the same sequence number; returns the txn id."""
+    return _bridge(spark).txAbsorbTableUpsert(
+        spark._jsparkSession, data_dir, pred, set_expr)
+
+
+def tx_table_changelog(spark, data_dir):
+    """Per-transaction rows-added / keys-deleted from the log (q196)."""
+    jdf = _bridge(spark).txTableChangelog(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def tx_search_bm25_as_of(spark, data_dir, max_txn):
+    """BM25 as of transaction ``max_txn`` (q197 search time travel)."""
+    jdf = _bridge(spark).txSearchBm25AsOf(
+        spark._jsparkSession, data_dir, max_txn)
+    return DataFrame(jdf, spark)
 
 
 def release_caches(spark):

@@ -543,6 +543,24 @@ object PipelineBridge {
   def txVacuumTable(s: SparkSession, dir: String): Array[String] =
     queries.StoreTxn.vacuumTable(s, dir).toArray
 
+  /** MERGE INTO as one transaction: delete the matching keys + append
+    * the replacing rows at the same sequence number; returns the id.
+    * `setExpr` is a SQL expression for the replacement o_totalprice. */
+  def txAbsorbTableUpsert(s: SparkSession, dir: String, pred: String,
+      setExpr: String): Long =
+    queries.StoreTxn.absorbTableUpsert(s, dir, pred,
+      queries.Tables.t(s, dir, "orders").where(pred)
+        .withColumn("o_totalprice",
+          org.apache.spark.sql.functions.expr(setExpr)))
+
+  /** Per-transaction rows-added / keys-deleted from the log alone. */
+  def txTableChangelog(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.tableChangelogTx(s, dir)
+
+  /** BM25 as of transaction `maxTxn` (q197 search time travel). */
+  def txSearchBm25AsOf(s: SparkSession, dir: String, maxTxn: Long): DataFrame =
+    queries.StoreTxn.bm25TxAsOf(s, dir, maxTxn)
+
   // --- Ingest-pair transaction verbs (q162/q163): graph edge partials
   // and embed bucket rows land under ONE commit row. ---
 

@@ -219,13 +219,20 @@ object StoreTxn {
     * read mixing the two layouts trips partition discovery), so the
     * base prunes directories and each small layer takes the same
     * predicate as a pushed filter, then the frames union. */
-  private def allSearchPostingsTx(s: SparkSession, dir: String): DataFrame = {
+  private def allSearchPostingsTx(s: SparkSession, dir: String,
+      maxTxn: Long = Long.MaxValue): DataFrame = {
     requireNoCheckpoint(s, dir)
     val cols = Seq("tb", "term", "doc_id", "tf", "dl", "positions")
+    val conf = s.sparkContext.hadoopConfiguration
+    val layers = committedTxns(s, dir).filter(_ <= maxTxn)
+      .map(id => s"${root(dir)}/t$id/search/postings")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
     val frames =
       s.read.parquet(SearchStore.postingsPath(dir, variant)) +:
-        existingLayers(s, dir, id => s"${root(dir)}/t$id/search/postings")
-          .map(p => s.read.parquet(p))
+        layers.map(p => s.read.parquet(p))
     frames.map(_.select(cols.map(col): _*)).reduce(_.unionByName(_))
   }
 
@@ -537,6 +544,33 @@ object StoreTxn {
   def bm25Tx(s: SparkSession, dir: String): DataFrame =
     SearchStore.bm25Of(searchPostingsTx(s, dir, SearchStore.bm25Terms),
       searchStatsTx(s, dir))
+
+  /** SEARCH-TIER TIME TRAVEL (q197): BM25 as of transaction `maxTxn` —
+    * the index snapshot is a log-prefix filter over postings AND stats
+    * layers together, so the ranker's N/Σdl normalizer and its postings
+    * always describe the same historical corpus (the skew a per-store
+    * as-of would reintroduce). Inherits the folded-generation refusal. */
+  def bm25TxAsOf(s: SparkSession, dir: String, maxTxn: Long): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val folded = foldedFlag(dir)
+    if (folded.getFileSystem(s.sparkContext.hadoopConfiguration).exists(folded))
+      throw new IllegalStateException(
+        s"store-txn history at ${root(dir)} was folded by a checkpoint; " +
+          "as-of reads cannot reconstruct pre-checkpoint states — keep " +
+          "the log (skip checkpoints) where time travel is required")
+    val conf = s.sparkContext.hadoopConfiguration
+    val statPaths = SearchStore.statsPath(dir, variant) +:
+      committedTxns(s, dir).filter(_ <= maxTxn)
+        .map(id => s"${root(dir)}/t$id/search/stats")
+        .filter { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+    SearchStore.bm25Of(
+      allSearchPostingsTx(s, dir, maxTxn)
+        .where(SearchStore.termFilter(s, SearchStore.bm25Terms)),
+      s.read.parquet(statPaths: _*))
+  }
 
   // ---- transactional parquet table (q191): ACID appends over plain
   // files. The zone table IS the manifest: appended data files land in
@@ -1429,6 +1463,18 @@ object StoreTxn {
     // manifest equals the batch lifecycle exactly (q183's oracle
     // verbatim — commit-per-tick is reader-invisible)
     "q194_stream_table_append" -> ((s, dir) => streamTableAppend(s, dir)),
+    // SEARCH TIME TRAVEL: both tranches commit, then BM25 is asked as
+    // of txn 0 — postings AND the N/Σdl normalizer pinned to the same
+    // log prefix. Oracle: q99 over exactly the docs ingested through
+    // txn 0 (base corpus ∪ tranche 1).
+    "q197_tx_search_asof" -> ((s, dir) => {
+      reset(s, dir)
+      ensureSearchBase(s, dir)
+      val docs = Tables.t(s, dir, "documents")
+      absorbSearch(s, dir, docs.where("doc_id % 10 IN (7, 8)"))
+      absorbSearch(s, dir, docs.where("doc_id % 10 = 9"))
+      bm25TxAsOf(s, dir, maxTxn = 0L)
+    }),
     // UPSERT / MERGE INTO: tranche 2 lands twice — original rows, then
     // a one-transaction upsert replacing them with doubled totals. The
     // sequence-number rule resolves it without rewriting a file: the
@@ -1553,6 +1599,10 @@ object StoreTxn {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // q183's oracle verbatim — per-tick commits land on the same bytes
     "q194_stream_table_append" -> ZoneMapStore.oracles("q183_zonemap_store"),
+    // q99 over the snapshot corpus (the only FROM documents is in the
+    // base CTE — st/sc select FROM base)
+    "q197_tx_search_asof" -> TextPipeline.oracles("q99_bm25_search")
+      .replace("FROM documents)", "FROM documents WHERE doc_id % 10 != 9)"),
     // the upserted table: tranche 2's totals doubled, bounds unchanged
     // (keys are identical before and after the merge)
     "q195_tx_table_upsert" ->
