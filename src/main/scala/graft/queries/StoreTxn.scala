@@ -592,15 +592,45 @@ object StoreTxn {
     }
   }
 
+  /** The table's committed VIEW through transaction `maxTxn`: whether
+    * the base participates and which layer ids do. A committed REPLACE
+    * transaction (q198 — INSERT OVERWRITE) is a boundary: the view is
+    * the replace's own layers onward, base and earlier layers excluded
+    * — truncate-and-load as one commit row, old files left on disk for
+    * time travel until [[vacuumTable]] reclaims them. */
+  private def tableView(s: SparkSession, dir: String,
+      maxTxn: Long = Long.MaxValue): (Boolean, Seq[Long]) = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val ids = committedTxns(s, dir).filter(_ <= maxTxn)
+    def isReplace(id: Long) = {
+      val hp = new org.apache.hadoop.fs.Path(s"${root(dir)}/t$id/table/replace")
+      hp.getFileSystem(conf).exists(hp)
+    }
+    ids.filter(isReplace).lastOption match {
+      case Some(r) => (false, ids.filter(_ >= r))
+      case None => (true, ids)
+    }
+  }
+
   /** Base manifest ∪ committed zone layers — the transactional file
-    * list. Per-path reads (a folded base carries the ftxn sequence
-    * column, fresh layers don't — mixed schemas must not meet in one
-    * scan), normalized to the manifest's four columns. */
-  private def zoneManifestTx(s: SparkSession, dir: String): DataFrame = {
+    * list (through the replace boundary). Per-path reads (a folded base
+    * carries the ftxn sequence column, fresh layers don't — mixed
+    * schemas must not meet in one scan), normalized to the manifest's
+    * four columns. */
+  private def zoneManifestTx(s: SparkSession, dir: String,
+      maxTxn: Long = Long.MaxValue): DataFrame = {
     requireNoCheckpoint(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val (withBase, ids) = tableView(s, dir, maxTxn)
     val cols = Seq("file", "min_key", "max_key", "n_rows").map(col)
-    val paths = ZoneMapStore.zonesPath(dir, variant) +:
-      existingLayers(s, dir, id => s"${root(dir)}/t$id/table/zones")
+    val layerPaths = ids.map(id => s"${root(dir)}/t$id/table/zones")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    val paths =
+      (if (withBase) Seq(ZoneMapStore.zonesPath(dir, variant)) else Seq.empty) ++
+        layerPaths
     paths.map(p => s.read.parquet(p).select(cols: _*)).reduce(_.unionByName(_))
   }
 
@@ -649,9 +679,10 @@ object StoreTxn {
       maxTxn: Long = Long.MaxValue): Option[DataFrame] = {
     requireNoCheckpoint(s, dir)
     val conf = s.sparkContext.hadoopConfiguration
-    val paths = (ZoneMapStore.deletesPath(dir, variant) +:
-      committedTxns(s, dir).filter(_ <= maxTxn)
-        .map(id => s"${root(dir)}/t$id/table/deletes"))
+    val (withBase, ids) = tableView(s, dir, maxTxn)
+    val paths =
+      ((if (withBase) Seq(ZoneMapStore.deletesPath(dir, variant)) else Seq.empty) ++
+        ids.map(id => s"${root(dir)}/t$id/table/deletes"))
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
@@ -665,19 +696,22 @@ object StoreTxn {
     * each layer separately so mixed schemas never meet one scan. */
   private def fileTxnMap(s: SparkSession, dir: String,
       maxTxn: Long = Long.MaxValue): DataFrame = {
-    val base = s.read.parquet(ZoneMapStore.zonesPath(dir, variant))
-    val baseTagged =
-      if (base.columns.contains("ftxn")) base.select(col("file"), col("ftxn"))
-      else base.select(col("file"), lit(-1L).as("ftxn"))
+    val (withBase, ids) = tableView(s, dir, maxTxn)
+    val baseTagged = if (withBase) {
+      val base = s.read.parquet(ZoneMapStore.zonesPath(dir, variant))
+      if (base.columns.contains("ftxn"))
+        Seq(base.select(col("file"), col("ftxn")))
+      else Seq(base.select(col("file"), lit(-1L).as("ftxn")))
+    } else Seq.empty
     val conf = s.sparkContext.hadoopConfiguration
-    val layers = committedTxns(s, dir).filter(_ <= maxTxn).flatMap { id =>
+    val layers = ids.flatMap { id =>
       val p = s"${root(dir)}/t$id/table/zones"
       val hp = new org.apache.hadoop.fs.Path(p)
       if (hp.getFileSystem(conf).exists(hp))
         Some(s.read.parquet(p).select(col("file"), lit(id).as("ftxn")))
       else None
     }
-    (baseTagged +: layers).reduce(_.unionByName(_))
+    (baseTagged ++ layers).reduce(_.unionByName(_))
   }
 
   /** Stage a MERGE-ON-READ delete (q193): the victims' keys land as a
@@ -763,19 +797,8 @@ object StoreTxn {
         s"store-txn history at ${root(dir)} was folded by a checkpoint; " +
           "as-of reads cannot reconstruct pre-checkpoint states — keep " +
           "the log (skip checkpoints) where time travel is required")
-    val conf = s.sparkContext.hadoopConfiguration
-    val paths = ZoneMapStore.zonesPath(dir, variant) +:
-      committedTxns(s, dir).filter(_ <= maxTxn)
-        .map(id => s"${root(dir)}/t$id/table/zones")
-        .filter { p =>
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(conf).exists(hp)
-        }
-    val cols = Seq("file", "min_key", "max_key", "n_rows").map(col)
-    val snapshot = paths.map(p => s.read.parquet(p).select(cols: _*))
-      .reduce(_.unionByName(_))
     ZoneMapStore.rangeAggregateOf(s,
-      ZoneMapStore.prunedFilesOf(snapshot),
+      ZoneMapStore.prunedFilesOf(zoneManifestTx(s, dir, maxTxn)),
       deleteScrub(s, dir, maxTxn))
   }
 
@@ -863,13 +886,50 @@ object StoreTxn {
     val hp = new org.apache.hadoop.fs.Path(layout)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) return Seq.empty
-    val referenced = zoneManifestTx(s, dir)
-      .select("file").collect().map(_.getString(0)).toSet
+    // referenced = EVERY manifest in the log, replace boundaries
+    // ignored: a replaced generation's files stay reclaim-exempt while
+    // their commits exist (time travel still reads them); they become
+    // orphans only after a checkpoint folds the post-replace view and
+    // truncates the log — the Delta retention story in two verbs
+    val conf = s.sparkContext.hadoopConfiguration
+    val manifestPaths = (ZoneMapStore.zonesPath(dir, variant) +:
+      committedTxns(s, dir).map(id => s"${root(dir)}/t$id/table/zones"))
+      .filter { p =>
+        val mp = new org.apache.hadoop.fs.Path(p)
+        mp.getFileSystem(conf).exists(mp)
+      }
+    val referenced = manifestPaths
+      .flatMap(p => s.read.parquet(p).select("file")
+        .collect().map(_.getString(0)))
+      .toSet
     val orphans = fs.listStatus(hp).map(_.getPath.toString)
       .filter(_.endsWith(".parquet")).map(ZoneMapStore.normPath)
       .filterNot(referenced).toIndexedSeq
     orphans.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     orphans
+  }
+
+  /** INSERT OVERWRITE (q198) — truncate-and-load as ONE transaction: the
+    * replacing tranche's files + manifest land like any append, plus a
+    * replace marker that makes this txn a view boundary (base and all
+    * earlier layers drop out of every read at commit, atomically).
+    * Nothing is deleted: the old generation stays readable via as-of
+    * until a checkpoint folds the post-replace view and a vacuum
+    * reclaims it. */
+  def stageTableReplace(s: SparkSession, dir: String, tranche: DataFrame,
+      id: Long): Unit = {
+    stageTableAppend(s, dir, tranche, id)
+    import s.implicits._
+    Seq(id).toDF("txn").coalesce(1).write.mode("overwrite")
+      .parquet(s"${root(dir)}/t$id/table/replace")
+  }
+
+  def absorbTableReplace(s: SparkSession, dir: String,
+      tranche: DataFrame): Long = {
+    val id = nextTxnId(s, dir)
+    stageTableReplace(s, dir, tranche, id)
+    commit(s, dir, id)
+    id
   }
 
   // ---- checkpoint: fold committed layers into the base ----
@@ -1475,6 +1535,22 @@ object StoreTxn {
       absorbSearch(s, dir, docs.where("doc_id % 10 = 9"))
       bm25TxAsOf(s, dir, maxTxn = 0L)
     }),
+    // INSERT OVERWRITE: two appends build the table, then a REPLACE
+    // transaction swaps the whole content for tranche 1 alone — one
+    // commit row flips the view boundary; the old generation stays on
+    // disk (as-of still reads it) but vanishes from the current read.
+    // Oracle: the range aggregate over just the replacing tranche,
+    // bounds from its own key space.
+    "q198_tx_table_replace" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
+      absorbTableReplace(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      tableRangeAggregateTx(s, dir)
+    }),
     // UPSERT / MERGE INTO: tranche 2 lands twice — original rows, then
     // a one-transaction upsert replacing them with doubled totals. The
     // sequence-number rule resolves it without rewriting a file: the
@@ -1603,6 +1679,16 @@ object StoreTxn {
     // base CTE — st/sc select FROM base)
     "q197_tx_search_asof" -> TextPipeline.oracles("q99_bm25_search")
       .replace("FROM documents)", "FROM documents WHERE doc_id % 10 != 9)"),
+    // the post-replace table IS the replacing tranche
+    "q198_tx_table_replace" ->
+      """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (7, 8)),
+        |mk AS (SELECT max(o_orderkey) AS m FROM t),
+        |b AS (SELECT (m * 3) // 10 AS lo, (m * 5) // 10 AS hi FROM mk)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM t, b WHERE o_orderkey BETWEEN lo AND hi
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the upserted table: tranche 2's totals doubled, bounds unchanged
     // (keys are identical before and after the merge)
     "q195_tx_table_upsert" ->

@@ -525,6 +525,36 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q198 replace: boundary flips atomically; old generation readable until checkpoint+vacuum") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    def agg: Seq[String] = Caches.scoped(
+      StoreTxn.tableRangeAggregateTx(spark, sf).collect().toSeq.map(_.toString))
+    val orders = queries.Tables.t(spark, sf, "orders")
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 = 9"))
+    val beforeReplace = agg
+    StoreTxn.absorbTableReplace(spark, sf, orders.where("o_orderkey % 10 IN (7, 8)"))
+    val afterReplace = agg
+    assert(afterReplace != beforeReplace, "replace boundary was invisible")
+    // as-of BEFORE the replace still reconstructs the old generation
+    val asOf0 = Caches.scoped(
+      StoreTxn.tableRangeAggregateTxAsOf(spark, sf, 0L).collect().toSeq.map(_.toString))
+    assert(asOf0 == beforeReplace, "replace destroyed the pre-replace snapshot")
+    // the old generation's files stay reclaim-exempt while the log
+    // references them...
+    assert(StoreTxn.vacuumTable(spark, sf).isEmpty,
+      "vacuum reclaimed files the log still references")
+    // ...and become orphans once a checkpoint folds the post-replace
+    // view and truncates the log
+    StoreTxn.checkpoint(spark, sf)
+    assert(agg == afterReplace, "checkpoint changed the post-replace read")
+    assert(StoreTxn.vacuumTable(spark, sf).nonEmpty,
+      "replaced generation never became reclaimable")
+    assert(agg == afterReplace, "vacuum disturbed the folded read")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
