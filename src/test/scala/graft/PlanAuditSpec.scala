@@ -985,6 +985,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q199/q201 audits: one-pass contract, broadcast dimension anti-joins") {
+    val pExp = plan("q199_expectations")
+    assert("FileScan".r.findAllIn(pExp).size == 1,
+      s"q199's five assertions cost more than one scan:\n$pExp")
+    val pFk = plan("q201_fk_audit")
+    assert(pFk.contains("BroadcastHashJoin"), s"q201 dims not broadcast:\n$pFk")
+    assert(!pFk.contains("CartesianProduct"), pFk)
+    for (p <- Seq(pExp, pFk))
+      assert(!p.contains("ScalaUDF"), s"audit regressed to a ScalaUDF:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write
