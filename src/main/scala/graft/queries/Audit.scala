@@ -89,10 +89,69 @@ object Audit {
     }.reduce(_.unionByName(_)).orderBy(col("relationship"))
   }
 
+  /** STREAMING EXPECTATIONS GATE (q202) — the Delta-Live-Tables shape:
+    * every micro-batch splits against the document contract, accepted
+    * rows land in the serving sink, violators in a QUARANTINE ledger
+    * tagged with the failed check (kept for review, never silently
+    * dropped — the difference between a gate and a leak). Both sinks
+    * are append-only parquet; the final read is a per-lang disposition
+    * rollup over the two ledgers, and because the split predicate is
+    * row-local, batch boundaries cannot change it — the full-table
+    * oracle applies verbatim. */
+  def streamExpectations(s: SparkSession, dir: String): DataFrame = {
+    val h = Tables.dirHash(dir)
+    val tmp = sys.props("java.io.tmpdir")
+    val feed = s"$tmp/graft_dq_feed_$h"
+    val ckpt = s"$tmp/graft_dq_ckpt_$h"
+    val accepted = s"$tmp/graft_dq_accepted_$h"
+    val quarantine = s"$tmp/graft_dq_quarantine_$h"
+    val fs = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (p <- Seq(ckpt, accepted, quarantine))
+      fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(feed)
+    // failed-check tag: first failing assertion in contract order (a
+    // row-local expression, so the oracle replays it cross-engine)
+    val verdictExpr =
+      """CASE WHEN n_chars < 60 OR n_chars > 450 THEN 'chars_range'
+        |     WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 'lang_domain'
+        |     WHEN size(split(text, ' ')) < 15 THEN 'min_tokens'
+        |     ELSE 'ok' END""".stripMargin
+    val stream = s.readStream.schema(s.read.parquet(feed).schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    val gateBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => {
+        val judged = batch.toDF().withColumn("check_failed", expr(verdictExpr))
+        judged.where(col("check_failed") === "ok")
+          .select(col("doc_id"), col("lang"))
+          .write.mode("append").parquet(accepted)
+        judged.where(col("check_failed") =!= "ok")
+          .select(col("doc_id"), col("lang"), col("check_failed"))
+          .write.mode("append").parquet(quarantine)
+      }
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(gateBatch)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val acc = s.read.parquet(accepted)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_accepted"))
+    val quar = s.read.parquet(quarantine)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_quarantined"))
+    acc.join(quar, Seq("lang"), "full_outer")
+      .selectExpr("lang", "coalesce(n_accepted, 0L) AS n_accepted",
+        "coalesce(n_quarantined, 0L) AS n_quarantined")
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q199_expectations" -> ((s, dir) => expectations(s, dir)),
     "q200_k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
-    "q201_fk_audit" -> ((s, dir) => fkAudit(s, dir))
+    "q201_fk_audit" -> ((s, dir) => fkAudit(s, dir)),
+    "q202_stream_expectations" -> ((s, dir) => streamExpectations(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -140,6 +199,21 @@ object Audit {
         |UNION ALL SELECT 'lineitem.l_orderkey -> orders',
         |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
         |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)::BIGINT
-        |ORDER BY relationship""".stripMargin
+        |ORDER BY relationship""".stripMargin,
+    // the same row-local contract over the full table — batch
+    // boundaries cannot move a row-local verdict
+    "q202_stream_expectations" ->
+      """WITH j AS (SELECT lang,
+        |    CASE WHEN n_chars < 60 OR n_chars > 450 THEN 'chars_range'
+        |         WHEN lang NOT IN ('en', 'de', 'fr', 'es', 'zh') THEN 'lang_domain'
+        |         WHEN len(string_split(text, ' ')) < 15 THEN 'min_tokens'
+        |         ELSE 'ok' END AS check_failed
+        |  FROM documents)
+        |SELECT lang,
+        |  sum(CASE WHEN check_failed = 'ok' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_accepted,
+        |  sum(CASE WHEN check_failed != 'ok' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_quarantined
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
