@@ -849,6 +849,90 @@ object StoreTxn {
     tableRangeAggregateTx(s, dir)
   }
 
+  // ---- incremental materialized view (q203): a status-rollup MV kept
+  // in lockstep with the table by PARTIALS PER COMMIT — each txn stages
+  // its own additive delta (adds from its new files, retractions from
+  // the rows its delete vector kills), and the MV read merges partials
+  // only, never re-scanning the table. Classic IVM on the commit log:
+  // refresh cost is O(txn delta), not O(table). ----
+
+  private def mvPartialOf(df: DataFrame, sign: Int): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg((count(lit(1)) * sign).as("d_n"),
+        (sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+          * sign).as("d_cents"))
+
+  /** The base MV: one aggregation of the base layout, persisted once per
+    * generation (production folds this at build time). */
+  def mvEnsureBase(s: SparkSession, dir: String): Unit = {
+    val files = s.read.parquet(ZoneMapStore.zonesPath(dir, variant))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    mvPartialOf(s.read.parquet(files: _*), 1)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${ZoneMapStore.zonesPath(dir, variant)}_mvbase")
+  }
+
+  /** Stage txn `id`'s MV delta next to its table layers (same commit row
+    * flips both — the MV can never skew from the table):
+    *  - ADDS: aggregate of exactly the files this txn's manifest lists;
+    *  - RETRACTS: the rows this txn's delete vector kills — i.e. rows
+    *    visible as of `id − 1` whose key the vector names. Candidate
+    *    files prune through the zones against the vector's key range
+    *    (the point-lookup path of the zone store), then one broadcast
+    *    semi-join; cost is files-containing-the-keys, not the table. */
+  def mvStage(s: SparkSession, dir: String, id: Long): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def exists(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    val zp = s"${root(dir)}/t$id/table/zones"
+    val dp = s"${root(dir)}/t$id/table/deletes"
+    val adds =
+      if (exists(zp)) {
+        val files = s.read.parquet(zp)
+          .select("file").collect().map(_.getString(0)).toIndexedSeq
+        Some(mvPartialOf(s.read.parquet(files: _*), 1))
+      } else None
+    val retracts =
+      if (exists(dp)) {
+        val keys = s.read.parquet(dp).select(col("o_orderkey"))
+        val (kmin, kmax) = {
+          val r = keys.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        // zone-pruned candidates among files visible BEFORE this txn
+        val cand = zoneManifestTx(s, dir, id - 1)
+          .where(col("max_key") >= kmin && col("min_key") <= kmax)
+          .select("file").collect().map(_.getString(0)).toIndexedSeq
+        val victims = deleteScrub(s, dir, id - 1)(s.read.parquet(cand: _*))
+          .join(broadcast(keys), Seq("o_orderkey"), "left_semi")
+        Some(mvPartialOf(victims, -1))
+      } else None
+    (adds.toSeq ++ retracts.toSeq).reduce(_.unionByName(_))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${root(dir)}/t$id/mv")
+  }
+
+  /** The MV read: base partial ∪ committed per-txn deltas, one
+    * #statuses-sized fold — the table itself is never opened (the spec
+    * pins no layout path in the plan). */
+  def matViewTx(s: SparkSession, dir: String): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val paths = (s"${ZoneMapStore.zonesPath(dir, variant)}_mvbase" +:
+      committedTxns(s, dir).map(id => s"${root(dir)}/t$id/mv"))
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    s.read.parquet(paths: _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("d_n")).as("n_orders"),
+        sum(col("d_cents")).as("revenue_cents"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** TABLE CHANGELOG (q196): what each transaction did, recovered from
     * the commit log alone — rows added (manifest layer n_rows sums) and
     * keys deleted (delete layer counts) per txn, without replaying a
@@ -1535,6 +1619,29 @@ object StoreTxn {
       absorbSearch(s, dir, docs.where("doc_id % 10 = 9"))
       bm25TxAsOf(s, dir, maxTxn = 0L)
     }),
+    // INCREMENTAL MATERIALIZED VIEW: each transaction stages its own MV
+    // delta (adds from its files, zone-pruned retractions from its
+    // delete vector) behind the SAME commit row as the table layers —
+    // the view can never skew from the table. The final read merges
+    // partials only; the oracle recomputes the rollup from the raw
+    // table, closing the IVM loop cross-engine.
+    "q203_tx_mat_view" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      mvEnsureBase(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      var id = nextTxnId(s, dir)
+      stageTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"), id)
+      mvStage(s, dir, id); commit(s, dir, id)
+      id = nextTxnId(s, dir)
+      stageTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"), id)
+      mvStage(s, dir, id); commit(s, dir, id)
+      id = nextTxnId(s, dir)
+      stageTableDelete(s, dir, "o_orderkey % 13 = 5", id)
+      mvStage(s, dir, id); commit(s, dir, id)
+      matViewTx(s, dir)
+    }),
     // INSERT OVERWRITE: two appends build the table, then a REPLACE
     // transaction swaps the whole content for tranche 1 alone — one
     // commit row flips the view boundary; the old generation stays on
@@ -1679,6 +1786,15 @@ object StoreTxn {
     // base CTE — st/sc select FROM base)
     "q197_tx_search_asof" -> TextPipeline.oracles("q99_bm25_search")
       .replace("FROM documents)", "FROM documents WHERE doc_id % 10 != 9)"),
+    // the MV must equal the rollup over the table's final state: all
+    // orders minus the deleted slice (cents via DECIMAL(18,2), the q45
+    // cross-engine device)
+    "q203_tx_mat_view" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+        |    AS revenue_cents
+        |FROM orders WHERE NOT (o_orderkey % 13 = 5)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the post-replace table IS the replacing tranche
     "q198_tx_table_replace" ->
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (7, 8)),

@@ -555,6 +555,29 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("q203 MV: delta invisible until commit; read never opens the table") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    StoreTxn.mvEnsureBase(spark, sf)
+    def mv: Seq[String] = Caches.scoped(
+      StoreTxn.matViewTx(spark, sf).collect().toSeq.map(_.toString))
+    val baseMv = mv
+    val orders = queries.Tables.t(spark, sf, "orders")
+    // staged table layers + MV delta, crash pre-commit: the MV read —
+    // like every other reader — must not move
+    StoreTxn.stageTableAppend(spark, sf, orders.where("o_orderkey % 10 >= 7"), 0L)
+    StoreTxn.mvStage(spark, sf, 0L)
+    assert(mv == baseMv, "MV saw an uncommitted delta")
+    StoreTxn.commit(spark, sf, 0L)
+    assert(mv != baseMv, "commit did not surface the MV delta")
+    // the MV read touches partial tables only, never the layout
+    val p = Caches.scoped(
+      StoreTxn.matViewTx(spark, sf).queryExecution.executedPlan.toString)
+    assert(!p.contains("/layout"), s"MV read scanned the table layout:\n$p")
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
