@@ -933,6 +933,66 @@ object StoreTxn {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** The join-MV partial (q204): the delta joined to the customer→nation
+    * dimension path BEFORE aggregation — IVM through a join works
+    * because the dimension is immutable here, so Δ(fact ⋈ dim) =
+    * Δfact ⋈ dim and the partials stay additive. The join costs the
+    * DELTA's size each refresh (dimensions broadcast), never the
+    * table's. */
+  private def mvJoinPartialOf(s: SparkSession, dir: String, df: DataFrame,
+      sign: Int): DataFrame = {
+    val cust = Tables.t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    df.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((count(lit(1)) * sign).as("d_n"),
+        (sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+          * sign).as("d_cents"))
+  }
+
+  /** q204's base partial + per-txn delta staging + read — the q203
+    * machinery with the dimension join folded into every partial. The
+    * staged tranche keeps o_custkey (the join key), so the table layers
+    * carry it too; zones/pruning are unaffected (same key column). */
+  def mvJoinEnsureBase(s: SparkSession, dir: String): Unit = {
+    val files = s.read.parquet(ZoneMapStore.zonesPath(dir, variant))
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    // base layout rows lack o_custkey (the table schema is 3-column);
+    // rejoin via key against the source — base-build-time work only
+    val base = s.read.parquet(files: _*).select(col("o_orderkey"))
+      .join(Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Seq("o_orderkey"))
+    mvJoinPartialOf(s, dir, base, 1)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${ZoneMapStore.zonesPath(dir, variant)}_mvjbase")
+  }
+
+  def mvJoinStage(s: SparkSession, dir: String, tranche: DataFrame,
+      id: Long): Unit =
+    mvJoinPartialOf(s, dir, tranche, 1)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${root(dir)}/t$id/mvj")
+
+  def matViewJoinTx(s: SparkSession, dir: String): DataFrame = {
+    requireNoCheckpoint(s, dir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val paths = (s"${ZoneMapStore.zonesPath(dir, variant)}_mvjbase" +:
+      committedTxns(s, dir).map(id => s"${root(dir)}/t$id/mvj"))
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    s.read.parquet(paths: _*)
+      .groupBy(col("n_name"))
+      .agg(sum(col("d_n")).as("n_orders"),
+        sum(col("d_cents")).as("revenue_cents"))
+      .orderBy(col("n_name"))
+  }
+
   /** TABLE CHANGELOG (q196): what each transaction did, recovered from
     * the commit log alone — rows added (manifest layer n_rows sums) and
     * keys deleted (delete layer counts) per txn, without replaying a
@@ -1642,6 +1702,25 @@ object StoreTxn {
       mvStage(s, dir, id); commit(s, dir, id)
       matViewTx(s, dir)
     }),
+    // IVM THROUGH A JOIN: the nation-revenue view refreshes from
+    // dimension-joined DELTAS (Δfact ⋈ dim — additive because the
+    // dimension is immutable), one commit row per tranche covering
+    // table layers and view delta alike; the oracle recomputes the
+    // three-table rollup from raw data
+    "q204_tx_mv_join" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      mvJoinEnsureBase(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      for (pred <- Seq("o_orderkey % 10 IN (7, 8)", "o_orderkey % 10 = 9")) {
+        val id = nextTxnId(s, dir)
+        stageTableAppend(s, dir, orders.where(pred), id)
+        mvJoinStage(s, dir, orders.where(pred), id)
+        commit(s, dir, id)
+      }
+      matViewJoinTx(s, dir)
+    }),
     // INSERT OVERWRITE: two appends build the table, then a REPLACE
     // transaction swaps the whole content for tranche 1 alone — one
     // commit row flips the view boundary; the old generation stays on
@@ -1795,6 +1874,14 @@ object StoreTxn {
         |    AS revenue_cents
         |FROM orders WHERE NOT (o_orderkey % 13 = 5)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the join-MV must equal the three-table rollup over the full table
+    "q204_tx_mv_join" ->
+      """SELECT n.n_name, count(*)::BIGINT AS n_orders,
+        |  sum((o.o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+        |    AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     // the post-replace table IS the replacing tranche
     "q198_tx_table_replace" ->
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 IN (7, 8)),
