@@ -62,6 +62,9 @@ __all__ = [
     "tx_absorb_table_delete", "tx_table_range_aggregate",
     "tx_table_range_aggregate_as_of", "tx_vacuum_table",
     "tx_absorb_table_upsert", "tx_table_changelog", "tx_search_bm25_as_of",
+    "tx_absorb_table_replace", "tx_mat_view",
+    # data-governance audits
+    "audit_expectations", "audit_k_anonymity", "audit_fk",
     # mergeable sketch store
     "build_cms_if_stale", "absorb_cms_delta", "cms_heavy_hitters",
     "build_kmv_store", "absorb_kmv_delta", "kmv_sample",
@@ -850,6 +853,38 @@ def tx_search_bm25_as_of(spark, data_dir, max_txn):
     """BM25 as of transaction ``max_txn`` (q197 search time travel)."""
     jdf = _bridge(spark).txSearchBm25AsOf(
         spark._jsparkSession, data_dir, max_txn)
+    return DataFrame(jdf, spark)
+
+
+def tx_absorb_table_replace(spark, data_dir, tranche_pred):
+    """INSERT OVERWRITE: atomically swap the table content for the
+    tranche (q198); returns the txn id."""
+    return _bridge(spark).txAbsorbTableReplace(
+        spark._jsparkSession, data_dir, tranche_pred)
+
+
+def tx_mat_view(spark, data_dir):
+    """The incremental materialized view's read (q203) — merged
+    per-commit partials, the table itself never opened."""
+    jdf = _bridge(spark).txMatView(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def audit_expectations(spark, data_dir):
+    """The one-scan expectations contract report (q199)."""
+    jdf = _bridge(spark).auditExpectations(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def audit_k_anonymity(spark, data_dir, k=6):
+    """Quasi-identifier groups below the anonymity threshold (q200)."""
+    jdf = _bridge(spark).auditKAnonymity(spark._jsparkSession, data_dir, k)
+    return DataFrame(jdf, spark)
+
+
+def audit_fk(spark, data_dir):
+    """Orphan-foreign-key counts across the star schema (q201)."""
+    jdf = _bridge(spark).auditFk(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

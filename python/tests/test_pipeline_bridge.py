@@ -489,6 +489,25 @@ def main():
         "committed files read as orphans"
     gp.release_caches(spark)
 
+    # --- governance audits + replace + MV from Python ---
+    exp = gp.audit_expectations(spark, sf_dir).collect()
+    assert len(exp) == 5
+    verdicts = {r["check_name"]: r["passed"] for r in exp}
+    # the generator's order dates run past the contract's 1999 bound —
+    # a REAL violation the contract is supposed to catch; the other
+    # four assertions hold
+    assert verdicts == {"date_range": False, "key_not_null": True,
+                        "key_unique": True, "price_positive": True,
+                        "status_domain": True}, verdicts
+    fk = gp.audit_fk(spark, sf_dir).collect()
+    assert len(fk) == 5 and all(r["n_orphans"] == 0 for r in fk)
+    ka = gp.audit_k_anonymity(spark, sf_dir, k=6).collect()
+    assert all(r["group_size"] < 6 for r in ka)
+    gp.tx_absorb_table_replace(spark, sf_dir, "o_orderkey % 10 IN (7, 8)")
+    replaced = gp.tx_table_range_aggregate(spark, sf_dir).collect()
+    assert replaced != after_del, "replace boundary invisible from Python"
+    gp.release_caches(spark)
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names

@@ -561,6 +561,30 @@ object PipelineBridge {
   def txSearchBm25AsOf(s: SparkSession, dir: String, maxTxn: Long): DataFrame =
     queries.StoreTxn.bm25TxAsOf(s, dir, maxTxn)
 
+  /** INSERT OVERWRITE: swap the table content for the tranche (q198). */
+  def txAbsorbTableReplace(s: SparkSession, dir: String,
+      tranchePred: String): Long =
+    queries.StoreTxn.absorbTableReplace(s, dir,
+      queries.Tables.t(s, dir, "orders").where(tranchePred))
+
+  /** The incremental materialized view's read (q203). */
+  def txMatView(s: SparkSession, dir: String): DataFrame =
+    queries.StoreTxn.matViewTx(s, dir)
+
+  // --- Data-governance audits (q199-q202). ---
+
+  /** The one-scan expectations contract report. */
+  def auditExpectations(s: SparkSession, dir: String): DataFrame =
+    queries.Audit.expectations(s, dir)
+
+  /** Quasi-identifier groups below the anonymity threshold. */
+  def auditKAnonymity(s: SparkSession, dir: String, k: Int): DataFrame =
+    queries.Audit.kAnonymity(s, dir, k)
+
+  /** Orphan-foreign-key counts across the star schema. */
+  def auditFk(s: SparkSession, dir: String): DataFrame =
+    queries.Audit.fkAudit(s, dir)
+
   // --- Ingest-pair transaction verbs (q162/q163): graph edge partials
   // and embed bucket rows land under ONE commit row. ---
 
