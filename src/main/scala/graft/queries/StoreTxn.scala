@@ -1721,6 +1721,55 @@ object StoreTxn {
       }
       matViewJoinTx(s, dir)
     }),
+    // STREAMING IVM: each micro-batch commits its table layers AND its
+    // MV delta under one row — the view is exactly as fresh as the
+    // table at every tick, the property post-hoc refresh jobs can't
+    // give. Drained state = base ∪ both tranches, no deletes, so the
+    // oracle is the plain full-table rollup.
+    "q205_stream_mv" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      mvEnsureBase(s, dir)
+      val h = Tables.dirHash(dir)
+      val feed = s"${sys.props("java.io.tmpdir")}/graft_mv_feed_$h"
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_mv_ckpt_$h"
+      val fs = new org.apache.hadoop.fs.Path(feed)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+      val orders = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.where("o_orderkey % 10 IN (7, 8)")
+        .coalesce(1).write.mode("overwrite").parquet(feed)
+      val base = System.currentTimeMillis() - 3600000L
+      val feedPath = new org.apache.hadoop.fs.Path(feed)
+      val aParts = fs.listStatus(feedPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+      orders.where("o_orderkey % 10 = 9")
+        .coalesce(1).write.mode("append").parquet(feed)
+      val aNames = aParts.map(_.getPath.getName).toSet
+      fs.listStatus(feedPath)
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !aNames(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+      val stream = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val commitBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, _) => {
+          val id = nextTxnId(s, dir)
+          stageTableAppend(s, dir, batch.toDF(), id)
+          mvStage(s, dir, id)
+          commit(s, dir, id)
+        }
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(commitBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      matViewTx(s, dir)
+    }),
     // INSERT OVERWRITE: two appends build the table, then a REPLACE
     // transaction swaps the whole content for tranche 1 alone — one
     // commit row flips the view boundary; the old generation stays on
@@ -1874,6 +1923,12 @@ object StoreTxn {
         |    AS revenue_cents
         |FROM orders WHERE NOT (o_orderkey % 13 = 5)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the streamed MV lands on the plain full-table rollup
+    "q205_stream_mv" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  sum((o_totalprice::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+        |    AS revenue_cents
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the join-MV must equal the three-table rollup over the full table
     "q204_tx_mv_join" ->
       """SELECT n.n_name, count(*)::BIGINT AS n_orders,
