@@ -774,6 +774,26 @@ object StoreTxn {
           .drop("__file", "file", "ftxn", "dmax")
     }
 
+  /** The table's full committed row set — every manifest file, delete
+    * vector resolved. The whole-table read OPTIMIZE and exports use. */
+  def tableRowsTx(s: SparkSession, dir: String): DataFrame = {
+    val files = zoneManifestTx(s, dir)
+      .select("file").collect().map(_.getString(0)).toIndexedSeq
+    deleteScrub(s, dir)(s.read.parquet(files: _*))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  /** OPTIMIZE (q206) — one transaction that compacts every committed
+    * small file, resolves the delete vector PHYSICALLY, and re-ranges
+    * the layout, all behind a single commit row: it is a REPLACE whose
+    * tranche is the table's own committed row set. Readers flip from
+    * the fragmented+vectored view to the clean one atomically; the old
+    * generation stays as-of-readable until checkpoint+vacuum, exactly
+    * like any replace. Post-optimize reads pay no delete anti-join
+    * (the boundary excludes every delete layer). */
+  def optimizeTable(s: SparkSession, dir: String): Long =
+    absorbTableReplace(s, dir, tableRowsTx(s, dir))
+
   /** q183's range aggregate over the transactional manifest, with the
     * committed delete vector resolved out between scan and rollup. */
   def tableRangeAggregateTx(s: SparkSession, dir: String): DataFrame =
@@ -1770,6 +1790,31 @@ object StoreTxn {
       q.awaitTermination()
       matViewTx(s, dir)
     }),
+    // OPTIMIZE: appends + upsert fragment the layout and leave a live
+    // delete vector; one optimize transaction compacts the files,
+    // resolves the vector physically, and re-ranges — and the read must
+    // not move a byte (q195's oracle VERBATIM: optimize is the identity
+    // on content). The require pins that the post-optimize read path
+    // really dropped the delete anti-join.
+    "q206_tx_table_optimize" -> ((s, dir) => {
+      reset(s, dir)
+      ensureZoneBase(s, dir)
+      vacuumTable(s, dir)
+      val orders = Tables.t(s, dir, "orders")
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"))
+      absorbTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"))
+      absorbTableUpsert(s, dir, "o_orderkey % 10 = 9",
+        orders.where("o_orderkey % 10 = 9")
+          .withColumn("o_totalprice", col("o_totalprice") * 2))
+      val before = tableRangeAggregateTx(s, dir).collect().toSeq
+      optimizeTable(s, dir)
+      val after = tableRangeAggregateTx(s, dir)
+      require(after.collect().toSeq == before,
+        "optimize changed the table content")
+      require(!after.queryExecution.executedPlan.toString.contains("LeftAnti"),
+        "post-optimize read still pays the delete anti-join")
+      after
+    }),
     // INSERT OVERWRITE: two appends build the table, then a REPLACE
     // transaction swaps the whole content for tranche 1 alone — one
     // commit row flips the view boundary; the old generation stays on
@@ -1950,6 +1995,19 @@ object StoreTxn {
     // the upserted table: tranche 2's totals doubled, bounds unchanged
     // (keys are identical before and after the merge)
     "q195_tx_table_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 9 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |mk AS (SELECT max(o_orderkey) AS m FROM t),
+        |b AS (SELECT (m * 3) // 10 AS lo, (m * 5) // 10 AS hi FROM mk)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM t, b WHERE o_orderkey BETWEEN lo AND hi
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // q195's oracle verbatim — optimize is the identity on content
+    "q206_tx_table_optimize" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus,
         |    CASE WHEN o_orderkey % 10 = 9 THEN o_totalprice * 2
         |         ELSE o_totalprice END AS o_totalprice
