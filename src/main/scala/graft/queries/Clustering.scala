@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * DISTRIBUTED K-MEANS (q207) — Lloyd's algorithm over the embedding
+ * corpus, the semantic-clustering pass a mixture balancer or topic
+ * auditor runs. The Spark shape is the canonical one: centroids are a
+ * k×dim table BROADCAST each round, assignment is one map-side pass
+ * (no shuffle — argmin over k distances per row), and the update is a
+ * (cid, position)-keyed aggregation whose output is k×dim — the only
+ * shuffle, bounded by geometry not corpus. Two rounds, k = 4,
+ * deterministic init (the first k vectors by id).
+ *
+ * Determinism across engines is ENGINEERED, like q96/q176: floats scale
+ * to integers once (floor(x·1e6 + 0.5), exact in both engines), then
+ * SHIFT by +1e6 so every value is non-negative — squared distances are
+ * shift-invariant, and the centroid mean's integer division only agrees
+ * cross-engine on non-negative sums (Spark `div` truncates toward zero,
+ * DuckDB `//` floors; identical iff operands are non-negative — the
+ * shift is what buys bit-equality, not aesthetics). Ties in the argmin
+ * break by centroid id. The oracle replays both rounds as generated CTE
+ * layers (q176's device) and must land on identical cluster sizes and
+ * centroid checksums.
+ */
+object Clustering {
+
+  private val k = 4
+  private val dim = 64
+  private val rounds = 2
+
+  private def scaled(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings").selectExpr("vec_id",
+      "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint) + 1000000L) AS e")
+
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val se = Caches.persist(scaled(s, dir))
+    // deterministic seed: the first k vectors by id (k×dim longs)
+    var cents: Seq[(Long, Seq[Long])] = se.where(s"vec_id < $k")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    var assign: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val centDF = cents.toDF("cid", "ce")
+      assign = se.crossJoin(broadcast(centDF))
+        .withColumn("dist",
+          expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      // update: (cid, pos)-keyed integer means — k×dim output, collected
+      // as the next round's broadcast geometry
+      val next = assign.join(se, "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        // INTEGER division (both operands non-negative after the shift,
+        // so Spark div == DuckDB //); a double mean would round-drift
+        .agg(expr("sum(v) div count(1)").as("cv"))
+      cents = next.collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+      ()
+    }
+    val centSums = cents.map { case (cid, e) => (cid, e.sum) }
+      .toDF("cid", "cent_sum")
+    assign.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+      .join(broadcast(centSums), "cid")
+      .select(col("cid"), col("n_members"), col("cent_sum"))
+      .orderBy(col("cid"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_kmeans" -> ((s, dir) => kmeans(s, dir))
+  )
+
+  // generated per-round CTE chain (q176's oracle device)
+  private def roundSql(i: Int, prevC: String): String =
+    s"""d$i AS (SELECT s.vec_id, c.cid,
+       |    list_sum(list_transform(generate_series(1, $dim),
+       |      j -> (s.e[j] - c.e[j]) * (s.e[j] - c.e[j]))) AS dist
+       |  FROM se s CROSS JOIN $prevC c),
+       |a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM d$i) WHERE rn = 1),
+       |m$i AS (SELECT a$i.cid, g.j, sum(se.e[g.j]) AS sv, count(*) AS n
+       |  FROM a$i JOIN se USING (vec_id), generate_series(1, $dim) AS g(j)
+       |  GROUP BY a$i.cid, g.j),
+       |c$i AS (SELECT cid, list(sv // n ORDER BY j) AS e
+       |  FROM m$i GROUP BY cid)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q207_kmeans" -> {
+      val chain = (1 to rounds)
+        .map(i => roundSql(i, if (i == 1) "c0" else s"c${i - 1}"))
+        .mkString(",\n")
+      s"""WITH se AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> (floor(x::DOUBLE * 1000000.0 + 0.5))::BIGINT + 1000000) AS e
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, e FROM se WHERE vec_id < $k),
+         |$chain
+         |SELECT a$rounds.cid, count(*)::BIGINT AS n_members,
+         |  (SELECT list_sum(e) FROM c$rounds cc
+         |     WHERE cc.cid = a$rounds.cid)::BIGINT AS cent_sum
+         |FROM a$rounds GROUP BY a$rounds.cid ORDER BY a$rounds.cid""".stripMargin
+    }
+  )
+}
