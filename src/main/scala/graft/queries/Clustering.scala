@@ -72,8 +72,51 @@ object Clustering {
       .orderBy(col("cid"))
   }
 
+  /** BATCH PERCEPTRON (q208) — a trainable linear classifier in the
+    * distributed-training shape: each round is ONE aggregation (the
+    * summed update of every misclassified row — exactly how
+    * data-parallel gradient steps look on a cluster: broadcast the
+    * model, map-side per-row gradients, reduce to a model-sized
+    * update), the model lives on the driver between rounds (64+1
+    * longs). Integer end to end — the perceptron update has no
+    * division and no nonlinearity beyond sign, so unlike logistic
+    * regression the whole training run replays EXACTLY in DuckDB.
+    * Task: separate labels 0-4 from 5-9 in embedding space; the
+    * output ledger is per-round misclassification counts + model
+    * checksums, which pins every intermediate model, not just the
+    * final one. */
+  def perceptron(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val data = Caches.persist(Tables.t(s, dir, "embeddings").selectExpr(
+      "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint)) AS x",
+      "CASE WHEN label < 5 THEN 1L ELSE -1L END AS y"))
+    var w = Array.fill(dim)(0L)
+    var b = 0L
+    val ledger = (1 to 3).map { round =>
+      val wCol = array(w.map(lit): _*)
+      val scored = data.withColumn("wl", wCol)
+        .withColumn("m",
+          col("y") * (expr("aggregate(zip_with(x, wl, (xi, wi) -> xi * wi), 0L, (acc, v) -> acc + v)") + lit(b)))
+      val mis = Caches.persist(scored.where(col("m") <= 0))
+      val nMis = mis.count()
+      if (nMis > 0) {
+        val dw = mis.select(posexplode(expr("transform(x, xi -> xi * y)"))
+            .as(Seq("pos", "g")))
+          .groupBy(col("pos")).agg(sum(col("g")).as("dg"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+        val db = mis.agg(sum(col("y"))).head().getLong(0)
+        w = w.zipWithIndex.map { case (v, i) => v + dw.getOrElse(i, 0L) }
+        b += db
+      }
+      (round.toLong, nMis, w.sum + b)
+    }
+    ledger.toDF("round", "n_misclassified", "model_checksum")
+      .orderBy(col("round"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q207_kmeans" -> ((s, dir) => kmeans(s, dir))
+    "q207_kmeans" -> ((s, dir) => kmeans(s, dir)),
+    "q208_perceptron" -> ((s, dir) => perceptron(s, dir))
   )
 
   // generated per-round CTE chain (q176's oracle device)
@@ -91,7 +134,41 @@ object Clustering {
        |c$i AS (SELECT cid, list(sv // n ORDER BY j) AS e
        |  FROM m$i GROUP BY cid)""".stripMargin
 
+  // one perceptron round as CTE layers: misclassified under w_{r-1},
+  // per-position gradient sums (zero-filled via the series left join),
+  // the updated model
+  private def perceptronRound(r: Int): String = {
+    val p = r - 1
+    s"""m$r AS (SELECT d.x, d.y FROM d, w$p
+       |  WHERE d.y * (list_sum(list_transform(generate_series(1, $dim),
+       |    i -> d.x[i] * w$p.w[i])) + w$p.b) <= 0),
+       |n$r AS (SELECT count(*)::BIGINT AS n FROM m$r),
+       |g$r AS (SELECT gi.i, COALESCE(sum(m$r.y * m$r.x[gi.i]), 0)::BIGINT AS dg
+       |  FROM generate_series(1, $dim) AS gi(i) LEFT JOIN m$r ON true
+       |  GROUP BY gi.i),
+       |w$r AS (SELECT (SELECT list(w$p.w[g$r.i] + g$r.dg ORDER BY g$r.i)
+       |    FROM g$r, w$p) AS w,
+       |  w$p.b + COALESCE((SELECT sum(y) FROM m$r), 0) AS b FROM w$p)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q208_perceptron" -> {
+      val chain = (1 to 3).map(perceptronRound).mkString(",\n")
+      val rows = (1 to 3).map(r =>
+        s"SELECT $r::BIGINT AS round, (SELECT n FROM n$r) AS n_misclassified, " +
+          s"(SELECT list_sum(w) + b FROM w$r)::BIGINT AS model_checksum")
+        .mkString("\nUNION ALL ")
+      s"""WITH d AS (SELECT
+         |    list_transform(embedding,
+         |      x -> (floor(x::DOUBLE * 1000000.0 + 0.5))::BIGINT) AS x,
+         |    (CASE WHEN label < 5 THEN 1 ELSE -1 END)::BIGINT AS y
+         |  FROM embeddings),
+         |w0 AS (SELECT list_transform(generate_series(1, $dim),
+         |    i -> 0::BIGINT) AS w, 0::BIGINT AS b),
+         |$chain
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
     "q207_kmeans" -> {
       val chain = (1 to rounds)
         .map(i => roundSql(i, if (i == 1) "c0" else s"c${i - 1}"))
