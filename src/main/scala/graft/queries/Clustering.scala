@@ -114,9 +114,53 @@ object Clustering {
       .orderBy(col("round"))
   }
 
+  /** k-NN CLASSIFICATION (q209) — the eval harness of every embedding
+    * pipeline: held-out vectors classified by majority vote of their 5
+    * nearest training neighbors, reported as a confusion matrix. The
+    * held-out side is the SMALL side by construction (an eval set), so
+    * it BROADCASTS and the "all-pairs" distance pass is one map-side
+    * sweep over the training scan — n_train × |eval| work with no
+    * shuffle until the |eval|-keyed top-k (bounded TopKPerKey heaps).
+    * At 100 TB the same read swaps the brute sweep for the ANN index
+    * (q31/q49 family); this entry is the exact-verification twin —
+    * integer L2, vote ties broken by (count desc, label asc), every
+    * row of the confusion matrix cross-engine-checked. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val se = Caches.persist(Tables.t(s, dir, "embeddings").selectExpr(
+      "vec_id", "label",
+      "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint)) AS e"))
+    val train = se.where("vec_id % 10 < 8")
+      .select(col("vec_id").as("t_id"), col("label").as("t_label"), col("e").as("te"))
+    val test = se.where("vec_id % 10 >= 8")
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("e").as("qe"))
+    val dists = train.crossJoin(broadcast(test))
+      .withColumn("negd",
+        -expr("aggregate(zip_with(te, qe, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .cast("double"))
+      .select(col("q_id"), col("q_label"), col("t_id"), col("negd"))
+    // 5 nearest per query through the bounded map-side heaps (negated
+    // distance: the aggregator's (score DESC, id ASC) order becomes
+    // (dist ASC, t_id ASC) — the oracle's exact tie-break; integer
+    // distances ≤ 64·(2e6)² stay exact in the double score)
+    val k5 = graft.plans.TopKPerKey.topK(dists, Seq("q_id", "q_label"),
+      "negd", "t_id", 5, "negd", 4)
+    val votes = k5
+      .join(train.select(col("t_id"), col("t_label")), "t_id")
+      .groupBy(col("q_id"), col("q_label"), col("t_label"))
+      .agg(count(lit(1)).as("v"))
+    val pred = votes
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(min(struct(negate(col("v")), col("t_label"))).as("m"))
+      .select(col("q_label").as("label"), col("m.t_label").as("predicted"))
+    pred.groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("predicted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_kmeans" -> ((s, dir) => kmeans(s, dir)),
-    "q208_perceptron" -> ((s, dir) => perceptron(s, dir))
+    "q208_perceptron" -> ((s, dir) => perceptron(s, dir)),
+    "q209_knn_classify" -> ((s, dir) => knnClassify(s, dir))
   )
 
   // generated per-round CTE chain (q176's oracle device)
@@ -152,6 +196,32 @@ object Clustering {
   }
 
   val oracles: Map[String, String] = Map(
+    // same integer L2, same (dist, t_id) neighbor order, same
+    // (votes DESC, label ASC) majority tie-break
+    "q209_knn_classify" ->
+      s"""WITH se AS (SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> (floor(x::DOUBLE * 1000000.0 + 0.5))::BIGINT) AS e
+         |  FROM embeddings),
+         |tr AS (SELECT vec_id AS t_id, label AS t_label, e AS a
+         |  FROM se WHERE vec_id % 10 < 8),
+         |ev AS (SELECT vec_id AS q_id, label AS q_label, e AS b
+         |  FROM se WHERE vec_id % 10 >= 8),
+         |d AS (SELECT q_id, q_label, t_id, t_label,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - b[i]) * (a[i] - b[i]))) AS dist
+         |  FROM tr CROSS JOIN ev),
+         |k5 AS (SELECT q_id, q_label, t_label FROM (SELECT q_id, q_label,
+         |    t_label, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM d) WHERE rn <= 5),
+         |v AS (SELECT q_id, q_label, t_label, count(*) AS nv
+         |  FROM k5 GROUP BY q_id, q_label, t_label),
+         |p AS (SELECT q_label AS label, t_label AS predicted
+         |  FROM (SELECT q_label, t_label, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY nv DESC, t_label) AS rn FROM v)
+         |  WHERE rn = 1)
+         |SELECT label, predicted, count(*)::BIGINT AS n
+         |FROM p GROUP BY label, predicted ORDER BY label, predicted""".stripMargin,
     "q208_perceptron" -> {
       val chain = (1 to 3).map(perceptronRound).mkString(",\n")
       val rows = (1 to 3).map(r =>
