@@ -157,10 +157,70 @@ object Clustering {
       .orderBy(col("label"), col("predicted"))
   }
 
+  /** DBSCAN (q210) — density clustering, the shape-agnostic complement
+    * to q207's k-means (no k, finds noise): core points have ≥ minPts
+    * neighbors within eps, clusters are connected components over
+    * core-core edges (the same checkpointed star-CC as the dedup
+    * closure), borders attach to the MIN cluster among their core
+    * neighbors (classic DBSCAN is insertion-order-dependent exactly
+    * here; min-id is the deterministic choice both engines replay),
+    * everything else is noise. Integer distances; eps sits at the
+    * measured 5th percentile of the slice's pairwise distances so the
+    * density graph is sparse but non-trivial (5 clusters + borders +
+    * noise on the sandbox corpus). The neighbor pass is the honest
+    * cost: exact R-neighborhoods are quadratic — run here on a bounded
+    * slice (documented), at 100 TB the same semantics ride a grid or
+    * LSH partitioning that only compares nearby cells. */
+  def dbscan(s: SparkSession, dir: String): DataFrame = {
+    val eps = 1500000000000L
+    val minNeighbors = 3 // minPts = 4 counting the point itself
+    val se = Caches.persist(Tables.t(s, dir, "embeddings")
+      .where("vec_id % 5 = 0").selectExpr("vec_id",
+        "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint)) AS e"))
+    val a = se.select(col("vec_id").as("u"), col("e").as("ea"))
+    val b = se.select(col("vec_id").as("v"), col("e").as("eb"))
+    val nb = Caches.persist(a.crossJoin(broadcast(b))
+      .where(col("u") =!= col("v"))
+      .where(expr("aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+        <= eps)
+      .select(col("u"), col("v")))
+    val core = Caches.persist(nb.groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minNeighbors).select(col("u")))
+    val coreEdges = nb
+      .join(core, Seq("u"), "left_semi")
+      .join(core.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+    graft.plans.ConnectedComponents.ensureReliableCheckpointDir(s)
+    val cc = graft.plans.ConnectedComponents.components(
+      coreEdges.select(col("u"), col("v")))
+    // isolated cores (no core-core edge) are their own singleton cluster
+    val coreCluster = Caches.persist(core
+      .join(cc.withColumnRenamed("node", "u"), Seq("u"), "left")
+      .selectExpr("u", "coalesce(cluster, u) AS cluster_id"))
+    val border = nb
+      .join(core, Seq("u"), "left_anti") // u is not core
+      .join(coreCluster.select(col("u").as("v"), col("cluster_id")), "v")
+      .groupBy(col("u")).agg(min(col("cluster_id")).as("cluster_id"))
+    val nCore = coreCluster.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_core"))
+    val nBorder = border.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_border"))
+    val clusters = nCore.join(nBorder, Seq("cluster_id"), "left")
+      .selectExpr("cluster_id", "n_core", "coalesce(n_border, 0L) AS n_border")
+    val nNoise = se.select(col("vec_id").as("u"))
+      .join(core, Seq("u"), "left_anti")
+      .join(border.select("u"), Seq("u"), "left_anti")
+      .count()
+    import s.implicits._
+    clusters.unionByName(
+        Seq((-1L, 0L, nNoise)).toDF("cluster_id", "n_core", "n_border"))
+      .orderBy(col("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_kmeans" -> ((s, dir) => kmeans(s, dir)),
     "q208_perceptron" -> ((s, dir) => perceptron(s, dir)),
-    "q209_knn_classify" -> ((s, dir) => knnClassify(s, dir))
+    "q209_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
+    "q210_dbscan" -> ((s, dir) => dbscan(s, dir))
   )
 
   // generated per-round CTE chain (q176's oracle device)
@@ -196,6 +256,43 @@ object Clustering {
   }
 
   val oracles: Map[String, String] = Map(
+    // same eps/minPts, q66's recursive-CTE closure for the core CC,
+    // min-cluster border attachment, noise as the -1 row
+    "q210_dbscan" ->
+      s"""WITH RECURSIVE se AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> (floor(x::DOUBLE * 1000000.0 + 0.5))::BIGINT) AS e
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |nb AS (SELECT a.vec_id AS u, b.vec_id AS v
+         |  FROM se a JOIN se b ON a.vec_id != b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, $dim),
+         |    i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))) <= 1500000000000),
+         |core AS (SELECT u FROM (SELECT u, count(*) AS n FROM nb GROUP BY u)
+         |  WHERE n >= 3),
+         |ce AS (SELECT nb.u, nb.v FROM nb
+         |  JOIN core c1 ON c1.u = nb.u JOIN core c2 ON c2.u = nb.v),
+         |reach AS (SELECT u AS node, v AS r FROM ce
+         |  UNION SELECT c.node, e.v FROM reach c JOIN ce e ON e.u = c.r),
+         |cmap AS (SELECT node, least(node, min(r)) AS cid
+         |  FROM reach GROUP BY node),
+         |corec AS (SELECT core.u, coalesce(cmap.cid, core.u) AS cluster_id
+         |  FROM core LEFT JOIN cmap ON cmap.node = core.u),
+         |border AS (SELECT nb.u, min(corec.cluster_id) AS cluster_id
+         |  FROM nb JOIN corec ON corec.u = nb.v
+         |  WHERE nb.u NOT IN (SELECT u FROM core)
+         |  GROUP BY nb.u),
+         |cl AS (SELECT nc.cluster_id, nc.n_core,
+         |    coalesce(nbd.n_border, 0)::BIGINT AS n_border
+         |  FROM (SELECT cluster_id, count(*)::BIGINT AS n_core
+         |        FROM corec GROUP BY cluster_id) nc
+         |  LEFT JOIN (SELECT cluster_id, count(*)::BIGINT AS n_border
+         |             FROM border GROUP BY cluster_id) nbd USING (cluster_id))
+         |SELECT cluster_id, n_core, n_border FROM cl
+         |UNION ALL SELECT -1::BIGINT, 0::BIGINT,
+         |  (SELECT count(*) FROM se
+         |   WHERE vec_id NOT IN (SELECT u FROM core)
+         |     AND vec_id NOT IN (SELECT u FROM border))::BIGINT
+         |ORDER BY cluster_id""".stripMargin,
     // same integer L2, same (dist, t_id) neighbor order, same
     // (votes DESC, label ASC) majority tie-break
     "q209_knn_classify" ->
