@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.iforest.IForest
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Audit, Clustering, DecontamIndex, DedupIndex, EmbedIndex, Graph, GraphStore, Physical, QualityModel, Relational, SearchStore, SketchStore, ZoneMapStore, StatsStore, StoreMix, StoreTxn, Streaming, TextDiag, TextPipeline, VocabStore}
+import graft.queries.{Advanced, Audit, ClusterStore, Clustering, DecontamIndex, DedupIndex, EmbedIndex, Graph, GraphStore, Physical, QualityModel, Relational, SearchStore, SketchStore, ZoneMapStore, StatsStore, StoreMix, StoreTxn, Streaming, TextDiag, TextPipeline, VocabStore}
 import graft.similarity.{AnnIvf, AnnLsh}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -224,7 +224,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ TextPipeline.queries ++ Streaming.queries ++
       Physical.queries ++ DedupIndex.queries ++ Graph.queries ++ StatsStore.queries ++
-      StoreMix.queries ++ StoreTxn.queries ++ GraphStore.queries ++ DecontamIndex.queries ++ VocabStore.queries ++ EmbedIndex.queries ++ QualityModel.queries ++ SketchStore.queries ++ TextDiag.queries ++ SearchStore.queries ++ ZoneMapStore.queries ++ Audit.queries ++ Clustering.queries ++ Map(
+      StoreMix.queries ++ StoreTxn.queries ++ GraphStore.queries ++ DecontamIndex.queries ++ VocabStore.queries ++ EmbedIndex.queries ++ QualityModel.queries ++ SketchStore.queries ++ TextDiag.queries ++ SearchStore.queries ++ ZoneMapStore.queries ++ Audit.queries ++ Clustering.queries ++ ClusterStore.queries ++ Map(
       "q30_binary_meta" -> ((s: SparkSession, dir: String) => Multimodal.binaryMetaQuery(s, dir)),
       "q31_ann_lsh" -> ((s: SparkSession, dir: String) => AnnLsh.annTopK(s, dir)),
       "q49_ann_ivf" -> ((s: SparkSession, dir: String) => AnnIvf.annTopK(s, dir)),
@@ -287,7 +287,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ TextPipeline.oracles ++ Streaming.oracles ++
       Physical.oracles ++ DedupIndex.oracles ++ Graph.oracles ++ StatsStore.oracles ++
-      StoreMix.oracles ++ StoreTxn.oracles ++ GraphStore.oracles ++ DecontamIndex.oracles ++ VocabStore.oracles ++ EmbedIndex.oracles ++ QualityModel.oracles ++ SketchStore.oracles ++ TextDiag.oracles ++ SearchStore.oracles ++ ZoneMapStore.oracles ++ Audit.oracles ++ Clustering.oracles ++ Map(
+      StoreMix.oracles ++ StoreTxn.oracles ++ GraphStore.oracles ++ DecontamIndex.oracles ++ VocabStore.oracles ++ EmbedIndex.oracles ++ QualityModel.oracles ++ SketchStore.oracles ++ TextDiag.oracles ++ SearchStore.oracles ++ ZoneMapStore.oracles ++ Audit.oracles ++ Clustering.oracles ++ ClusterStore.oracles ++ Map(
       "q30_binary_meta" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
           |  round(list_avg(list_transform(generate_series(1, length(text)),

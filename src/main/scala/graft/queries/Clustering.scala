@@ -30,25 +30,33 @@ object Clustering {
   private val dim = 64
   private val rounds = 2
 
-  private def scaled(s: SparkSession, dir: String): DataFrame =
+  private[queries] def scaled(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").selectExpr("vec_id",
       "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint) + 1000000L) AS e")
 
-  def kmeans(s: SparkSession, dir: String): DataFrame = {
+  /** Assign a scaled frame to the given centroids: map-side argmin over
+    * the broadcast k×dim geometry, ties by centroid id. */
+  private[queries] def assignTo(s: SparkSession, se: DataFrame,
+      cents: Seq[(Long, Seq[Long])]): DataFrame = {
     import s.implicits._
-    val se = Caches.persist(scaled(s, dir))
+    se.crossJoin(broadcast(cents.toDF("cid", "ce")))
+      .withColumn("dist",
+        expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+  }
+
+  /** Lloyd's rounds over an explicit scaled frame; returns the final
+    * centroids and the final-round assignment. */
+  private[queries] def lloyds(s: SparkSession,
+      se: DataFrame): (Seq[(Long, Seq[Long])], DataFrame) = {
     // deterministic seed: the first k vectors by id (k×dim longs)
     var cents: Seq[(Long, Seq[Long])] = se.where(s"vec_id < $k")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
     var assign: DataFrame = null
     for (_ <- 1 to rounds) {
-      val centDF = cents.toDF("cid", "ce")
-      assign = se.crossJoin(broadcast(centDF))
-        .withColumn("dist",
-          expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
+      assign = assignTo(s, se, cents)
       // update: (cid, pos)-keyed integer means — k×dim output, collected
       // as the next round's broadcast geometry
       val next = assign.join(se, "vec_id")
@@ -64,6 +72,13 @@ object Clustering {
         }.toSeq.sortBy(_._1)
       ()
     }
+    (cents, assign)
+  }
+
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val se = Caches.persist(scaled(s, dir))
+    val (cents, assign) = lloyds(s, se)
     val centSums = cents.map { case (cid, e) => (cid, e.sum) }
       .toDF("cid", "cent_sum")
     assign.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
@@ -240,7 +255,7 @@ object Clustering {
   )
 
   // generated per-round CTE chain (q176's oracle device)
-  private def roundSql(i: Int, prevC: String): String =
+  private[queries] def roundSql(i: Int, prevC: String): String =
     s"""d$i AS (SELECT s.vec_id, c.cid,
        |    list_sum(list_transform(generate_series(1, $dim),
        |      j -> (s.e[j] - c.e[j]) * (s.e[j] - c.e[j]))) AS dist
