@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
  */
 object ClusterStore {
 
-  private def root(dir: String, variant: String = ""): String = {
+  private[graft] def root(dir: String, variant: String = ""): String = {
     val v = if (variant.isEmpty) "" else s"_$variant"
     s"${sys.props("java.io.tmpdir")}/graft_cluster_store_${Tables.dirHash(dir)}$v"
   }
@@ -33,18 +33,37 @@ object ClusterStore {
   private def deltaSe(s: SparkSession, dir: String): DataFrame =
     Clustering.scaled(s, dir).where("vec_id % 10 >= 7")
 
-  private def writeMeta(s: SparkSession, path: String, v: String): Unit = {
+  /** LAYERED meta — (kind, fp) rows, one for the base geometry and one
+    * per absorbed batch — so "absorbed and current" is distinguishable
+    * from "stale": the base row tracks the training slice, the batch
+    * rows track each absorbed delta, and a read lifecycle whose rows
+    * all match touches NOTHING (no retrain, no re-assignment — the
+    * steady state DedupIndex/StatsStore have and this store previously
+    * lacked: its absorb used to stamp meta "absorbed", forcing a full
+    * rebuild every lap). */
+  private def writeMeta(s: SparkSession, path: String,
+      rows: Seq[(String, String)]): Unit = {
     import s.implicits._
-    Seq(v).toDF("fp").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    rows.toDF("kind", "fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Corpus-slice content fingerprint over the integer grid itself. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusSe(s, dir)
-      .selectExpr("aggregate(e, 0L, (a, b) -> a + b) AS h")
+  private def metaRows(s: SparkSession, path: String): Map[String, String] =
+    try s.read.parquet(s"$path/meta").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    catch { case _: Exception => Map.empty }
+
+  /** Content fingerprint over the integer grid of a slice. */
+  private def fingerprintOf(se: DataFrame): String = {
+    val r = se.selectExpr("aggregate(e, 0L, (a, b) -> a + b) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum")).head()
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
+
+  private def fingerprint(s: SparkSession, dir: String): String =
+    fingerprintOf(corpusSe(s, dir))
+  private def deltaFingerprint(s: SparkSession, dir: String): String =
+    fingerprintOf(deltaSe(s, dir))
 
   def build(s: SparkSession, dir: String, variant: String = ""): String = {
     import s.implicits._
@@ -59,14 +78,20 @@ object ClusterStore {
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .withColumn("batch", lit(0L))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/partials")
-    writeMeta(s, path, fingerprint(s, dir))
+    // meta written LAST, base row only: a build clears every batch row
+    // (partials were overwritten wholesale above)
+    writeMeta(s, path, Seq("base" -> fingerprint(s, dir)))
     path
   }
 
-  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
-    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
-      fingerprint(s, dir)
-    catch { case _: Exception => false }
+  /** Current = the base geometry matches the training slice AND no
+    * absorb died mid-append (an in-flight batch row reads "absorbing").
+    * Batch rows do NOT make the store stale — that is the point. */
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean = {
+    val rows = metaRows(s, root(dir, variant))
+    rows.get("base").contains(fingerprint(s, dir)) &&
+      !rows.values.exists(_ == "absorbing")
+  }
 
   def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
     if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
@@ -82,14 +107,54 @@ object ClusterStore {
       .toSeq.sortBy(_._1)
 
   /** Absorb the delta: one assignment pass against the FROZEN geometry,
-    * one additive k-sized partial appended. */
+    * one additive k-sized partial appended — IDEMPOTENT under the
+    * layered meta: an already-absorbed, unchanged batch is a no-op
+    * (q211's lap pays zero after the first run), a changed batch or a
+    * torn previous absorb rebuilds first (append-only partials cannot
+    * retract a half-written layer), and the batch row flips to
+    * "absorbing" BEFORE the append so a crash between the two leaves a
+    * store isCurrent reads as stale rather than double-counts. */
   def absorb(s: SparkSession, dir: String, variant: String = ""): Unit = {
-    val path = root(dir, variant)
+    var path = root(dir, variant)
+    val dfp = deltaFingerprint(s, dir)
+    val baseFp = fingerprint(s, dir)
+    val rows = metaRows(s, path)
+    if (rows.get("batch1").contains(dfp) && rows.get("base").contains(baseFp))
+      return // already absorbed, nothing changed — the steady state
+    if (rows.contains("batch1") || !rows.get("base").contains(baseFp))
+      path = build(s, dir, variant)
+    val base = baseFp
+    writeMeta(s, path, Seq("base" -> base, "batch1" -> "absorbing"))
     Clustering.assignTo(s, deltaSe(s, dir), loadCents(s, dir, variant))
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .withColumn("batch", lit(1L))
       .coalesce(1).write.mode("append").parquet(s"$path/partials")
-    writeMeta(s, path, "absorbed")
+    writeMeta(s, path, Seq("base" -> base, "batch1" -> dfp))
+  }
+
+  /** COMPACT the batch partials: absorb appends one k-sized layer per
+    * batch, so the table grows #batches × k rows in #batches files —
+    * the fold collapses it to one row per (cid, batch) in one file,
+    * and every read (profile, drift) answers identically (the merge is
+    * the partials' own sum algebra). StatsStore.compact's write
+    * discipline: staged copy first (the rewrite reads the path it
+    * overwrites), meta invalidated during the rewrite and restored
+    * after, so a crash mid-rewrite rebuilds rather than serves torn
+    * partials. */
+  def compact(s: SparkSession, dir: String, variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    val staging = s"$path/staging_compact"
+    val saved = metaRows(s, path).toSeq
+    s.read.parquet(s"$path/partials")
+      .groupBy(col("cid"), col("batch")).agg(sum(col("n")).as("n"))
+      .select(col("cid"), col("n"), col("batch"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    writeMeta(s, path, Seq("base" -> "compacting"))
+    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    writeMeta(s, path, saved)
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   private[graft] def invalidate(s: SparkSession, dir: String,
@@ -128,12 +193,14 @@ object ClusterStore {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // train+freeze on the corpus slice → absorb the delta's assignment
     // counts → merged profile; the oracle retrains from scratch and
-    // assigns everything, closing train/freeze/absorb cross-engine
+    // assigns everything, closing train/freeze/absorb cross-engine.
+    // Under the layered meta both verbs are no-ops after the first lap
+    // (absorbed AND current) — the lap then prices the k-sized read.
     "q211_cluster_store" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); profile(s, dir)
     }),
-    // own variant (q211's absorb flips its meta every lap); the drift
-    // read compares batch-tagged partials
+    // own variant keeps the two lifecycles' stores independent; the
+    // drift read compares batch-tagged partials
     "q212_cluster_drift" -> ((s, dir) => {
       buildIfStale(s, dir, "drift"); absorb(s, dir, "drift")
       drift(s, dir, "drift")

@@ -21,19 +21,19 @@ import org.apache.spark.sql.functions._
  *   - every absorb stages BOTH stores' increments as a transaction
  *     LAYER under `t<id>/` (dedup exact/shingles/bands + stats
  *     partials), invisible to every reader;
- *   - the COMMIT POINT is one row (the txn id) appended to ONE table
- *     (`commits`). Readers resolve base ∪ committed layers only, so
+ *   - the COMMIT POINT is one marker file (`commits/c<id>`), created
+ *     if-absent. Readers resolve base ∪ committed layers only, so
  *     both stores advance in the same instant or not at all;
  *   - a crash before the commit row leaves fully-invisible staging; the
  *     retry recomputes the SAME txn id (next id = max committed + 1 —
  *     nothing was committed, so the id is stable) and overwrites the
  *     partial staging. Redo, not undo.
  *
- * Atomicity rests on the commit append being all-or-nothing: the single
- * coalesced commit file lands via Spark's _temporary → rename protocol,
- * so on a rename-atomic filesystem (HDFS, local) a torn commit leaves no
- * visible row. On S3-class stores you'd swap the commits table for a
- * conditional-PUT manifest — the layer/commit split is unchanged.
+ * Atomicity rests on the marker's exclusive create being all-or-nothing
+ * — it either exists or it doesn't, and creating it arbitrates
+ * concurrent writers (the Delta `_delta_log/<version>` put-if-absent
+ * shape; see [[commit]]). On S3-class stores the same call maps to a
+ * conditional PUT — the layer/commit split is unchanged.
  *
  * Scale posture matches the stores it coordinates: the judge is q84's
  * delta-driven equi-joins (now against base ∪ layers — same plan, more
@@ -103,48 +103,49 @@ object StoreTxn {
   /** Committed transaction ids, ascending. O(#transactions) driver-side —
     * the same bounded-collect class as AnnIndex's metadata reads.
     *
-    * Only a MISSING commit log reads as "no transactions" (the
-    * pre-first-commit state). Any other failure — a torn footer, a
-    * transient IO error — RETHROWS: swallowing it would silently drop
-    * every committed transaction from reads (the exact skew this module
-    * exists to prevent) and make nextTxnId reuse an already-committed
-    * id, overwriting a live layer. */
+    * The log is a directory of per-transaction marker FILES
+    * (`commits/c<id>` — the Delta `_delta_log/<version>` shape): a
+    * transaction is committed iff its marker exists, and [[commit]]
+    * creates the marker with create-if-absent, so duplicate ids are
+    * structurally impossible — the second writer's create FAILS instead
+    * of appending a second row (see commit's multi-writer note). Only a
+    * MISSING log dir reads as "no transactions" (the pre-first-commit
+    * state); any other listing failure rethrows — swallowing it would
+    * silently drop every committed transaction from reads (the exact
+    * skew this module exists to prevent) and make nextTxnId reuse an
+    * already-committed id, overwriting a live layer. */
   private[queries] def committedTxns(s: SparkSession, dir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
-    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
-      Seq.empty
-    else
-      try {
-        val ids = s.read.parquet(p.toString).collect().map(_.getLong(0)).toSeq.sorted
-        val dups = ids.zip(ids.drop(1)).collect { case (a, b) if a == b => a }.distinct
-        if (dups.nonEmpty) throw new IllegalStateException(
-          s"store-txn commit log at $p contains duplicate transaction ids " +
-            s"${dups.mkString(",")} — two writers raced id allocation (see the " +
-            "single-writer requirement on nextTxnId); their layers overwrote " +
-            "each other, so the layered state is not trustworthy")
-        ids
-      } catch {
-        case e: IllegalStateException => throw e
-        case e: Exception => throw new IllegalStateException(
-          s"store-txn commit log at $p exists but cannot be read — " +
-            "refusing to serve base-only state as if no transactions " +
-            "were committed", e)
-      }
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.matches("c\\d+")).map(_.drop(1).toLong).sorted
+    } catch {
+      case e: java.io.FileNotFoundException => Seq.empty
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"store-txn commit log at $p cannot be listed — refusing to " +
+          "serve base-only state as if no transactions were committed", e)
+    }
   }
+
+  private def commitMarker(dir: String, id: Long) =
+    new org.apache.hadoop.fs.Path(s"${root(dir)}/commits/c$id")
 
   /** Next transaction id = max committed + 1.
     *
-    * SINGLE-WRITER REQUIREMENT: id allocation is read-then-use with no
-    * lock — two concurrent drivers (or an absorb racing checkpointStage
-    * before the pending marker is raised) mint the SAME id, overwrite
-    * each other's `t<id>/` staging, and append duplicate commit rows.
-    * The commit append itself is rename-atomic, but nothing arbitrates
-    * the id. Exactly one process may run absorb/checkpoint against a
-    * given store root at a time (the same assumption Delta makes of a
-    * filesystem without putIfAbsent); [[committedTxns]] detects the
-    * violation after the fact by failing loudly on duplicate ids. On an
-    * object store you'd replace this with a conditional-PUT of the
-    * `t<id>` manifest, which makes allocation itself the atomic step. */
+    * MULTI-WRITER SAFETY lives at the COMMIT, not here: id allocation
+    * is read-then-use with no lock, so two concurrent drivers can mint
+    * the SAME id and overwrite each other's `t<id>/` staging — but
+    * [[commit]] claims the id with a create-if-absent marker, so
+    * exactly ONE of them commits; the loser fails loudly mid-protocol
+    * with its staging uncommitted (structurally invisible, reclaimed by
+    * [[vacuum]]) and retries on a fresh id. This is the conditional-PUT
+    * shape Delta uses (`_delta_log/<version>` put-if-absent): the log
+    * entry itself is the arbitration point, and losing a race costs a
+    * re-stage, never a corrupt layered state. Concurrent MAINTENANCE
+    * (checkpoint/vacuum racing an absorb) remains single-writer — the
+    * pending marker blocks readers, not writers. */
   def nextTxnId(s: SparkSession, dir: String): Long =
     committedTxns(s, dir).lastOption.map(_ + 1).getOrElse(0L)
 
@@ -436,12 +437,34 @@ object StoreTxn {
       .write.mode("overwrite").parquet(s"$t/vocab/partials")
   }
 
-  /** THE COMMIT POINT: one row, one table. Before this append neither
-    * store shows the batch; after it both do. */
+  /** THE COMMIT POINT: one marker file, created if-absent. Before it
+    * exists no store shows the batch; after it every participating
+    * store does.
+    *
+    * create-if-absent IS the multi-writer arbitration (the
+    * conditional-PUT design note on [[nextTxnId]], implemented): if two
+    * writers race to the same id, exactly one marker creation succeeds;
+    * the loser gets a loud failure here — before anything became
+    * visible — leaving only uncommitted staging (invisible to every
+    * reader, [[vacuum]]'s food) to re-stage under a fresh id. On HDFS
+    * the exclusive create is atomic; on an object store the same call
+    * maps to a conditional PUT. A crashed commit retry is safe both
+    * ways: crash BEFORE the marker → redo re-stages and re-commits the
+    * same id; crash AFTER → nextTxnId already sees the commit and moves
+    * on, and the retry's refusal here is the correct signal that the
+    * transaction is already durable. */
   def commit(s: SparkSession, dir: String, id: Long): Unit = {
-    import s.implicits._
-    Seq(id).toDF("txn")
-      .coalesce(1).write.mode("append").parquet(s"${root(dir)}/commits")
+    val m = commitMarker(dir, id)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(m.getParent)
+    val claimed =
+      try fs.createNewFile(m)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if (!claimed) throw new IllegalStateException(
+      s"transaction $id at ${root(dir)} is already committed — another " +
+        "writer won the commit race (or this is a retry of a transaction " +
+        "that already landed); re-stage under nextTxnId and commit again")
   }
 
   /** The atomic absorb: stage both stores' increments, then commit. */
@@ -598,15 +621,15 @@ object StoreTxn {
     * the replace's own layers onward, base and earlier layers excluded
     * — truncate-and-load as one commit row, old files left on disk for
     * time travel until [[vacuumTable]] reclaims them. */
+  private def isReplaceTxn(s: SparkSession, dir: String, id: Long): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(s"${root(dir)}/t$id/table/replace")
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   private def tableView(s: SparkSession, dir: String,
       maxTxn: Long = Long.MaxValue): (Boolean, Seq[Long]) = {
-    val conf = s.sparkContext.hadoopConfiguration
     val ids = committedTxns(s, dir).filter(_ <= maxTxn)
-    def isReplace(id: Long) = {
-      val hp = new org.apache.hadoop.fs.Path(s"${root(dir)}/t$id/table/replace")
-      hp.getFileSystem(conf).exists(hp)
-    }
-    ids.filter(isReplace).lastOption match {
+    ids.filter(isReplaceTxn(s, dir, _)).lastOption match {
       case Some(r) => (false, ids.filter(_ >= r))
       case None => (true, ids)
     }
@@ -917,21 +940,46 @@ object StoreTxn {
     val retracts =
       if (exists(dp)) {
         val keys = s.read.parquet(dp).select(col("o_orderkey"))
-        val (kmin, kmax) = {
-          val r = keys.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
-          (r.getLong(0), r.getLong(1))
+        val bounds = keys.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+        // a delete predicate that matched nothing stages an empty
+        // vector: the min/max are null, there is nothing to retract
+        if (bounds.isNullAt(0)) None
+        else {
+          val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+          // zone-pruned candidates among files visible BEFORE this txn
+          val cand = zoneManifestTx(s, dir, id - 1)
+            .where(col("max_key") >= kmin && col("min_key") <= kmax)
+            .select("file").collect().map(_.getString(0)).toIndexedSeq
+          val victims = deleteScrub(s, dir, id - 1)(s.read.parquet(cand: _*))
+            .join(broadcast(keys), Seq("o_orderkey"), "left_semi")
+          Some(mvPartialOf(victims, -1))
         }
-        // zone-pruned candidates among files visible BEFORE this txn
-        val cand = zoneManifestTx(s, dir, id - 1)
-          .where(col("max_key") >= kmin && col("min_key") <= kmax)
-          .select("file").collect().map(_.getString(0)).toIndexedSeq
-        val victims = deleteScrub(s, dir, id - 1)(s.read.parquet(cand: _*))
-          .join(broadcast(keys), Seq("o_orderkey"), "left_semi")
-        Some(mvPartialOf(victims, -1))
       } else None
-    (adds.toSeq ++ retracts.toSeq).reduce(_.unionByName(_))
+    // a txn may stage neither side (an empty-match delete): the MV
+    // delta is then the empty partial, written so the commit still
+    // carries a well-formed (if zero-row) mv layer
+    (adds.toSeq ++ retracts.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(mvPartialOf(
+        Tables.t(s, dir, "orders").where(lit(false)), 1))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"${root(dir)}/t$id/mv")
+  }
+
+  /** A committed REPLACE (q198 / OPTIMIZE) drops base and earlier
+    * layers from the table view, but the MV's additive partials cannot
+    * express that subtraction — serving base + deltas across the
+    * boundary would silently over-count, the exact skew this tier
+    * exists to prevent. Refuse loudly (bm25TxAsOf's device); the heal
+    * is [[checkpoint]], whose MV fold REBASES from the post-replace
+    * committed rows. */
+  private def requireNoReplaceForMv(s: SparkSession, dir: String): Unit = {
+    val replaced = committedTxns(s, dir).filter(isReplaceTxn(s, dir, _))
+    if (replaced.nonEmpty) throw new IllegalStateException(
+      s"transactions ${replaced.mkString(",")} at ${root(dir)} are REPLACE " +
+        "boundaries; additive MV partials cannot express a replace — run " +
+        "StoreTxn.checkpoint (its MV fold rebases to the post-replace view) " +
+        "before reading the materialized view")
   }
 
   /** The MV read: base partial ∪ committed per-txn deltas, one
@@ -939,6 +987,7 @@ object StoreTxn {
     * pins no layout path in the plan). */
   def matViewTx(s: SparkSession, dir: String): DataFrame = {
     requireNoCheckpoint(s, dir)
+    requireNoReplaceForMv(s, dir)
     val conf = s.sparkContext.hadoopConfiguration
     val paths = (s"${ZoneMapStore.zonesPath(dir, variant)}_mvbase" +:
       committedTxns(s, dir).map(id => s"${root(dir)}/t$id/mv"))
@@ -999,6 +1048,7 @@ object StoreTxn {
 
   def matViewJoinTx(s: SparkSession, dir: String): DataFrame = {
     requireNoCheckpoint(s, dir)
+    requireNoReplaceForMv(s, dir)
     val conf = s.sparkContext.hadoopConfiguration
     val paths = (s"${ZoneMapStore.zonesPath(dir, variant)}_mvjbase" +:
       committedTxns(s, dir).map(id => s"${root(dir)}/t$id/mvj"))
@@ -1171,6 +1221,49 @@ object StoreTxn {
         _.groupBy(col("o_orderkey")).agg(max(col("dtxn")).as("dtxn"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$staging/table/deletes"))
+      // the MV partials fold alongside the manifest too — dropping the
+      // t<id> dirs at publish would otherwise silently rewind matViewTx
+      // to base-only state (it has no per-layer existence signal to
+      // notice the loss, unlike the as-of readers' foldedFlag refusal).
+      // Across a REPLACE boundary additive partials are meaningless
+      // (base + pre-replace deltas no longer describe the table), so
+      // the fold REBASES: one aggregation of the post-replace committed
+      // rows — O(table) once, at the verb that is already O(table).
+      val conf = s.sparkContext.hadoopConfiguration
+      def existsP(p: String) = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+      val hasReplace = committedTxns(s, dir).exists(isReplaceTxn(s, dir, _))
+      def foldMv(baseSuffix: String, layerSub: String, keyCol: String,
+          rebase: () => DataFrame, stagedName: String): Unit = {
+        val basePath = s"${ZoneMapStore.zonesPath(dir, variant)}$baseSuffix"
+        if (existsP(basePath)) {
+          val out =
+            if (hasReplace) rebase()
+            else {
+              val paths = (basePath +: committedTxns(s, dir)
+                .map(id => s"${root(dir)}/t$id/$layerSub")).filter(existsP)
+              s.read.parquet(paths: _*).groupBy(col(keyCol))
+                .agg(sum(col("d_n")).as("d_n"),
+                  sum(col("d_cents")).as("d_cents"))
+            }
+          out.coalesce(1).write.mode("overwrite")
+            .parquet(s"$staging/table/$stagedName")
+        }
+      }
+      foldMv("_mvbase", "mv", "o_orderstatus",
+        () => mvPartialOf(tableRowsTx(s, dir), 1), "mvbase")
+      foldMv("_mvjbase", "mvj", "n_name",
+        () => {
+          // rebase keeps the COMMITTED totalprice (an upsert may have
+          // rewritten it) and takes only the join key from the source
+          val rows = tableRowsTx(s, dir)
+            .select(col("o_orderkey"), col("o_totalprice"))
+            .join(Tables.t(s, dir, "orders")
+              .select(col("o_orderkey"), col("o_custkey")), Seq("o_orderkey"))
+          mvJoinPartialOf(s, dir, rows, 1)
+        }, "mvjbase")
     }
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
@@ -1234,24 +1327,14 @@ object StoreTxn {
     val m = marker(dir)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(m)) checkpointStage(s, dir)
-    // Commit log may be ABSENT on a redo past truncation — that reads as
-    // "nothing left to fold". Any other read failure RETHROWS (mirroring
-    // committedTxns' policy): treating a transient IO error as
-    // already-truncated would silently skip deleting the folded t<id>
-    // layer dirs, a permanent disk leak only reclaimed if a later txn
-    // happens to reuse the same id.
-    val commitsPath = new org.apache.hadoop.fs.Path(s"$r/commits")
-    val folded =
-      if (!fs.exists(commitsPath)) Seq.empty[Long]
-      else
-        try s.read.parquet(commitsPath.toString).collect().map(_.getLong(0)).toSeq
-        catch {
-          case e: Exception => throw new IllegalStateException(
-            s"store-txn commit log at $commitsPath exists but cannot be read " +
-              "during checkpoint publish — refusing to treat it as already " +
-              "truncated; fix the IO error and re-run checkpoint (redo is " +
-              "idempotent)", e)
-        }
+    // Commit log may be ABSENT (or already emptied) on a redo past
+    // truncation — that reads as "nothing left to fold". A listing
+    // failure RETHROWS (committedTxns' policy): treating a transient IO
+    // error as already-truncated would silently skip deleting the
+    // folded t<id> layer dirs — though even then the dirs are merely
+    // orphaned (no marker references them), so a later vacuum reclaims
+    // them.
+    val folded = committedTxns(s, dir)
     // staged text copies exist iff the stage saw the text bases — the
     // participation test, applied to the redo side like graph/ann below
     val stagedDedup = new org.apache.hadoop.fs.Path(s"$staging/dedup/exact")
@@ -1302,10 +1385,37 @@ object StoreTxn {
         s.read.parquet(stagedDeletes.toString)
           .coalesce(1).write.mode("overwrite")
           .parquet(ZoneMapStore.deletesPath(dir, variant))
+      else
+        // the folded view carries NO deletes (e.g. a replace boundary
+        // dropped the vector): a stale base vector from an earlier fold
+        // must go with it, or it would re-apply to the new generation
+        fs.delete(new org.apache.hadoop.fs.Path(
+          ZoneMapStore.deletesPath(dir, variant)), true)
+      // folded MV bases land with the manifest they were staged against
+      for ((stagedName, baseSuffix) <- Seq("mvbase" -> "_mvbase",
+          "mvjbase" -> "_mvjbase")) {
+        val sp = new org.apache.hadoop.fs.Path(s"$staging/table/$stagedName")
+        if (fs.exists(sp))
+          s.read.parquet(sp.toString).coalesce(1).write.mode("overwrite")
+            .parquet(s"${ZoneMapStore.zonesPath(dir, variant)}$baseSuffix")
+      }
     }
-    import s.implicits._
-    Seq.empty[Long].toDF("txn")
-      .coalesce(1).write.mode("overwrite").parquet(s"$r/commits")
+    // truncate the log: drop the folded commit markers, RETAINING the
+    // highest one. Transaction ids must keep ascending for the life of
+    // the store: folded delete-vector rows keep their dtxn, so if
+    // allocation restarted at 0 a post-checkpoint append would land
+    // with ftxn BELOW the folded dtxn and the folded vector would
+    // silently re-kill its rows — sequence numbers only resolve
+    // correctly under monotone allocation. The retained marker states
+    // nothing false: that transaction IS committed; its layer dirs are
+    // simply folded away, and every reader's existence probe skips
+    // them. (Each marker is one file; a crash mid-loop is inside the
+    // pending window — readers refuse — and the redo deletes the rest.
+    // Markers go BEFORE the layer dirs so a crash between the loops
+    // leaves dirs unreferenced — vacuum's food — never a committed id
+    // whose layers half-exist.)
+    folded.sorted.dropRight(1).foreach(id =>
+      fs.delete(commitMarker(dir, id), false))
     fs.mkdirs(foldedFlag(dir)) // base is now the folded generation
     folded.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$r/t$id"), true))
@@ -1807,12 +1917,20 @@ object StoreTxn {
         orders.where("o_orderkey % 10 = 9")
           .withColumn("o_totalprice", col("o_totalprice") * 2))
       val before = tableRangeAggregateTx(s, dir).collect().toSeq
+      require(tableDeletesTx(s, dir).nonEmpty,
+        "upsert left no live delete vector — the optimize has nothing to prove")
       optimizeTable(s, dir)
       val after = tableRangeAggregateTx(s, dir)
       require(after.collect().toSeq == before,
         "optimize changed the table content")
-      require(!after.queryExecution.executedPlan.toString.contains("LeftAnti"),
-        "post-optimize read still pays the delete anti-join")
+      // the scrub plans the delete vector as two BROADCAST joins
+      // (file→ftxn map + per-key max-dtxn); post-optimize the replace
+      // boundary excludes every delete layer, so tableDeletesTx is None,
+      // the scrub is the identity, and the read plans join-free
+      require(tableDeletesTx(s, dir).isEmpty,
+        "post-optimize view still resolves a delete vector")
+      require(!after.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "post-optimize read still pays the delete-scrub joins")
       after
     }),
     // INSERT OVERWRITE: two appends build the table, then a REPLACE

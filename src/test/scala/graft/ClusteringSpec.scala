@@ -32,9 +32,12 @@ class ClusteringSpec extends AnyFunSuite {
       s"no learning signal: ${ledger.map(_.getLong(1)).mkString(",")}")
   }
 
-  test("knn: confusion matrix covers the held-out slice exactly") {
+  test("knn: confusion matrix covers the bounded eval set exactly") {
     val cm = Caches.scoped(Clustering.knnClassify(spark, sf).collect().toSeq)
-    val nTest = Tables.t(spark, sf, "embeddings").where("vec_id % 10 >= 8").count()
+    // the eval side is the evalN md5-smallest held-out rows — a
+    // CONSTANT bound, never a corpus fraction
+    val heldOut = Tables.t(spark, sf, "embeddings").where("vec_id % 10 >= 8").count()
+    val nTest = math.min(Clustering.evalN.toLong, heldOut)
     assert(cm.map(_.getLong(2)).sum == nTest,
       "confusion matrix does not partition the eval set")
     // NO accuracy floor: the generator's labels are INDEPENDENT of the
@@ -62,6 +65,52 @@ class ClusteringSpec extends AnyFunSuite {
         s"clustering read grew an unbounded join:\n$p")
       assert(!p.contains("ScalaUDF"), s"clustering regressed to a ScalaUDF:\n$p")
     }
+    Caches.releaseAll()
+  }
+
+  test("knn eval side is constant-bounded: a TakeOrdered limit feeds the broadcast") {
+    val p = Caches.scoped(
+      Clustering.knnClassify(spark, sf).queryExecution.executedPlan.toString)
+    // the md5-rank limit plans as TakeOrderedAndProject — the marker
+    // that the broadcast side is evalN-bounded, not a corpus fraction
+    assert(p.contains("TakeOrderedAndProject"),
+      s"knn eval side lost its constant bound:\n$p")
+    Caches.releaseAll()
+  }
+
+  test("dbscan neighbor pass: grid candidates ⊇ true eps-neighborhood (planted clusters)") {
+    import spark.implicits._
+    val eps = 100L // cell side = 10
+    // two tight planted clusters + a cell-boundary straddler (negative
+    // cell coordinate, adjacent-cell match) + an isolated point
+    val pts: Seq[(Long, Seq[Long])] = Seq(
+      (0L, Seq(0L, 0L, 0L, 0L)),
+      (1L, Seq(3L, 4L, 0L, 0L)),
+      (2L, Seq(-3L, 2L, 1L, 0L)),
+      (3L, Seq(6L, -8L, 0L, 0L)), // home cell (0,-1): only ±1 adjacency finds its edge to 0
+      (4L, Seq(100L, 100L, 0L, 0L)),
+      (5L, Seq(103L, 98L, 2L, 1L)),
+      (6L, Seq(50L, -50L, 30L, 0L))
+    )
+    val se = pts.toDF("vec_id", "e")
+    val got = Clustering.epsNeighbors(se, eps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (i, a) <- pts; (j, b) <- pts if i != j
+      if a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum <= eps
+    } yield (i, j)).toSet
+    assert(brute.nonEmpty && brute.contains((0L, 3L)),
+      "planted data lost its boundary-straddling edge — test is vacuous")
+    assert(got == brute,
+      s"grid-blocked edges diverge from brute force: missing ${brute -- got}, extra ${got -- brute}")
+  }
+
+  test("dbscan neighbor pass plans as an equi-join: no cartesian, no corpus broadcast-NL") {
+    val nb = Clustering.epsNeighbors(
+      Clustering.dbscanSlice(spark, sf), Clustering.dbscanEps)
+    val p = Caches.scoped(nb.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbor pass regressed to an all-pairs product:\n$p")
     Caches.releaseAll()
   }
 }

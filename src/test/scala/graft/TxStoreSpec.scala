@@ -148,8 +148,11 @@ class TxStoreSpec extends AnyFunSuite {
     val statsBefore = statsRows
 
     StoreTxn.checkpoint(spark, sf)
-    assert(StoreTxn.nextTxnId(spark, sf) == 0L,
-      "checkpoint must truncate the commit log")
+    // truncation retains the HIGHEST folded marker: ids must stay
+    // monotone for the life of the store (folded dtxn/ftxn sequence
+    // numbers would otherwise outrank post-checkpoint appends)
+    assert(StoreTxn.nextTxnId(spark, sf) == 2L,
+      "checkpoint must truncate the log to the high-water marker alone")
     assert(keeperSet == keepersBefore,
       "checkpoint changed the dedup read")
     assert(statsRows == statsBefore,
@@ -219,23 +222,27 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
-  test("generation guards: corrupt log loud; asOf refuses folded history; stale base drops old layers") {
+  test("generation guards: commit race loses loudly; asOf refuses folded history; stale base drops old layers") {
     StoreTxn.reset(spark, sf)
     StoreTxn.ensureBases(spark, sf)
     StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
       statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
 
-    // a commit log that EXISTS but cannot be read must refuse, not
-    // silently serve base-only state (and not reuse committed txn ids)
+    // TWO-WRITER RACE on one txn id: both drivers read nextTxnId before
+    // either commits, both stage, both try to commit. The marker's
+    // create-if-absent arbitrates — the second commit must FAIL LOUDLY
+    // (conditional-PUT semantics), never append a duplicate log entry.
+    // Writer B's orphaned staging stays invisible and vacuumable.
+    val racedId = StoreTxn.nextTxnId(spark, sf) - 1 // = the id just committed
+    intercept[IllegalStateException](StoreTxn.commit(spark, sf, racedId))
     val fs = new org.apache.hadoop.fs.Path(StoreTxn.root(sf))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a non-id file in the log dir is ignored by the listing, not
+    // misread as a transaction
     val junk = new org.apache.hadoop.fs.Path(
-      s"${StoreTxn.root(sf)}/commits/part-junk.parquet")
-    val out = fs.create(junk)
-    out.write("not a parquet file".getBytes("UTF-8"))
-    out.close()
-    intercept[IllegalStateException](keeperSet)
-    intercept[IllegalStateException](StoreTxn.nextTxnId(spark, sf))
+      s"${StoreTxn.root(sf)}/commits/_SUCCESS")
+    fs.create(junk).close()
+    assert(StoreTxn.nextTxnId(spark, sf) == racedId + 1)
     fs.delete(junk, false)
 
     // a checkpoint folds history into the base — log-prefix time travel
@@ -502,15 +509,17 @@ class TxStoreSpec extends AnyFunSuite {
     val merged = agg
     assert(merged != before, "upsert was invisible")
     // row COUNT must be unchanged (replace, not append+keep-both) —
-    // compare the n_orders column across the two states
-    def counts(rows: Seq[String]) =
+    // capture the live count map AT each named state (the helper takes
+    // no argument precisely so nothing can pretend to measure a state
+    // it isn't reading)
+    def countsNow: Map[String, Long] =
       Caches.scoped(StoreTxn.tableRangeAggregateTx(spark, sf).collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap)
-    val mergedCounts = counts(merged)
+    val mergedCounts = countsNow
     StoreTxn.reset(spark, sf); StoreTxn.ensureZoneBase(spark, sf)
     StoreTxn.vacuumTable(spark, sf)
     StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 = 9"))
-    val plainCounts = counts(before)
+    val plainCounts = countsNow
     assert(mergedCounts == plainCounts,
       s"upsert changed cardinality: $plainCounts -> $mergedCounts")
     // redo the merge and checkpoint: sequence numbers must survive the
@@ -575,6 +584,92 @@ class TxStoreSpec extends AnyFunSuite {
     val p = Caches.scoped(
       StoreTxn.matViewTx(spark, sf).queryExecution.executedPlan.toString)
     assert(!p.contains("/layout"), s"MV read scanned the table layout:\n$p")
+    Caches.releaseAll()
+  }
+
+  test("MV checkpoint fold: reads identical across checkpoint; replace refused then rebased") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    StoreTxn.mvEnsureBase(spark, sf)
+    def mv: Seq[String] = Caches.scoped(
+      StoreTxn.matViewTx(spark, sf).collect().toSeq.map(_.toString))
+    // the ground truth the MV must always equal: the rollup recomputed
+    // from the committed table rows themselves
+    def tableRollup: Seq[String] = Caches.scoped(
+      StoreTxn.tableRowsTx(spark, sf)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")).as("revenue_cents"))
+        .orderBy(col("o_orderstatus")).collect().toSeq.map(_.toString))
+    val orders = queries.Tables.t(spark, sf, "orders")
+    var id = StoreTxn.nextTxnId(spark, sf)
+    StoreTxn.stageTableAppend(spark, sf, orders.where("o_orderkey % 10 >= 7"), id)
+    StoreTxn.mvStage(spark, sf, id); StoreTxn.commit(spark, sf, id)
+    // a delete whose predicate matches NOTHING must stage cleanly (the
+    // empty-vector guard), and leave the MV unmoved
+    id = StoreTxn.nextTxnId(spark, sf)
+    StoreTxn.stageTableDelete(spark, sf, "o_orderkey < 0", id)
+    StoreTxn.mvStage(spark, sf, id); StoreTxn.commit(spark, sf, id)
+    // ... and a delete with real victims retracts them
+    id = StoreTxn.nextTxnId(spark, sf)
+    StoreTxn.stageTableDelete(spark, sf, "o_orderkey % 13 = 5", id)
+    StoreTxn.mvStage(spark, sf, id); StoreTxn.commit(spark, sf, id)
+    val before = mv
+    assert(before == tableRollup, "MV skewed from the table pre-checkpoint")
+    // THE FOLD: dropping the t<id> dirs must not rewind the MV to
+    // base-only state — the checkpoint stages and publishes the folded
+    // MV bases alongside the manifest
+    StoreTxn.checkpoint(spark, sf)
+    assert(mv == before, "checkpoint rewound the MV to base-only state")
+    // a REPLACE boundary invalidates additive partials: the MV read
+    // refuses until a checkpoint rebases it to the post-replace view
+    StoreTxn.absorbTableReplace(spark, sf, orders.where("o_orderkey % 10 = 7"))
+    intercept[IllegalStateException](StoreTxn.matViewTx(spark, sf).collect())
+    StoreTxn.checkpoint(spark, sf)
+    assert(mv == tableRollup, "post-replace checkpoint did not rebase the MV")
+    StoreTxn.reset(spark, sf) // heal the folded base for later lifecycles
+    Caches.releaseAll()
+  }
+
+  test("q205 MV crash-replay: stage-then-crash leaves both invisible; redo lands both or neither") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    StoreTxn.mvEnsureBase(spark, sf)
+    def mv: Seq[String] = Caches.scoped(
+      StoreTxn.matViewTx(spark, sf).collect().toSeq.map(_.toString))
+    def agg: Seq[String] = Caches.scoped(
+      StoreTxn.tableRangeAggregateTx(spark, sf).collect().toSeq.map(_.toString))
+    val orders = queries.Tables.t(spark, sf, "orders")
+    val (mv0, agg0) = (mv, agg)
+    // one q205 tick, killed between its two stage writes and the commit:
+    // the txn stages TWO artifacts (table layers + MV partial) under one
+    // id — neither may be visible, in any interleaving of the crash
+    val id = StoreTxn.nextTxnId(spark, sf)
+    StoreTxn.stageTableAppend(spark, sf, orders.where("o_orderkey % 10 >= 7"), id)
+    // crash #1: after the table stage, before the MV stage
+    assert(mv == mv0 && agg == agg0, "half-staged tick leaked into a read")
+    StoreTxn.mvStage(spark, sf, id)
+    // crash #2: after both stages, before the commit
+    assert(mv == mv0 && agg == agg0, "fully-staged uncommitted tick leaked")
+    // the REDO re-stages the same batch under the SAME id (nothing was
+    // committed, so nextTxnId is unchanged) and commits: both artifacts
+    // become visible in the same instant and agree with each other
+    assert(StoreTxn.nextTxnId(spark, sf) == id, "redo minted a different id")
+    StoreTxn.stageTableAppend(spark, sf, orders.where("o_orderkey % 10 >= 7"), id)
+    StoreTxn.mvStage(spark, sf, id)
+    StoreTxn.commit(spark, sf, id)
+    assert(mv != mv0 && agg != agg0, "committed tick stayed invisible")
+    val rollup = Caches.scoped(
+      StoreTxn.tableRowsTx(spark, sf)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")).as("revenue_cents"))
+        .orderBy(col("o_orderstatus")).collect().toSeq.map(_.toString))
+    assert(mv == rollup, "redo left the MV skewed from the table")
     Caches.releaseAll()
   }
 
