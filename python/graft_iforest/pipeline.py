@@ -65,6 +65,10 @@ __all__ = [
     "tx_absorb_table_replace", "tx_mat_view",
     # data-governance audits
     "audit_expectations", "audit_k_anonymity", "audit_fk",
+    # verified-ML family + cluster-profile store
+    "ml_kmeans", "ml_perceptron", "ml_knn_classify", "ml_dbscan",
+    "build_cluster_store_if_stale", "absorb_cluster_delta",
+    "cluster_profile", "cluster_drift", "compact_cluster_store",
     # mergeable sketch store
     "build_cms_if_stale", "absorb_cms_delta", "cms_heavy_hitters",
     "build_kmv_store", "absorb_kmv_delta", "kmv_sample",
@@ -886,6 +890,66 @@ def audit_fk(spark, data_dir):
     """Orphan-foreign-key counts across the star schema (q201)."""
     jdf = _bridge(spark).auditFk(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
+
+
+def ml_kmeans(spark, data_dir):
+    """Two exactly-replayable Lloyd's rounds over the embeddings (q207):
+    (cid, n_members, cent_sum) per cluster."""
+    jdf = _bridge(spark).mlKmeans(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_perceptron(spark, data_dir):
+    """Three batch-perceptron rounds (q208): per-round misclassification
+    counts and model checksums."""
+    jdf = _bridge(spark).mlPerceptron(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_knn_classify(spark, data_dir):
+    """5-NN majority-vote confusion matrix over the bounded md5-rank
+    eval set (q209)."""
+    jdf = _bridge(spark).mlKnnClassify(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_dbscan(spark, data_dir):
+    """DBSCAN over the embedding slice (q210): (cluster_id, n_core,
+    n_border) plus the -1 noise row."""
+    jdf = _bridge(spark).mlDbscan(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def build_cluster_store_if_stale(spark, data_dir):
+    """Train + freeze the cluster-profile store's centroids if missing,
+    stale, or torn (q211); returns the store root."""
+    return _bridge(spark).buildClusterStoreIfStale(
+        spark._jsparkSession, data_dir)
+
+
+def absorb_cluster_delta(spark, data_dir):
+    """Assign the delta against the frozen geometry and append its
+    k-sized partial — idempotent for an unchanged absorbed batch."""
+    _bridge(spark).absorbClusterDelta(spark._jsparkSession, data_dir)
+
+
+def cluster_profile(spark, data_dir):
+    """The merged cluster profile (q211) — k rows with e6 shares, read
+    from the store alone."""
+    jdf = _bridge(spark).clusterProfile(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def cluster_drift(spark, data_dir):
+    """Corpus-vs-delta cluster shares and absolute drift (q212)."""
+    jdf = _bridge(spark).clusterDrift(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def compact_cluster_store(spark, data_dir):
+    """Fold the batch partials to one row per (cid, batch) — reads are
+    invariant."""
+    _bridge(spark).compactClusterStore(spark._jsparkSession, data_dir)
 
 
 def release_caches(spark):

@@ -508,6 +508,41 @@ def main():
     assert replaced != after_del, "replace boundary invisible from Python"
     gp.release_caches(spark)
 
+    # --- verified-ML family + cluster-profile store from Python ---
+    km = gp.ml_kmeans(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(sf_dir + "/embeddings.parquet").count()
+    assert len(km) == 4 and sum(r["n_members"] for r in km) == n_vecs, \
+        "kmeans clusters do not partition the corpus"
+    per = gp.ml_perceptron(spark, sf_dir).collect()
+    assert len(per) == 3 and per[0]["n_misclassified"] == n_vecs, \
+        "perceptron round 1 under w=0 must misclassify everything"
+    assert per[-1]["n_misclassified"] < n_vecs / 2, "no learning signal"
+    cm = gp.ml_knn_classify(spark, sf_dir).collect()
+    held = spark.read.parquet(sf_dir + "/embeddings.parquet") \
+        .where("vec_id % 10 >= 8").count()
+    assert sum(r["n"] for r in cm) == min(200, held), \
+        "knn confusion matrix does not cover the bounded eval set"
+    db = gp.ml_dbscan(spark, sf_dir).collect()
+    assert any(r["cluster_id"] == -1 for r in db), "dbscan noise row missing"
+    gp.release_caches(spark)
+
+    # build -> absorb -> drift lifecycle, then compact read-invariance
+    # and idempotent re-absorb
+    gp.build_cluster_store_if_stale(spark, sf_dir)
+    gp.absorb_cluster_delta(spark, sf_dir)
+    prof = gp.cluster_profile(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in prof) == n_vecs, \
+        "cluster profile does not cover corpus + delta"
+    dr = sorted(map(str, gp.cluster_drift(spark, sf_dir).collect()))
+    assert len(dr) == 4 and all(
+        r["share_corpus_e6"] >= 0 and r["drift_e6"] >= 0
+        for r in gp.cluster_drift(spark, sf_dir).collect())
+    gp.absorb_cluster_delta(spark, sf_dir)  # idempotent: same state
+    gp.compact_cluster_store(spark, sf_dir)
+    assert sorted(map(str, gp.cluster_drift(spark, sf_dir).collect())) == dr, \
+        "compact or re-absorb moved the drift read"
+    gp.release_caches(spark)
+
     # --- the generic runner exposes the whole query surface ---
     names = gp.query_names(spark)
     assert "q66_dedup_clusters" in names and "q31_ann_lsh" in names

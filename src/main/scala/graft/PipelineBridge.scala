@@ -653,6 +653,58 @@ object PipelineBridge {
   def kmvSample(s: SparkSession, dir: String): DataFrame =
     queries.SketchStore.kmvSample(s, dir)
 
+  // --- Verified-ML family (q207-q210): exactly-replayable training
+  // passes — each returns the same ledger/matrix the oracled queries
+  // pin, so a Python caller gets the cross-engine-verified shapes. ---
+
+  /** Two Lloyd's rounds over the embeddings, k = 4 deterministic init;
+    * (cid, n_members, cent_sum) per cluster. */
+  def mlKmeans(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.kmeans(s, dir)
+
+  /** Three batch-perceptron rounds; per-round misclassification counts
+    * and model checksums. */
+  def mlPerceptron(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.perceptron(s, dir)
+
+  /** 5-NN majority-vote confusion matrix over the bounded md5-rank eval
+    * set (cosine-equivalent integer ranking). */
+  def mlKnnClassify(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.knnClassify(s, dir)
+
+  /** DBSCAN over the embedding slice: (cluster_id, n_core, n_border)
+    * plus the -1 noise row; grid-blocked exact neighbor pass. */
+  def mlDbscan(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.dbscan(s, dir)
+
+  // --- Cluster-profile store verbs (q211/q212): train-once/freeze
+  // geometry, additive assignment partials, k-sized reads. ---
+
+  /** Train + freeze the centroids on the corpus slice if the store is
+    * missing, stale, or torn; returns the store root. */
+  def buildClusterStoreIfStale(s: SparkSession, dir: String): String =
+    queries.ClusterStore.buildIfStale(s, dir)
+
+  /** Assign the delta against the FROZEN geometry and append its
+    * k-sized partial — idempotent for an unchanged, already-absorbed
+    * batch. */
+  def absorbClusterDelta(s: SparkSession, dir: String): Unit =
+    queries.ClusterStore.absorb(s, dir)
+
+  /** The merged cluster profile (k rows, e6 shares) from the store
+    * alone. */
+  def clusterProfile(s: SparkSession, dir: String): DataFrame =
+    queries.ClusterStore.profile(s, dir)
+
+  /** Corpus-vs-delta cluster shares and absolute drift (k rows). */
+  def clusterDrift(s: SparkSession, dir: String): DataFrame =
+    queries.ClusterStore.drift(s, dir)
+
+  /** Fold the batch partials to one row per (cid, batch) — read-
+    * invisible, same merge algebra as the reads. */
+  def compactClusterStore(s: SparkSession, dir: String): Unit =
+    queries.ClusterStore.compact(s, dir)
+
   /** Unpersist every cache a query build registered — the same consumer
     * contract Bench/Verify follow after each terminal action
     * ([[graft.queries.Caches]]); long-lived Python sessions must call this
