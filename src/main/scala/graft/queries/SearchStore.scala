@@ -269,7 +269,14 @@ object SearchStore {
     * store pruned scan; [[StoreTxn]] passes base ∪ committed transaction
     * layers (the q155/q163 device). `tp` must already be filtered to
     * [[bm25Terms]]; `statsDf` is the raw additive partials. */
-  private[queries] def bm25Of(tp: DataFrame, statsDf: DataFrame): DataFrame = {
+  private[queries] def bm25Of(tp: DataFrame, statsDf: DataFrame): DataFrame =
+    bm25ScoresOf(tp, statsDf)
+      .orderBy(col("score_e4").desc, col("doc_id")).limit(10)
+
+  /** [[bm25Of]] WITHOUT the final cut — every matching doc's score, so
+    * composed readers (q213's proximity boost) can re-rank before
+    * limiting. */
+  private[queries] def bm25ScoresOf(tp: DataFrame, statsDf: DataFrame): DataFrame = {
     val p = Caches.persist(tp)
     val dfCols = bm25Terms.zipWithIndex.map { case (tm, i) =>
       sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"df$i")
@@ -291,7 +298,45 @@ object SearchStore {
         .mkString(" + ")))
       .where(col("score_e4") > 0)
       .select(col("doc_id"), col("dl"), col("score_e4"))
-      .orderBy(col("score_e4").desc, col("doc_id")).limit(10)
+  }
+
+  /** PROXIMITY-BOOSTED SEARCH (q213) — the composed query class real
+    * search pipelines run: candidates match ANY of the BM25 terms (the
+    * OR leg), and docs where the exact bigram "merge window" occurs get
+    * a per-occurrence boost on top of their BM25 score (the proximity
+    * leg) — both answered from the SAME pruned postings scan, the
+    * corpus text never re-read. Composition must re-rank BEFORE any
+    * cut, so this rides [[bm25ScoresOf]] (no limit) joined to the
+    * q182 positional-adjacency counts; the boost is integer
+    * (5000 e4-points per adjacent occurrence ≈ half a typical term
+    * contribution) so the composed ranking replays exactly in DuckDB.
+    * Cost is |postings of 3 terms| — the |terms|-bounded read contract
+    * every search-store query keeps. */
+  def proximityBm25(s: SparkSession, dir: String,
+      variant: String = ""): DataFrame = {
+    val tp = Caches.persist(termPostings(s, dir, bm25Terms, variant))
+    val scores = bm25ScoresOf(tp,
+      s.read.parquet(s"${root(dir, variant)}/stats"))
+    val prox = tp.where(col("term").isin("merge", "window"))
+      .groupBy(col("doc_id"))
+      .agg(
+        first(when(col("term") === "merge", col("positions")),
+          ignoreNulls = true).as("pa"),
+        first(when(col("term") === "window", col("positions")),
+          ignoreNulls = true).as("pb"))
+      .where(col("pa").isNotNull && col("pb").isNotNull)
+      .withColumn("phrase_tf",
+        size(array_intersect(expr("transform(pa, x -> x + 1)"), col("pb")))
+          .cast("bigint"))
+      .where(col("phrase_tf") > 0)
+      .select(col("doc_id"), col("phrase_tf"))
+    scores.join(prox, Seq("doc_id"), "left")
+      .withColumn("phrase_tf", coalesce(col("phrase_tf"), lit(0L)))
+      .withColumn("boosted_e4",
+        col("score_e4") + col("phrase_tf") * lit(5000L))
+      .select(col("doc_id"), col("score_e4"), col("phrase_tf"),
+        col("boosted_e4"))
+      .orderBy(col("boosted_e4").desc, col("doc_id")).limit(10)
   }
 
   /** Positional phrase search — the query class ONLY a positional index
@@ -514,6 +559,12 @@ object SearchStore {
     // co-occurrence lift of the top-12 df terms, all from the index
     "q190_related_terms" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); relatedTerms(s, dir)
+    }),
+    // composed OR + proximity ranking: BM25 candidates re-ranked by the
+    // bigram-adjacency boost BEFORE the top-10 cut — one pruned
+    // postings scan answers both legs
+    "q213_proximity_search" -> ((s, dir) => {
+      buildIfStale(s, dir); absorb(s, dir); proximityBm25(s, dir)
     })
   )
 
@@ -574,6 +625,26 @@ object SearchStore {
         |  (n_both * n * 1000000) // (ta.df * tb.df) AS lift_e6
         |FROM p JOIN top ta ON ta.term = p.term_a
         |  JOIN top tb ON tb.term = p.term_b, nn
-        |ORDER BY term_a, term_b""".stripMargin
+        |ORDER BY term_a, term_b""".stripMargin,
+    // q99's scoring chain VERBATIM (textual reuse keeps the BM25 formula
+    // in lockstep), composed with q182's token-adjacency counts and the
+    // same integer boost, re-ranked before the cut
+    "q213_proximity_search" -> {
+      val bm = TextPipeline.oracles("q99_bm25_search")
+      val cut = bm.indexOf("SELECT doc_id, dl, score_e4 FROM sc")
+      require(cut > 0, "q99 oracle tail changed — recompose q213's oracle")
+      s"""${bm.substring(0, cut).trim.stripSuffix(",")},
+         |t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |ph AS (SELECT doc_id,
+         |    len(list_filter(generate_series(1, len(ts) - 1),
+         |      i -> ts[i] = 'merge' AND ts[i + 1] = 'window'))::BIGINT AS phrase_tf
+         |  FROM t)
+         |SELECT sc.doc_id, sc.score_e4,
+         |  coalesce(ph.phrase_tf, 0)::BIGINT AS phrase_tf,
+         |  (sc.score_e4 + coalesce(ph.phrase_tf, 0) * 5000)::BIGINT AS boosted_e4
+         |FROM sc LEFT JOIN ph ON ph.doc_id = sc.doc_id
+         |WHERE sc.score_e4 > 0
+         |ORDER BY boosted_e4 DESC, sc.doc_id LIMIT 10""".stripMargin
+    }
   )
 }

@@ -972,17 +972,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), s"q184 regressed to a ScalaUDF:\n$p")
   }
 
-  test("q181/q182 search-store reads prune term buckets (tb partition filter)") {
+  test("q181/q182/q213 search-store reads prune term buckets (tb partition filter)") {
     // lifecycle queries: run build+absorb once, then pin the read plans
     graft.queries.SearchStore.invalidate(spark, sf)
     graft.queries.SearchStore.buildIfStale(spark, sf)
     graft.queries.SearchStore.absorb(spark, sf)
     for (df <- Seq(graft.queries.SearchStore.bm25(spark, sf),
-        graft.queries.SearchStore.phrase(spark, sf))) {
+        graft.queries.SearchStore.phrase(spark, sf),
+        graft.queries.SearchStore.proximityBm25(spark, sf))) {
       val p = graft.queries.Caches.scoped(df.queryExecution.executedPlan.toString)
       assert("""PartitionFilters: \[[^\]]*tb""".r.findFirstIn(p).isDefined, p)
       assert(p.contains("TakeOrderedAndProject"), s"top-k lost its heap plan:\n$p")
     }
+    // the composed read answers BOTH legs from the index: the corpus
+    // text is never re-tokenized (no documents scan in the plan)
+    val pc = graft.queries.Caches.scoped(
+      graft.queries.SearchStore.proximityBm25(spark, sf)
+        .queryExecution.executedPlan.toString)
+    assert(!pc.contains("documents.parquet"),
+      s"q213 re-read the corpus instead of the index:\n$pc")
   }
 
   test("q199/q201 audits: one-pass contract, broadcast dimension anti-joins") {
