@@ -180,10 +180,16 @@ object Clustering {
         -expr("aggregate(zip_with(te, qe, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
           .cast("double"))
       .select(col("q_id"), col("q_label"), col("t_id"), col("negd"))
-    // 5 nearest per query through the bounded map-side heaps (negated
-    // distance: the aggregator's (score DESC, id ASC) order becomes
-    // (dist ASC, t_id ASC) — the oracle's exact tie-break; integer
-    // distances ≤ 64·(2e6)² stay exact in the double score)
+    confusionOf(dists, train)
+  }
+
+  /** The shared 5-NN vote → confusion-matrix tail: 5 nearest per query
+    * through the bounded map-side heaps (negated distance: the
+    * aggregator's (score DESC, id ASC) order becomes (dist ASC, t_id
+    * ASC) — the oracle's exact tie-break; integer distances ≤ 64·(2e6)²
+    * stay exact in the double score), majority vote with (count desc,
+    * label asc) ties, one matrix aggregation. */
+  private def confusionOf(dists: DataFrame, train: DataFrame): DataFrame = {
     val k5 = graft.plans.TopKPerKey.topK(dists, Seq("q_id", "q_label"),
       "negd", "t_id", 5, "negd", 4)
     val votes = k5
@@ -197,6 +203,48 @@ object Clustering {
     pred.groupBy(col("label"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("predicted"))
+  }
+
+  /** k-NN over ANN CANDIDATES (q214) — q209's production path, shipped:
+    * candidate generation rides q54's FIXED integer hyperplanes (16
+    * sign buckets over the normalized integer grid), so each query
+    * compares only against same-bucket training rows — a broadcast
+    * EQUI-join on the bucket key, ~1/16th of the brute sweep's distance
+    * evaluations — then the exact integer re-rank, vote, and matrix are
+    * q209's verbatim. Because the hyperplanes are fixed integer
+    * literals (not engine-seeded gaussians), the WHOLE approximate
+    * pipeline — bucketing, pruning, re-rank, vote — replays exactly in
+    * DuckDB: this is the oracled twin of the recall-gated ANN tiers,
+    * and the honest statement of the accuracy trade (a same-bucket rule
+    * can miss true neighbors across a hyperplane; the oracle computes
+    * the SAME approximation, so the contract is the computation). A
+    * query whose bucket holds no training row drops from the matrix on
+    * both engines. */
+  def knnAnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val se = Caches.persist(Tables.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(x AS double)) AS ed")
+      .selectExpr("vec_id", "label",
+        "sqrt(aggregate(transform(ed, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)) AS nrm",
+        "ed")
+      .selectExpr("vec_id", "label",
+        "transform(ed, x -> cast(floor(x / nrm * 1000000.0 + 0.5) AS bigint)) AS e")
+      .selectExpr("vec_id", "label", "e",
+        s"${TextPipeline.fixedBucket} AS b"))
+    val train = se.where("vec_id % 10 < 8")
+      .select(col("vec_id").as("t_id"), col("label").as("t_label"),
+        col("e").as("te"), col("b"))
+    val test = se.where("vec_id % 10 >= 8")
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(evalN)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("e").as("qe"), col("b"))
+    val dists = train.join(broadcast(test), Seq("b"))
+      .withColumn("negd",
+        -expr("aggregate(zip_with(te, qe, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+          .cast("double"))
+      .select(col("q_id"), col("q_label"), col("t_id"), col("negd"))
+    confusionOf(dists, train)
   }
 
   /** Exact eps-neighborhood edge set {(u,v) : u ≠ v, ‖u−v‖² ≤ eps} via
@@ -307,7 +355,8 @@ object Clustering {
     "q207_kmeans" -> ((s, dir) => kmeans(s, dir)),
     "q208_perceptron" -> ((s, dir) => perceptron(s, dir)),
     "q209_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
-    "q210_dbscan" -> ((s, dir) => dbscan(s, dir))
+    "q210_dbscan" -> ((s, dir) => dbscan(s, dir)),
+    "q214_knn_ann" -> ((s, dir) => knnAnnClassify(s, dir))
   )
 
   // generated per-round CTE chain (q176's oracle device)
@@ -380,6 +429,43 @@ object Clustering {
          |   WHERE vec_id NOT IN (SELECT u FROM core)
          |     AND vec_id NOT IN (SELECT u FROM border))::BIGINT
          |ORDER BY cluster_id""".stripMargin,
+    // q209's chain with q54's fixed-hyperplane bucket in the se CTE and
+    // the candidate join restricted to same-bucket pairs — the oracle
+    // computes the SAME approximation, so the approximate path is as
+    // hash-checked as the exact one
+    "q214_knn_ann" ->
+      s"""WITH se AS (SELECT vec_id, label,
+         |    list_transform(embedding, x -> (floor(x::DOUBLE /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> y::DOUBLE * y::DOUBLE)))
+         |      * 1000000.0 + 0.5))::BIGINT) AS e
+         |  FROM embeddings),
+         |sb AS (SELECT vec_id, label, e,
+         |    (2*e[1] - e[5] + e[9] >= 0)::INT * 8
+         |    + (e[2] + e[6] - 2*e[10] >= 0)::INT * 4
+         |    + (e[3] - e[7] + e[11] >= 0)::INT * 2
+         |    + (-e[4] + e[8] + 2*e[12] >= 0)::INT AS b
+         |  FROM se),
+         |tr AS (SELECT vec_id AS t_id, label AS t_label, e AS a, b
+         |  FROM sb WHERE vec_id % 10 < 8),
+         |ev AS (SELECT vec_id AS q_id, label AS q_label, e AS bb, b
+         |  FROM sb WHERE vec_id % 10 >= 8
+         |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $evalN),
+         |d AS (SELECT q_id, q_label, t_id, t_label,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - bb[i]) * (a[i] - bb[i]))) AS dist
+         |  FROM tr JOIN ev ON tr.b = ev.b),
+         |k5 AS (SELECT q_id, q_label, t_label FROM (SELECT q_id, q_label,
+         |    t_label, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM d) WHERE rn <= 5),
+         |v AS (SELECT q_id, q_label, t_label, count(*) AS nv
+         |  FROM k5 GROUP BY q_id, q_label, t_label),
+         |p AS (SELECT q_label AS label, t_label AS predicted
+         |  FROM (SELECT q_label, t_label, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY nv DESC, t_label) AS rn FROM v)
+         |  WHERE rn = 1)
+         |SELECT label, predicted, count(*)::BIGINT AS n
+         |FROM p GROUP BY label, predicted ORDER BY label, predicted""".stripMargin,
     // same integer L2, same (dist, t_id) neighbor order, same
     // (votes DESC, label ASC) majority tie-break
     "q209_knn_classify" ->

@@ -68,6 +68,23 @@ class ClusteringSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("knn-ann: bucket-pruned candidates plan as an equi-join; matrix stays inside the eval set") {
+    val df = Clustering.knnAnnClassify(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation is a hash EQUI-join on the fixed-hyperplane
+    // bucket — never the brute nested-loop sweep
+    assert(p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ann-knn candidates regressed to a nested-loop sweep:\n$p")
+    val cm = Caches.scoped(df.collect().toSeq)
+    val heldOut = Tables.t(spark, sf, "embeddings").where("vec_id % 10 >= 8").count()
+    val covered = cm.map(_.getLong(2)).sum
+    // ≤: a query whose bucket holds no training row drops from the
+    // matrix (the oracle computes the same approximation)
+    assert(covered > 0 && covered <= math.min(Clustering.evalN.toLong, heldOut),
+      s"ann-knn matrix covers $covered of $heldOut")
+    Caches.releaseAll()
+  }
+
   test("knn eval side is constant-bounded: a TakeOrdered limit feeds the broadcast") {
     val p = Caches.scoped(
       Clustering.knnClassify(spark, sf).queryExecution.executedPlan.toString)
