@@ -273,7 +273,11 @@ object Clustering {
     * pairs as true edges, so the edge OUTPUT itself is Θ(0.04·n²) and
     * no conservative filter can beat the output size — the real
     * density lever is eps, not the blocking. */
-  private[graft] def epsNeighbors(se: DataFrame, eps: Long): DataFrame = {
+  /** The candidate stage alone — (u, v, ea, eb) pairs surviving the
+    * grid rule, BEFORE the exact distance verify. Exposed so the spec
+    * can measure pruning (on clustered data candidates ≪ all pairs)
+    * as well as prove conservativeness. */
+  private[graft] def gridCandidates(se: DataFrame, eps: Long): DataFrame = {
     val side = math.ceil(math.sqrt(eps.toDouble)).toLong
     def withCells(df: DataFrame): DataFrame = df
       .withColumn("c0", floor(col("e").getItem(0) / side.toDouble).cast("long"))
@@ -289,10 +293,13 @@ object Clustering {
         col("c0").as("k0"), col("c1").as("k1"))
     a.join(b, Seq("k0", "k1"))
       .where(col("u") =!= col("v"))
+  }
+
+  private[graft] def epsNeighbors(se: DataFrame, eps: Long): DataFrame =
+    gridCandidates(se, eps)
       .where(expr("aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
         <= eps)
       .select(col("u"), col("v"))
-  }
 
   /** DBSCAN (q210) — density clustering, the shape-agnostic complement
     * to q207's k-means (no k, finds noise): core points have ≥ minPts

@@ -120,6 +120,14 @@ class ClusteringSpec extends AnyFunSuite {
       "planted data lost its boundary-straddling edge — test is vacuous")
     assert(got == brute,
       s"grid-blocked edges diverge from brute force: missing ${brute -- got}, extra ${got -- brute}")
+    // ... AND the grid genuinely PRUNES on clustered data (the 100 TB
+    // claim): cross-cluster pairs never become candidates, so the
+    // candidate count is well below all n·(n−1) ordered pairs
+    val nCand = Clustering.gridCandidates(se, eps).count()
+    val allPairs = pts.size.toLong * (pts.size - 1)
+    assert(nCand < allPairs / 2,
+      s"grid pruned nothing on planted clusters: $nCand of $allPairs pairs")
+    assert(nCand >= brute.size, "candidate set smaller than the edge set")
   }
 
   test("dbscan neighbor pass plans as an equi-join: no cartesian, no corpus broadcast-NL") {
