@@ -453,6 +453,20 @@ object StoreTxn {
     * same id; crash AFTER → nextTxnId already sees the commit and moves
     * on, and the retry's refusal here is the correct signal that the
     * transaction is already durable. */
+  /** RESIDUAL same-id window, priced exactly: the marker arbitrates the
+    * COMMIT, but staging dirs are id-keyed (`t<id>/`), so a loser still
+    * mid-stage when the winner's marker lands can overwrite the
+    * winner's now-committed layer files before its own commit fails.
+    * Concurrent staging OF THE SAME ID therefore remains out of
+    * contract (distinct ids — the normal case once one writer commits
+    * and the other re-reads nextTxnId — are fully safe). The complete
+    * fix is Delta's: writer-unique staging (`t<id>-<nonce>/`) with the
+    * marker's CONTENT naming the winning nonce — not taken here because
+    * resolving every committed layer path through marker content adds a
+    * read per txn per store, and the local filesystem's non-exclusive
+    * rename makes the content write itself need putIfAbsent semantics;
+    * on an object store with conditional PUT both costs collapse and
+    * that is the deployment shape. */
   def commit(s: SparkSession, dir: String, id: Long): Unit = {
     val m = commitMarker(dir, id)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
