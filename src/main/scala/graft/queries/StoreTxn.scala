@@ -19,21 +19,27 @@ import org.apache.spark.sql.functions._
  *   - the BASE stores are immutable — [[DedupIndex]] and [[StatsStore]]
  *     under their own `tx` variant, built once, never appended to;
  *   - every absorb stages BOTH stores' increments as a transaction
- *     LAYER under `t<id>/` (dedup exact/shingles/bands + stats
- *     partials), invisible to every reader;
+ *     LAYER under a WRITER-UNIQUE dir `t<id>-<nonce>/` (dedup
+ *     exact/shingles/bands + stats partials), invisible to every
+ *     reader — racing writers of the same id can never touch each
+ *     other's files;
  *   - the COMMIT POINT is one marker file (`commits/c<id>`), created
- *     if-absent. Readers resolve base ∪ committed layers only, so
- *     both stores advance in the same instant or not at all;
+ *     if-absent ATOMICALLY with the winning nonce as its CONTENT.
+ *     Readers resolve base ∪ committed layers through the marker
+ *     contents, so both stores advance in the same instant or not at
+ *     all, and only the winner's staging ever becomes visible;
  *   - a crash before the commit row leaves fully-invisible staging; the
  *     retry recomputes the SAME txn id (next id = max committed + 1 —
- *     nothing was committed, so the id is stable) and overwrites the
- *     partial staging. Redo, not undo.
+ *     nothing was committed, so the id is stable) and stages under a
+ *     fresh nonce (the crashed attempt's dir is [[vacuum]]'s food).
+ *     Redo, not undo.
  *
  * Atomicity rests on the marker's exclusive create being all-or-nothing
  * — it either exists or it doesn't, and creating it arbitrates
  * concurrent writers (the Delta `_delta_log/<version>` put-if-absent
- * shape; see [[commit]]). On S3-class stores the same call maps to a
- * conditional PUT — the layer/commit split is unchanged.
+ * shape; see [[commit]] and [[atomicClaim]] for the local-FS O_EXCL
+ * path). On S3-class stores the same call maps to a conditional PUT —
+ * the layer/commit split is unchanged.
  *
  * Scale posture matches the stores it coordinates: the judge is q84's
  * delta-driven equi-joins (now against base ∪ layers — same plan, more
@@ -106,21 +112,52 @@ object StoreTxn {
     * The log is a directory of per-transaction marker FILES
     * (`commits/c<id>` — the Delta `_delta_log/<version>` shape): a
     * transaction is committed iff its marker exists, and [[commit]]
-    * creates the marker with create-if-absent, so duplicate ids are
-    * structurally impossible — the second writer's create FAILS instead
-    * of appending a second row (see commit's multi-writer note). Only a
-    * MISSING log dir reads as "no transactions" (the pre-first-commit
-    * state); any other listing failure rethrows — swallowing it would
-    * silently drop every committed transaction from reads (the exact
-    * skew this module exists to prevent) and make nextTxnId reuse an
-    * already-committed id, overwriting a live layer. */
-  private[queries] def committedTxns(s: SparkSession, dir: String): Seq[Long] = {
+    * creates the marker with an atomic exclusive create, so duplicate
+    * ids are structurally impossible — the second writer's create FAILS
+    * instead of appending a second row (see commit's multi-writer
+    * note). Only a MISSING log dir reads as "no transactions" (the
+    * pre-first-commit state); any other listing failure rethrows —
+    * swallowing it would silently drop every committed transaction from
+    * reads (the exact skew this module exists to prevent) and make
+    * nextTxnId reuse an already-committed id, overwriting a live layer. */
+  private[queries] def committedTxns(s: SparkSession, dir: String): Seq[Long] =
+    committedTxnDirs(s, dir).map(_._1)
+
+  /** Committed ids paired with their RESOLVED layer dirs, ascending by
+    * id. The marker's CONTENT names the winning writer's staging nonce
+    * (layer dir `t<id>-<nonce>`); an empty marker is the pre-nonce
+    * legacy format and resolves to the un-nonced `t<id>`. One marker
+    * read per transaction per call — the metadata price of writer-unique
+    * staging (the Delta `_delta_log` shape: the log entry, not the path
+    * convention, says which files the transaction owns).
+    *
+    * REFUSE-LOUDLY on foreign layouts: a commits dir holding entries
+    * that are neither `c<id>` markers nor benign sidecars (`_`/`.`
+    * prefixed — _SUCCESS, checksum files) is some OTHER format's log
+    * (e.g. an old parquet-table commit log). Listing it as "zero
+    * committed transactions" would silently serve base-only state and
+    * re-allocate id 0 over a live layer — exactly the skew the loud
+    * IOException policy below exists to prevent — so it throws too. */
+  private[graft] def committedTxnDirs(
+      s: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     try {
       if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.matches("c\\d+")).map(_.drop(1).toLong).sorted
+      else {
+        val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        val foreign = names.filterNot(n =>
+          n.matches("c\\d+") || n.startsWith("_") || n.startsWith("."))
+        if (foreign.nonEmpty) throw new IllegalStateException(
+          s"store-txn commit log at $p holds entries of an unknown " +
+            s"layout (${foreign.take(3).mkString(", ")}) — refusing to " +
+            "serve base-only state over what may be another format's log")
+        names.filter(_.matches("c\\d+")).map(_.drop(1).toLong).sorted
+          .map { id =>
+            val nonce = readNonce(fs, commitMarker(dir, id))
+            id -> s"${root(dir)}/${txnDirName(id, nonce)}"
+          }
+      }
     } catch {
       case e: java.io.FileNotFoundException => Seq.empty
       case e: java.io.IOException => throw new IllegalStateException(
@@ -128,6 +165,46 @@ object StoreTxn {
           "serve base-only state as if no transactions were committed", e)
     }
   }
+
+  /** The staging nonce a commit marker's content names; "" for the
+    * legacy empty marker (resolves to the un-nonced `t<id>` dir). A
+    * zero-length read can also be the instruction-scale window between
+    * a winner's claim and its content write — the id then resolves to a
+    * dir that does not exist and every layer existence probe skips it,
+    * which is the correct "not yet visible" answer for a commit whose
+    * content is not yet durable. */
+  private def readNonce(fs: org.apache.hadoop.fs.FileSystem,
+      m: org.apache.hadoop.fs.Path): String = {
+    val len = fs.getFileStatus(m).getLen
+    if (len == 0L) ""
+    else {
+      val in = fs.open(m)
+      try {
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(buf)
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+      } finally in.close()
+    }
+  }
+
+  private def txnDirName(id: Long, nonce: String): String =
+    if (nonce.isEmpty) s"t$id" else s"t$id-$nonce"
+
+  /** Writer-unique staging dir for transaction `id`. Every stage verb
+    * takes the writer's nonce, so two writers racing the SAME id can
+    * never touch each other's files — the r17 residual window (a loser
+    * still mid-stage overwriting the winner's committed `t<id>/` layer)
+    * is closed structurally: the loser's bytes live under its own
+    * `t<id>-<nonce>/`, invisible forever, [[vacuum]]'s food. The empty
+    * nonce keeps the legacy `t<id>` layout for pre-nonce stores and for
+    * specs that pin explicit paths. */
+  private[queries] def stagingDir(dir: String, id: Long, nonce: String): String =
+    s"${root(dir)}/${txnDirName(id, nonce)}"
+
+  /** A fresh writer-unique staging nonce (8 hex chars of a random UUID —
+    * uniqueness across racing drivers, not secrecy, is the requirement). */
+  def newNonce(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
 
   private def commitMarker(dir: String, id: Long) =
     new org.apache.hadoop.fs.Path(s"${root(dir)}/commits/c$id")
@@ -160,15 +237,17 @@ object StoreTxn {
     * for a COMMITTED id, a store's layer dir exists iff that
     * transaction staged that store. */
   private def layered(s: SparkSession, dir: String, base: String,
-      layer: Long => String): DataFrame = {
+      layer: String => String): DataFrame = {
     requireNoCheckpoint(s, dir)
     s.read.parquet((base +: existingLayers(s, dir, layer)): _*)
   }
 
+  /** `layer` maps a committed transaction's RESOLVED dir (nonce'd or
+    * legacy — [[committedTxnDirs]]) to that store's layer path. */
   private def existingLayers(s: SparkSession, dir: String,
-      layer: Long => String): Seq[String] = {
+      layer: String => String): Seq[String] = {
     val conf = s.sparkContext.hadoopConfiguration
-    committedTxns(s, dir).map(layer).filter { p =>
+    committedTxnDirs(s, dir).map { case (_, td) => layer(td) }.filter { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).exists(hp)
     }
@@ -192,27 +271,27 @@ object StoreTxn {
 
   private def dedupTable(s: SparkSession, dir: String, t: String): DataFrame =
     layered(s, dir, s"${DedupIndex.root(dir, variant)}/$t",
-      id => s"${root(dir)}/t$id/dedup/$t")
+      td => s"$td/dedup/$t")
 
   private def statsPartials(s: SparkSession, dir: String): DataFrame =
     layered(s, dir, s"${StatsStore.root(dir, variant)}/partials",
-      id => s"${root(dir)}/t$id/stats/partials")
+      td => s"$td/stats/partials")
 
   private def vocabPartials(s: SparkSession, dir: String): DataFrame =
     layered(s, dir, VocabStore.partialsPath(dir, variant),
-      id => s"${root(dir)}/t$id/vocab/partials")
+      td => s"$td/vocab/partials")
 
   private def graphEdgeLayers(s: SparkSession, dir: String): DataFrame =
     layered(s, dir, s"${GraphStore.root(dir, variant)}/edges",
-      id => s"${root(dir)}/t$id/graph/edges")
+      td => s"$td/graph/edges")
 
   private[graft] def embedBuckets(s: SparkSession, dir: String): DataFrame =
     layered(s, dir, s"${EmbedIndex.root(dir, variant)}/buckets",
-      id => s"${root(dir)}/t$id/embed/buckets")
+      td => s"$td/embed/buckets")
 
   private[graft] def annBucketsTx(s: SparkSession, dir: String): DataFrame =
     layered(s, dir, s"${AnnTxStore.root(dir)}/buckets",
-      id => s"${root(dir)}/t$id/ann/buckets")
+      td => s"$td/ann/buckets")
 
   /** The search index's pruned postings over the transactional state.
     * NOT [[layered]]: the base is hive-partitioned on `tb=` while the
@@ -225,8 +304,8 @@ object StoreTxn {
     requireNoCheckpoint(s, dir)
     val cols = Seq("tb", "term", "doc_id", "tf", "dl", "positions")
     val conf = s.sparkContext.hadoopConfiguration
-    val layers = committedTxns(s, dir).filter(_ <= maxTxn)
-      .map(id => s"${root(dir)}/t$id/search/postings")
+    val layers = committedTxnDirs(s, dir).filter(_._1 <= maxTxn)
+      .map { case (_, td) => s"$td/search/postings" }
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
@@ -245,7 +324,7 @@ object StoreTxn {
 
   private def searchStatsTx(s: SparkSession, dir: String): DataFrame =
     layered(s, dir, SearchStore.statsPath(dir, variant),
-      id => s"${root(dir)}/t$id/search/stats")
+      td => s"$td/search/stats")
 
   /** The tick-i BATCH ingest absorb — the non-streaming equivalent of
     * one q166 micro-batch (tick 1 = embed batch 1 + the o%10 ∈ {7,8}
@@ -399,8 +478,8 @@ object StoreTxn {
           "as-of reads cannot reconstruct pre-checkpoint states — keep " +
           "the log (skip checkpoints) where time travel is required")
     val paths = s"${StatsStore.root(dir, variant)}/partials" +:
-      committedTxns(s, dir).filter(_ <= maxTxn)
-        .map(id => s"${root(dir)}/t$id/stats/partials")
+      committedTxnDirs(s, dir).filter(_._1 <= maxTxn)
+        .map { case (_, td) => s"$td/stats/partials" }
     StatsStore.finalize(s.read.parquet(paths: _*))
   }
 
@@ -419,12 +498,14 @@ object StoreTxn {
     * (one write; the three derived dedup tables and the stats partials
     * then each read the staged copy instead of re-running the judge —
     * absorbDocs' materialize-before-mutate device), and write every
-    * layer table under `t<id>/`. Overwrite mode throughout, so a retry
-    * of a crashed stage replaces partial files. NOTHING here is visible
-    * to readers until [[commit]]. */
+    * layer table under the writer-unique [[stagingDir]]. Overwrite mode
+    * throughout, so a retry of a crashed stage with the same nonce
+    * replaces partial files (a retry with a FRESH nonce stages cleanly
+    * beside the orphan — vacuum reclaims the husk). NOTHING here is
+    * visible to readers until [[commit]] lands the nonce. */
   def stage(s: SparkSession, dir: String, dedupDelta: DataFrame,
-      statsDelta: DataFrame, id: Long): Unit = {
-    val t = s"${root(dir)}/t$id"
+      statsDelta: DataFrame, id: Long, nonce: String = ""): Unit = {
+    val t = stagingDir(dir, id, nonce)
     val keptIds = judgeTx(s, dir, dedupDelta)
       .where("verdict = 'unique'").select(col("doc_id"))
     dedupDelta.join(keptIds, Seq("doc_id"))
@@ -453,40 +534,73 @@ object StoreTxn {
     * same id; crash AFTER → nextTxnId already sees the commit and moves
     * on, and the retry's refusal here is the correct signal that the
     * transaction is already durable. */
-  /** RESIDUAL same-id window, priced exactly: the marker arbitrates the
-    * COMMIT, but staging dirs are id-keyed (`t<id>/`), so a loser still
-    * mid-stage when the winner's marker lands can overwrite the
-    * winner's now-committed layer files before its own commit fails.
-    * Concurrent staging OF THE SAME ID therefore remains out of
-    * contract (distinct ids — the normal case once one writer commits
-    * and the other re-reads nextTxnId — are fully safe). The complete
-    * fix is Delta's: writer-unique staging (`t<id>-<nonce>/`) with the
-    * marker's CONTENT naming the winning nonce — not taken here because
-    * resolving every committed layer path through marker content adds a
-    * read per txn per store, and the local filesystem's non-exclusive
-    * rename makes the content write itself need putIfAbsent semantics;
-    * on an object store with conditional PUT both costs collapse and
-    * that is the deployment shape. */
-  def commit(s: SparkSession, dir: String, id: Long): Unit = {
+  /** The SAME-ID race is closed end-to-end (the r16/r17 residual): the
+    * marker arbitrates the commit AND its content names the winner's
+    * staging nonce, so a loser still mid-stage when the winner's marker
+    * lands is writing into its OWN `t<id>-<nonce>/` — it cannot touch
+    * the winner's now-committed layer, and its commit fails loudly
+    * before anything became visible, leaving only orphaned staging
+    * ([[vacuum]]'s food) to re-stage under a fresh id. This is Delta's
+    * `_delta_log/<version>` shape complete: put-if-absent log entry
+    * whose content owns the files. The legacy empty-nonce form stays
+    * supported (stage/commit with the default "" arbitrates the commit
+    * only — same-id staging then shares `t<id>/`, the documented
+    * pre-nonce contract). */
+  def commit(s: SparkSession, dir: String, id: Long, nonce: String = ""): Unit = {
     val m = commitMarker(dir, id)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(m.getParent)
-    val claimed =
-      try fs.createNewFile(m)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-    if (!claimed) throw new IllegalStateException(
+    if (!atomicClaim(fs, m, nonce)) throw new IllegalStateException(
       s"transaction $id at ${root(dir)} is already committed — another " +
         "writer won the commit race (or this is a retry of a transaction " +
         "that already landed); re-stage under nextTxnId and commit again")
   }
 
-  /** The atomic absorb: stage both stores' increments, then commit. */
+  /** Create marker `m` carrying `content`, if-absent, ATOMICALLY — true
+    * iff this call won the claim. On HDFS `create(overwrite = false)`
+    * is an atomic exclusive create; on an object store the same call
+    * maps to a conditional PUT. On the LOCAL filesystem Hadoop's
+    * createNewFile/create(false) is exists()-then-create — check-then-
+    * act, NOT atomic (the r17 ADVICE finding) — so the claim drops to
+    * `java.io.File.createNewFile`, a single O_CREAT|O_EXCL syscall.
+    * Only the claim WINNER writes the content, so the content write
+    * itself is uncontended; a reader in the instruction-scale window
+    * between claim and content sees a zero-length marker, which
+    * [[readNonce]] resolves to a not-yet-existing layer dir — "not yet
+    * visible", never a torn layer. */
+  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+      m: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val f = new java.io.File(m.toUri.getPath)
+      if (!f.createNewFile()) false
+      else {
+        if (bytes.nonEmpty) java.nio.file.Files.write(f.toPath, bytes)
+        true
+      }
+    } else {
+      try {
+        val out = fs.create(m, false)
+        try { if (bytes.nonEmpty) out.write(bytes) } finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(m) => false
+      }
+    }
+  }
+
+  /** The atomic absorb: stage both stores' increments under a fresh
+    * writer-unique nonce, then commit that nonce. */
   def absorbBoth(s: SparkSession, dir: String, dedupDelta: DataFrame,
       statsDelta: DataFrame): Long = {
     val id = nextTxnId(s, dir)
-    stage(s, dir, dedupDelta, statsDelta, id)
-    commit(s, dir, id)
+    val nonce = newNonce()
+    stage(s, dir, dedupDelta, statsDelta, id, nonce)
+    commit(s, dir, id, nonce)
     id
   }
 
@@ -504,6 +618,11 @@ object StoreTxn {
     * Overwrite mode throughout (crashed-stage retry replaces partials);
     * invisible until [[commit]]. */
   def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
+      id: Long, nonce: String): Unit =
+    stageIngest(s, dir, embedDelta, GraphStore.deltaPairs(s, dir), id,
+      nonce = nonce)
+
+  def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
       id: Long): Unit =
     stageIngest(s, dir, embedDelta, GraphStore.deltaPairs(s, dir), id)
 
@@ -512,8 +631,9 @@ object StoreTxn {
     * tick's pair aggregation, not the whole delta's — additive partials
     * sum across transactions to the one-shot absorb exactly. */
   def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
-      graphPairs: DataFrame, id: Long, withAnn: Boolean = false): Unit = {
-    val t = s"${root(dir)}/t$id"
+      graphPairs: DataFrame, id: Long, withAnn: Boolean = false,
+      nonce: String = ""): Unit = {
+    val t = stagingDir(dir, id, nonce)
     graphPairs
       .write.mode("overwrite").parquet(s"$t/graph/edges")
     val keptIds = judgeEmbedTx(s, dir, embedDelta)
@@ -547,8 +667,9 @@ object StoreTxn {
   def absorbIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
       graphPairs: DataFrame, withAnn: Boolean = false): Long = {
     val id = nextTxnId(s, dir)
-    stageIngest(s, dir, embedDelta, graphPairs, id, withAnn)
-    commit(s, dir, id)
+    val nonce = newNonce()
+    stageIngest(s, dir, embedDelta, graphPairs, id, withAnn, nonce)
+    commit(s, dir, id, nonce)
     id
   }
 
@@ -557,8 +678,8 @@ object StoreTxn {
     * one additive stat row, both invisible until [[commit]]. Overwrite
     * mode: a crashed-stage retry replaces the partial layer. */
   def stageSearch(s: SparkSession, dir: String, batch: DataFrame,
-      id: Long): Unit = {
-    val t = s"${root(dir)}/t$id"
+      id: Long, nonce: String = ""): Unit = {
+    val t = stagingDir(dir, id, nonce)
     SearchStore.postings(batch)
       .write.mode("overwrite").parquet(s"$t/search/postings")
     SearchStore.statPartial(batch)
@@ -571,8 +692,9 @@ object StoreTxn {
     * full-table oracle verbatim. */
   def absorbSearch(s: SparkSession, dir: String, batch: DataFrame): Long = {
     val id = nextTxnId(s, dir)
-    stageSearch(s, dir, batch, id)
-    commit(s, dir, id)
+    val nonce = newNonce()
+    stageSearch(s, dir, batch, id, nonce)
+    commit(s, dir, id, nonce)
     id
   }
 
@@ -597,8 +719,8 @@ object StoreTxn {
           "the log (skip checkpoints) where time travel is required")
     val conf = s.sparkContext.hadoopConfiguration
     val statPaths = SearchStore.statsPath(dir, variant) +:
-      committedTxns(s, dir).filter(_ <= maxTxn)
-        .map(id => s"${root(dir)}/t$id/search/stats")
+      committedTxnDirs(s, dir).filter(_._1 <= maxTxn)
+        .map { case (_, td) => s"$td/search/stats" }
         .filter { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           hp.getFileSystem(conf).exists(hp)
@@ -635,16 +757,16 @@ object StoreTxn {
     * the replace's own layers onward, base and earlier layers excluded
     * — truncate-and-load as one commit row, old files left on disk for
     * time travel until [[vacuumTable]] reclaims them. */
-  private def isReplaceTxn(s: SparkSession, dir: String, id: Long): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(s"${root(dir)}/t$id/table/replace")
+  private def isReplaceDir(s: SparkSession, td: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(s"$td/table/replace")
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
   private def tableView(s: SparkSession, dir: String,
-      maxTxn: Long = Long.MaxValue): (Boolean, Seq[Long]) = {
-    val ids = committedTxns(s, dir).filter(_ <= maxTxn)
-    ids.filter(isReplaceTxn(s, dir, _)).lastOption match {
-      case Some(r) => (false, ids.filter(_ >= r))
+      maxTxn: Long = Long.MaxValue): (Boolean, Seq[(Long, String)]) = {
+    val ids = committedTxnDirs(s, dir).filter(_._1 <= maxTxn)
+    ids.filter(t => isReplaceDir(s, t._2)).lastOption match {
+      case Some((r, _)) => (false, ids.filter(_._1 >= r))
       case None => (true, ids)
     }
   }
@@ -660,7 +782,7 @@ object StoreTxn {
     val conf = s.sparkContext.hadoopConfiguration
     val (withBase, ids) = tableView(s, dir, maxTxn)
     val cols = Seq("file", "min_key", "max_key", "n_rows").map(col)
-    val layerPaths = ids.map(id => s"${root(dir)}/t$id/table/zones")
+    val layerPaths = ids.map { case (_, td) => s"$td/table/zones" }
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
@@ -679,7 +801,7 @@ object StoreTxn {
     * wholesale and appends fresh files — the orphans are
     * [[vacuumTable]]'s job, exactly like abandoned txn staging. */
   def stageTableAppend(s: SparkSession, dir: String, tranche: DataFrame,
-      id: Long): Unit = {
+      id: Long, nonce: String = ""): Unit = {
     val layout = ZoneMapStore.layoutPath(dir, variant)
     val hp = new org.apache.hadoop.fs.Path(layout)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -691,7 +813,7 @@ object StoreTxn {
     val fresh = ZoneMapStore.appendFiles(s, tranche, dir, variant, 2, known)
     ZoneMapStore.zonesOf(s.read.parquet(fresh: _*))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${root(dir)}/t$id/table/zones")
+      .parquet(s"${stagingDir(dir, id, nonce)}/table/zones")
   }
 
   /** The atomic table append: data files + manifest rows behind one
@@ -699,8 +821,9 @@ object StoreTxn {
   def absorbTableAppend(s: SparkSession, dir: String,
       tranche: DataFrame): Long = {
     val id = nextTxnId(s, dir)
-    stageTableAppend(s, dir, tranche, id)
-    commit(s, dir, id)
+    val nonce = newNonce()
+    stageTableAppend(s, dir, tranche, id, nonce)
+    commit(s, dir, id, nonce)
     id
   }
 
@@ -719,7 +842,7 @@ object StoreTxn {
     val (withBase, ids) = tableView(s, dir, maxTxn)
     val paths =
       ((if (withBase) Seq(ZoneMapStore.deletesPath(dir, variant)) else Seq.empty) ++
-        ids.map(id => s"${root(dir)}/t$id/table/deletes"))
+        ids.map { case (_, td) => s"$td/table/deletes" })
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
@@ -741,8 +864,8 @@ object StoreTxn {
       else Seq(base.select(col("file"), lit(-1L).as("ftxn")))
     } else Seq.empty
     val conf = s.sparkContext.hadoopConfiguration
-    val layers = ids.flatMap { id =>
-      val p = s"${root(dir)}/t$id/table/zones"
+    val layers = ids.flatMap { case (id, td) =>
+      val p = s"$td/table/zones"
       val hp = new org.apache.hadoop.fs.Path(p)
       if (hp.getFileSystem(conf).exists(hp))
         Some(s.read.parquet(p).select(col("file"), lit(id).as("ftxn")))
@@ -758,17 +881,18 @@ object StoreTxn {
     * (broadcast: deletions are small relative to the table). Iceberg
     * v2's equality-delete shape on this commit log. */
   def stageTableDelete(s: SparkSession, dir: String, pred: String,
-      id: Long): Unit =
+      id: Long, nonce: String = ""): Unit =
     Tables.t(s, dir, "orders").where(pred)
       .select(col("o_orderkey"), lit(id).as("dtxn"))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${root(dir)}/t$id/table/deletes")
+      .parquet(s"${stagingDir(dir, id, nonce)}/table/deletes")
 
   /** The atomic table delete: one commit row flips the delete vector. */
   def absorbTableDelete(s: SparkSession, dir: String, pred: String): Long = {
     val id = nextTxnId(s, dir)
-    stageTableDelete(s, dir, pred, id)
-    commit(s, dir, id)
+    val nonce = newNonce()
+    stageTableDelete(s, dir, pred, id, nonce)
+    commit(s, dir, id, nonce)
     id
   }
 
@@ -778,16 +902,17 @@ object StoreTxn {
     * files (lower ftxn) lose the keys, the new files (ftxn == dtxn)
     * keep them. */
   def stageTableUpsert(s: SparkSession, dir: String, pred: String,
-      tranche: DataFrame, id: Long): Unit = {
-    stageTableDelete(s, dir, pred, id)
-    stageTableAppend(s, dir, tranche, id)
+      tranche: DataFrame, id: Long, nonce: String = ""): Unit = {
+    stageTableDelete(s, dir, pred, id, nonce)
+    stageTableAppend(s, dir, tranche, id, nonce)
   }
 
   def absorbTableUpsert(s: SparkSession, dir: String, pred: String,
       tranche: DataFrame): Long = {
     val id = nextTxnId(s, dir)
-    stageTableUpsert(s, dir, pred, tranche, id)
-    commit(s, dir, id)
+    val nonce = newNonce()
+    stageTableUpsert(s, dir, pred, tranche, id, nonce)
+    commit(s, dir, id, nonce)
     id
   }
 
@@ -937,14 +1062,15 @@ object StoreTxn {
     *    files prune through the zones against the vector's key range
     *    (the point-lookup path of the zone store), then one broadcast
     *    semi-join; cost is files-containing-the-keys, not the table. */
-  def mvStage(s: SparkSession, dir: String, id: Long): Unit = {
+  def mvStage(s: SparkSession, dir: String, id: Long,
+      nonce: String = ""): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     def exists(p: String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).exists(hp)
     }
-    val zp = s"${root(dir)}/t$id/table/zones"
-    val dp = s"${root(dir)}/t$id/table/deletes"
+    val zp = s"${stagingDir(dir, id, nonce)}/table/zones"
+    val dp = s"${stagingDir(dir, id, nonce)}/table/deletes"
     val adds =
       if (exists(zp)) {
         val files = s.read.parquet(zp)
@@ -977,7 +1103,7 @@ object StoreTxn {
       .getOrElse(mvPartialOf(
         Tables.t(s, dir, "orders").where(lit(false)), 1))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${root(dir)}/t$id/mv")
+      .parquet(s"${stagingDir(dir, id, nonce)}/mv")
   }
 
   /** A committed REPLACE (q198 / OPTIMIZE) drops base and earlier
@@ -988,7 +1114,8 @@ object StoreTxn {
     * is [[checkpoint]], whose MV fold REBASES from the post-replace
     * committed rows. */
   private def requireNoReplaceForMv(s: SparkSession, dir: String): Unit = {
-    val replaced = committedTxns(s, dir).filter(isReplaceTxn(s, dir, _))
+    val replaced = committedTxnDirs(s, dir)
+      .filter(t => isReplaceDir(s, t._2)).map(_._1)
     if (replaced.nonEmpty) throw new IllegalStateException(
       s"transactions ${replaced.mkString(",")} at ${root(dir)} are REPLACE " +
         "boundaries; additive MV partials cannot express a replace — run " +
@@ -1004,7 +1131,7 @@ object StoreTxn {
     requireNoReplaceForMv(s, dir)
     val conf = s.sparkContext.hadoopConfiguration
     val paths = (s"${ZoneMapStore.zonesPath(dir, variant)}_mvbase" +:
-      committedTxns(s, dir).map(id => s"${root(dir)}/t$id/mv"))
+      committedTxnDirs(s, dir).map { case (_, td) => s"$td/mv" })
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
@@ -1055,17 +1182,17 @@ object StoreTxn {
   }
 
   def mvJoinStage(s: SparkSession, dir: String, tranche: DataFrame,
-      id: Long): Unit =
+      id: Long, nonce: String = ""): Unit =
     mvJoinPartialOf(s, dir, tranche, 1)
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${root(dir)}/t$id/mvj")
+      .parquet(s"${stagingDir(dir, id, nonce)}/mvj")
 
   def matViewJoinTx(s: SparkSession, dir: String): DataFrame = {
     requireNoCheckpoint(s, dir)
     requireNoReplaceForMv(s, dir)
     val conf = s.sparkContext.hadoopConfiguration
     val paths = (s"${ZoneMapStore.zonesPath(dir, variant)}_mvjbase" +:
-      committedTxns(s, dir).map(id => s"${root(dir)}/t$id/mvj"))
+      committedTxnDirs(s, dir).map { case (_, td) => s"$td/mvj" })
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
@@ -1089,9 +1216,9 @@ object StoreTxn {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).exists(hp)
     }
-    val rows = committedTxns(s, dir).map { id =>
-      val zp = s"${root(dir)}/t$id/table/zones"
-      val dp = s"${root(dir)}/t$id/table/deletes"
+    val rows = committedTxnDirs(s, dir).map { case (id, td) =>
+      val zp = s"$td/table/zones"
+      val dp = s"$td/table/deletes"
       val added =
         if (exists(zp))
           s.read.parquet(zp).agg(sum(col("n_rows"))).head().getLong(0)
@@ -1121,7 +1248,7 @@ object StoreTxn {
     // truncates the log — the Delta retention story in two verbs
     val conf = s.sparkContext.hadoopConfiguration
     val manifestPaths = (ZoneMapStore.zonesPath(dir, variant) +:
-      committedTxns(s, dir).map(id => s"${root(dir)}/t$id/table/zones"))
+      committedTxnDirs(s, dir).map { case (_, td) => s"$td/table/zones" })
       .filter { p =>
         val mp = new org.apache.hadoop.fs.Path(p)
         mp.getFileSystem(conf).exists(mp)
@@ -1145,18 +1272,19 @@ object StoreTxn {
     * until a checkpoint folds the post-replace view and a vacuum
     * reclaims it. */
   def stageTableReplace(s: SparkSession, dir: String, tranche: DataFrame,
-      id: Long): Unit = {
-    stageTableAppend(s, dir, tranche, id)
+      id: Long, nonce: String = ""): Unit = {
+    stageTableAppend(s, dir, tranche, id, nonce)
     import s.implicits._
     Seq(id).toDF("txn").coalesce(1).write.mode("overwrite")
-      .parquet(s"${root(dir)}/t$id/table/replace")
+      .parquet(s"${stagingDir(dir, id, nonce)}/table/replace")
   }
 
   def absorbTableReplace(s: SparkSession, dir: String,
       tranche: DataFrame): Long = {
     val id = nextTxnId(s, dir)
-    stageTableReplace(s, dir, tranche, id)
-    commit(s, dir, id)
+    val nonce = newNonce()
+    stageTableReplace(s, dir, tranche, id, nonce)
+    commit(s, dir, id, nonce)
     id
   }
 
@@ -1248,7 +1376,7 @@ object StoreTxn {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
       }
-      val hasReplace = committedTxns(s, dir).exists(isReplaceTxn(s, dir, _))
+      val hasReplace = committedTxnDirs(s, dir).exists(t => isReplaceDir(s, t._2))
       def foldMv(baseSuffix: String, layerSub: String, keyCol: String,
           rebase: () => DataFrame, stagedName: String): Unit = {
         val basePath = s"${ZoneMapStore.zonesPath(dir, variant)}$baseSuffix"
@@ -1256,8 +1384,8 @@ object StoreTxn {
           val out =
             if (hasReplace) rebase()
             else {
-              val paths = (basePath +: committedTxns(s, dir)
-                .map(id => s"${root(dir)}/t$id/$layerSub")).filter(existsP)
+              val paths = (basePath +: committedTxnDirs(s, dir)
+                .map { case (_, td) => s"$td/$layerSub" }).filter(existsP)
               s.read.parquet(paths: _*).groupBy(col(keyCol))
                 .agg(sum(col("d_n")).as("d_n"),
                   sum(col("d_cents")).as("d_cents"))
@@ -1348,7 +1476,7 @@ object StoreTxn {
     // folded t<id> layer dirs — though even then the dirs are merely
     // orphaned (no marker references them), so a later vacuum reclaims
     // them.
-    val folded = committedTxns(s, dir)
+    val folded = committedTxnDirs(s, dir)
     // staged text copies exist iff the stage saw the text bases — the
     // participation test, applied to the redo side like graph/ann below
     val stagedDedup = new org.apache.hadoop.fs.Path(s"$staging/dedup/exact")
@@ -1428,11 +1556,11 @@ object StoreTxn {
     // Markers go BEFORE the layer dirs so a crash between the loops
     // leaves dirs unreferenced — vacuum's food — never a committed id
     // whose layers half-exist.)
-    folded.sorted.dropRight(1).foreach(id =>
+    folded.map(_._1).sorted.dropRight(1).foreach(id =>
       fs.delete(commitMarker(dir, id), false))
     fs.mkdirs(foldedFlag(dir)) // base is now the folded generation
-    folded.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$r/t$id"), true))
+    folded.foreach { case (_, td) =>
+      fs.delete(new org.apache.hadoop.fs.Path(td), true) }
     // marker cleared BEFORE the staging delete: from the truncated-log
     // write above the on-disk state is fully consistent, so readers may
     // resume — deleting staging first would leave a crash window where
@@ -1473,17 +1601,22 @@ object StoreTxn {
     val p = new org.apache.hadoop.fs.Path(root(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
-    val committed = committedTxns(s, dir).toSet
+    // a t-dir is live iff it IS the dir its id's commit marker resolves
+    // to — a LOSING same-id staging (same id, different nonce) is an
+    // orphan even though its id is committed
+    val committedDirs = committedTxnDirs(s, dir)
+      .map { case (_, td) => new org.apache.hadoop.fs.Path(td).getName }.toSet
     val orphans = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(_.getName.matches("t\\d+"))
-      .filter(t => !committed.contains(t.getName.drop(1).toLong))
+      .filter(_.getName.matches("t\\d+(-[0-9a-f]+)?"))
+      .filter(t => !committedDirs.contains(t.getName))
     orphans.foreach(t => fs.delete(t, true))
     // no pending marker (requireNoCheckpoint above) => any staging_ckpt
     // is a pre-marker crash remnant, never a redo source
     fs.delete(new org.apache.hadoop.fs.Path(s"${root(dir)}/staging_ckpt"), true)
-    orphans.map(_.getName.drop(1).toLong).sorted
+    orphans.map(_.getName.drop(1).takeWhile(_.isDigit).toLong)
+      .distinct.sorted
   }
 
   /** q147: the q134 composed mix run through the TRANSACTIONAL lifecycle
@@ -1836,14 +1969,15 @@ object StoreTxn {
       mvEnsureBase(s, dir)
       val orders = Tables.t(s, dir, "orders")
       var id = nextTxnId(s, dir)
-      stageTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"), id)
-      mvStage(s, dir, id); commit(s, dir, id)
-      id = nextTxnId(s, dir)
-      stageTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"), id)
-      mvStage(s, dir, id); commit(s, dir, id)
-      id = nextTxnId(s, dir)
-      stageTableDelete(s, dir, "o_orderkey % 13 = 5", id)
-      mvStage(s, dir, id); commit(s, dir, id)
+      var n = newNonce()
+      stageTableAppend(s, dir, orders.where("o_orderkey % 10 IN (7, 8)"), id, n)
+      mvStage(s, dir, id, n); commit(s, dir, id, n)
+      id = nextTxnId(s, dir); n = newNonce()
+      stageTableAppend(s, dir, orders.where("o_orderkey % 10 = 9"), id, n)
+      mvStage(s, dir, id, n); commit(s, dir, id, n)
+      id = nextTxnId(s, dir); n = newNonce()
+      stageTableDelete(s, dir, "o_orderkey % 13 = 5", id, n)
+      mvStage(s, dir, id, n); commit(s, dir, id, n)
       matViewTx(s, dir)
     }),
     // IVM THROUGH A JOIN: the nation-revenue view refreshes from
@@ -1859,9 +1993,10 @@ object StoreTxn {
       val orders = Tables.t(s, dir, "orders")
       for (pred <- Seq("o_orderkey % 10 IN (7, 8)", "o_orderkey % 10 = 9")) {
         val id = nextTxnId(s, dir)
-        stageTableAppend(s, dir, orders.where(pred), id)
-        mvJoinStage(s, dir, orders.where(pred), id)
-        commit(s, dir, id)
+        val n = newNonce()
+        stageTableAppend(s, dir, orders.where(pred), id, n)
+        mvJoinStage(s, dir, orders.where(pred), id, n)
+        commit(s, dir, id, n)
       }
       matViewJoinTx(s, dir)
     }),
@@ -1902,9 +2037,10 @@ object StoreTxn {
       val commitBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
         (batch, _) => {
           val id = nextTxnId(s, dir)
-          stageTableAppend(s, dir, batch.toDF(), id)
-          mvStage(s, dir, id)
-          commit(s, dir, id)
+          val n = newNonce()
+          stageTableAppend(s, dir, batch.toDF(), id, n)
+          mvStage(s, dir, id, n)
+          commit(s, dir, id, n)
         }
       val q = stream.writeStream
         .option("checkpointLocation", ckpt)

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /**
  * [[graft.queries.StoreTxn]] — the transactional cross-store absorb.
@@ -193,10 +194,13 @@ class TxStoreSpec extends AnyFunSuite {
       statsDelta("doc_id % 10 = 9"), 1L)
     assert(exists(s"$r/t1"), "precondition: abandoned staging on disk")
 
+    // absorbBoth committed txn 0 under a writer-unique nonce'd dir —
+    // resolve it the way readers do, through the marker's content
+    val t0dir = StoreTxn.committedTxnDirs(spark, sf).head._2
     assert(StoreTxn.vacuum(spark, sf) == Seq(1L),
       "vacuum must reclaim exactly the uncommitted staging")
     assert(!exists(s"$r/t1"), "orphaned staging survived vacuum")
-    assert(exists(s"$r/t0"), "vacuum deleted a COMMITTED layer")
+    assert(exists(t0dir), "vacuum deleted a COMMITTED layer")
     assert(keeperSet == committedKeepers && statsRows == committedStats,
       "vacuum changed a committed read")
     assert(StoreTxn.vacuum(spark, sf).isEmpty, "vacuum is not idempotent")
@@ -670,6 +674,155 @@ class TxStoreSpec extends AnyFunSuite {
             .cast("bigint")).as("revenue_cents"))
         .orderBy(col("o_orderstatus")).collect().toSeq.map(_.toString))
     assert(mv == rollup, "redo left the MV skewed from the table")
+    Caches.releaseAll()
+  }
+
+  test("writer-unique staging: a racing same-id stager cannot clobber the committed layer") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    // every byte of a layer dir: (relative path, length, mtime) — any
+    // overwrite, truncation, or added file changes the fingerprint
+    def fingerprint(dir: String): Set[(String, Long, Long)] = {
+      val base = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)).toSet
+      finally s.close()
+    }
+    // writer A stages and commits txn 0 under its own nonce
+    val id = StoreTxn.nextTxnId(spark, sf)
+    val nonceA = StoreTxn.newNonce()
+    StoreTxn.stage(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"), id, nonceA)
+    StoreTxn.commit(spark, sf, id, nonceA)
+    val committedKeepers = keeperSet
+    val committedStats = statsRows
+    val aDir = StoreTxn.committedTxnDirs(spark, sf).head._2
+    assert(aDir.endsWith(s"t$id-$nonceA"),
+      "marker content did not resolve to the winner's staging dir")
+    val committedBytes = fingerprint(aDir)
+
+    // writer B raced: it read the SAME nextTxnId before A committed and
+    // is still staging when A's marker lands — r17's clobber window.
+    // With writer-unique staging B's bytes land under ITS nonce only.
+    val nonceB = StoreTxn.newNonce()
+    StoreTxn.stage(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"), id, nonceB)
+    assert(fingerprint(aDir) == committedBytes,
+      "same-id staging clobbered the committed winner's layer")
+    // B's commit fails loudly — and STILL nothing of A's moved
+    intercept[IllegalStateException](StoreTxn.commit(spark, sf, id, nonceB))
+    assert(fingerprint(aDir) == committedBytes,
+      "the losing commit disturbed the committed layer")
+    assert(keeperSet == committedKeepers && statsRows == committedStats,
+      "readers saw the loser's same-id staging")
+    // B's staging is an invisible orphan; vacuum reclaims it (same id,
+    // different nonce — the id being committed must not shield it)
+    assert(exists(StoreTxn.root(sf) + s"/t$id-$nonceB"),
+      "precondition: loser staging on disk")
+    assert(StoreTxn.vacuum(spark, sf) == Seq(id),
+      "vacuum must reclaim exactly the losing same-id staging")
+    assert(!exists(StoreTxn.root(sf) + s"/t$id-$nonceB"),
+      "loser staging survived vacuum")
+    assert(fingerprint(aDir) == committedBytes,
+      "vacuum reclaimed the winner's committed layer")
+    Caches.releaseAll()
+  }
+
+  test("two-writer commit race under real concurrency: one winner, loser orphaned, reader never torn") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    val baseKeepers = keeperSet
+    val id = StoreTxn.nextTxnId(spark, sf)
+    // both writers minted the same id (read-then-use allocation); each
+    // stages under its own nonce CONCURRENTLY, then both race the commit
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val losses = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+    def writer(name: String, batch: org.apache.spark.sql.DataFrame,
+        pred: String): Thread = {
+      val t = new Thread(() => {
+        try {
+          val nonce = StoreTxn.newNonce()
+          StoreTxn.stage(spark, sf, batch, statsDelta(pred), id, nonce)
+          barrier.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          StoreTxn.commit(spark, sf, id, nonce)
+        } catch { case t: Throwable => losses.put(name, t) }
+      }, s"txspec-writer-$name")
+      t.start(); t
+    }
+    val a = writer("A", DedupIndex.batch1Docs(spark, sf),
+      "doc_id % 10 >= 7 AND doc_id % 10 < 9")
+    val b = writer("B", DedupIndex.batch2Docs(spark, sf), "doc_id % 10 = 9")
+    a.join(300000); b.join(300000)
+    assert(losses.size == 1,
+      s"expected exactly one losing writer, got ${losses.keySet()}: " +
+        losses.values().asScala.map(_.toString).mkString("; "))
+    assert(losses.values().iterator().next().isInstanceOf[IllegalStateException],
+      "the loser must fail with the loud commit refusal")
+    // exactly one committed transaction, and the reader serves exactly
+    // the winner's batch — base keepers ∪ the winner's staged survivors,
+    // never a mix of the two stagings
+    val dirs = StoreTxn.committedTxnDirs(spark, sf)
+    assert(dirs.map(_._1) == Seq(id), s"commit log torn: $dirs")
+    val winnerKept = Caches.scoped(
+      spark.read.parquet(s"${dirs.head._2}/kept").select("doc_id")
+        .collect().map(_.getLong(0)).toSet)
+    assert(keeperSet == baseKeepers ++ winnerKept,
+      "reader state is not exactly base ∪ the winning batch")
+    // the loser's staging is an orphan: vacuum reclaims it and the
+    // reader still doesn't move
+    assert(StoreTxn.vacuum(spark, sf) == Seq(id),
+      "vacuum must reclaim exactly the loser's same-id staging")
+    assert(keeperSet == baseKeepers ++ winnerKept,
+      "vacuum disturbed the committed read")
+    Caches.releaseAll()
+  }
+
+  test("log property: ids stay monotone across checkpoint; a folded delete never re-kills a later append") {
+    def countsNow: Map[String, Long] =
+      Caches.scoped(StoreTxn.tableRangeAggregateTx(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap)
+    val orders = queries.Tables.t(spark, sf, "orders")
+    // pass 1: append → delete → CHECKPOINT → append rows matching the
+    // folded delete's predicate (their keys ARE in the folded vector —
+    // stageTableDelete stages the predicate over the whole key space)
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 IN (7, 8)"))
+    assert(StoreTxn.nextTxnId(spark, sf) == 1L)
+    StoreTxn.absorbTableDelete(spark, sf, "o_orderkey % 13 = 5")
+    assert(StoreTxn.nextTxnId(spark, sf) == 2L)
+    StoreTxn.checkpoint(spark, sf)
+    assert(StoreTxn.nextTxnId(spark, sf) == 2L,
+      "checkpoint truncation rewound the id sequence — a later append " +
+        "would land BELOW the folded delete's dtxn and be re-killed")
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 = 9"))
+    assert(StoreTxn.nextTxnId(spark, sf) == 3L)
+    val folded = countsNow
+    // a second checkpoint + vacuum must be content-free too
+    StoreTxn.checkpoint(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    assert(countsNow == folded, "second checkpoint moved the table read")
+    assert(StoreTxn.nextTxnId(spark, sf) == 3L,
+      "second checkpoint rewound the id sequence")
+    // pass 2: the SAME history with no checkpoint — the fold must be
+    // invisible to content: same counts, including the %13=5 keys the
+    // post-checkpoint append re-introduced (ftxn > folded dtxn)
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureZoneBase(spark, sf)
+    StoreTxn.vacuumTable(spark, sf)
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 IN (7, 8)"))
+    StoreTxn.absorbTableDelete(spark, sf, "o_orderkey % 13 = 5")
+    StoreTxn.absorbTableAppend(spark, sf, orders.where("o_orderkey % 10 = 9"))
+    val unfolded = countsNow
+    assert(folded == unfolded,
+      s"checkpoint fold changed table content: $unfolded -> $folded")
     Caches.releaseAll()
   }
 
