@@ -145,6 +145,19 @@ object ClusterStore {
     val path = root(dir, variant)
     val staging = s"$path/staging_compact"
     val saved = metaRows(s, path).toSeq
+    // the fold re-blesses whatever it reads: if the meta is already
+    // torn (a batch row still "absorbing" after a crashed absorb, or a
+    // prior compact's own "compacting" base), the partials may hold a
+    // half-written layer — folding it and restoring the torn rows
+    // verbatim would launder the tear into a "current"-looking store.
+    // Refuse loudly; the heal is absorb/buildIfStale, whose staleness
+    // check rebuilds from scratch (absorb's own docstring contract).
+    if (saved.isEmpty || saved.exists(_._2 == "absorbing") ||
+        saved.exists(_._2 == "compacting"))
+      throw new IllegalStateException(
+        s"cluster store at $path is torn or unbuilt (meta = $saved) — " +
+          "compact would fold and re-bless a half-written layer; run " +
+          "absorb/buildIfStale to heal before compacting")
     s.read.parquet(s"$path/partials")
       .groupBy(col("cid"), col("batch")).agg(sum(col("n")).as("n"))
       .select(col("cid"), col("n"), col("batch"))

@@ -272,26 +272,63 @@ object Clustering {
     * vectors an eps at the ~5th distance percentile admits ~4% of ALL
     * pairs as true edges, so the edge OUTPUT itself is Θ(0.04·n²) and
     * no conservative filter can beat the output size — the real
-    * density lever is eps, not the blocking. */
+    * density lever is eps, not the blocking. Note the degenerate
+    * regime honestly: at THIS eps the cell side (⌈√eps⌉ ≈ 1.22e6)
+    * exceeds the coordinate span (±1e6), so c0/c1 each take only ~2
+    * values and the grid is effectively one cell neighborhood — the
+    * blocking prunes nothing here and only pays off when eps ≪ data
+    * spread. The side cannot shrink below √eps without breaking the
+    * ±1 conservativeness (a pair may put ALL its distance budget in
+    * dim 0, so only |uᵢ−vᵢ| ≤ √eps holds per dim), and extra key dims
+    * multiply replication by 3× each while this eps leaves ~2 values
+    * per dim — so the device that actually caps the worst partition is
+    * OCCUPANCY SALTING below, not a finer grid. */
   /** The candidate stage alone — (u, v, ea, eb) pairs surviving the
-    * grid rule, BEFORE the exact distance verify. Exposed so the spec
-    * can measure pruning (on clustered data candidates ≪ all pairs)
-    * as well as prove conservativeness. */
-  private[graft] def gridCandidates(se: DataFrame, eps: Long): DataFrame = {
+    * grid rule, BEFORE the exact distance verify (join keys k0/k1/salt
+    * kept so specs can audit the shuffle-key distribution). Exposed so
+    * the spec can measure pruning (on clustered data candidates ≪ all
+    * pairs) as well as prove conservativeness.
+    *
+    * HOT-CELL SALTING: a near-isotropic corpus piles most rows into a
+    * handful of cells, making the equi-join's worst partition quadratic
+    * in cell occupancy. Cells above `maxCellRows` split into
+    * ⌈occupancy/maxCellRows⌉ hash shards (the SaltedJoin count-then-
+    * split device applied to cell keys): the home side takes ONE shard
+    * (its id's hash), the replicated side fans out to every shard of a
+    * hot cell, so each (u, v) pair still meets EXACTLY once — at v's
+    * home cell and v's single salt — and the candidate SET is
+    * byte-identical to the unsalted rule (the oracle never notices).
+    * The shard map holds only cells ABOVE the cap — at most
+    * n/maxCellRows entries, in practice a handful — so the broadcast
+    * stays metadata-sized even when every point has its own cell. */
+  private[graft] def gridCandidates(se: DataFrame, eps: Long,
+      maxCellRows: Long = 1L << 12): DataFrame = {
     val side = math.ceil(math.sqrt(eps.toDouble)).toLong
     def withCells(df: DataFrame): DataFrame = df
       .withColumn("c0", floor(col("e").getItem(0) / side.toDouble).cast("long"))
       .withColumn("c1", floor(col("e").getItem(1) / side.toDouble).cast("long"))
     val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val b0 = withCells(se.select(col("vec_id").as("v"), col("e")))
+      .select(col("v"), col("e").as("eb"),
+        col("c0").as("k0"), col("c1").as("k1"))
+    val hot = b0.groupBy(col("k0"), col("k1"))
+      .agg(count(lit(1)).as("occ")).where(col("occ") > maxCellRows)
+      .select(col("k0"), col("k1"),
+        ceil(col("occ").cast("double") / maxCellRows).cast("int").as("shards"))
+    val b = b0.join(broadcast(hot), Seq("k0", "k1"), "left")
+      .withColumn("salt",
+        pmod(hash(col("v")), coalesce(col("shards"), lit(1))))
+      .drop("shards")
     val a = withCells(se.select(col("vec_id").as("u"), col("e")))
       .withColumn("o", explode(offsets))
       .select(col("u"), col("e").as("ea"),
         (col("c0") + col("o.dx")).as("k0"), (col("c1") + col("o.dy")).as("k1"))
-    val b = withCells(se.select(col("vec_id").as("v"), col("e")))
-      .select(col("v"), col("e").as("eb"),
-        col("c0").as("k0"), col("c1").as("k1"))
-    a.join(b, Seq("k0", "k1"))
+      .join(broadcast(hot), Seq("k0", "k1"), "left")
+      .withColumn("salt",
+        explode(expr("sequence(0, coalesce(shards, 1) - 1)")))
+      .drop("shards")
+    a.join(b, Seq("k0", "k1", "salt"))
       .where(col("u") =!= col("v"))
   }
 

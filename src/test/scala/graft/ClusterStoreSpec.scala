@@ -75,6 +75,12 @@ class ClusterStoreSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(metaPath)
     assert(!ClusterStore.isCurrent(spark, sf, v),
       "a torn absorb read as current")
+    // compact must REFUSE on the torn meta: folding now could bless a
+    // half-written layer, and restoring the saved rows verbatim would
+    // resurrect the tear as an "absorbed" state (the r17 ADVICE window)
+    intercept[IllegalStateException](ClusterStore.compact(spark, sf, v))
+    assert(!ClusterStore.isCurrent(spark, sf, v),
+      "the refused compact mutated the torn meta")
     // the next absorb rebuilds (append-only partials cannot retract a
     // half-written layer) and lands on the clean absorbed state
     ClusterStore.absorb(spark, sf, v)

@@ -130,6 +130,43 @@ class ClusteringSpec extends AnyFunSuite {
     assert(nCand >= brute.size, "candidate set smaller than the edge set")
   }
 
+  test("dbscan hot-cell salting: planted hot cell splits into capped shards; candidate set identical") {
+    import spark.implicits._
+    val eps = 100L // cell side = 10
+    val cap = 50L
+    // 400 rows piled into ONE cell (the isotropic worst case) + a cold
+    // cluster that must stay un-salted
+    val hotPts = (0L until 400L).map(i =>
+      (i, Seq(i % 7, (i * 3) % 7, 0L, 0L)))
+    val coldPts = (400L until 420L).map(i =>
+      (i, Seq(1000L + i % 5, 1000L, 0L, 0L)))
+    val se = (hotPts ++ coldPts).toDF("vec_id", "e")
+    val salted = Clustering.gridCandidates(se, eps, maxCellRows = cap)
+    val unsalted = Clustering.gridCandidates(se, eps,
+      maxCellRows = Long.MaxValue)
+    // salting must be INVISIBLE to the candidate set: same pairs, each
+    // meeting exactly once (at v's home cell and v's single shard)
+    val sp = salted.select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sp.length == sp.toSet.size, "salting duplicated a candidate pair")
+    val up = unsalted.select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp.toSet == up, "salting changed the candidate set")
+    // the un-salted worst join key is genuinely hot (non-vacuous)...
+    val unsaltedMax = unsalted.groupBy("k0", "k1", "salt")
+      .agg(countDistinct(col("v")).as("nb"))
+      .collect().map(_.getLong(3)).max
+    assert(unsaltedMax > cap,
+      s"planted hot cell wasn't hot ($unsaltedMax home rows) — vacuous")
+    // ...and after salting NO shuffle key holds more home-side rows
+    // than the cap allows (hash shards balance statistically; 2× slack)
+    val saltedMax = salted.groupBy("k0", "k1", "salt")
+      .agg(countDistinct(col("v")).as("nb"))
+      .collect().map(_.getLong(3)).max
+    assert(saltedMax <= 2 * cap,
+      s"a salted shard still holds $saltedMax home rows (cap $cap)")
+  }
+
   test("dbscan neighbor pass plans as an equi-join: no cartesian, no corpus broadcast-NL") {
     val nb = Clustering.epsNeighbors(
       Clustering.dbscanSlice(spark, sf), Clustering.dbscanEps)
