@@ -138,6 +138,52 @@ object Advanced {
         .orderBy(col("event_type"))
     }),
 
+    // SKETCH ERROR AUDIT (q216) — q89/q90's contract made HASH-CHECKABLE
+    // (the r17 verdict's ask): the sketch VALUES can't replay
+    // cross-engine (HLL++ vs DuckDB's sketch, GK vs t-digest), but the
+    // DOCUMENTED BOUNDS can — Spark emits |sketch − exact| checked
+    // against each bound as a boolean next to the oracled exact value,
+    // and DuckDB's oracle asserts the booleans are ALL true. A sketch
+    // drifting outside its contract flips a cell and the hash goes red;
+    // ModulesSpec's gates stay as the belt to this suspenders.
+    //   - HLL++ (rsd 0.02): |approx − exact| ≤ 3·rsd·exact, the q89 gate;
+    //   - GK (accuracy 10000): the returned element's RANK interval
+    //     [count(<v)+1, count(≤v)] must intersect
+    //     [floor((q−ε)n)−1, ceil((q+ε)n)+1], ε = 1/accuracy — computed
+    //     with one conditional-aggregation pass over the events joined
+    //     to the broadcast k-row sketch output, so the audit costs one
+    //     extra scan, never a sort.
+    "q216_sketch_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sk = ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
+          countDistinct(col("user_id")).as("exact_users"),
+          expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")
+            .as("ap"),
+          count(lit(1)).as("n"))
+      val ranks = ev.join(broadcast(sk.select(col("event_type"), col("ap"))),
+          Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("value") < col("ap")(0), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("ap")(0), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("ap")(1), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("value") <= col("ap")(1), 1L).otherwise(0L)).as("le95"),
+          sum(when(col("value") < col("ap")(2), 1L).otherwise(0L)).as("lt99"),
+          sum(when(col("value") <= col("ap")(2), 1L).otherwise(0L)).as("le99"))
+      def rankOk(q: String, lt: String, le: String) =
+        s"($lt + 1 <= ceil(($q + 0.0001) * n) + 1 AND " +
+          s"$le >= floor(($q - 0.0001) * n) - 1)"
+      sk.join(ranks, Seq("event_type"))
+        .selectExpr("event_type", "exact_users",
+          "abs(au - exact_users) <= ceil(3 * 0.02 * exact_users) " +
+            "AS distinct_within_3rsd",
+          rankOk("0.5", "lt50", "le50") + " AS p50_rank_ok",
+          rankOk("0.95", "lt95", "le95") + " AS p95_rank_ok",
+          rankOk("0.99", "lt99", "le99") + " AS p99_rank_ok")
+        .orderBy(col("event_type"))
+    }),
+
     // Quantile sketch — the percentile that runs at 100 TB (exact
     // percentiles sort every group; the Greenwald-Khanna summary ships a
     // bounded buffer per group per partition). Like q89, not
@@ -492,6 +538,17 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle computes the EXACT side and asserts the bound booleans
+    // — a sketch outside its documented contract hash-mismatches
+    "q216_sketch_audit" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id)::BIGINT AS exact_users,
+        |  true AS distinct_within_3rsd,
+        |  true AS p50_rank_ok,
+        |  true AS p95_rank_ok,
+        |  true AS p99_rank_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q36_interval_overlap" ->
       """SELECT g.day AS day, count(*) AS n_active
         |FROM orders, unnest(generate_series(date_trunc('day', o_orderdate),

@@ -247,6 +247,63 @@ object Clustering {
     confusionOf(dists, train)
   }
 
+  /** ORACLED ANN RECALL AUDIT (q215) — overlap@5 between the exact 5-NN
+    * (q209's brute integer sweep) and the bucket-pruned 5-NN (q214's
+    * fixed-hyperplane candidates), per eval query, reported as a
+    * histogram (overlap5 → n_queries). Both paths are fully
+    * deterministic — same normalized integer grid, same (dist, t_id)
+    * neighbor order — so the RECALL MEASUREMENT itself replays
+    * bit-for-bit in DuckDB: the accuracy trade the gaussian ANN tiers
+    * can only spec-gate (ModulesSpec recall floors) is here a
+    * hash-checked number. A query whose bucket holds no training row
+    * keeps overlap 0 through the left join — silent drops would
+    * overstate recall. On this sandbox's near-isotropic gaussians the
+    * measured overlap is LOW (mean ≈ 0.6/5 at sf0.01): a single
+    * 16-bucket sign partition keeps ~1/16 of candidates and isotropic
+    * neighbors spread across hyperplanes — the honest price of the
+    * hardest regime, which the recall-gated multi-probe tiers
+    * (q31/q49/q60) exist to buy back; clustered production corpora
+    * concentrate neighbors into shared buckets. Scale: the exact side
+    * is the q209 sweep (n_train × evalN, constant eval broadcast), the
+    * ANN side the q214 equi-join; the audit adds one evalN-sized join
+    * on top. */
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val se = Caches.persist(Tables.t(s, dir, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> cast(x AS double)) AS ed")
+      .selectExpr("vec_id",
+        "sqrt(aggregate(transform(ed, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)) AS nrm",
+        "ed")
+      .selectExpr("vec_id",
+        "transform(ed, x -> cast(floor(x / nrm * 1000000.0 + 0.5) AS bigint)) AS e")
+      .selectExpr("vec_id", "e", s"${TextPipeline.fixedBucket} AS b"))
+    val train = se.where("vec_id % 10 < 8")
+      .select(col("vec_id").as("t_id"), col("e").as("te"), col("b"))
+    val test = Caches.persist(se.where("vec_id % 10 >= 8")
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(evalN)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("b")))
+    def negd = -expr("aggregate(zip_with(te, qe, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+      .cast("double")
+    val exact5 = graft.plans.TopKPerKey.topK(
+      train.crossJoin(broadcast(test.select(col("q_id"), col("qe"))))
+        .withColumn("negd", negd)
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    val ann5 = graft.plans.TopKPerKey.topK(
+      train.join(broadcast(test), Seq("b"))
+        .withColumn("negd", negd)
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    val inter = exact5.select(col("q_id"), col("t_id"))
+      .join(ann5.select(col("q_id"), col("t_id")), Seq("q_id", "t_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("o"))
+    test.select(col("q_id")).join(inter, Seq("q_id"), "left")
+      .selectExpr("coalesce(o, 0L) AS overlap5")
+      .groupBy(col("overlap5")).agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("overlap5"))
+  }
+
   /** Exact eps-neighborhood edge set {(u,v) : u ≠ v, ‖u−v‖² ≤ eps} via
     * GRID-BLOCKED candidate generation — a shuffled EQUI-JOIN on cell
     * keys, never a corpus broadcast or cartesian:
@@ -400,7 +457,8 @@ object Clustering {
     "q208_perceptron" -> ((s, dir) => perceptron(s, dir)),
     "q209_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "q210_dbscan" -> ((s, dir) => dbscan(s, dir)),
-    "q214_knn_ann" -> ((s, dir) => knnAnnClassify(s, dir))
+    "q214_knn_ann" -> ((s, dir) => knnAnnClassify(s, dir)),
+    "q215_ann_recall" -> ((s, dir) => annRecallAudit(s, dir))
   )
 
   // generated per-round CTE chain (q176's oracle device)
@@ -473,6 +531,47 @@ object Clustering {
          |   WHERE vec_id NOT IN (SELECT u FROM core)
          |     AND vec_id NOT IN (SELECT u FROM border))::BIGINT
          |ORDER BY cluster_id""".stripMargin,
+    // the two k5 chains side by side — exact (CROSS JOIN) and
+    // bucket-pruned (b-equi-join) — intersected per query; the left
+    // join keeps bucket-starved queries at overlap 0
+    "q215_ann_recall" ->
+      s"""WITH se AS (SELECT vec_id,
+         |    list_transform(embedding, x -> (floor(x::DOUBLE /
+         |      sqrt(list_sum(list_transform(embedding,
+         |        y -> y::DOUBLE * y::DOUBLE)))
+         |      * 1000000.0 + 0.5))::BIGINT) AS e
+         |  FROM embeddings),
+         |sb AS (SELECT vec_id, e,
+         |    (2*e[1] - e[5] + e[9] >= 0)::INT * 8
+         |    + (e[2] + e[6] - 2*e[10] >= 0)::INT * 4
+         |    + (e[3] - e[7] + e[11] >= 0)::INT * 2
+         |    + (-e[4] + e[8] + 2*e[12] >= 0)::INT AS b
+         |  FROM se),
+         |tr AS (SELECT vec_id AS t_id, e AS a, b
+         |  FROM sb WHERE vec_id % 10 < 8),
+         |ev AS (SELECT vec_id AS q_id, e AS bb, b
+         |  FROM sb WHERE vec_id % 10 >= 8
+         |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $evalN),
+         |dx AS (SELECT q_id, t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - bb[i]) * (a[i] - bb[i]))) AS dist
+         |  FROM tr CROSS JOIN ev),
+         |ex5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM dx) WHERE rn <= 5),
+         |da AS (SELECT q_id, t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - bb[i]) * (a[i] - bb[i]))) AS dist
+         |  FROM tr JOIN ev ON tr.b = ev.b),
+         |an5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM da) WHERE rn <= 5),
+         |ov AS (SELECT ex5.q_id, count(*) AS o
+         |  FROM ex5 JOIN an5 USING (q_id, t_id) GROUP BY ex5.q_id)
+         |SELECT coalesce(ov.o, 0)::BIGINT AS overlap5,
+         |  count(*)::BIGINT AS n_queries
+         |FROM ev LEFT JOIN ov ON ov.q_id = ev.q_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q209's chain with q54's fixed-hyperplane bucket in the se CTE and
     // the candidate join restricted to same-bucket pairs — the oracle
     // computes the SAME approximation, so the approximate path is as

@@ -167,6 +167,24 @@ class ClusteringSpec extends AnyFunSuite {
       s"a salted shard still holds $saltedMax home rows (cap $cap)")
   }
 
+  test("ann recall audit: histogram covers the whole eval set; overlap bounded by k") {
+    val rows = Caches.scoped(
+      Clustering.annRecallAudit(spark, sf).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))))
+    assert(rows.nonEmpty, "empty recall histogram")
+    assert(rows.forall { case (o, _) => o >= 0 && o <= 5 },
+      s"overlap outside 0..5: $rows")
+    // every eval query lands in exactly one bucket — bucket-starved
+    // queries included (the left join's zero row), so the histogram
+    // total equals the eval slice size, never less
+    val evalSize = Caches.scoped(
+      graft.queries.Tables.t(spark, sf, "embeddings")
+        .where("vec_id % 10 >= 8").limit(Clustering.evalN).count())
+    assert(rows.map(_._2).sum == math.min(evalSize, Clustering.evalN),
+      s"histogram dropped queries: ${rows.map(_._2).sum} of $evalSize")
+    Caches.releaseAll()
+  }
+
   test("dbscan neighbor pass plans as an equi-join: no cartesian, no corpus broadcast-NL") {
     val nb = Clustering.epsNeighbors(
       Clustering.dbscanSlice(spark, sf), Clustering.dbscanEps)

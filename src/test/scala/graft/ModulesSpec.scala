@@ -58,6 +58,22 @@ class ModulesSpec extends AnyFunSuite {
     }
   }
 
+  test("q216 sketch audit: every bound boolean true; sketch row broadcast, never sorted") {
+    val df = SparkEntry.queries("q216_sketch_audit")(spark, sf)
+    val rows = graft.queries.Caches.scoped(df.collect().toSeq)
+    assert(rows.nonEmpty)
+    for (r <- rows; i <- 2 until r.length)
+      assert(r.getBoolean(i),
+        s"${r.getString(0)}: bound check ${df.columns(i)} failed — the " +
+          "sketch drifted outside its documented contract")
+    // the rank pass joins events to the k-row sketch output — must plan
+    // as a broadcast, never shuffle the events table twice for it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"rank audit did not broadcast the k-row sketch side:\n$p")
+    graft.queries.Caches.releaseAll()
+  }
+
   test("AnnLsh: every reported neighbor has the correct cosine and rank order") {
     val result = AnnLsh.annTopK(spark, sf).collect()
     assert(result.nonEmpty)
