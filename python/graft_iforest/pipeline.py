@@ -52,8 +52,8 @@ __all__ = [
     "compact_embed_index",
     # inverted-index search store
     "build_search_store_if_stale", "absorb_search_delta", "search_bm25",
-    "search_phrase", "compact_search_store", "tx_ensure_search_base",
-    "tx_absorb_search", "tx_search_bm25",
+    "search_phrase", "proximity_search", "compact_search_store",
+    "tx_ensure_search_base", "tx_absorb_search", "tx_search_bm25",
     # zone-map data-skipping store
     "build_zonemap_store_if_stale", "absorb_zonemap_delta",
     "zonemap_range_aggregate", "recluster_zonemap",
@@ -67,6 +67,7 @@ __all__ = [
     "audit_expectations", "audit_k_anonymity", "audit_fk",
     # verified-ML family + cluster-profile store
     "ml_kmeans", "ml_perceptron", "ml_knn_classify", "ml_dbscan",
+    "ml_knn_ann", "ml_ann_recall",
     "build_cluster_store_if_stale", "absorb_cluster_delta",
     "cluster_profile", "cluster_drift", "compact_cluster_store",
     # mergeable sketch store
@@ -756,6 +757,14 @@ def search_phrase(spark, data_dir, a="merge", b="window"):
     return DataFrame(jdf, spark)
 
 
+def proximity_search(spark, data_dir):
+    """Proximity-boosted composed ranking (q213): BM25 OR-candidates
+    re-ranked by the exact-bigram adjacency boost BEFORE the top-10 cut
+    — both legs answered from one pruned postings scan."""
+    jdf = _bridge(spark).proximitySearch(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
 def compact_search_store(spark, data_dir):
     """Fold appended posting layers, one file per term bucket."""
     _bridge(spark).compactSearchStore(spark._jsparkSession, data_dir)
@@ -917,6 +926,20 @@ def ml_dbscan(spark, data_dir):
     """DBSCAN over the embedding slice (q210): (cluster_id, n_core,
     n_border) plus the -1 noise row."""
     jdf = _bridge(spark).mlDbscan(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_knn_ann(spark, data_dir):
+    """q214's production kNN: 5-NN vote over fixed-hyperplane bucket
+    candidates, exact integer re-rank — the oracled approximate path."""
+    jdf = _bridge(spark).mlKnnAnn(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_ann_recall(spark, data_dir):
+    """q215's oracled recall audit: overlap@5 histogram between the
+    exact and bucket-pruned 5-NN (hash-checked recall measurement)."""
+    jdf = _bridge(spark).mlAnnRecall(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

@@ -526,6 +526,30 @@ def main():
     assert any(r["cluster_id"] == -1 for r in db), "dbscan noise row missing"
     gp.release_caches(spark)
 
+    # q214/q215 parity: the dedicated wrappers return exactly the rows
+    # the oracled Scala entries produce (same path as run_query)
+    ann_cm = sorted(map(str, gp.ml_knn_ann(spark, sf_dir).collect()))
+    assert ann_cm == sorted(map(str, gp.run_query(
+        spark, "q214_knn_ann", sf_dir).collect())), \
+        "ml_knn_ann diverged from the oracled q214 entry"
+    rec = sorted(map(str, gp.ml_ann_recall(spark, sf_dir).collect()))
+    assert rec == sorted(map(str, gp.run_query(
+        spark, "q215_ann_recall", sf_dir).collect())), \
+        "ml_ann_recall diverged from the oracled q215 entry"
+    assert sum(r["n_queries"] for r in
+               gp.ml_ann_recall(spark, sf_dir).collect()) == min(200, held), \
+        "recall histogram does not cover the eval set"
+    gp.release_caches(spark)
+
+    # q213 parity: run_query primes the search store (build + absorb),
+    # then the read-only wrapper must reproduce the composed ranking
+    prox_named = sorted(map(str, gp.run_query(
+        spark, "q213_proximity_search", sf_dir).collect()))
+    assert prox_named == sorted(map(str, gp.proximity_search(
+        spark, sf_dir).collect())), \
+        "proximity_search diverged from the oracled q213 entry"
+    gp.release_caches(spark)
+
     # build -> absorb -> drift lifecycle, then compact read-invariance
     # and idempotent re-absorb
     gp.build_cluster_store_if_stale(spark, sf_dir)

@@ -476,6 +476,12 @@ object PipelineBridge {
   def searchPhrase(s: SparkSession, dir: String, a: String, b: String): DataFrame =
     queries.SearchStore.phrase(s, dir, a, b)
 
+  /** Proximity-boosted composed ranking (q213): BM25 OR-candidates
+    * re-ranked by the exact-bigram adjacency boost BEFORE the top-10
+    * cut — both legs off one pruned postings scan. */
+  def proximitySearch(s: SparkSession, dir: String): DataFrame =
+    queries.SearchStore.proximityBm25(s, dir)
+
   /** Fold appended posting layers, one file per term bucket. */
   def compactSearchStore(s: SparkSession, dir: String): Unit =
     queries.SearchStore.compact(s, dir)
@@ -676,6 +682,17 @@ object PipelineBridge {
     * plus the -1 noise row; grid-blocked exact neighbor pass. */
   def mlDbscan(s: SparkSession, dir: String): DataFrame =
     queries.Clustering.dbscan(s, dir)
+
+  /** q214's production kNN: 5-NN vote over fixed-hyperplane bucket
+    * candidates (~1/16 of the brute sweep's distance evals), exact
+    * integer re-rank — the oracled approximate path. */
+  def mlKnnAnn(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.knnAnnClassify(s, dir)
+
+  /** q215's oracled recall audit: overlap@5 histogram between the exact
+    * and bucket-pruned 5-NN — the hash-checked recall measurement. */
+  def mlAnnRecall(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.annRecallAudit(s, dir)
 
   // --- Cluster-profile store verbs (q211/q212): train-once/freeze
   // geometry, additive assignment partials, k-sized reads. ---
