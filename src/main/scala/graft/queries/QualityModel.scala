@@ -127,38 +127,68 @@ object QualityModel {
         "explode(transform(sequence(1, length(nt) - 1), i -> substring(nt, i, 2))) AS bg")
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
 
-  private def lmFingerprint(s: SparkSession, dir: String): String = {
-    val r = lmCorpus(s, dir)
+  private def fingerprintOf(df: DataFrame): String = {
+    val r = df
       .selectExpr("cast(conv(substring(md5(nt), 1, 8), 16, 10) AS bigint) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .head()
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
-  private def writeLmMeta(s: SparkSession, v: String, dir: String): Unit = {
+  private def lmFingerprint(s: SparkSession, dir: String): String =
+    fingerprintOf(lmCorpus(s, dir))
+  private def lmDeltaFingerprint(s: SparkSession, dir: String): String =
+    fingerprintOf(lmDelta(s, dir))
+
+  /** LAYERED meta (ClusterStore's device): `base` tracks the training
+    * slice, `batch1` the absorbed delta — an absorbed-and-current lap
+    * skips retrain AND re-absorb (two fingerprint passes, no writes),
+    * where the old flat "absorbed" stamp forced both every lap. */
+  private def writeLmMeta(s: SparkSession, dir: String,
+      rows: Seq[(String, String)]): Unit = {
     import s.implicits._
-    Seq(v).toDF("fp").coalesce(1)
+    rows.toDF("kind", "fp").coalesce(1)
       .write.mode("overwrite").parquet(s"${lmRoot(dir)}/meta")
   }
+
+  private def lmMetaRows(s: SparkSession, dir: String): Map[String, String] =
+    try s.read.parquet(s"${lmRoot(dir)}/meta").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    catch { case _: Exception => Map.empty }
 
   def buildLm(s: SparkSession, dir: String): Unit = {
     lmPartials(lmCorpus(s, dir))
       .coalesce(1).write.mode("overwrite").parquet(s"${lmRoot(dir)}/counts")
-    writeLmMeta(s, lmFingerprint(s, dir), dir)
+    // meta written LAST, base row only: a build clears the batch row
+    writeLmMeta(s, dir, Seq("base" -> lmFingerprint(s, dir)))
   }
 
-  def isLmCurrent(s: SparkSession, dir: String): Boolean =
-    try s.read.parquet(s"${lmRoot(dir)}/meta").head().getString(0) ==
-      lmFingerprint(s, dir)
-    catch { case _: Exception => false }
+  def isLmCurrent(s: SparkSession, dir: String): Boolean = {
+    val rows = lmMetaRows(s, dir)
+    rows.get("base").contains(lmFingerprint(s, dir)) &&
+      !rows.values.exists(_ == "absorbing")
+  }
 
   def buildLmIfStale(s: SparkSession, dir: String): Unit =
     if (!isLmCurrent(s, dir)) buildLm(s, dir)
 
+  /** Absorb the delta's 729-cell partial — IDEMPOTENT under the layered
+    * meta (an unchanged absorbed batch is a no-op); a changed batch or
+    * torn previous absorb rebuilds first (append-only partials cannot
+    * retract), and the batch row flips to "absorbing" before the append
+    * so a crash between the two reads as stale, never double-counts. */
   def absorbLm(s: SparkSession, dir: String): Unit = {
-    writeLmMeta(s, "absorbed", dir)
+    val dfp = lmDeltaFingerprint(s, dir)
+    val bfp = lmFingerprint(s, dir)
+    val rows = lmMetaRows(s, dir)
+    if (rows.get("batch1").contains(dfp) && rows.get("base").contains(bfp))
+      return // already absorbed, nothing changed — the steady state
+    if (rows.contains("batch1") || !rows.get("base").contains(bfp))
+      buildLm(s, dir)
+    writeLmMeta(s, dir, Seq("base" -> bfp, "batch1" -> "absorbing"))
     lmPartials(lmDelta(s, dir))
       .coalesce(1).write.mode("append").parquet(s"${lmRoot(dir)}/counts")
+    writeLmMeta(s, dir, Seq("base" -> bfp, "batch1" -> dfp))
   }
 
   /** The merged model from the store alone — ≤ #batches × 729 rows in,

@@ -56,14 +56,40 @@ object SearchStore {
   private def deltaDocs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents").where("doc_id % 10 >= 7")
 
-  private def writeMeta(s: SparkSession, path: String, v: String): Unit = {
+  /** LAYERED meta — (kind, fp) rows, ClusterStore's device: `base`
+    * tracks the indexed corpus slice, `batch1` the absorbed delta (a
+    * FINGERPRINT when a verified absorb landed it, the opaque
+    * "absorbed" when a frame-explicit caller did), `deleted` marks a
+    * tombstoned membership, `compacted` an already-folded layer set.
+    * "Absorbed and current" (fingerprinted batch, no tombstones) is a
+    * NO-OP lifecycle — the old flat stamp forced a full re-index every
+    * lap. An old single-column meta fails the (kind, fp) read and
+    * self-heals as stale. */
+  private def writeMeta(s: SparkSession, path: String,
+      rows: Seq[(String, String)]): Unit = {
     import s.implicits._
-    Seq(v).toDF("fp").coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    rows.toDF("kind", "fp").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  private def metaRows(s: SparkSession, path: String): Map[String, String] =
+    try s.read.parquet(s"$path/meta").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    catch { case _: Exception => Map.empty }
+
+  /** Verbs that died mid-write — folding or serving these is the
+    * corruption the meta exists to prevent. */
+  private val tornValues = Set("absorbing", "compacting", "purging")
+
   /** Corpus-slice content fingerprint (VocabStore's device). */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusDocs(s, dir)
+  private def fingerprint(s: SparkSession, dir: String): String =
+    fingerprintOf(corpusDocs(s, dir))
+
+  private def deltaFingerprint(s: SparkSession, dir: String): String =
+    fingerprintOf(deltaDocs(s, dir))
+
+  private def fingerprintOf(df: DataFrame): String = {
+    val r = df
       .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
       .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
       .head()
@@ -110,14 +136,20 @@ object SearchStore {
     // partials the fresh stats table no longer carries
     val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
-    writeMeta(s, path, fingerprint(s, dir))
+    // meta written LAST, base row only: a build clears batch/deleted
+    writeMeta(s, path, Seq("base" -> fingerprint(s, dir)))
     path
   }
 
-  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean =
-    try s.read.parquet(s"${root(dir, variant)}/meta").head().getString(0) ==
-      fingerprint(s, dir)
-    catch { case _: Exception => false }
+  /** Current = base matches the corpus slice, every absorbed batch is
+    * fingerprint-verified (an opaque "absorbed" can be anything), no
+    * tombstones, and no verb died mid-write. */
+  def isCurrent(s: SparkSession, dir: String, variant: String = ""): Boolean = {
+    val rows = metaRows(s, root(dir, variant))
+    rows.get("base").contains(fingerprint(s, dir)) &&
+      !rows.contains("deleted") &&
+      !rows.values.exists(v => v == "absorbed" || tornValues(v))
+  }
 
   def buildIfStale(s: SparkSession, dir: String, variant: String = ""): String =
     if (isCurrent(s, dir, variant)) root(dir, variant) else build(s, dir, variant)
@@ -126,21 +158,41 @@ object SearchStore {
     * directories (new files per partition — union merge, no read-modify-
     * write) and its one stat row; flip meta non-pristine LAST so a crash
     * between the appends reads as stale, never as silently current. */
-  def absorb(s: SparkSession, dir: String, variant: String = ""): Unit =
-    absorbFrame(s, deltaDocs(s, dir), dir, variant)
-
-  /** The frame-explicit absorb — a streaming ingest (q186) delivers the
-    * delta one micro-batch at a time; postings/stats partials over any
-    * doc-partition of the delta union/sum to the one-shot absorb
-    * exactly. */
-  def absorbFrame(s: SparkSession, batch: DataFrame, dir: String,
-      variant: String = ""): Unit = {
+  def absorb(s: SparkSession, dir: String, variant: String = ""): Unit = {
     val path = root(dir, variant)
+    val dfp = deltaFingerprint(s, dir)
+    val bfp = fingerprint(s, dir)
+    val rows = metaRows(s, path)
+    if (rows.get("batch1").contains(dfp) && rows.get("base").contains(bfp) &&
+        !rows.contains("deleted"))
+      return // already absorbed, nothing changed — the steady state
+    if (rows.contains("batch1") || rows.contains("deleted") ||
+        !rows.get("base").contains(bfp))
+      build(s, dir, variant)
+    writeMeta(s, path, Seq("base" -> bfp, "batch1" -> "absorbing"))
+    appendFrame(s, deltaDocs(s, dir), path)
+    writeMeta(s, path, Seq("base" -> bfp, "batch1" -> dfp))
+  }
+
+  private def appendFrame(s: SparkSession, batch: DataFrame,
+      path: String): Unit = {
     postings(batch)
       .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
     statPartial(batch)
       .coalesce(1).write.mode("append").parquet(s"$path/stats")
-    writeMeta(s, path, "absorbed")
+  }
+
+  /** The frame-explicit absorb — an arbitrary doc batch whose content
+    * the store cannot fingerprint-verify; the batch row goes OPAQUE
+    * ("absorbed"), so the store reads stale and the next lifecycle
+    * rebuilds. Callers with a deterministic delta use [[absorb]] (the
+    * idempotent fast path); streaming drains use [[streamAbsorb]]. */
+  def absorbFrame(s: SparkSession, batch: DataFrame, dir: String,
+      variant: String = ""): Unit = {
+    val path = root(dir, variant)
+    appendFrame(s, batch, path)
+    val base = metaRows(s, path).getOrElse("base", "")
+    writeMeta(s, path, Seq("base" -> base, "batch1" -> "absorbed"))
   }
 
   /** COMPACT the appended posting layers: per-batch files under each
@@ -149,10 +201,21 @@ object SearchStore {
     * one row. [[VocabStore.compact]]'s staged-rewrite discipline: stage,
     * flip meta, swap, restore meta, delete staging — a reader at any
     * point sees either the old layout or the new, both complete. */
+  private def foldStamp(rows: Map[String, String]): String =
+    s"${rows.getOrElse("base", "")}|${rows.getOrElse("batch1", "")}"
+
   def compact(s: SparkSession, dir: String, variant: String = ""): Unit = {
     val path = root(dir, variant)
     val staging = s"$path/staging_compact"
-    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    val saved = metaRows(s, path)
+    // ClusterStore.compact's guard: folding a torn store would re-bless
+    // a half-written layer; an already-folded layer set is a no-op
+    if (saved.isEmpty || saved.values.exists(tornValues))
+      throw new IllegalStateException(
+        s"search store at $path is torn or unbuilt (meta = $saved) — " +
+          "run absorb/buildIfStale to heal before compacting")
+    if (saved.get("compacted").contains(foldStamp(saved)))
+      return // this exact layer set is already one file per bucket
     // repartition BY the partition column: every bucket's rows land in one
     // task, so each tb= dir folds to a single file (without it, each read
     // task re-writes a sliver into every bucket and the file count never
@@ -162,12 +225,13 @@ object SearchStore {
     s.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
-    writeMeta(s, path, "compacting")
+    writeMeta(s, path, Seq("base" -> "compacting"))
     s.read.parquet(s"$staging/postings").repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     s.read.parquet(s"$staging/stats")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    writeMeta(s, path, meta)
+    writeMeta(s, path, (saved - "compacted").toSeq :+
+      ("compacted" -> foldStamp(saved)))
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -224,6 +288,18 @@ object SearchStore {
     * stream starts (invalidate-before-mutate, the absorb bracket). */
   def streamAbsorb(s: SparkSession, dir: String, variant: String): Unit = {
     val path = root(dir, variant)
+    // the drained state equals the one-shot absorb exactly, so the
+    // layered idempotence applies verbatim: an already-drained,
+    // unchanged delta is a no-op lifecycle (no staging, no stream)
+    val dfp = deltaFingerprint(s, dir)
+    val bfp = fingerprint(s, dir)
+    val rows = metaRows(s, path)
+    if (rows.get("batch1").contains(dfp) && rows.get("base").contains(bfp) &&
+        !rows.contains("deleted"))
+      return
+    if (rows.contains("batch1") || rows.contains("deleted") ||
+        !rows.get("base").contains(bfp))
+      build(s, dir, variant)
     val h = Tables.dirHash(dir)
     val staged = s"${sys.props("java.io.tmpdir")}/graft_search_feed_$h"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_search_ckpt_$h"
@@ -233,7 +309,7 @@ object SearchStore {
     val fs = new org.apache.hadoop.fs.Path(ckpt)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    writeMeta(s, path, "absorbed")
+    writeMeta(s, path, Seq("base" -> bfp, "batch1" -> "absorbing"))
     val stream = s.readStream.schema(s.read.parquet(staged).schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
     // explicit function value — the inline lambda is ambiguous between
@@ -252,6 +328,7 @@ object SearchStore {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    writeMeta(s, path, Seq("base" -> bfp, "batch1" -> dfp))
   }
 
   /** q99's BM25 (k1=1.2, b=0.75, linear N/df idf, exact e4 integer
@@ -462,7 +539,8 @@ object SearchStore {
     statPartial(victims)
       .selectExpr("-n_docs AS n_docs", "-sum_dl AS sum_dl")
       .coalesce(1).write.mode("append").parquet(s"$path/stats")
-    writeMeta(s, path, "absorbed")
+    writeMeta(s, path,
+      (metaRows(s, path) - "deleted").toSeq :+ ("deleted" -> "true"))
   }
 
   private def tombstones(s: SparkSession, dir: String,
@@ -495,14 +573,16 @@ object SearchStore {
   def purge(s: SparkSession, dir: String, variant: String = ""): Unit = {
     val path = root(dir, variant)
     val staging = s"$path/staging_purge"
-    val meta = s.read.parquet(s"$path/meta").head().getString(0)
+    // the deleted row SURVIVES the purge: membership still diverges
+    // from corpus ∪ delta, so the store must keep reading stale
+    val saved = metaRows(s, path)
     live(s, dir, s.read.parquet(s"$path/postings"), variant)
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$staging/postings")
     s.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
-    writeMeta(s, path, "purging")
+    writeMeta(s, path, Seq("base" -> "purging"))
     s.read.parquet(s"$staging/postings").repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
     s.read.parquet(s"$staging/stats")
@@ -510,7 +590,7 @@ object SearchStore {
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-    writeMeta(s, path, meta)
+    writeMeta(s, path, saved.toSeq)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
@@ -521,8 +601,8 @@ object SearchStore {
     "q181_bm25_store" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); bm25(s, dir)
     }),
-    // same lifecycle (independent laps rebuild — absorb flips meta), then
-    // the phrase read over the positional lists
+    // same lifecycle (a no-op once absorbed-and-current — the layered
+    // meta's steady state), then the phrase read over the positional lists
     "q182_phrase_search" -> ((s, dir) => {
       buildIfStale(s, dir); absorb(s, dir); phrase(s, dir)
     }),

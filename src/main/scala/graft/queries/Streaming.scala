@@ -102,9 +102,33 @@ object Streaming {
     * stream reads the live event log and new arrivals play the sentinel's
     * role; this staging exists only to make a bounded replay behave like
     * one. */
+  /** Cheap file-stat stamp of a source table — (name, length, mtime) of
+    * every data file under `$dir/<table>.parquet`. Metadata only (no
+    * Spark job): the corpora are generated once and immutable, so a
+    * stat change is exactly a corpus regeneration. */
+  private def sourceStamp(dir: String, table: String): String = {
+    def files(x: java.io.File): Seq[java.io.File] =
+      if (x.isDirectory) x.listFiles().toSeq.flatMap(files) else Seq(x)
+    files(new java.io.File(s"$dir/$table.parquet")).sortBy(_.getPath)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(";")
+  }
+
   private def stagedEventsDir(s: SparkSession, dir: String, eventType: String): String = {
     val h = Tables.dirHash(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft_staged_${eventType}_$h"
+    // The staged feed is DETERMINISTIC per corpus (content + relative
+    // mtime order; the file source replays oldest-first regardless of
+    // absolute age) — re-staging every bench lap pays three write jobs
+    // per topic for bytes that cannot differ. The `_staged_meta` stamp
+    // (written LAST, so a crashed staging re-stages) skips the whole
+    // staging when the source table's file stats are unchanged; the
+    // underscore prefix keeps it invisible to the file stream source.
+    val stamp = sourceStamp(dir, "events")
+    val meta = new java.io.File(out, "_staged_meta")
+    if (meta.isFile && new String(
+        java.nio.file.Files.readAllBytes(meta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == stamp)
+      return out
     val ev = Tables.t(s, dir, "events")
     ev.where(col("event_type") === eventType)
       .repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(out)
@@ -133,6 +157,8 @@ object Streaming {
       fresh.foreach(_.setLastModified(base + 1000000L * i))
       seen ++= fresh.map(_.getName)
     }
+    java.nio.file.Files.write(meta.toPath,
+      stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out
   }
 

@@ -491,9 +491,10 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(viaStore == direct,
       s"incremental edge store changed the triangle read:\n" +
         s"store=${viaStore.take(3)}\ndirect=${direct.take(3)}")
-    // staleness: a store absorbed past the corpus slice must rebuild
-    assert(!GraphStore.isCurrent(spark, sf),
-      "absorbed graph store still reads current")
+    // the layered meta reads absorbed-and-current as CURRENT — the
+    // steady state where the next lifecycle skips rebuild and re-absorb
+    assert(GraphStore.isCurrent(spark, sf),
+      "absorbed, unchanged graph store reads as stale")
     // the compacting lifecycle serves label propagation identically too
     val lpStore = Caches.scoped(
       GraphStore.queries("q152_graph_store_lp")(spark, sf)
@@ -502,6 +503,20 @@ class IncrementalOpsSpec extends AnyFunSuite {
       Graph.queries("q132_label_prop")(spark, sf).collect().toSeq.map(_.toString))
     assert(lpStore == lpDirect,
       "compacted edge store changed the label-propagation read")
+    // steady state: a SECOND lifecycle over the unchanged corpus is a
+    // no-op on the edges table (no rebuild, no re-append, no re-fold) —
+    // the newest mtime under edges/ must not move
+    def edgesMtime: Long =
+      new java.io.File(s"${GraphStore.root(sf)}/edges")
+        .listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.lastModified).max
+    val m0 = edgesMtime
+    val lpAgain = Caches.scoped(
+      GraphStore.queries("q152_graph_store_lp")(spark, sf)
+        .collect().toSeq.map(_.toString))
+    assert(lpAgain == lpStore, "steady-state lap moved the read")
+    assert(edgesMtime == m0,
+      "absorbed-and-current lifecycle rewrote the edges table")
     Caches.releaseAll()
   }
 
