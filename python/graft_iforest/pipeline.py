@@ -67,7 +67,7 @@ __all__ = [
     "audit_expectations", "audit_k_anonymity", "audit_fk",
     # verified-ML family + cluster-profile store
     "ml_kmeans", "ml_perceptron", "ml_knn_classify", "ml_dbscan",
-    "ml_knn_ann", "ml_ann_recall",
+    "ml_knn_ann", "ml_ann_recall", "ml_sem_dedup", "ml_proto_prune",
     "build_cluster_store_if_stale", "absorb_cluster_delta",
     "cluster_profile", "cluster_drift", "compact_cluster_store",
     # mergeable sketch store
@@ -940,6 +940,20 @@ def ml_ann_recall(spark, data_dir):
     """q215's oracled recall audit: overlap@5 histogram between the
     exact and bucket-pruned 5-NN (hash-checked recall measurement)."""
     jdf = _bridge(spark).mlAnnRecall(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_sem_dedup(spark, data_dir):
+    """q217's SemDeDup pass: deterministic k-means blocking, then
+    within-cluster near-dup drops (smaller-id keeper rule)."""
+    jdf = _bridge(spark).mlSemDedup(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_proto_prune(spark, data_dir):
+    """q218's D4-style prototype pruning: drop the closest-to-centroid
+    quarter of each cluster, keep the diverse tail."""
+    jdf = _bridge(spark).mlProtoPrune(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

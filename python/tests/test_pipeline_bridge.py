@@ -541,6 +541,23 @@ def main():
         "recall histogram does not cover the eval set"
     gp.release_caches(spark)
 
+    # q217/q218 parity: the SemDeDup and prototype-pruning wrappers
+    # return exactly the oracled entries' rows
+    sd = sorted(map(str, gp.ml_sem_dedup(spark, sf_dir).collect()))
+    assert sd == sorted(map(str, gp.run_query(
+        spark, "q217_sem_dedup", sf_dir).collect())), \
+        "ml_sem_dedup diverged from the oracled q217 entry"
+    n_planted = spark.read.parquet(sf_dir + "/embeddings.parquet") \
+        .where("vec_id % 53 = 0").count()
+    assert sum(r["n_dropped"] for r in
+               gp.ml_sem_dedup(spark, sf_dir).collect()) == n_planted, \
+        "sem-dedup drop count != planted near-dups"
+    pp = sorted(map(str, gp.ml_proto_prune(spark, sf_dir).collect()))
+    assert pp == sorted(map(str, gp.run_query(
+        spark, "q218_proto_prune", sf_dir).collect())), \
+        "ml_proto_prune diverged from the oracled q218 entry"
+    gp.release_caches(spark)
+
     # q213 parity: run_query primes the search store (build + absorb),
     # then the read-only wrapper must reproduce the composed ranking
     prox_named = sorted(map(str, gp.run_query(

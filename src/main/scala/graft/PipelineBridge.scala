@@ -694,6 +694,17 @@ object PipelineBridge {
   def mlAnnRecall(s: SparkSession, dir: String): DataFrame =
     queries.Clustering.annRecallAudit(s, dir)
 
+  /** q217's SemDeDup pass: deterministic k-means blocking, then
+    * within-cluster near-dup drops (smaller-id keeper rule); per-cluster
+    * (n_members, n_dropped, kept_id_sum). */
+  def mlSemDedup(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.semDedup(s, dir)
+
+  /** q218's D4-style prototype pruning: drop the closest-to-centroid
+    * quarter of each cluster, keep the diverse tail. */
+  def mlProtoPrune(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.prototypePrune(s, dir)
+
   // --- Cluster-profile store verbs (q211/q212): train-once/freeze
   // geometry, additive assignment partials, k-sized reads. ---
 

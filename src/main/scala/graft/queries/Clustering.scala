@@ -452,13 +452,129 @@ object Clustering {
       .orderBy(col("cluster_id"))
   }
 
+  /** SEMANTIC DEDUP (q217) — the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space, then hunt
+    * near-duplicates ONLY within a cluster — the cluster id is the
+    * blocking key that turns the corpus-quadratic pairwise pass into a
+    * per-cluster equi-join, exactly how the paper makes web-scale
+    * semantic dedup tractable (production runs pick k ≈ n/⟨cluster⟩ so
+    * no cluster outgrows a partition; within a huge cluster the q29
+    * sign-bucket device composes as a second blocking level). Here the
+    * clustering is q207's ENGINEERED-deterministic integer Lloyd's
+    * (normalized grid + the non-negative shift that makes Spark `div`
+    * == DuckDB `//`), so the WHOLE pipeline — clustering, blocking,
+    * near-dup verdicts — replays bit-for-bit in the oracle.
+    *
+    * The corpus is seeded with deterministic planted near-dups (every
+    * vec_id % 53 == 0 row re-enters at id+1e9 with its first grid
+    * coordinate nudged +1000 — an INTEGER-space perturbation both
+    * engines replay exactly, distance² = 1e6 ≪ τ), so the dup rule has
+    * real positives on this isotropic sandbox; τ = 2e9 on the 1e6 unit
+    * grid ≈ cosine 0.999 (‖u−v‖² = 2·10¹²·(1−cosθ) on unit vectors),
+    * far below any natural pair at dim 64 (cos σ ≈ 1/√64). Keeper
+    * rule: a row drops iff a SMALLER id in ITS cluster sits within τ —
+    * the deterministic "keep first" choice, no CC needed (dedup
+    * CLUSTERS with transitive closure are q66/q69's lane). Note the
+    * honest miss built into the method: a near-dup pair split across a
+    * cluster boundary is never compared — the paper's trade, priced
+    * here by construction. */
+  private[graft] val semDupTau = 2000000000L
+
+  /** The q217/q218 grid: unit-normalized (cosine geometry — where
+    * semantic similarity lives), 1e6 integer grid, +1e6 shift so the
+    * centroid means' integer divisions agree cross-engine. */
+  private[queries] def semGrid(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS ed")
+      .selectExpr("vec_id",
+        "sqrt(aggregate(transform(ed, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)) AS nrm",
+        "ed")
+      .selectExpr("vec_id",
+        "transform(ed, x -> cast(floor(x / nrm * 1000000.0 + 0.5) AS bigint) + 1000000L) AS e")
+
+  /** q217's corpus: the grid plus planted integer-space near-dups. */
+  private[graft] def semCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = semGrid(s, dir)
+    base.unionByName(base.where("vec_id % 53 = 0")
+      .selectExpr("vec_id + 1000000000L AS vec_id",
+        "concat(array(e[0] + 1000L), slice(e, 2, 63)) AS e"))
+  }
+
+  /** The cluster-blocked drop pass alone — a cid-keyed EQUI-join over
+    * the clustered corpus `m` (vec_id, cid, e), never a cartesian
+    * (spec-pinned); a row drops iff a smaller id in its cluster sits
+    * within τ. Factored so the spec can plan-audit the join and diff
+    * the drop set against an unblocked brute-force pass. */
+  private[graft] def semDupDropped(m: DataFrame): DataFrame =
+    m.select(col("cid"), col("vec_id").as("v"), col("e").as("eb"))
+      .join(m.select(col("cid"), col("vec_id").as("u"), col("e").as("ea")), Seq("cid"))
+      .where(col("u") < col("v"))
+      .where(expr("aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0L, (acc, z) -> acc + z)")
+        <= semDupTau)
+      .select(col("v")).distinct()
+
+  /** q217's clustered corpus: planted-dup grid + the Lloyd's labels. */
+  private[graft] def semClustered(s: SparkSession, dir: String): DataFrame = {
+    val se = Caches.persist(semCorpus(s, dir))
+    val (_, assign) = lloyds(s, se)
+    assign.join(se, "vec_id")
+  }
+
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    // (vec_id, cid, e) — the clustered corpus both join sides read
+    val m = Caches.persist(semClustered(s, dir))
+    val dropped = semDupDropped(m)
+    m.select(col("cid"), col("vec_id"))
+      .join(dropped.select(col("v").as("vec_id"), lit(1L).as("d")), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("d"), lit(0L))).as("n_dropped"),
+        sum(when(col("d").isNull, col("vec_id")).otherwise(lit(0L))).as("kept_id_sum"))
+      .orderBy(col("cid"))
+  }
+
+  /** PROTOTYPE PRUNING (q218) — the D4 companion pass (Tirumala et al.
+    * 2023, arXiv:2308.12284; SSL-prototypes, Sorscher et al. 2022):
+    * after semantic dedup, drop the most PROTOTYPICAL quarter of each
+    * cluster — the rows closest to their centroid, which carry the
+    * least marginal information for training — keeping the diverse
+    * tail. Deterministic end to end: q207's integer Lloyd's provides
+    * the centroids, the member→centroid distance is exact integer L2
+    * on the shared grid, and the per-cluster rank orders by (dist ASC,
+    * vec_id ASC) so ties replay. The rank is a cluster-partitioned
+    * window — state bounded by cluster size, no corpus sort; at scale
+    * the same per-cluster ⌊n/4⌋ cut runs as a TopKPerKey bounded heap
+    * when only the drop list (not full ranks) is needed. */
+  def prototypePrune(s: SparkSession, dir: String): DataFrame = {
+    val se = Caches.persist(semGrid(s, dir))
+    val (cents, assign) = lloyds(s, se)
+    import s.implicits._
+    val cdf = broadcast(cents.toDF("cid", "ce"))
+    val d = assign.join(se, "vec_id").join(cdf, "cid")
+      .withColumn("dist",
+        expr("aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)), 0L, (acc, z) -> acc + z)"))
+      .select(col("cid"), col("vec_id"), col("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("dist"), col("vec_id"))
+    val ranked = d.withColumn("rn", row_number().over(w))
+      .withColumn("nc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))))
+    ranked.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("rn") <= expr("nc div 4"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("rn") > expr("nc div 4"), col("vec_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_kmeans" -> ((s, dir) => kmeans(s, dir)),
     "q208_perceptron" -> ((s, dir) => perceptron(s, dir)),
     "q209_knn_classify" -> ((s, dir) => knnClassify(s, dir)),
     "q210_dbscan" -> ((s, dir) => dbscan(s, dir)),
     "q214_knn_ann" -> ((s, dir) => knnAnnClassify(s, dir)),
-    "q215_ann_recall" -> ((s, dir) => annRecallAudit(s, dir))
+    "q215_ann_recall" -> ((s, dir) => annRecallAudit(s, dir)),
+    "q217_sem_dedup" -> ((s, dir) => semDedup(s, dir)),
+    "q218_proto_prune" -> ((s, dir) => prototypePrune(s, dir))
   )
 
   // generated per-round CTE chain (q176's oracle device)
@@ -493,7 +609,64 @@ object Clustering {
        |  w$p.b + COALESCE((SELECT sum(y) FROM m$r), 0) AS b FROM w$p)""".stripMargin
   }
 
+  /** The q207 CTE chain over a caller-provided `se` definition — q217/
+    * q218 reuse the generated Lloyd's rounds verbatim, only the corpus
+    * CTE differs. */
+  private def kmeansChain: String =
+    (1 to rounds).map(i => roundSql(i, if (i == 1) "c0" else s"c${i - 1}"))
+      .mkString(",\n")
+
+  private val semGridSql: String =
+    """SELECT vec_id,
+      |    list_transform(embedding, x -> (floor(x::DOUBLE /
+      |      sqrt(list_sum(list_transform(embedding,
+      |        y -> y::DOUBLE * y::DOUBLE)))
+      |      * 1000000.0 + 0.5))::BIGINT + 1000000) AS e
+      |  FROM embeddings""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the q207 chain over the planted-dup corpus, then the cluster-
+    // blocked smaller-id-within-τ drop rule — the SAME blocking, so the
+    // oracle prices the same cross-cluster misses
+    "q217_sem_dedup" ->
+      s"""WITH se0 AS ($semGridSql),
+         |se AS (SELECT vec_id, e FROM se0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000,
+         |    list_concat([e[1] + 1000], e[2:]) AS e
+         |  FROM se0 WHERE vec_id % 53 = 0),
+         |c0 AS (SELECT vec_id AS cid, e FROM se WHERE vec_id < $k),
+         |$kmeansChain,
+         |mm AS (SELECT a$rounds.vec_id, a$rounds.cid, se.e
+         |  FROM a$rounds JOIN se USING (vec_id)),
+         |dup AS (SELECT DISTINCT b.vec_id AS v
+         |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE list_sum(list_transform(generate_series(1, $dim),
+         |    i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i]))) <= $semDupTau)
+         |SELECT mm.cid, count(*)::BIGINT AS n_members,
+         |  sum(CASE WHEN dup.v IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_dropped,
+         |  sum(CASE WHEN dup.v IS NULL THEN mm.vec_id ELSE 0 END)::BIGINT AS kept_id_sum
+         |FROM mm LEFT JOIN dup ON dup.v = mm.vec_id
+         |GROUP BY mm.cid ORDER BY mm.cid""".stripMargin,
+    // the q207 chain on the plain grid, member→final-centroid integer
+    // distances, per-cluster (dist, vec_id) rank, drop the closest ⌊n/4⌋
+    "q218_proto_prune" ->
+      s"""WITH se AS ($semGridSql),
+         |c0 AS (SELECT vec_id AS cid, e FROM se WHERE vec_id < $k),
+         |$kmeansChain,
+         |md AS (SELECT a$rounds.vec_id, a$rounds.cid,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      j -> (se.e[j] - c$rounds.e[j]) * (se.e[j] - c$rounds.e[j]))) AS dist
+         |  FROM a$rounds JOIN se USING (vec_id)
+         |  JOIN c$rounds ON c$rounds.cid = a$rounds.cid),
+         |rk AS (SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cid) AS nc
+         |  FROM md)
+         |SELECT cid, count(*)::BIGINT AS n_members,
+         |  sum(CASE WHEN rn <= nc // 4 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         |  sum(CASE WHEN rn > nc // 4 THEN vec_id ELSE 0 END)::BIGINT AS kept_id_sum
+         |FROM rk GROUP BY cid ORDER BY cid""".stripMargin,
     // same eps/minPts, q66's recursive-CTE closure for the core CC,
     // min-cluster border attachment, noise as the -1 row
     "q210_dbscan" ->

@@ -193,4 +193,56 @@ class ClusteringSpec extends AnyFunSuite {
       s"neighbor pass regressed to an all-pairs product:\n$p")
     Caches.releaseAll()
   }
+
+  test("sem-dedup: drop set == the planted near-dups, and == the unblocked brute-force verdicts") {
+    val m = Caches.persist(Clustering.semClustered(spark, sf))
+    val dropped = Clustering.semDupDropped(m)
+      .collect().map(_.getLong(0)).toSet
+    // the planted rows (orig % 53 == 0, re-entered at id+1e9) are the
+    // ONLY sub-τ pairs on this isotropic corpus — each has its original
+    // at a smaller id in the same cluster (identical-to-±1000 vectors
+    // share an argmin), so the drop set is exactly the planted ids
+    val planted = Tables.t(spark, sf, "embeddings")
+      .where("vec_id % 53 = 0").collect()
+      .map(_.getAs[Long]("vec_id") + 1000000000L).toSet
+    assert(dropped == planted,
+      s"drop set diverged: extra=${dropped -- planted}, missed=${planted -- dropped}")
+    // blocking honesty: on THIS corpus the cluster blocking loses no
+    // pair the unblocked all-pairs rule would catch (cross-cluster
+    // near-dups are the method's priced miss; here there are none)
+    val bf = m.select(col("vec_id").as("v"), col("e").as("eb"))
+      .crossJoin(m.select(col("vec_id").as("u"), col("e").as("ea")))
+      .where(col("u") < col("v"))
+      .where(expr("aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0L, (acc, z) -> acc + z)")
+        <= Clustering.semDupTau)
+      .select(col("v")).distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped == bf, "cluster blocking dropped a pair brute force finds on this corpus")
+    Caches.releaseAll()
+  }
+
+  test("sem-dedup pair pass plans as a cid equi-join: no cartesian, no broadcast-NL") {
+    val m = Caches.persist(Clustering.semClustered(spark, sf))
+    val p = Clustering.semDupDropped(m).queryExecution.executedPlan.toString
+    // scope the audit to the pair pass itself: everything above the
+    // first InMemoryRelation boundary (the cached clustering's OWN
+    // lineage legitimately holds the k=4 broadcast cross join)
+    val pairPass = p.split("InMemoryRelation").head
+    assert(pairPass.contains("Join [cid"),
+      s"pair pass lost its cid equi-join:\n$p")
+    assert(!pairPass.contains("CartesianProduct") && !pairPass.contains("BroadcastNestedLoopJoin"),
+      s"sem-dedup pair pass regressed to an all-pairs product:\n$p")
+    Caches.releaseAll()
+  }
+
+  test("prototype pruning: per-cluster quarter cut, members partition the corpus") {
+    val out = Caches.scoped(Clustering.prototypePrune(spark, sf).collect().toSeq)
+    val n = Tables.t(spark, sf, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == n, "members do not partition the corpus")
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) / 4,
+        s"cluster ${r.getLong(0)}: dropped ${r.getLong(2)} != ⌊${r.getLong(1)}/4⌋")
+      assert(r.getLong(3) > 0, "kept checksum empty — the cut inverted")
+    }
+    Caches.releaseAll()
+  }
 }
