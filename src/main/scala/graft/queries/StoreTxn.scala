@@ -173,17 +173,45 @@ object StoreTxn {
     * dir that does not exist and every layer existence probe skips it,
     * which is the correct "not yet visible" answer for a commit whose
     * content is not yet durable. */
+  /** Process-wide nonce memo. Marker content is WRITE-ONCE (the claim
+    * is create-if-absent and only the winner writes content; checkpoint
+    * DELETES markers, never rewrites one), so a cached read revalidated
+    * against the marker's (modTime, length) is exact — the per-call
+    * cost drops from stat+open+read to ONE stat per txn per resolution,
+    * which is what keeps the lifecycle entries (tens of log resolutions
+    * per query) at their pre-nonce metadata budget. Empty content is
+    * never cached (the claim→content window must resolve on the next
+    * call; legacy empty markers are free to "read" anyway). The status
+    * key also covers the delete-and-rebuild-at-the-same-path shape
+    * (spec loops): fresh markers carry fresh modTimes, so the rebuilt
+    * store misses instead of being served the old store's nonce.
+    * Bounded: cleared past 64k entries (keys are short strings; one
+    * entry per marker file ever read by this JVM). */
+  private val nonceMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
   private def readNonce(fs: org.apache.hadoop.fs.FileSystem,
       m: org.apache.hadoop.fs.Path): String = {
-    val len = fs.getFileStatus(m).getLen
+    val st = fs.getFileStatus(m)
+    val len = st.getLen
     if (len == 0L) ""
     else {
-      val in = fs.open(m)
-      try {
-        val buf = new Array[Byte](len.toInt)
-        in.readFully(buf)
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
-      } finally in.close()
+      val key = (m.toString, st.getModificationTime, len)
+      val hit = nonceMemo.get(key)
+      if (hit != null) hit
+      else {
+        val in = fs.open(m)
+        val nonce = try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(buf)
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim
+        } finally in.close()
+        if (nonce.nonEmpty) {
+          if (nonceMemo.size > 65536) nonceMemo.clear()
+          nonceMemo.put(key, nonce)
+        }
+        nonce
+      }
     }
   }
 
