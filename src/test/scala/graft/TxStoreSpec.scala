@@ -734,6 +734,31 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("nonce memo: a reset-and-rebuilt store resolves its NEW nonce, never the memoized one") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    val id = StoreTxn.nextTxnId(spark, sf)
+    val nonceA = StoreTxn.newNonce()
+    StoreTxn.stage(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"), id, nonceA)
+    StoreTxn.commit(spark, sf, id, nonceA)
+    // prime the process-wide memo with (marker path -> nonceA)
+    assert(StoreTxn.committedTxnDirs(spark, sf).head._2.endsWith(s"t$id-$nonceA"))
+    // rebuild the store AT THE SAME PATH — the same txn id re-lands
+    // under a fresh nonce; the memo's (modTime, length) key must miss
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    Thread.sleep(5) // local-FS mtime is ms-granular; real rebuilds are seconds apart
+    val nonceB = StoreTxn.newNonce()
+    assert(StoreTxn.nextTxnId(spark, sf) == id, "rebuilt store must restart ids")
+    StoreTxn.stage(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"), id, nonceB)
+    StoreTxn.commit(spark, sf, id, nonceB)
+    assert(StoreTxn.committedTxnDirs(spark, sf).head._2.endsWith(s"t$id-$nonceB"),
+      "a stale memoized nonce was served for a rebuilt store's marker")
+    Caches.releaseAll()
+  }
+
   test("two-writer commit race under real concurrency: one winner, loser orphaned, reader never torn") {
     StoreTxn.reset(spark, sf)
     StoreTxn.ensureBases(spark, sf)
