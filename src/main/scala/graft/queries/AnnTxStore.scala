@@ -44,13 +44,14 @@ object AnnTxStore {
 
   /** Same corpus-slice fingerprint as EmbedIndex (count + order-free xor
     * over id+vector): membership or in-place changes move it. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = Tables.t(s, dir, "embeddings").where("vec_id % 10 < 7")
-      .selectExpr("count(*) AS n",
-        "coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS chk")
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "anntx.base") {
+      val r = Tables.t(s, dir, "embeddings").where("vec_id % 10 < 7")
+        .selectExpr("count(*) AS n",
+          "coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS chk")
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   def build(s: SparkSession, dir: String): String = {
     val path = root(dir)

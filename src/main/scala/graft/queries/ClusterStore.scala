@@ -61,9 +61,11 @@ object ClusterStore {
   }
 
   private def fingerprint(s: SparkSession, dir: String): String =
-    fingerprintOf(corpusSe(s, dir))
+    Tables.memoFingerprint(s, dir, "cluster.base")(
+      fingerprintOf(corpusSe(s, dir)))
   private def deltaFingerprint(s: SparkSession, dir: String): String =
-    fingerprintOf(deltaSe(s, dir))
+    Tables.memoFingerprint(s, dir, "cluster.delta")(
+      fingerprintOf(deltaSe(s, dir)))
 
   def build(s: SparkSession, dir: String, variant: String = ""): String = {
     import s.implicits._

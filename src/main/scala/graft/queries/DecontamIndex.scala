@@ -83,13 +83,14 @@ object DecontamIndex {
       .where(s"doc_id % 97 = 0 AND doc_id % 2 = ${if (even) 0 else 1}")
       .select(col("doc_id"), col("text"))
 
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = benchTranche(s, dir, even = true)
-      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "decontam.base") {
+      val r = benchTranche(s, dir, even = true)
+        .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   private def writeMeta(s: SparkSession, path: String, fp: String): Unit = {
     import s.implicits._

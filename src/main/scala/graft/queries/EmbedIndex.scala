@@ -90,13 +90,14 @@ object EmbedIndex {
   /** Corpus-slice fingerprint: count + order-independent xor over
     * (vec_id, embedding) — any membership or in-place vector change
     * moves it. Column-pruned id+vector scan, no shuffle. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = Tables.t(s, dir, "embeddings").where("vec_id % 10 < 7")
-      .selectExpr("count(*) AS n",
-        "coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS chk")
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "embed.base") {
+      val r = Tables.t(s, dir, "embeddings").where("vec_id % 10 < 7")
+        .selectExpr("count(*) AS n",
+          "coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS chk")
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   private def writeMeta(s: SparkSession, path: String, fp: String,
       pristine: Boolean): Unit = {

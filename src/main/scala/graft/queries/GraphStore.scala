@@ -58,14 +58,15 @@ object GraphStore {
 
   /** Corpus-slice content fingerprint: distinct (o, p) count +
     * order-independent hash-sum — any membership change moves it. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusOp(s, dir).distinct()
-      .selectExpr("cast(conv(substring(md5(concat_ws('|', cast(o AS string), " +
-        "cast(p AS string))), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "graph.base") {
+      val r = corpusOp(s, dir).distinct()
+        .selectExpr("cast(conv(substring(md5(concat_ws('|', cast(o AS string), " +
+          "cast(p AS string))), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   /** LAYERED meta — (kind, fp) rows, ClusterStore's device: `base`
     * tracks the corpus slice, `batch1` the absorbed delta, `compacted`
@@ -88,14 +89,15 @@ object GraphStore {
       .map(r => (r.getString(0), r.getString(1))).toMap
     catch { case _: Exception => Map.empty }
 
-  private def deltaFingerprint(s: SparkSession, dir: String): String = {
-    val r = deltaOp(s, dir).distinct()
-      .selectExpr("cast(conv(substring(md5(concat_ws('|', cast(o AS string), " +
-        "cast(p AS string))), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def deltaFingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "graph.delta") {
+      val r = deltaOp(s, dir).distinct()
+        .selectExpr("cast(conv(substring(md5(concat_ws('|', cast(o AS string), " +
+          "cast(p AS string))), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   def build(s: SparkSession, dir: String, variant: String = ""): String = {
     val path = root(dir, variant)

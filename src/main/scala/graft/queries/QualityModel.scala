@@ -136,9 +136,9 @@ object QualityModel {
   }
 
   private def lmFingerprint(s: SparkSession, dir: String): String =
-    fingerprintOf(lmCorpus(s, dir))
+    Tables.memoFingerprint(s, dir, "lm.base")(fingerprintOf(lmCorpus(s, dir)))
   private def lmDeltaFingerprint(s: SparkSession, dir: String): String =
-    fingerprintOf(lmDelta(s, dir))
+    Tables.memoFingerprint(s, dir, "lm.delta")(fingerprintOf(lmDelta(s, dir)))
 
   /** LAYERED meta (ClusterStore's device): `base` tracks the training
     * slice, `batch1` the absorbed delta — an absorbed-and-current lap

@@ -81,12 +81,17 @@ object SearchStore {
     * corruption the meta exists to prevent. */
   private val tornValues = Set("absorbing", "compacting", "purging")
 
-  /** Corpus-slice content fingerprint (VocabStore's device). */
+  /** Corpus-slice content fingerprint (VocabStore's device), memoized
+    * behind the data dir's file-stat stamp ([[Tables.memoFingerprint]]) —
+    * the steady-state lifecycle probes this two to three times per lap
+    * over bytes that cannot have changed. */
   private def fingerprint(s: SparkSession, dir: String): String =
-    fingerprintOf(corpusDocs(s, dir))
+    Tables.memoFingerprint(s, dir, "search.base")(
+      fingerprintOf(corpusDocs(s, dir)))
 
   private def deltaFingerprint(s: SparkSession, dir: String): String =
-    fingerprintOf(deltaDocs(s, dir))
+    Tables.memoFingerprint(s, dir, "search.delta")(
+      fingerprintOf(deltaDocs(s, dir)))
 
   private def fingerprintOf(df: DataFrame): String = {
     val r = df
@@ -190,8 +195,15 @@ object SearchStore {
   def absorbFrame(s: SparkSession, batch: DataFrame, dir: String,
       variant: String = ""): Unit = {
     val path = root(dir, variant)
-    appendFrame(s, batch, path)
+    // Same invalidate-BEFORE-mutate bracket as [[absorb]]: flip the
+    // batch row torn first, so a crash mid-append reads as stale (the
+    // next lifecycle rebuilds) — appending first would leave a store
+    // with half a batch's postings that isCurrent reports as current,
+    // and the retry would append the batch a SECOND time (double-counted
+    // df/tf served silently).
     val base = metaRows(s, path).getOrElse("base", "")
+    writeMeta(s, path, Seq("base" -> base, "batch1" -> "absorbing"))
+    appendFrame(s, batch, path)
     writeMeta(s, path, Seq("base" -> base, "batch1" -> "absorbed"))
   }
 

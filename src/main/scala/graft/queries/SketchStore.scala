@@ -55,13 +55,14 @@ object SketchStore {
   }
 
   /** Corpus-slice content fingerprint (VocabStore's device). */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusDocs(s, dir)
-      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "sketch.base") {
+      val r = corpusDocs(s, dir)
+        .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   // ---- q170: count-min sketch + heavy-hitter candidates ----
 

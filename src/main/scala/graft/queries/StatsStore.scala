@@ -61,14 +61,15 @@ object StatsStore {
   /** Content fingerprint of the corpus slice (count + order-independent
     * hash-sum over the stat-relevant columns) — any change to membership,
     * grouping keys, or n_chars moves it. */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusDocs(s, dir)
-      .selectExpr("cast(conv(substring(md5(concat_ws('|', lang, source, " +
-        "cast(n_chars AS string))), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "stats.base") {
+      val r = corpusDocs(s, dir)
+        .selectExpr("cast(conv(substring(md5(concat_ws('|', lang, source, " +
+          "cast(n_chars AS string))), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   def build(s: SparkSession, dir: String, variant: String = ""): String = {
     val path = root(dir, variant)

@@ -85,6 +85,19 @@ object StoreTxn {
     val p = new org.apache.hadoop.fs.Path(root(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
+    // Drop this store's memoized marker nonces: an in-process rebuild
+    // at the same path re-mints the same ids under fresh nonces, and on
+    // a coarse-mtime filesystem (len is a constant 8, so the memo key's
+    // discrimination is mtime alone) a same-tick rebuild could be served
+    // the old store's nonce. Purging here makes the single-JVM rebuild
+    // case exact whatever the filesystem; a SECOND process rebuilding
+    // concurrently under a live reader is outside the protocol's
+    // contract either way (readers of a store being deleted race its
+    // layers too, not just its markers).
+    // (built through Path so normalization matches the memo's key form)
+    val prefix =
+      new org.apache.hadoop.fs.Path(s"${root(dir)}/commits").toString + "/"
+    nonceMemo.keySet.removeIf(_._1.startsWith(prefix))
     val folded = foldedFlag(dir)
     if (fs.exists(folded)) {
       fs.delete(folded, true)
@@ -142,28 +155,40 @@ object StoreTxn {
       s: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    try {
-      if (!fs.exists(p)) Seq.empty
-      else {
-        val names = fs.listStatus(p).toSeq.map(_.getPath.getName)
-        val foreign = names.filterNot(n =>
-          n.matches("c\\d+") || n.startsWith("_") || n.startsWith("."))
-        if (foreign.nonEmpty) throw new IllegalStateException(
-          s"store-txn commit log at $p holds entries of an unknown " +
-            s"layout (${foreign.take(3).mkString(", ")}) — refusing to " +
-            "serve base-only state over what may be another format's log")
-        names.filter(_.matches("c\\d+")).map(_.drop(1).toLong).sorted
-          .map { id =>
-            val nonce = readNonce(fs, commitMarker(dir, id))
-            id -> s"${root(dir)}/${txnDirName(id, nonce)}"
-          }
+    // FileNotFound is benign ONLY for the directory listing itself (the
+    // pre-first-commit state). The per-marker nonce reads get their own
+    // failure policy below: a marker that vanishes between the listing
+    // and its read (a concurrent checkpoint truncation) must NOT drop
+    // the whole log to "no transactions" — that is the silent skew the
+    // loud-IOException policy exists to prevent.
+    val names =
+      try {
+        if (!fs.exists(p)) Seq.empty[String]
+        else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      } catch {
+        case _: java.io.FileNotFoundException => Seq.empty[String]
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"store-txn commit log at $p cannot be listed — refusing to " +
+            "serve base-only state as if no transactions were committed", e)
       }
-    } catch {
-      case e: java.io.FileNotFoundException => Seq.empty
-      case e: java.io.IOException => throw new IllegalStateException(
-        s"store-txn commit log at $p cannot be listed — refusing to " +
-          "serve base-only state as if no transactions were committed", e)
-    }
+    val foreign = names.filterNot(n =>
+      n.matches("c\\d+") || n.startsWith("_") || n.startsWith("."))
+    if (foreign.nonEmpty) throw new IllegalStateException(
+      s"store-txn commit log at $p holds entries of an unknown " +
+        s"layout (${foreign.take(3).mkString(", ")}) — refusing to " +
+        "serve base-only state over what may be another format's log")
+    names.filter(_.matches("c\\d+")).map(_.drop(1).toLong).sorted
+      .map { id =>
+        val nonce =
+          try readNonce(fs, commitMarker(dir, id))
+          catch {
+            case e: java.io.IOException => throw new IllegalStateException(
+              s"commit marker c$id at $p listed but cannot be read (a " +
+                "concurrent checkpoint truncation, or marker IO failure) " +
+                "— refusing to resolve a partial commit log; retry the read", e)
+          }
+        id -> s"${root(dir)}/${txnDirName(id, nonce)}"
+      }
   }
 
   /** The staging nonce a commit marker's content names; "" for the
@@ -603,20 +628,50 @@ object StoreTxn {
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     if (isLocal) {
       val f = new java.io.File(m.toUri.getPath)
-      if (!f.createNewFile()) false
+      if (bytes.isEmpty) f.createNewFile() // legacy empty marker: nothing to tear
       else {
-        if (bytes.nonEmpty) java.nio.file.Files.write(f.toPath, bytes)
-        true
+        // Claim AND content in one atomic step: write the content to a
+        // writer-unique temp file, then hard-LINK it to the marker path —
+        // link(2) fails if the target exists (the losing race outcome)
+        // and otherwise publishes the fully-written content atomically,
+        // so no reader can ever observe a claimed-but-empty marker and a
+        // crash between "claim" and "content" cannot exist (the two are
+        // one syscall). The temp file is unlinked either way.
+        val tmp = new java.io.File(f.getParentFile,
+          s".${f.getName}.claim.${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.write(tmp.toPath, bytes)
+        try {
+          java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        } finally tmp.delete()
       }
     } else {
+      // HDFS/object store: create(overwrite=false) is the atomic claim
+      // (conditional PUT). Only the CREATE maps to "lost the race"; a
+      // failure while WRITING the content means this writer OWNS the
+      // claim — leaving the empty marker behind would burn the id as a
+      // permanently content-less commit (and could resurrect a legacy
+      // bare t<id> dir as committed-visible), so the claim is rolled
+      // back before rethrowing and the commit stays retryable.
+      val out =
+        try fs.create(m, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case _: java.nio.file.FileAlreadyExistsException => return false
+          case e: java.io.IOException if fs.exists(m) => return false
+        }
       try {
-        val out = fs.create(m, false)
         try { if (bytes.nonEmpty) out.write(bytes) } finally out.close()
         true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case e: java.io.IOException if fs.exists(m) => false
+        case e: java.io.IOException =>
+          try fs.delete(m, false)
+          catch { case sup: java.io.IOException => e.addSuppressed(sup) }
+          throw new IllegalStateException(
+            s"won the claim on $m but failed writing its content — claim " +
+              "rolled back; retry the commit", e)
       }
     }
   }
@@ -645,11 +700,6 @@ object StoreTxn {
     *     `t<id>/embed/buckets`.
     * Overwrite mode throughout (crashed-stage retry replaces partials);
     * invisible until [[commit]]. */
-  def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
-      id: Long, nonce: String): Unit =
-    stageIngest(s, dir, embedDelta, GraphStore.deltaPairs(s, dir), id,
-      nonce = nonce)
-
   def stageIngest(s: SparkSession, dir: String, embedDelta: DataFrame,
       id: Long): Unit =
     stageIngest(s, dir, embedDelta, GraphStore.deltaPairs(s, dir), id)

@@ -105,12 +105,21 @@ object Streaming {
   /** Cheap file-stat stamp of a source table — (name, length, mtime) of
     * every data file under `$dir/<table>.parquet`. Metadata only (no
     * Spark job): the corpora are generated once and immutable, so a
-    * stat change is exactly a corpus regeneration. */
-  private def sourceStamp(dir: String, table: String): String = {
-    def files(x: java.io.File): Seq[java.io.File] =
-      if (x.isDirectory) x.listFiles().toSeq.flatMap(files) else Seq(x)
-    files(new java.io.File(s"$dir/$table.parquet")).sortBy(_.getPath)
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString(";")
+    * stat change is exactly a corpus regeneration. Resolved through the
+    * Hadoop FileSystem, not java.io.File: a scheme-qualified data dir
+    * (`file:/…`, `hdfs:/…`) makes java.io probes silently false — the
+    * stamp would go CONSTANT and a regenerated corpus would keep
+    * replaying the stale staged feed — and a permission failure must
+    * throw, not NPE (java.io listFiles returns null on IO error). */
+  private def sourceStamp(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(files)
+      else Seq(st)
+    files(fs.getFileStatus(p)).sortBy(_.getPath.toString)
+      .map(x => s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+      .mkString(";")
   }
 
   private def stagedEventsDir(s: SparkSession, dir: String, eventType: String): String = {
@@ -123,7 +132,7 @@ object Streaming {
     // (written LAST, so a crashed staging re-stages) skips the whole
     // staging when the source table's file stats are unchanged; the
     // underscore prefix keeps it invisible to the file stream source.
-    val stamp = sourceStamp(dir, "events")
+    val stamp = sourceStamp(s, dir, "events")
     val meta = new java.io.File(out, "_staged_meta")
     if (meta.isFile && new String(
         java.nio.file.Files.readAllBytes(meta.toPath),

@@ -51,6 +51,49 @@ object Tables {
     tsFixup(df.schema).map(df.select(_: _*)).getOrElse(df)
   }
 
+  /** Stamp-validated fingerprint memo. Every store's staleness guard is
+    * a deterministic content aggregation over source tables under `dir`
+    * (count + order-independent md5-fragment sum), recomputed on EVERY
+    * isCurrent/absorb probe — two to three corpus scans per steady-state
+    * lifecycle lap whose inputs cannot have changed. The corpora are
+    * immutable once generated, so a metadata-only stat sweep of the data
+    * dir (name, length, mtime of every file) validates reuse exactly:
+    * memo hit = same stamp, any regeneration/append/rewrite moves a
+    * stat and recomputes. The stamp covers the WHOLE dir, not one
+    * table — conservative (any table's change invalidates all
+    * fingerprints for that dir) and immune to a store slicing from a
+    * table the label doesn't name. Contract limit, stated honestly: a
+    * rewrite that preserves every (name, length, mtime) triple defeats
+    * the stamp — the corpora contract (generated once, never edited in
+    * place) is what makes that shape unreachable here; stores guarding
+    * ARBITRARY mutable sources should call their aggregation directly. */
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def dirStamp(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(walk)
+      else Seq(st)
+    walk(fs.getFileStatus(p)).sortBy(_.getPath.toString)
+      .map(x => s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+      .mkString(";")
+  }
+
+  private[queries] def memoFingerprint(s: SparkSession, dir: String,
+      label: String)(compute: => String): String = {
+    val key = s"$label@$dir"
+    val stamp = dirStamp(s, dir)
+    val hit = fpMemo.get(key)
+    if (hit != null && hit._1 == stamp) hit._2
+    else {
+      val fp = compute
+      fpMemo.put(key, (stamp, fp))
+      fp
+    }
+  }
+
   /** The same fixup for a streaming DataFrame (schema known up front). */
   def streamTsFixup(df: DataFrame): DataFrame =
     tsFixup(df.schema).map(df.select(_: _*)).getOrElse(df)

@@ -46,13 +46,14 @@ object VocabStore {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
   /** Corpus-slice content fingerprint (same device as StatsStore). */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusDocs(s, dir)
-      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "vocab.base") {
+      val r = corpusDocs(s, dir)
+        .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   def build(s: SparkSession, dir: String, variant: String = ""): String = {
     val path = root(dir, variant)

@@ -58,13 +58,14 @@ object ZoneMapStore {
   }
 
   /** Base-slice content fingerprint (the family's md5-sum device). */
-  private def fingerprint(s: SparkSession, dir: String): String = {
-    val r = baseOrders(s, dir)
-      .selectExpr("cast(conv(substring(md5(cast(o_orderkey AS string)), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def fingerprint(s: SparkSession, dir: String): String =
+    Tables.memoFingerprint(s, dir, "zonemap.base") {
+      val r = baseOrders(s, dir)
+        .selectExpr("cast(conv(substring(md5(cast(o_orderkey AS string)), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   /** Scheme-free path ("/tmp/...") so zone rows, Hadoop listings
     * (file:/...), and input_file_name URIs (file:///...) all compare. */
