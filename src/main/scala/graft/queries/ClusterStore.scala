@@ -42,16 +42,10 @@ object ClusterStore {
     * lacked: its absorb used to stamp meta "absorbed", forcing a full
     * rebuild every lap). */
   private def writeMeta(s: SparkSession, path: String,
-      rows: Seq[(String, String)]): Unit = {
-    import s.implicits._
-    rows.toDF("kind", "fp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
+      rows: Seq[(String, String)]): Unit = StoreMeta.write(s, path, rows)
 
   private def metaRows(s: SparkSession, path: String): Map[String, String] =
-    try s.read.parquet(s"$path/meta").collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    catch { case _: Exception => Map.empty }
+    StoreMeta.rows(s, path)
 
   /** Content fingerprint over the integer grid of a slice. */
   private def fingerprintOf(se: DataFrame): String = {

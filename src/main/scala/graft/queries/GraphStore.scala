@@ -78,16 +78,10 @@ object GraphStore {
     * re-fold every lap — the exact per-lap probe cost the r17 verdict
     * priced for this family. */
   private def writeMeta(s: SparkSession, path: String,
-      rows: Seq[(String, String)]): Unit = {
-    import s.implicits._
-    rows.toDF("kind", "fp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-  }
+      rows: Seq[(String, String)]): Unit = StoreMeta.write(s, path, rows)
 
   private def metaRows(s: SparkSession, path: String): Map[String, String] =
-    try s.read.parquet(s"$path/meta").collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    catch { case _: Exception => Map.empty }
+    StoreMeta.rows(s, path)
 
   private def deltaFingerprint(s: SparkSession, dir: String): String =
     Tables.memoFingerprint(s, dir, "graph.delta") {

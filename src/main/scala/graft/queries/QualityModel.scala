@@ -145,16 +145,10 @@ object QualityModel {
     * skips retrain AND re-absorb (two fingerprint passes, no writes),
     * where the old flat "absorbed" stamp forced both every lap. */
   private def writeLmMeta(s: SparkSession, dir: String,
-      rows: Seq[(String, String)]): Unit = {
-    import s.implicits._
-    rows.toDF("kind", "fp").coalesce(1)
-      .write.mode("overwrite").parquet(s"${lmRoot(dir)}/meta")
-  }
+      rows: Seq[(String, String)]): Unit = StoreMeta.write(s, lmRoot(dir), rows)
 
   private def lmMetaRows(s: SparkSession, dir: String): Map[String, String] =
-    try s.read.parquet(s"${lmRoot(dir)}/meta").collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    catch { case _: Exception => Map.empty }
+    StoreMeta.rows(s, lmRoot(dir))
 
   def buildLm(s: SparkSession, dir: String): Unit = {
     lmPartials(lmCorpus(s, dir))

@@ -66,16 +66,10 @@ object SearchStore {
     * lap. An old single-column meta fails the (kind, fp) read and
     * self-heals as stale. */
   private def writeMeta(s: SparkSession, path: String,
-      rows: Seq[(String, String)]): Unit = {
-    import s.implicits._
-    rows.toDF("kind", "fp").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
-  }
+      rows: Seq[(String, String)]): Unit = StoreMeta.write(s, path, rows)
 
   private def metaRows(s: SparkSession, path: String): Map[String, String] =
-    try s.read.parquet(s"$path/meta").collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    catch { case _: Exception => Map.empty }
+    StoreMeta.rows(s, path)
 
   /** Verbs that died mid-write — folding or serving these is the
     * corruption the meta exists to prevent. */
