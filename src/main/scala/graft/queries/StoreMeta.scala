@@ -21,11 +21,23 @@ private[queries] object StoreMeta {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Missing or unreadable meta reads as EMPTY — the torn/stale default
-    * every caller's ladder rebuilds from (a meta that cannot be read is
-    * indistinguishable from one a crashed build never wrote). */
+  /** MISSING meta reads as EMPTY — the torn/stale default every
+    * caller's ladder rebuilds from (a meta a crashed build never wrote,
+    * or wrote only a sidecar of, is the legitimate "rebuild me" state).
+    * Any OTHER failure rethrows: a transient listing/IO error swallowed
+    * as "empty" would silently trigger a full store rebuild instead of
+    * a retry — the opposite of the refuse-loudly policy the commit log
+    * enforces for exactly this class of failure. The benign set is
+    * precisely what a missing/never-written meta produces: a
+    * FileNotFound from the scan, or Spark's AnalysisException for a
+    * nonexistent path / a dir with no readable parquet footers (the
+    * crashed-mid-write sidecar-only shape). A PRESENT-but-unreadable
+    * meta (corrupt footer, permission failure) throws through. */
   def rows(s: SparkSession, path: String): Map[String, String] =
     try s.read.parquet(s"$path/meta").collect()
       .map(r => (r.getString(0), r.getString(1))).toMap
-    catch { case _: Exception => Map.empty }
+    catch {
+      case _: java.io.FileNotFoundException => Map.empty
+      case _: org.apache.spark.sql.AnalysisException => Map.empty
+    }
 }
