@@ -151,8 +151,33 @@ object StoreTxn {
     * committed transactions" would silently serve base-only state and
     * re-allocate id 0 over a live layer — exactly the skew the loud
     * IOException policy below exists to prevent — so it throws too. */
+  /** Thread-local FROZEN commit-log override, keyed by store root.
+    * [[checkpointStage]] resolves the log ONCE at entry and pins it
+    * here for the duration of its staged reads, so every table folds
+    * the SAME commit set — without the freeze, each staged table
+    * re-listed the log mid-stage and a transaction landing between two
+    * folds produced a TORN checkpoint (r18 verdict lead: tables
+    * disagreeing on the commit set, and the post-marker publish
+    * deleting a commit the staged fold never saw). Thread-local is
+    * sufficient: the staged reads are driver-side DataFrame
+    * constructions on the calling thread (path lists are fixed at
+    * construction, not at action time). */
+  private val frozenLog =
+    new ThreadLocal[Map[String, Seq[(Long, String)]]] {
+      override def initialValue(): Map[String, Seq[(Long, String)]] =
+        Map.empty
+    }
+
+  private def withFrozenLog[T](dir: String,
+      log: Seq[(Long, String)])(body: => T): T = {
+    val prev = frozenLog.get()
+    frozenLog.set(prev + (root(dir) -> log))
+    try body finally frozenLog.set(prev)
+  }
+
   private[graft] def committedTxnDirs(
       s: SparkSession, dir: String): Seq[(Long, String)] = {
+    frozenLog.get().get(root(dir)).foreach(l => return l)
     val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // FileNotFound is benign ONLY for the directory listing itself (the
@@ -273,9 +298,13 @@ object StoreTxn {
     * [[vacuum]]) and retries on a fresh id. This is the conditional-PUT
     * shape Delta uses (`_delta_log/<version>` put-if-absent): the log
     * entry itself is the arbitration point, and losing a race costs a
-    * re-stage, never a corrupt layered state. Concurrent MAINTENANCE
-    * (checkpoint/vacuum racing an absorb) remains single-writer — the
-    * pending marker blocks readers, not writers. */
+    * re-stage, never a corrupt layered state. Concurrent MAINTENANCE is
+    * closed too: [[checkpoint]] folds a FROZEN commit set persisted at
+    * stage entry (a commit landing mid-stage survives as a layer),
+    * [[commit]] refuses retryably while the publish marker is up, and
+    * [[vacuum]]'s retention guard keeps a live writer's fresh staging
+    * out of reclamation — only `vacuum(retentionMs = 0)` retains the
+    * original must-not-race-a-live-absorb contract. */
   def nextTxnId(s: SparkSession, dir: String): Long =
     committedTxns(s, dir).lastOption.map(_ + 1).getOrElse(0L)
 
@@ -600,6 +629,20 @@ object StoreTxn {
     * only — same-id staging then shares `t<id>/`, the documented
     * pre-nonce contract). */
   def commit(s: SparkSession, dir: String, id: Long, nonce: String = ""): Unit = {
+    // CHECKPOINT INTERLOCK: while `ckpt_pending` is up the publish is
+    // rewriting bases and truncating the log; refusing (retryably) here
+    // means no commit can interleave with the publish window AT ALL —
+    // together with the frozen fold set this closes the old
+    // single-writer maintenance contract from the commit side. The
+    // staging is untouched; the writer retries the SAME id+nonce after
+    // the checkpoint completes (ids allocated before the fold stay
+    // valid: the retained high-water marker keeps allocation monotone).
+    val pend = marker(dir)
+    if (pend.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pend))
+      throw new IllegalStateException(
+        s"store-txn checkpoint at ${root(dir)} is publishing " +
+          "(ckpt_pending is up) — commit refused; retry after " +
+          "StoreTxn.checkpoint completes (staging is preserved)")
     val m = commitMarker(dir, id)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(m.getParent)
@@ -639,12 +682,28 @@ object StoreTxn {
         // one syscall). The temp file is unlinked either way.
         val tmp = new java.io.File(f.getParentFile,
           s".${f.getName}.claim.${java.util.UUID.randomUUID().toString.take(8)}")
-        java.nio.file.Files.write(tmp.toPath, bytes)
         try {
-          java.nio.file.Files.createLink(f.toPath, tmp.toPath)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
+          // the write sits INSIDE the try so a failure (disk full) still
+          // reaches the finally's delete — otherwise the dot-prefixed
+          // temp (invisible to the foreign-layout check by design) would
+          // accumulate in the commits dir
+          java.nio.file.Files.write(tmp.toPath, bytes)
+          try {
+            java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              // mount presents as LocalFileSystem but lacks link(2)
+              // (some overlay/NFS setups): fall back to the O_EXCL
+              // createNewFile + content write — this reopens the
+              // instruction-scale claimed-then-content window, which
+              // readNonce already tolerates as a zero-length marker
+              // ("not yet visible"), so the fallback degrades atomicity
+              // of claim+content, never correctness
+              if (!f.createNewFile()) false
+              else { java.nio.file.Files.write(f.toPath, bytes); true }
+          }
         } finally tmp.delete()
       }
     } else {
@@ -1368,13 +1427,78 @@ object StoreTxn {
 
   // ---- checkpoint: fold committed layers into the base ----
 
+  /** The persisted fold set: `staging_ckpt/_folded`, one `id<TAB>dirName`
+    * line per frozen transaction, written at stage ENTRY. This is the
+    * checkpoint's analogue of Delta naming the version a checkpoint
+    * folds: the publish deletes EXACTLY this set's markers and layer
+    * dirs, so a transaction that commits while the stage (or publish)
+    * is in flight is simply NOT in the file and survives as a layer on
+    * the folded base — sequence numbers already make that read
+    * correctly. */
+  private def foldedFile(dir: String) =
+    new org.apache.hadoop.fs.Path(s"${root(dir)}/staging_ckpt/_folded")
+
+  private def writeFolded(s: SparkSession, dir: String,
+      frozen: Seq[(Long, String)]): Unit = {
+    val f = foldedFile(dir)
+    val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val body = frozen.map { case (id, td) =>
+      s"$id\t${new org.apache.hadoop.fs.Path(td).getName}" }.mkString("\n")
+    val out = fs.create(f, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** None iff the staging carries no fold set — a pending marker raised
+    * by a pre-freeze binary; the caller falls back to the legacy
+    * re-list (correct under that binary's single-writer contract). */
+  private def readFolded(s: SparkSession,
+      dir: String): Option[Seq[(Long, String)]] = {
+    val f = foldedFile(dir)
+    val fs = f.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    val body = try {
+      val len = fs.getFileStatus(f).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    Some(body.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val Array(id, name) = line.split("\t")
+      id.toLong -> s"${root(dir)}/$name"
+    })
+  }
+
   /** Stage the merged (base ∪ committed layers) copy of every table,
     * then raise the pending marker. Split out so the crash window
     * between marker and publish is spec-drivable; [[checkpoint]] is the
     * public verb. The staged copies are pure READS of the committed
-    * state — nothing is mutated until the marker is up. */
-  private[graft] def checkpointStage(s: SparkSession, dir: String): Unit = {
+    * state — nothing is mutated until the marker is up.
+    *
+    * SNAPSHOT-CONSISTENT: the commit log is resolved ONCE at entry (the
+    * frozen fold set), persisted to `staging_ckpt/_folded`, and every
+    * staged read below resolves from that frozen set — so all tables
+    * fold the SAME commit set even when a transaction commits
+    * mid-stage, and [[checkpoint]]'s publish deletes exactly that set,
+    * never a commit the fold didn't include. `midStage` is a spec hook
+    * (default no-op) invoked after the freeze, where a racing writer's
+    * commit would land. */
+  private[graft] def checkpointStage(s: SparkSession, dir: String,
+      midStage: () => Unit = () => ()): Unit = {
     val staging = s"${root(dir)}/staging_ckpt"
+    val frozen = committedTxnDirs(s, dir)
+    writeFolded(s, dir, frozen)
+    midStage()
+    withFrozenLog(dir, frozen) { stageFrozen(s, dir, staging) }
+    val m = marker(dir)
+    m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
+  }
+
+  /** The staged-fold body of [[checkpointStage]] — runs entirely under
+    * the frozen commit log. */
+  private def stageFrozen(s: SparkSession, dir: String,
+      staging: String): Unit = {
     // the text trio folds by the same participation test as the other
     // tiers (a search- or ingest-only session never built these bases —
     // and by the stage-before-commit bracket has no committed text
@@ -1485,8 +1609,6 @@ object StoreTxn {
           mvJoinPartialOf(s, dir, rows, 1)
         }, "mvjbase")
     }
-    val m = marker(dir)
-    m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
   }
 
   private def hasIngestBases(s: SparkSession, dir: String): Boolean = {
@@ -1547,14 +1669,16 @@ object StoreTxn {
     val m = marker(dir)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(m)) checkpointStage(s, dir)
-    // Commit log may be ABSENT (or already emptied) on a redo past
-    // truncation — that reads as "nothing left to fold". A listing
-    // failure RETHROWS (committedTxns' policy): treating a transient IO
-    // error as already-truncated would silently skip deleting the
-    // folded t<id> layer dirs — though even then the dirs are merely
-    // orphaned (no marker references them), so a later vacuum reclaims
-    // them.
-    val folded = committedTxnDirs(s, dir)
+    // Publish deletes EXACTLY the fold set the stage persisted
+    // (`staging_ckpt/_folded`) — never a re-listed one: a transaction
+    // that committed after the freeze is absent from the staged fold,
+    // so deleting its marker/layers here would silently lose committed
+    // data (the r18 verdict lead). The legacy fallback (no _folded:
+    // a pending marker raised by a pre-freeze binary) re-lists, which
+    // is correct under that binary's single-writer contract; an absent
+    // or already-emptied log reads as "nothing left to fold", and a
+    // listing failure rethrows (committedTxns' policy).
+    val folded = readFolded(s, dir).getOrElse(committedTxnDirs(s, dir))
     // staged text copies exist iff the stage saw the text bases — the
     // participation test, applied to the redo side like graph/ann below
     val stagedDedup = new org.apache.hadoop.fs.Path(s"$staging/dedup/exact")
@@ -1670,15 +1794,27 @@ object StoreTxn {
     * This is the one verb that lists the transaction root (listing is
     * its point: orphans are precisely what the commit log does NOT
     * reference) — the listing is O(#staged txns), driver-side, same
-    * bounded class as the commit-log read. Same single-writer
-    * requirement as [[nextTxnId]]: vacuum must not race a live absorb,
-    * whose not-yet-committed staging is indistinguishable from an
-    * orphan. Returns the reclaimed txn ids, ascending. */
-  def vacuum(s: SparkSession, dir: String): Seq[Long] = {
+    * bounded class as the commit-log read.
+    *
+    * RETENTION GUARD (`retentionMs`, Delta's VACUUM retention shape):
+    * a LIVE writer's in-flight staging is indistinguishable from an
+    * orphan by content, but not by AGE — an abandoned staging is old,
+    * an in-flight one fresh. A t-dir (or pre-marker `staging_ckpt/`)
+    * whose mtime is younger than `retentionMs` survives, so vacuum is
+    * safe to race concurrent absorbs whenever the threshold exceeds
+    * the longest stage duration (the dir's mtime is its last
+    * direct-child creation, i.e. ~stage start; size the threshold in
+    * hours against minutes-long stages, exactly Delta's 7-day default
+    * vs file mtimes). `retentionMs = 0` preserves the original
+    * reclaim-everything behavior, which then carries the original
+    * single-writer requirement: with no retention, vacuum must not
+    * race a live absorb. Returns the reclaimed txn ids, ascending. */
+  def vacuum(s: SparkSession, dir: String, retentionMs: Long = 0L): Seq[Long] = {
     requireNoCheckpoint(s, dir)
     val p = new org.apache.hadoop.fs.Path(root(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - retentionMs
     // a t-dir is live iff it IS the dir its id's commit marker resolves
     // to — a LOSING same-id staging (same id, different nonce) is an
     // orphan even though its id is committed
@@ -1686,13 +1822,19 @@ object StoreTxn {
       .map { case (_, td) => new org.apache.hadoop.fs.Path(td).getName }.toSet
     val orphans = fs.listStatus(p).toSeq
       .filter(_.isDirectory)
+      .filter(_.getModificationTime <= cutoff)
       .map(_.getPath)
       .filter(_.getName.matches("t\\d+(-[0-9a-f]+)?"))
       .filter(t => !committedDirs.contains(t.getName))
     orphans.foreach(t => fs.delete(t, true))
     // no pending marker (requireNoCheckpoint above) => any staging_ckpt
-    // is a pre-marker crash remnant, never a redo source
-    fs.delete(new org.apache.hadoop.fs.Path(s"${root(dir)}/staging_ckpt"), true)
+    // is a pre-marker crash remnant, never a redo source — but a LIVE
+    // checkpointStage's staging is exactly as pre-marker, so the same
+    // retention gate applies
+    val ckpt = new org.apache.hadoop.fs.Path(s"${root(dir)}/staging_ckpt")
+    if (fs.exists(ckpt) &&
+        fs.getFileStatus(ckpt).getModificationTime <= cutoff)
+      fs.delete(ckpt, true)
     orphans.map(_.getName.drop(1).takeWhile(_.isDigit).toLong)
       .distinct.sorted
   }

@@ -851,6 +851,105 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("snapshot checkpoint: a commit landing mid-stage survives; all tables fold the frozen set") {
+    // control: both transactions committed, NO checkpoint — the reads
+    // the raced store must land on byte-identically
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"))
+    val wantKeepers = keeperSet
+    val wantStats = statsRows
+    val wantVocab = vocabRows
+
+    // replay: txn 0 committed, txn 1 staged and ready; its commit lands
+    // MID-STAGE of the checkpoint (the spec hook fires right after the
+    // freeze — where a racing writer's marker creation interleaves).
+    // Before the frozen fold set, the post-marker publish re-listed the
+    // log, saw txn 1, and deleted its marker and layer dirs — committed
+    // data silently lost (the r18 verdict lead).
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    val id = StoreTxn.nextTxnId(spark, sf)
+    val nonce = StoreTxn.newNonce()
+    StoreTxn.stage(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"), id, nonce)
+    StoreTxn.checkpointStage(spark, sf,
+      () => StoreTxn.commit(spark, sf, id, nonce))
+    StoreTxn.checkpoint(spark, sf)
+
+    assert(StoreTxn.committedTxnDirs(spark, sf).map(_._1).contains(id),
+      "the mid-stage commit's marker was deleted by the publish")
+    assert(StoreTxn.nextTxnId(spark, sf) == id + 1,
+      "id allocation lost monotonicity across the raced checkpoint")
+    assert(keeperSet == wantKeepers,
+      "mid-stage committed dedup rows lost or torn across the fold")
+    assert(statsRows == wantStats,
+      "stats fold tore across the mid-stage commit")
+    assert(vocabRows == wantVocab,
+      "vocab fold tore across the mid-stage commit")
+    StoreTxn.reset(spark, sf) // heal the folded base for later lifecycles
+    Caches.releaseAll()
+  }
+
+  test("vacuum retention: fresh in-flight staging survives, aged staging is reclaimed") {
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    }
+    val r = StoreTxn.root(sf)
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    val committedKeepers = keeperSet
+    // an uncommitted staging that is FRESH — exactly what a live
+    // writer's in-flight absorb looks like to a directory listing
+    StoreTxn.stage(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"), 1L)
+    assert(StoreTxn.vacuum(spark, sf, retentionMs = 3600000L).isEmpty,
+      "retention vacuum reclaimed a fresh (possibly in-flight) staging")
+    assert(exists(s"$r/t1"), "fresh staging deleted under retention")
+    // age it past the threshold: now it reads as genuinely abandoned
+    assert(new java.io.File(s"$r/t1")
+      .setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(StoreTxn.vacuum(spark, sf, retentionMs = 3600000L) == Seq(1L),
+      "retention vacuum must reclaim staging older than the threshold")
+    assert(!exists(s"$r/t1"), "aged staging survived retention vacuum")
+    assert(keeperSet == committedKeepers,
+      "retention vacuum disturbed the committed read")
+    Caches.releaseAll()
+  }
+
+  test("commit refuses retryably while a checkpoint publish is pending; succeeds after") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    val afterTxn0 = keeperSet
+    val id = StoreTxn.nextTxnId(spark, sf)
+    val nonce = StoreTxn.newNonce()
+    StoreTxn.stage(spark, sf, DedupIndex.batch2Docs(spark, sf),
+      statsDelta("doc_id % 10 = 9"), id, nonce)
+    StoreTxn.checkpointStage(spark, sf) // publish window: marker is up
+    intercept[IllegalStateException](StoreTxn.commit(spark, sf, id, nonce))
+    // the refusal left nothing behind: heal the publish, then the SAME
+    // id+nonce retries cleanly (the frozen fold retained the high-water
+    // marker, so the pre-fold id allocation is still the next id)
+    StoreTxn.checkpoint(spark, sf)
+    StoreTxn.commit(spark, sf, id, nonce)
+    assert(StoreTxn.committedTxnDirs(spark, sf).map(_._1).sorted.last == id,
+      "retried commit did not land after the checkpoint completed")
+    assert(keeperSet != afterTxn0 && keeperSet.size > afterTxn0.size,
+      "the post-checkpoint commit's rows are not readable")
+    StoreTxn.reset(spark, sf) // heal the folded base for later lifecycles
+    Caches.releaseAll()
+  }
+
   test("q147 (transactional) == q134 (independent absorbs) row-identically") {
     val tx = Caches.scoped(
       StoreTxn.queries("q147_tx_store_mix")(spark, sf).collect().toSeq.map(_.toString))
