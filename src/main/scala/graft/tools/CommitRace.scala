@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.{Caches, DedupIndex, StoreTxn}
+
+/**
+ * TWO-PROCESS commit race — the cross-JVM proof behind TxStoreSpec's
+ * two-THREAD race test. The hard-link / conditional-PUT claim in
+ * [[graft.queries.StoreTxn.commit]] is filesystem-atomic, so the
+ * arbitration must hold across separate JVMs on separate page caches,
+ * not just across threads sharing one; `tools/commit_race.sh` forks two
+ * of these children against one store root and one transaction id and
+ * then audits the outcome. Protocol (no parent coordination beyond the
+ * fork):
+ *
+ *   1. `prep`  — reset the store, build the pristine bases.
+ *   2. `race <name> <batch>` ×2 concurrently — each child stages the
+ *      SAME transaction id under its OWN nonce, drops a `_race_ready.*`
+ *      file, spin-waits until BOTH ready files exist (the cross-process
+ *      barrier), then commits. Exactly one `commit` must win; the loser
+ *      must get the loud IllegalStateException. Prints
+ *      `RACE_RESULT name=<n> outcome=winner|loser`.
+ *   3. `check` — audits the post-race store: exactly one committed
+ *      transaction, its marker content resolves to an existing layer
+ *      dir, the reader's keeper set is exactly base ∪ the winner's kept
+ *      rows (never a torn mix), and vacuum reclaims exactly the loser's
+ *      same-id orphan without moving the read. Prints `RACE_CHECK ok`.
+ *
+ * Children run plain `java -cp` over the compiled classes plus the
+ * Spark jars dir (see the script) — sbt's in-process classloader cannot
+ * fork itself, which is why this lives as a tool, not a ScalaTest case.
+ */
+object CommitRace {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def session(app: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName(app)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def readyFile(name: String) =
+    java.nio.file.Paths.get(StoreTxn.root(sf), s"_race_ready.$name")
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "prep" :: Nil =>
+      val s = session("race-prep")
+      StoreTxn.reset(s, sf)
+      StoreTxn.ensureBases(s, sf)
+      // stale barrier files from a previous run would unblock a lone child
+      java.nio.file.Files.deleteIfExists(readyFile("A"))
+      java.nio.file.Files.deleteIfExists(readyFile("B"))
+      println("RACE_PREP ok")
+      s.stop()
+
+    case "race" :: name :: Nil =>
+      val s = session(s"race-$name")
+      val batch =
+        if (name == "A") DedupIndex.batch1Docs(s, sf)
+        else DedupIndex.batch2Docs(s, sf)
+      val stats = graft.queries.Tables.t(s, sf, "documents")
+        .where(if (name == "A") "doc_id % 10 >= 7 AND doc_id % 10 < 9"
+               else "doc_id % 10 = 9")
+      val id = StoreTxn.nextTxnId(s, sf)
+      val nonce = StoreTxn.newNonce()
+      StoreTxn.stage(s, sf, batch, stats, id, nonce)
+      java.nio.file.Files.write(readyFile(name), Array.emptyByteArray)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!(java.nio.file.Files.exists(readyFile("A")) &&
+               java.nio.file.Files.exists(readyFile("B")))) {
+        if (System.currentTimeMillis() > deadline)
+          sys.error(s"race barrier timed out in $name")
+        Thread.sleep(5)
+      }
+      val outcome =
+        try { StoreTxn.commit(s, sf, id, nonce); "winner" }
+        catch { case _: IllegalStateException => "loser" }
+      println(s"RACE_RESULT name=$name id=$id outcome=$outcome")
+      s.stop()
+
+    case "check" :: Nil =>
+      val s = session("race-check")
+      val dirs = StoreTxn.committedTxnDirs(s, sf)
+      require(dirs.size == 1, s"commit log torn across processes: $dirs")
+      val (id, winnerDir) = dirs.head
+      val hp = new org.apache.hadoop.fs.Path(winnerDir)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.exists(hp),
+        s"marker resolves to a missing layer dir: $winnerDir")
+      // the loser's same-id staging must be on disk as an ORPHAN — a
+      // different nonce'd t<id>-* dir the commit log never references
+      val winnerName = hp.getName
+      val tdirs = fs.listStatus(new org.apache.hadoop.fs.Path(StoreTxn.root(sf)))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.matches(s"t$id(-[0-9a-f]+)?")).toSeq.sorted
+      require(tdirs.contains(winnerName) && tdirs.size == 2,
+        s"expected winner layer + loser orphan for t$id, got: $tdirs")
+      // reader sees winner's rows, and only them beyond the base: every
+      // kept row of the winner's layer is readable, and reclaiming the
+      // loser's orphan moves nothing
+      def keepers: Set[Long] = Caches.scoped(
+        StoreTxn.keeperIdsTx(s, sf).collect().map(_.getLong(0)).toSet)
+      val winnerKept = Caches.scoped(
+        s.read.parquet(s"$winnerDir/kept").select("doc_id")
+          .collect().map(_.getLong(0)).toSet)
+      val before = keepers
+      require(winnerKept.subsetOf(before),
+        "winner's committed rows are not all readable")
+      require(StoreTxn.vacuum(s, sf) == Seq(id),
+        "vacuum did not reclaim exactly the loser's same-id orphan")
+      require(keepers == before, "vacuum disturbed the committed read")
+      println(s"RACE_CHECK ok id=$id winner=$winnerName")
+      s.stop()
+
+    case other =>
+      sys.error(s"usage: prep | race <A|B> | check (got: $other)")
+  }
+}
