@@ -130,5 +130,20 @@ def main():
     spark.stop()
 
 
+def test_iforest_bridge(graft_classes, bridge_fixture_dir, tmp_path):
+    """Standalone pytest entry: same run the Scala harness drives, with
+    argv derived by conftest (classes dir, BridgeFixture golden dump)."""
+    import sys as _sys
+    argv = _sys.argv
+    _sys.argv = [__file__, graft_classes,
+                 os.path.join(bridge_fixture_dir, "fixture"),
+                 os.path.join(bridge_fixture_dir, "expected"),
+                 str(tmp_path)]
+    try:
+        main()
+    finally:
+        _sys.argv = argv
+
+
 if __name__ == "__main__":
     main()

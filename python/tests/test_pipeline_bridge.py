@@ -604,5 +604,17 @@ def main():
     spark.stop()
 
 
+def test_pipeline_bridge(graft_classes, sf_dir):
+    """Standalone pytest entry: same run the Scala harness drives, with
+    argv derived by conftest (classes dir, testdata dir)."""
+    import sys as _sys
+    argv = _sys.argv
+    _sys.argv = [__file__, graft_classes, sf_dir]
+    try:
+        main()
+    finally:
+        _sys.argv = argv
+
+
 if __name__ == "__main__":
     main()
