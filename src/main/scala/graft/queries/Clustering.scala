@@ -304,6 +304,73 @@ object Clustering {
       .orderBy(col("overlap5"))
   }
 
+  private[graft] val ivfNprobe = 2
+
+  /** ORACLED IVF RECALL AUDIT (q219) — q215's overlap@5 device pointed
+    * at the INVERTED-LIST family: the coarse quantizer is q207's
+    * engineered-deterministic integer Lloyd's (nlist = 4 lists over the
+    * unit-normalized shifted grid — the q217 geometry, same documented
+    * ULP assumption), each training row lands in its nearest-centroid
+    * list, and a query probes its `ivfNprobe` = 2 nearest lists —
+    * candidates are a cid EQUI-join (≈ nprobe/nlist of the corpus),
+    * then the exact integer re-rank with q215's (dist, t_id) order.
+    * Every stage — clustering, list assignment, probe choice, re-rank,
+    * the overlap histogram — replays bit-for-bit in DuckDB, so the IVF
+    * recall NUMBER is hash-checked the way q215 hash-checks the
+    * hyperplane tier's: the last ANN family whose recall was only
+    * spec-gated (ModulesSpec floors on the gaussian-seeded q49/q59
+    * production tiers) now has an oracled twin. Scale: centroids are
+    * k×dim broadcast geometry; the inverted lists partition by cid
+    * (nothing corpus-sized broadcasts — the probe set is ≤ evalN ×
+    * nprobe rows); the exact side is the q209 sweep, constant-bounded
+    * by the evalN = 200 broadcast, inherent to any recall audit. */
+  def ivfRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val se = Caches.persist(semGrid(s, dir))
+    val (cents, _) = lloyds(s, se)
+    val cdf = broadcast(cents.toDF("cid", "ce"))
+    def d(a: String, b: String) = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val train = se.where("vec_id % 10 < 8")
+      .select(col("vec_id").as("t_id"), col("e").as("te"))
+    // inverted lists: nearest-centroid assignment under the FINAL
+    // centroids (map-side argmin over broadcast geometry, ties by cid)
+    val lists = train.crossJoin(cdf)
+      .withColumn("dc", d("te", "ce"))
+      .groupBy(col("t_id")).agg(min(struct(col("dc"), col("cid"))).as("m"))
+      .select(col("t_id"), col("m.cid").as("cid"))
+      .join(train, "t_id")
+    val test = Caches.persist(se.where("vec_id % 10 >= 8")
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(evalN)
+      .select(col("vec_id").as("q_id"), col("e").as("qe")))
+    // probe set: the nprobe nearest lists per query — evalN×k rows
+    // ranked by a bounded window, output ≤ evalN × nprobe
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dc"), col("cid"))
+    val probes = test.crossJoin(cdf)
+      .withColumn("dc", d("qe", "ce"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= ivfNprobe)
+      .select(col("q_id"), col("cid"), col("qe"))
+    val exact5 = graft.plans.TopKPerKey.topK(
+      train.crossJoin(broadcast(test))
+        .withColumn("negd", -d("te", "qe").cast("double"))
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    val ann5 = graft.plans.TopKPerKey.topK(
+      lists.join(broadcast(probes), Seq("cid"))
+        .withColumn("negd", -d("te", "qe").cast("double"))
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    val inter = exact5.select(col("q_id"), col("t_id"))
+      .join(ann5.select(col("q_id"), col("t_id")), Seq("q_id", "t_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("o"))
+    test.select(col("q_id")).join(inter, Seq("q_id"), "left")
+      .selectExpr("coalesce(o, 0L) AS overlap5")
+      .groupBy(col("overlap5")).agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("overlap5"))
+  }
+
   /** Exact eps-neighborhood edge set {(u,v) : u ≠ v, ‖u−v‖² ≤ eps} via
     * GRID-BLOCKED candidate generation — a shuffled EQUI-JOIN on cell
     * keys, never a corpus broadcast or cartesian:
@@ -482,7 +549,23 @@ object Clustering {
 
   /** The q217/q218 grid: unit-normalized (cosine geometry — where
     * semantic similarity lives), 1e6 integer grid, +1e6 shift so the
-    * centroid means' integer divisions agree cross-engine. */
+    * centroid means' integer divisions agree cross-engine.
+    *
+    * CROSS-ENGINE FLOAT ASSUMPTION (unlike q207's scaled(), which is a
+    * single bit-exact multiply+floor per element): the norm is a
+    * double sum-of-squares — Spark's left-fold `aggregate` vs DuckDB's
+    * `list_sum` — and the quotient feeds floor(v·1e6 + 0.5), so a
+    * coordinate within ~1 ULP of a rounding boundary could flip a grid
+    * cell between engines. Both engines sum 64 same-order doubles
+    * left-to-right here (DuckDB's list_sum over a list preserves
+    * element order), and the corpus's float32-born values sit ~2^23
+    * away from .5-boundaries after the ÷norm·1e6 map, so the boundary
+    * case has measure ≈ 0 on this data; q209/q214/q215 (same device,
+    * three rounds green) pin it empirically. If an engine ever changes
+    * its list-fold order, the exact fix is mechanical: compute the
+    * sum-of-squares on the pre-scaled integer grid (bigint-exact) and
+    * divide once — kept out of the shipped path only because it would
+    * re-hash six green queries for a regime the data cannot reach. */
   private[queries] def semGrid(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS ed")
@@ -574,7 +657,8 @@ object Clustering {
     "q214_knn_ann" -> ((s, dir) => knnAnnClassify(s, dir)),
     "q215_ann_recall" -> ((s, dir) => annRecallAudit(s, dir)),
     "q217_sem_dedup" -> ((s, dir) => semDedup(s, dir)),
-    "q218_proto_prune" -> ((s, dir) => prototypePrune(s, dir))
+    "q218_proto_prune" -> ((s, dir) => prototypePrune(s, dir)),
+    "q219_ivf_recall" -> ((s, dir) => ivfRecallAudit(s, dir))
   )
 
   // generated per-round CTE chain (q176's oracle device)
@@ -704,6 +788,54 @@ object Clustering {
          |   WHERE vec_id NOT IN (SELECT u FROM core)
          |     AND vec_id NOT IN (SELECT u FROM border))::BIGINT
          |ORDER BY cluster_id""".stripMargin,
+    // q215's overlap device over the IVF tier: the q207 chain provides
+    // the coarse quantizer, tl assigns training rows to their nearest
+    // list, qp picks each query's nprobe nearest lists, and the
+    // candidate join walks only the probed lists — the same
+    // approximation the Spark side computes, intersected against the
+    // exact sweep per query
+    "q219_ivf_recall" ->
+      s"""WITH se AS ($semGridSql),
+         |c0 AS (SELECT vec_id AS cid, e FROM se WHERE vec_id < $k),
+         |$kmeansChain,
+         |tr AS (SELECT vec_id AS t_id, e AS a FROM se WHERE vec_id % 10 < 8),
+         |tld AS (SELECT tr.t_id, c$rounds.cid,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      j -> (tr.a[j] - c$rounds.e[j]) * (tr.a[j] - c$rounds.e[j]))) AS dc
+         |  FROM tr CROSS JOIN c$rounds),
+         |tl AS (SELECT t_id, cid FROM (SELECT t_id, cid,
+         |    row_number() OVER (PARTITION BY t_id ORDER BY dc, cid) AS rn
+         |  FROM tld) WHERE rn = 1),
+         |ev AS (SELECT vec_id AS q_id, e AS bb FROM se WHERE vec_id % 10 >= 8
+         |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $evalN),
+         |qpd AS (SELECT ev.q_id, c$rounds.cid,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      j -> (ev.bb[j] - c$rounds.e[j]) * (ev.bb[j] - c$rounds.e[j]))) AS dc
+         |  FROM ev CROSS JOIN c$rounds),
+         |qp AS (SELECT q_id, cid FROM (SELECT q_id, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dc, cid) AS rn
+         |  FROM qpd) WHERE rn <= $ivfNprobe),
+         |dx AS (SELECT q_id, t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - bb[i]) * (a[i] - bb[i]))) AS dist
+         |  FROM tr CROSS JOIN ev),
+         |ex5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM dx) WHERE rn <= 5),
+         |da AS (SELECT ev.q_id, tr.t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (tr.a[i] - ev.bb[i]) * (tr.a[i] - ev.bb[i]))) AS dist
+         |  FROM tr JOIN tl USING (t_id) JOIN qp ON qp.cid = tl.cid
+         |  JOIN ev ON ev.q_id = qp.q_id),
+         |an5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM da) WHERE rn <= 5),
+         |ov AS (SELECT ex5.q_id, count(*) AS o
+         |  FROM ex5 JOIN an5 USING (q_id, t_id) GROUP BY ex5.q_id)
+         |SELECT coalesce(ov.o, 0)::BIGINT AS overlap5,
+         |  count(*)::BIGINT AS n_queries
+         |FROM ev LEFT JOIN ov ON ov.q_id = ev.q_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the two k5 chains side by side — exact (CROSS JOIN) and
     // bucket-pruned (b-equi-join) — intersected per query; the left
     // join keeps bucket-starved queries at overlap 0

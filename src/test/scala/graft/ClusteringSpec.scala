@@ -185,6 +185,25 @@ class ClusteringSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("ivf recall audit: histogram covers the whole eval set; probing half the lists finds neighbors") {
+    val rows = Caches.scoped(
+      Clustering.ivfRecallAudit(spark, sf).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))))
+    assert(rows.nonEmpty, "empty ivf recall histogram")
+    assert(rows.forall { case (o, _) => o >= 0 && o <= 5 },
+      s"overlap outside 0..5: $rows")
+    val evalSize = Caches.scoped(
+      graft.queries.Tables.t(spark, sf, "embeddings")
+        .where("vec_id % 10 >= 8").limit(Clustering.evalN).count())
+    assert(rows.map(_._2).sum == math.min(evalSize, Clustering.evalN),
+      s"histogram dropped queries: ${rows.map(_._2).sum} of $evalSize")
+    // nprobe = 2 of 4 lists walks ~half the corpus — the audit is
+    // meaningless if the probed lists never contain a true neighbor
+    val hits = rows.collect { case (o, n) if o > 0 => o * n }.sum
+    assert(hits > 0, s"ivf probes found zero true neighbors: $rows")
+    Caches.releaseAll()
+  }
+
   test("dbscan neighbor pass plans as an equi-join: no cartesian, no corpus broadcast-NL") {
     val nb = Clustering.epsNeighbors(
       Clustering.dbscanSlice(spark, sf), Clustering.dbscanEps)
