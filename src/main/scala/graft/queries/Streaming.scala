@@ -88,10 +88,10 @@ object Streaming {
     s.table(table)
   }
 
-  /** Stage the events table as four time-range parquet files plus one
-    * far-future SENTINEL row, with strictly increasing file mtimes in
-    * range order — the multi-batch, watermark-advancing feed an OUTER
-    * stream-stream join needs. Unmatched left rows only emit once the
+  /** Stage the events table as `feedRanges` time-range parquet files
+    * plus two far-future SENTINEL rows, with strictly increasing file
+    * mtimes in range order — the multi-batch, watermark-advancing feed
+    * an OUTER stream-stream join needs. Unmatched left rows only emit once the
     * watermark passes their join window, and a watermark only moves
     * between micro-batches; a single-file source is one batch, so a
     * left-outer join over it would emit no unmatched rows at all. The
@@ -122,6 +122,19 @@ object Streaming {
       .mkString(";")
   }
 
+  /** Time-range files per staged topic. Two is the measured sweet spot:
+    * each micro-batch carries ~600-800 ms of FIXED cost at local[32]
+    * (profiled per-batch: addBatch dominates and is flat for 0-row
+    * batches — scheduler + state-commit floor, provider-independent),
+    * so batch count is what the replay pays for. Two ranges + two
+    * sentinels + the trailing no-data flush = 5 batches, preserving
+    * every eviction regime the 4-range feed exercised: nulls emit
+    * across a REAL data-data boundary (range-1 clicks whose window
+    * closes under range-2's watermark), a data-sentinel boundary, and
+    * the sentinel-sentinel terminal flush. Bust-on-change: the value
+    * is folded into the staging stamp below. */
+  private val feedRanges = 2
+
   private def stagedEventsDir(s: SparkSession, dir: String, eventType: String): String = {
     val h = Tables.dirHash(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft_staged_${eventType}_$h"
@@ -132,7 +145,7 @@ object Streaming {
     // (written LAST, so a crashed staging re-stages) skips the whole
     // staging when the source table's file stats are unchanged; the
     // underscore prefix keeps it invisible to the file stream source.
-    val stamp = sourceStamp(s, dir, "events")
+    val stamp = s"${sourceStamp(s, dir, "events")};ranges=$feedRanges"
     val meta = new java.io.File(out, "_staged_meta")
     if (meta.isFile && new String(
         java.nio.file.Files.readAllBytes(meta.toPath),
@@ -140,7 +153,7 @@ object Streaming {
       return out
     val ev = Tables.t(s, dir, "events")
     ev.where(col("event_type") === eventType)
-      .repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(out)
+      .repartitionByRange(feedRanges, col("ts")).write.mode("overwrite").parquet(out)
     val fs = new java.io.File(out)
     def parts = fs.listFiles().filter(f => f.getName.startsWith("part-"))
     val base = System.currentTimeMillis() - 3600000L
