@@ -120,5 +120,7 @@ object GraftExtensions {
       RepetitionChars(exprs.head)),
     "shingle_gen" -> ((exprs: Seq[Expression]) =>
       ShingleGenerator(exprs(0), exprs(1))),
+    "l2sq_long" -> ((exprs: Seq[Expression]) =>
+      L2SqLong(exprs(0), exprs(1))),
   )
 }
