@@ -1662,7 +1662,16 @@ object StoreTxn {
     *   4. marker cleared LAST. A crash anywhere in 3 heals by re-running
     *      checkpoint: the marker routes it straight back to publish,
     *      which is idempotent — every step rewrites from the staged
-    *      copies or deletes. */
+    *      copies or deletes.
+    *
+    * CONCURRENCY CONTRACT: checkpoint is safe against concurrent
+    * WRITERS (the frozen fold set keeps a mid-stage commit out of the
+    * publish's delete list, and [[commit]] refuses while the marker is
+    * up), but MAINTENANCE remains one-at-a-time — two drivers running
+    * checkpoint (or checkpoint racing vacuum) share one `staging_ckpt/`
+    * and would interleave staged writes. Delta has the same shape
+    * (checkpoints are written by one optimizer job); schedule the verbs
+    * from a single maintenance owner. */
   def checkpoint(s: SparkSession, dir: String): Unit = {
     val r = root(dir)
     val staging = s"$r/staging_ckpt"
