@@ -67,7 +67,8 @@ __all__ = [
     "audit_expectations", "audit_k_anonymity", "audit_fk",
     # verified-ML family + cluster-profile store
     "ml_kmeans", "ml_perceptron", "ml_knn_classify", "ml_dbscan",
-    "ml_knn_ann", "ml_ann_recall", "ml_sem_dedup", "ml_proto_prune",
+    "ml_knn_ann", "ml_ann_recall", "ml_ivf_recall", "ml_sem_dedup",
+    "ml_proto_prune",
     "build_cluster_store_if_stale", "absorb_cluster_delta",
     "cluster_profile", "cluster_drift", "compact_cluster_store",
     # mergeable sketch store
@@ -940,6 +941,13 @@ def ml_ann_recall(spark, data_dir):
     """q215's oracled recall audit: overlap@5 histogram between the
     exact and bucket-pruned 5-NN (hash-checked recall measurement)."""
     jdf = _bridge(spark).mlAnnRecall(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_ivf_recall(spark, data_dir):
+    """q219's oracled IVF recall audit: overlap@5 histogram between the
+    exact 5-NN and the nprobe=2 inverted-list candidates."""
+    jdf = _bridge(spark).mlIvfRecall(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

@@ -539,6 +539,13 @@ def main():
     assert sum(r["n_queries"] for r in
                gp.ml_ann_recall(spark, sf_dir).collect()) == min(200, held), \
         "recall histogram does not cover the eval set"
+    ivf = sorted(map(str, gp.ml_ivf_recall(spark, sf_dir).collect()))
+    assert ivf == sorted(map(str, gp.run_query(
+        spark, "q219_ivf_recall", sf_dir).collect())), \
+        "ml_ivf_recall diverged from the oracled q219 entry"
+    assert sum(r["n_queries"] for r in
+               gp.ml_ivf_recall(spark, sf_dir).collect()) == min(200, held), \
+        "ivf recall histogram does not cover the eval set"
     gp.release_caches(spark)
 
     # q217/q218 parity: the SemDeDup and prototype-pruning wrappers

@@ -694,6 +694,12 @@ object PipelineBridge {
   def mlAnnRecall(s: SparkSession, dir: String): DataFrame =
     queries.Clustering.annRecallAudit(s, dir)
 
+  /** q219's oracled IVF recall audit: overlap@5 histogram between the
+    * exact 5-NN and the nprobe=2 inverted-list candidates — the
+    * hash-checked recall measurement of the IVF family. */
+  def mlIvfRecall(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.ivfRecallAudit(s, dir)
+
   /** q217's SemDeDup pass: deterministic k-means blocking, then
     * within-cluster near-dup drops (smaller-id keeper rule); per-cluster
     * (n_members, n_dropped, kept_id_sum). */
