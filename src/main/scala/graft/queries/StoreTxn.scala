@@ -177,7 +177,8 @@ object StoreTxn {
 
   private[graft] def committedTxnDirs(
       s: SparkSession, dir: String): Seq[(Long, String)] = {
-    frozenLog.get().get(root(dir)).foreach(l => return l)
+    val frozen = frozenLog.get().get(root(dir))
+    if (frozen.isDefined) return frozen.get
     val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // FileNotFound is benign ONLY for the directory listing itself (the
@@ -700,9 +701,21 @@ object StoreTxn {
               // instruction-scale claimed-then-content window, which
               // readNonce already tolerates as a zero-length marker
               // ("not yet visible"), so the fallback degrades atomicity
-              // of claim+content, never correctness
+              // of claim+content, never correctness. A FAILED content
+              // write rolls the claim back (the HDFS path's rule):
+              // leaving the empty marker would burn the id as a
+              // permanently content-less commit.
               if (!f.createNewFile()) false
-              else { java.nio.file.Files.write(f.toPath, bytes); true }
+              else {
+                try { java.nio.file.Files.write(f.toPath, bytes); true }
+                catch {
+                  case e: java.io.IOException =>
+                    f.delete()
+                    throw new IllegalStateException(
+                      s"won the claim on $m but failed writing its " +
+                        "content — claim rolled back; retry the commit", e)
+                }
+              }
           }
         } finally tmp.delete()
       }
