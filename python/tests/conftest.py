@@ -19,7 +19,6 @@ import os
 import shutil
 import subprocess
 import sys
-import tempfile
 
 import pytest
 
@@ -57,12 +56,14 @@ def sf_dir():
 
 
 @pytest.fixture(scope="session")
-def bridge_fixture_dir(graft_classes):
+def bridge_fixture_dir(graft_classes, tmp_path_factory):
     if shutil.which("java") is None:
         pytest.skip("java not on PATH")
     if not os.path.isdir(_SPARK_JARS):
         pytest.skip(f"Spark jars dir not found: {_SPARK_JARS}")
-    work = tempfile.mkdtemp(prefix="graft-pytest-bridge-")
+    # pytest's session tmp dir: retention-managed (old runs pruned
+    # automatically), unlike a bare mkdtemp that accretes forever
+    work = str(tmp_path_factory.mktemp("bridge-fixture"))
     cp = f"{graft_classes}:{_SPARK_JARS}/*"
     proc = subprocess.run(
         ["java", "--add-exports=java.base/sun.nio.ch=ALL-UNNAMED",

@@ -21,23 +21,34 @@ private[queries] object StoreMeta {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** MISSING meta reads as EMPTY — the torn/stale default every
-    * caller's ladder rebuilds from (a meta a crashed build never wrote,
-    * or wrote only a sidecar of, is the legitimate "rebuild me" state).
-    * Any OTHER failure rethrows: a transient listing/IO error swallowed
-    * as "empty" would silently trigger a full store rebuild instead of
-    * a retry — the opposite of the refuse-loudly policy the commit log
-    * enforces for exactly this class of failure. The benign set is
-    * precisely what a missing/never-written meta produces: a
-    * FileNotFound from the scan, or Spark's AnalysisException for a
-    * nonexistent path / a dir with no readable parquet footers (the
-    * crashed-mid-write sidecar-only shape). A PRESENT-but-unreadable
-    * meta (corrupt footer, permission failure) throws through. */
-  def rows(s: SparkSession, path: String): Map[String, String] =
-    try s.read.parquet(s"$path/meta").collect()
-      .map(r => (r.getString(0), r.getString(1))).toMap
-    catch {
-      case _: java.io.FileNotFoundException => Map.empty
-      case _: org.apache.spark.sql.AnalysisException => Map.empty
-    }
+  /** MISSING or WRONG-SHAPED meta reads as EMPTY — the torn/stale
+    * default every caller's ladder rebuilds from. Two benign classes:
+    *   - missing/never-written: FileNotFound from the scan, or Spark's
+    *     AnalysisException for a nonexistent path / a dir with no
+    *     readable parquet footers (the crashed-mid-write sidecar-only
+    *     shape);
+    *   - legacy/foreign LAYOUT: a readable parquet whose schema is not
+    *     two leading string columns — e.g. the pre-r18 single-column
+    *     flat stamp, whose documented contract (SearchStore's ladder)
+    *     is "fails the (kind, fp) read and self-heals as stale". The
+    *     shape is checked BEFORE collecting so the heal stays a schema
+    *     decision, never an exception-classification one.
+    * Any OTHER failure rethrows: a transient IO error (corrupt footer,
+    * permission failure) swallowed as "empty" would silently trigger a
+    * full store rebuild instead of a retry — the opposite of the
+    * refuse-loudly policy the commit log enforces for exactly this
+    * class of failure. */
+  def rows(s: SparkSession, path: String): Map[String, String] = {
+    import org.apache.spark.sql.types.StringType
+    val df =
+      try s.read.parquet(s"$path/meta")
+      catch {
+        case _: java.io.FileNotFoundException => return Map.empty
+        case _: org.apache.spark.sql.AnalysisException => return Map.empty
+      }
+    val shapeOk = df.schema.length >= 2 &&
+      df.schema.take(2).forall(_.dataType == StringType)
+    if (!shapeOk) return Map.empty // legacy/foreign layout ⇒ stale
+    df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+  }
 }

@@ -631,13 +631,18 @@ object StoreTxn {
     * pre-nonce contract). */
   def commit(s: SparkSession, dir: String, id: Long, nonce: String = ""): Unit = {
     // CHECKPOINT INTERLOCK: while `ckpt_pending` is up the publish is
-    // rewriting bases and truncating the log; refusing (retryably) here
-    // means no commit can interleave with the publish window AT ALL —
-    // together with the frozen fold set this closes the old
-    // single-writer maintenance contract from the commit side. The
-    // staging is untouched; the writer retries the SAME id+nonce after
-    // the checkpoint completes (ids allocated before the fold stay
-    // valid: the retained high-water marker keeps allocation monotone).
+    // rewriting bases and truncating the log; refuse (retryably) rather
+    // than land a commit nobody can read yet (readers refuse the whole
+    // window). The check is check-then-act — a marker raised BETWEEN
+    // this probe and the claim below lets one commit slip into the
+    // publish window — so this is a courtesy fence, not the safety
+    // mechanism: CORRECTNESS against a racing checkpoint rests entirely
+    // on the frozen fold set (publish deletes exactly `_folded`'s ids,
+    // so a commit landing anywhere in the window survives as a layer).
+    // The staging is untouched; the writer retries the SAME id+nonce
+    // after the checkpoint completes (ids allocated before the fold
+    // stay valid: the retained high-water marker keeps allocation
+    // monotone).
     val pend = marker(dir)
     if (pend.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pend))
       throw new IllegalStateException(
@@ -694,17 +699,23 @@ object StoreTxn {
             true
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
-            case _: UnsupportedOperationException =>
-              // mount presents as LocalFileSystem but lacks link(2)
-              // (some overlay/NFS setups): fall back to the O_EXCL
-              // createNewFile + content write — this reopens the
-              // instruction-scale claimed-then-content window, which
-              // readNonce already tolerates as a zero-length marker
-              // ("not yet visible"), so the fallback degrades atomicity
-              // of claim+content, never correctness. A FAILED content
-              // write rolls the claim back (the HDFS path's rule):
-              // leaving the empty marker would burn the id as a
-              // permanently content-less commit.
+            // link(2)-less mounts surface two ways: providers that
+            // don't implement createLink at all throw UOE, while the
+            // default Unix provider maps the syscall's EPERM/EOPNOTSUPP
+            // to FileSystemException (FAEE, the lost-race outcome, is
+            // its subclass and is matched ABOVE). Either way: fall back
+            // to the O_EXCL createNewFile + content write — this
+            // reopens the instruction-scale claimed-then-content
+            // window, which readNonce already tolerates as a
+            // zero-length marker ("not yet visible"), so the fallback
+            // degrades atomicity of claim+content, never correctness.
+            // A FAILED content write rolls the claim back (the HDFS
+            // path's rule): leaving the empty marker would burn the id
+            // as a permanently content-less commit. A fallback that
+            // fails too (a genuine IO problem, not a link limitation)
+            // still fails loudly through createNewFile/write.
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
               if (!f.createNewFile()) false
               else {
                 try { java.nio.file.Files.write(f.toPath, bytes); true }

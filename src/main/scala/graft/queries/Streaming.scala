@@ -94,11 +94,15 @@ object Streaming {
     * an OUTER stream-stream join needs. Unmatched left rows only emit once the
     * watermark passes their join window, and a watermark only moves
     * between micro-batches; a single-file source is one batch, so a
-    * left-outer join over it would emit no unmatched rows at all. The
-    * sentinel (ts = max + 240 h, event_type 'sentinel' — filtered from
-    * both join sides but seen by both watermark operators, which sit
-    * BEFORE the type filters) pushes the final watermark past every
-    * click's window so terminal state flushes. On a real cluster the
+    * left-outer join over it would emit no unmatched rows at all. Each
+    * sentinel row (ts = max + 240/480 h) carries the FEED'S OWN
+    * event_type — each topic is already a pre-filtered staged feed, so
+    * a type tag could never be filtered in-stream anyway — and is kept
+    * out of the join RESULT by its user_id = -1 (never matches a real
+    * user; the left sentinel's own unmatched emission is dropped by the
+    * query's click_id >= 0 output filter). Its job is purely to push
+    * the final watermark past every click's window so terminal state
+    * flushes. On a real cluster the
     * stream reads the live event log and new arrivals play the sentinel's
     * role; this staging exists only to make a bounded replay behave like
     * one. */

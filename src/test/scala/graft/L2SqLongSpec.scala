@@ -49,6 +49,27 @@ class L2SqLongSpec extends AnyFunSuite {
     }
   }
 
+  test("null surface matches the HOF chain: length mismatch and null elements read NULL") {
+    graft.functions.L2SqLong.register(spark)
+    // zip_with pads the shorter side with nulls and a null poisons the
+    // aggregate — so the chain returns NULL for both shapes, and the
+    // kernel must too (a silent 0 or truncated sum would be a wrong
+    // distance for any SQL caller)
+    val rows = spark.sql(
+      """SELECT
+        |  l2sq_long(array(1L, 2L, 3L), array(1L)) AS mismatch_native,
+        |  aggregate(zip_with(array(1L, 2L, 3L), array(1L),
+        |    (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v) AS mismatch_hof,
+        |  l2sq_long(array(1L, cast(null AS bigint)), array(1L, 2L)) AS nullelem_native,
+        |  aggregate(zip_with(array(1L, cast(null AS bigint)), array(1L, 2L),
+        |    (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v) AS nullelem_hof
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1),
+      "length mismatch must read NULL on both paths")
+    assert(rows.isNullAt(2) && rows.isNullAt(3),
+      "a null element must read NULL on both paths")
+  }
+
   test("null propagation and type checking") {
     graft.functions.L2SqLong.register(spark)
     val nullOut = spark.sql(

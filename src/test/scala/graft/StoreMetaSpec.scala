@@ -36,6 +36,18 @@ class StoreMetaSpec extends AnyFunSuite {
     assert(StoreMeta.rows(spark, root).isEmpty)
   }
 
+  test("legacy single-column meta reads as empty (self-heals as stale)") {
+    // the pre-layered flat stamp: one string column — the documented
+    // contract (SearchStore's ladder) is "fails the (kind, fp) read and
+    // self-heals as stale", which must stay a SHAPE decision, not an
+    // exception escaping the staleness probe
+    val root = freshRoot("legacy")
+    import spark.implicits._
+    Seq("old-flat-stamp").toDF("fp").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/meta")
+    assert(StoreMeta.rows(spark, root).isEmpty)
+  }
+
   test("present-but-unreadable meta throws instead of reading empty") {
     val root = freshRoot("corrupt")
     val meta = new java.io.File(root, "meta")
