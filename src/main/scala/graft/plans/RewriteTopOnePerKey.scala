@@ -122,5 +122,9 @@ object GraftExtensions {
       ShingleGenerator(exprs(0), exprs(1))),
     "l2sq_long" -> ((exprs: Seq[Expression]) =>
       L2SqLong(exprs(0), exprs(1))),
+    "dot_long" -> ((exprs: Seq[Expression]) =>
+      DotLong(exprs(0), exprs(1))),
+    "dot_double" -> ((exprs: Seq[Expression]) =>
+      DotDouble(exprs(0), exprs(1))),
   )
 }

@@ -41,6 +41,19 @@ object Clustering {
     expr(s"l2sq_long($a, $b)")
   }
 
+  /** The family's norm term as the native double-dot kernel:
+    * `sqrt(dot_double(ed, ed))` replacing `sqrt(aggregate(transform(ed,
+    * x -> x * x), 0.0D, (a, b) -> a + b))`. BIT-IDENTICAL accumulation
+    * order (0.0 seed, products added left-to-right — DotProductSpec pins
+    * it), so the cross-engine float assumption documented on [[semGrid]]
+    * is unchanged and every downstream integer grid hashes the same.
+    * Returned as the selectExpr fragment the four norm sites splice in;
+    * registration is idempotent per session. */
+  private def nrmExpr(s: SparkSession): String = {
+    graft.functions.DotDouble.register(s)
+    "sqrt(dot_double(ed, ed)) AS nrm"
+  }
+
   private[queries] def scaled(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "embeddings").selectExpr("vec_id",
       "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint) + 1000000L) AS e")
@@ -112,6 +125,7 @@ object Clustering {
     * final one. */
   def perceptron(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.DotLong.register(s)
     val data = Caches.persist(Tables.t(s, dir, "embeddings").selectExpr(
       "transform(embedding, x -> cast(floor(cast(x AS double) * 1000000.0 + 0.5) AS bigint)) AS x",
       "CASE WHEN label < 5 THEN 1L ELSE -1L END AS y"))
@@ -119,9 +133,12 @@ object Clustering {
     var b = 0L
     val ledger = (1 to 3).map { round =>
       val wCol = array(w.map(lit): _*)
+      // the margin's dot product on the native long kernel (dot_long) —
+      // bit-identical to the old aggregate(zip_with(...)) chain, which
+      // re-materialized a dim-length array per row per round
       val scored = data.withColumn("wl", wCol)
         .withColumn("m",
-          col("y") * (expr("aggregate(zip_with(x, wl, (xi, wi) -> xi * wi), 0L, (acc, v) -> acc + v)") + lit(b)))
+          col("y") * (expr("dot_long(x, wl)") + lit(b)))
       val mis = Caches.persist(scored.where(col("m") <= 0))
       val nMis = mis.count()
       if (nMis > 0) {
@@ -172,7 +189,7 @@ object Clustering {
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> cast(x AS double)) AS ed")
       .selectExpr("vec_id", "label",
-        "sqrt(aggregate(transform(ed, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)) AS nrm",
+        nrmExpr(s),
         "ed")
       .selectExpr("vec_id", "label",
         "transform(ed, x -> cast(floor(x / nrm * 1000000.0 + 0.5) AS bigint)) AS e"))
@@ -233,7 +250,7 @@ object Clustering {
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> cast(x AS double)) AS ed")
       .selectExpr("vec_id", "label",
-        "sqrt(aggregate(transform(ed, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)) AS nrm",
+        nrmExpr(s),
         "ed")
       .selectExpr("vec_id", "label",
         "transform(ed, x -> cast(floor(x / nrm * 1000000.0 + 0.5) AS bigint)) AS e")
@@ -278,7 +295,7 @@ object Clustering {
       .selectExpr("vec_id",
         "transform(embedding, x -> cast(x AS double)) AS ed")
       .selectExpr("vec_id",
-        "sqrt(aggregate(transform(ed, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)) AS nrm",
+        nrmExpr(s),
         "ed")
       .selectExpr("vec_id",
         "transform(ed, x -> cast(floor(x / nrm * 1000000.0 + 0.5) AS bigint)) AS e")
@@ -573,7 +590,7 @@ object Clustering {
     Tables.t(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS ed")
       .selectExpr("vec_id",
-        "sqrt(aggregate(transform(ed, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)) AS nrm",
+        nrmExpr(s),
         "ed")
       .selectExpr("vec_id",
         "transform(ed, x -> cast(floor(x / nrm * 1000000.0 + 0.5) AS bigint) + 1000000L) AS e")

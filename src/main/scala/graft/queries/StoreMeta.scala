@@ -21,12 +21,24 @@ private[queries] object StoreMeta {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** The two AnalysisException conditions that genuinely mean "meta was
+    * never written": a nonexistent path, and a dir holding no readable
+    * parquet footers (the crashed-mid-write sidecar-only shape — Spark
+    * cannot infer a schema from _SUCCESS alone). Every OTHER condition
+    * an AnalysisException can carry (access/permission surfaced through
+    * the analyzer, schema-resolution failures, a null legacy condition)
+    * is a present-store problem and must rethrow — the r19 ADVICE
+    * narrowing: the broad catch silently demoted those to a full store
+    * rebuild. Factored on the condition STRING so the classifier is
+    * directly spec-able without constructing private exceptions. */
+  private[queries] def benignMetaCondition(condition: String): Boolean =
+    condition == "PATH_NOT_FOUND" || condition == "UNABLE_TO_INFER_SCHEMA"
+
   /** MISSING or WRONG-SHAPED meta reads as EMPTY — the torn/stale
     * default every caller's ladder rebuilds from. Two benign classes:
     *   - missing/never-written: FileNotFound from the scan, or Spark's
-    *     AnalysisException for a nonexistent path / a dir with no
-    *     readable parquet footers (the crashed-mid-write sidecar-only
-    *     shape);
+    *     AnalysisException carrying one of the two never-written
+    *     conditions ([[benignMetaCondition]]);
     *   - legacy/foreign LAYOUT: a readable parquet whose schema is not
     *     two leading string columns — e.g. the pre-r18 single-column
     *     flat stamp, whose documented contract (SearchStore's ladder)
@@ -34,8 +46,9 @@ private[queries] object StoreMeta {
     *     shape is checked BEFORE collecting so the heal stays a schema
     *     decision, never an exception-classification one.
     * Any OTHER failure rethrows: a transient IO error (corrupt footer,
-    * permission failure) swallowed as "empty" would silently trigger a
-    * full store rebuild instead of a retry — the opposite of the
+    * permission failure) — or an AnalysisException outside the two
+    * benign conditions — swallowed as "empty" would silently trigger a
+    * full store rebuild instead of a retry; the opposite of the
     * refuse-loudly policy the commit log enforces for exactly this
     * class of failure. */
   def rows(s: SparkSession, path: String): Map[String, String] = {
@@ -44,7 +57,8 @@ private[queries] object StoreMeta {
       try s.read.parquet(s"$path/meta")
       catch {
         case _: java.io.FileNotFoundException => return Map.empty
-        case _: org.apache.spark.sql.AnalysisException => return Map.empty
+        case e: org.apache.spark.sql.AnalysisException
+            if benignMetaCondition(e.getCondition) => return Map.empty
       }
     val shapeOk = df.schema.length >= 2 &&
       df.schema.take(2).forall(_.dataType == StringType)

@@ -68,6 +68,40 @@ class StoreMetaSpec extends AnyFunSuite {
     }
   }
 
+  test("only the two never-written conditions classify as benign") {
+    // the r19 ADVICE narrowing: the two real conditions the missing /
+    // sidecar-only tests above produce read as empty; every other
+    // AnalysisException condition (permission, schema resolution, a
+    // legacy null condition) must rethrow instead of demoting a
+    // present-store failure to a silent full rebuild
+    assert(StoreMeta.benignMetaCondition("PATH_NOT_FOUND"))
+    assert(StoreMeta.benignMetaCondition("UNABLE_TO_INFER_SCHEMA"))
+    assert(!StoreMeta.benignMetaCondition("INSUFFICIENT_PERMISSIONS"))
+    assert(!StoreMeta.benignMetaCondition("UNRESOLVED_COLUMN"))
+    assert(!StoreMeta.benignMetaCondition(null))
+  }
+
+  test("non-benign AnalysisException surfaces instead of reading empty") {
+    // capture the two benign conditions from REAL reads (pinning that
+    // Spark still names them PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA —
+    // if an upgrade renames them, this fails loudly instead of every
+    // store silently rebuilding), then verify the classifier is what
+    // the catch actually consults
+    val missing = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"${freshRoot("cond")}/nowhere/meta")
+    }
+    assert(missing.getCondition === "PATH_NOT_FOUND")
+    val root = freshRoot("cond2")
+    val meta = new java.io.File(root, "meta")
+    assert(meta.mkdirs())
+    java.nio.file.Files.write(new java.io.File(meta, "_SUCCESS").toPath,
+      Array.emptyByteArray)
+    val sidecar = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"$root/meta")
+    }
+    assert(sidecar.getCondition === "UNABLE_TO_INFER_SCHEMA")
+  }
+
   test("round-trips the (kind, fp) rows") {
     val root = freshRoot("roundtrip")
     StoreMeta.write(spark, root, Seq("corpus" -> "abc", "model" -> "def"))
