@@ -339,6 +339,81 @@ object StoreTxn {
   private def marker(dir: String) =
     new org.apache.hadoop.fs.Path(s"${root(dir)}/ckpt_pending")
 
+  // ---- the maintenance lease: checkpoint/vacuum mutual exclusion ----
+
+  /** `maint_lease` under the store root: the one-at-a-time guard for the
+    * MAINTENANCE verbs. Commits-vs-maintenance is already structural
+    * (frozen fold set + interlock), but two drivers running [[checkpoint]]
+    * — or checkpoint racing [[vacuum]] — share one `staging_ckpt/` and
+    * would interleave staged writes (the r19 one-at-a-time contract).
+    * The lease closes that with the SAME device as the commit markers:
+    * an [[atomicClaim]] (O_EXCL / hard-link locally, conditional PUT on
+    * object stores) whose content is the holder's nonce, plus an mtime
+    * TTL so a CRASHED holder's lease expires instead of wedging
+    * maintenance forever — Delta's lease shape. */
+  private def leasePath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"${root(dir)}/maint_lease")
+
+  /** Default TTL: far above any real checkpoint/vacuum duration (seconds
+    * at the sandbox scale, minutes at 100 TB — the verbs are
+    * metadata-and-fold bounded), far below "operator pages someone". A
+    * holder that outlives its TTL can be broken mid-run (inherent to
+    * every mtime lease); size the TTL above the longest maintenance
+    * duration, exactly like vacuum's own retention threshold. */
+  private[graft] val defaultMaintLeaseTtlMs: Long = 15 * 60 * 1000L
+
+  /** Acquire the lease or refuse loudly. Returns the holder token the
+    * matching [[releaseMaintLease]] must present. A held lease older
+    * than `ttlMs` is BROKEN via rename-then-claim: the rename is the
+    * atomic arbiter among racing breakers (exactly one rename of the
+    * expired file succeeds — a delete-then-claim breaker pair could
+    * otherwise interleave into two holders), after which everyone races
+    * the ordinary claim and exactly one wins. */
+  private[graft] def acquireMaintLease(s: SparkSession, dir: String,
+      ttlMs: Long = defaultMaintLeaseTtlMs): String = {
+    val m = leasePath(dir)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(m.getParent)
+    val token = newNonce()
+    if (atomicClaim(fs, m, token)) return token
+    val expired =
+      try System.currentTimeMillis() - fs.getFileStatus(m).getModificationTime > ttlMs
+      catch { case _: java.io.FileNotFoundException => true } // released between claim and stat
+    if (expired) {
+      val tomb = new org.apache.hadoop.fs.Path(
+        m.getParent, s".maint_lease.expired.$token")
+      try { if (fs.rename(m, tomb)) fs.delete(tomb, false) }
+      catch { case _: java.io.IOException => () } // lost the break race: claim below decides
+      if (atomicClaim(fs, m, token)) return token
+    }
+    throw new IllegalStateException(
+      s"maintenance lease at $m is held by another driver — checkpoint " +
+        "and vacuum are one-at-a-time; retry after the holder completes " +
+        s"(a crashed holder's lease expires after $ttlMs ms)")
+  }
+
+  /** Release ONLY our own lease: after a TTL break the path belongs to
+    * the breaker, and deleting it here would hand a third driver a free
+    * claim while the breaker still runs. A vanished lease (reset, or a
+    * breaker's rename) releases as a no-op. */
+  private[graft] def releaseMaintLease(s: SparkSession, dir: String,
+      token: String): Unit = {
+    val m = leasePath(dir)
+    val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try { if (readNonce(fs, m) == token) fs.delete(m, false) }
+    catch {
+      case _: java.io.FileNotFoundException => ()
+      case _: java.io.IOException => ()
+    }
+  }
+
+  /** Run `body` under the maintenance lease. */
+  private def withMaintLease[T](s: SparkSession, dir: String,
+      ttlMs: Long)(body: => T): T = {
+    val token = acquireMaintLease(s, dir, ttlMs)
+    try body finally releaseMaintLease(s, dir, token)
+  }
+
   /** Readers refuse while a checkpoint publish is in flight (or died
     * mid-flight): between the base overwrite and the log truncation the
     * on-disk state double-counts folded layers, so serving it silently
@@ -1691,12 +1766,19 @@ object StoreTxn {
     * CONCURRENCY CONTRACT: checkpoint is safe against concurrent
     * WRITERS (the frozen fold set keeps a mid-stage commit out of the
     * publish's delete list, and [[commit]] refuses while the marker is
-    * up), but MAINTENANCE remains one-at-a-time — two drivers running
-    * checkpoint (or checkpoint racing vacuum) share one `staging_ckpt/`
-    * and would interleave staged writes. Delta has the same shape
-    * (checkpoints are written by one optimizer job); schedule the verbs
-    * from a single maintenance owner. */
-  def checkpoint(s: SparkSession, dir: String): Unit = {
+    * up), and MAINTENANCE-vs-MAINTENANCE is serialized by the
+    * [[acquireMaintLease]] guard — two drivers running checkpoint (or
+    * checkpoint racing vacuum) would otherwise share one `staging_ckpt/`
+    * and interleave staged writes; the loser now refuses loudly and
+    * retries after the holder completes. A holder that CRASHES leaves a
+    * lease that expires after the TTL, and the marker bracket below
+    * already makes the re-run (by whoever next takes the lease) a pure
+    * redo. */
+  def checkpoint(s: SparkSession, dir: String): Unit =
+    checkpoint(s, dir, defaultMaintLeaseTtlMs)
+
+  private[graft] def checkpoint(s: SparkSession, dir: String,
+      leaseTtlMs: Long): Unit = withMaintLease(s, dir, leaseTtlMs) {
     val r = root(dir)
     val staging = s"$r/staging_ckpt"
     val m = marker(dir)
@@ -1841,8 +1923,15 @@ object StoreTxn {
     * vs file mtimes). `retentionMs = 0` preserves the original
     * reclaim-everything behavior, which then carries the original
     * single-writer requirement: with no retention, vacuum must not
-    * race a live absorb. Returns the reclaimed txn ids, ascending. */
-  def vacuum(s: SparkSession, dir: String, retentionMs: Long = 0L): Seq[Long] = {
+    * race a live absorb. Runs under the maintenance lease (vacuum
+    * deleting `staging_ckpt/` out from under a live checkpointStage is
+    * exactly the verb-vs-verb race the lease serializes). Returns the
+    * reclaimed txn ids, ascending. */
+  def vacuum(s: SparkSession, dir: String, retentionMs: Long = 0L): Seq[Long] =
+    vacuum(s, dir, retentionMs, defaultMaintLeaseTtlMs)
+
+  private[graft] def vacuum(s: SparkSession, dir: String, retentionMs: Long,
+      leaseTtlMs: Long): Seq[Long] = withMaintLease(s, dir, leaseTtlMs) {
     requireNoCheckpoint(s, dir)
     val p = new org.apache.hadoop.fs.Path(root(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2407,17 +2496,46 @@ object StoreTxn {
     // observable trace. The require guards make a silent no-op vacuum
     // (which would still pass the oracle — the retry overwrites the
     // orphan) fail the query instead.
+    //
+    // The vacuum runs through the RETENTION-GUARDED path (the r19
+    // deployment-posture gap: the guard existed but no grid entry
+    // exercised it): the abandoned staging is AGED past a one-hour
+    // threshold (the stage-age fixture — an abandoned staging IS old in
+    // production; setTimes stands in for the wait), while a FRESH dir at
+    // the same txn id plays a live writer's in-flight stage and must
+    // survive the guarded pass. A second, retentionMs=0 pass then pins
+    // the legacy reclaim-everything contract on the same lifecycle.
     "q165_tx_vacuum" -> ((s, dir) => {
       reset(s, dir)
       ensureBases(s, dir)
       val docs = Tables.t(s, dir, "documents")
       absorbBoth(s, dir, DedupIndex.batch1Docs(s, dir),
         docs.where("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+      val abandoned = nextTxnId(s, dir)
       stage(s, dir, DedupIndex.batch2Docs(s, dir),
-        docs.where("doc_id % 10 = 9"), nextTxnId(s, dir)) // crash: no commit
-      val reclaimed = vacuum(s, dir)
-      require(reclaimed == Seq(1L),
-        s"vacuum must reclaim exactly the abandoned staging t1, got $reclaimed")
+        docs.where("doc_id % 10 = 9"), abandoned) // crash: no commit
+      val fs = new org.apache.hadoop.fs.Path(root(dir))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.setTimes(new org.apache.hadoop.fs.Path(stagingDir(dir, abandoned, "")),
+        System.currentTimeMillis() - 7200000L, -1) // aged 2 h: genuinely abandoned
+      // a live writer's in-flight staging at the same id (fresh mtime):
+      // to the vacuum listing an in-flight stage IS a t-dir mid-write,
+      // so one part-file under a nonce'd dir stands in for the real verb
+      val inflight = new org.apache.hadoop.fs.Path(
+        s"${stagingDir(dir, abandoned, newNonce())}/kept")
+      fs.mkdirs(inflight)
+      val retained = vacuum(s, dir, retentionMs = 3600000L)
+      require(retained == Seq(abandoned),
+        s"guarded vacuum must reclaim exactly the aged staging, got $retained")
+      require(fs.exists(inflight.getParent),
+        "guarded vacuum reclaimed a fresh (possibly in-flight) staging")
+      // the in-flight writer abandons too; the legacy retentionMs=0 pass
+      // (the pre-guard contract) reclaims it
+      val rest = vacuum(s, dir)
+      require(rest == Seq(abandoned),
+        s"legacy vacuum must reclaim the remaining orphan, got $rest")
+      require(!fs.exists(inflight.getParent),
+        "legacy vacuum left the abandoned in-flight staging behind")
       absorbBoth(s, dir, DedupIndex.batch2Docs(s, dir),
         docs.where("doc_id % 10 = 9"))
       ingestDashboard(s, dir)

@@ -33,7 +33,9 @@ import graft.queries.{Caches, DedupIndex, StoreTxn}
  */
 object CommitRace {
 
-  private val sf = "/root/testdata/sf0.001"
+  // same env contract as python/tests/conftest.py, so the cross-JVM
+  // audits run on any machine layout (r19 ADVICE)
+  private val sf = sys.env.getOrElse("GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
   private def session(app: String): SparkSession = {
     val s = SparkSession.builder()
@@ -122,7 +124,93 @@ object CommitRace {
       println(s"RACE_CHECK ok id=$id winner=$winnerName")
       s.stop()
 
+    // ---- the CHECKPOINT race: maintenance-vs-maintenance ----
+    // Two JVMs run StoreTxn.checkpoint against one store; the
+    // maintenance lease must arbitrate — one performs the fold, the
+    // other refuses LOUDLY (never a shared staging_ckpt/ interleave) and
+    // its RETRY after the winner completes succeeds as a clean redo.
+
+    case "ckptprep" :: Nil =>
+      val s = session("ckpt-prep")
+      StoreTxn.reset(s, sf)
+      StoreTxn.ensureBases(s, sf)
+      StoreTxn.absorbBoth(s, sf, DedupIndex.batch1Docs(s, sf),
+        graft.queries.Tables.t(s, sf, "documents")
+          .where("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+      StoreTxn.absorbBoth(s, sf, DedupIndex.batch2Docs(s, sf),
+        graft.queries.Tables.t(s, sf, "documents").where("doc_id % 10 = 9"))
+      java.nio.file.Files.deleteIfExists(readyFile("A"))
+      java.nio.file.Files.deleteIfExists(readyFile("B"))
+      // the committed read the fold must preserve byte-for-byte,
+      // recorded for the post-race audit (count + id-sum pins the set)
+      val ks = Caches.scoped(
+        StoreTxn.keeperIdsTx(s, sf).collect().map(_.getLong(0)))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(StoreTxn.root(sf), "_ckpt_expected"),
+        s"${ks.length}:${ks.sum}")
+      println("CKPT_PREP ok")
+      s.stop()
+
+    case "ckpt" :: name :: Nil =>
+      val s = session(s"ckpt-$name")
+      java.nio.file.Files.write(readyFile(name), Array.emptyByteArray)
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!(java.nio.file.Files.exists(readyFile("A")) &&
+               java.nio.file.Files.exists(readyFile("B")))) {
+        if (System.currentTimeMillis() > deadline)
+          sys.error(s"ckpt barrier timed out in $name")
+        Thread.sleep(5)
+      }
+      val outcome =
+        try { StoreTxn.checkpoint(s, sf); "winner" }
+        catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("maintenance lease") => "refused"
+        }
+      println(s"CKPT_RESULT name=$name outcome=$outcome")
+      if (outcome == "refused") {
+        // the documented retry contract: wait for the holder to finish
+        // (lease released), then the SAME verb succeeds as a redo
+        val lease = java.nio.file.Paths.get(StoreTxn.root(sf), "maint_lease")
+        val d2 = System.currentTimeMillis() + 120000L
+        while (java.nio.file.Files.exists(lease)) {
+          if (System.currentTimeMillis() > d2)
+            sys.error(s"lease never released; retry timed out in $name")
+          Thread.sleep(20)
+        }
+        StoreTxn.checkpoint(s, sf)
+        println(s"CKPT_RETRY name=$name ok")
+      }
+      s.stop()
+
+    case "ckptcheck" :: Nil =>
+      val s = session("ckpt-check")
+      val r = StoreTxn.root(sf)
+      val Array(expN, expSum) = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(r, "_ckpt_expected")).split(":")
+      // the fold happened: log truncated to the retained high-water
+      // marker, whose layer dir is folded away
+      val dirs = StoreTxn.committedTxnDirs(s, sf)
+      require(dirs.size == 1,
+        s"expected the retained high-water marker only, got $dirs")
+      val fs = new org.apache.hadoop.fs.Path(r)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(dirs.head._2)),
+        "retained marker's layer dir was not folded away")
+      // no maintenance residue: marker down, lease released, staging gone
+      for (p <- Seq("ckpt_pending", "maint_lease", "staging_ckpt"))
+        require(!fs.exists(new org.apache.hadoop.fs.Path(s"$r/$p")),
+          s"$p left behind after the checkpoint race")
+      // the committed read is byte-stable across the race
+      val ks = Caches.scoped(
+        StoreTxn.keeperIdsTx(s, sf).collect().map(_.getLong(0)))
+      require(ks.length == expN.toLong && ks.sum == expSum.toLong,
+        s"keeper set moved: ${ks.length}:${ks.sum} != $expN:$expSum")
+      println("CKPT_CHECK ok")
+      s.stop()
+
     case other =>
-      sys.error(s"usage: prep | race <A|B> | check (got: $other)")
+      sys.error(s"usage: prep | race <A|B> | check | " +
+        s"ckptprep | ckpt <A|B> | ckptcheck (got: $other)")
   }
 }

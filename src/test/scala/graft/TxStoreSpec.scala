@@ -925,6 +925,33 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("maintenance lease: held lease refuses checkpoint/vacuum; release frees; TTL expiry breaks") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    val zombie = StoreTxn.acquireMaintLease(spark, sf)
+    // every maintenance verb refuses loudly while another driver holds
+    // the lease — the r19 one-at-a-time contract, now enforced
+    intercept[IllegalStateException](StoreTxn.vacuum(spark, sf))
+    intercept[IllegalStateException](StoreTxn.checkpoint(spark, sf))
+    intercept[IllegalStateException](StoreTxn.acquireMaintLease(spark, sf))
+    StoreTxn.releaseMaintLease(spark, sf, zombie)
+    // released: the verbs run again (vacuum takes and releases its own)
+    assert(StoreTxn.vacuum(spark, sf).isEmpty)
+    // crash recovery = TTL expiry: a lease whose holder died breaks
+    val crashed = StoreTxn.acquireMaintLease(spark, sf)
+    val lease = new java.io.File(s"${StoreTxn.root(sf)}/maint_lease")
+    assert(lease.exists())
+    assert(lease.setLastModified(System.currentTimeMillis() - 7200000L))
+    val breaker = StoreTxn.acquireMaintLease(spark, sf, ttlMs = 3600000L)
+    assert(breaker != crashed, "breaker must mint its own token")
+    // the zombie holder's late release must NOT free the breaker's lease
+    StoreTxn.releaseMaintLease(spark, sf, crashed)
+    intercept[IllegalStateException](StoreTxn.acquireMaintLease(spark, sf))
+    StoreTxn.releaseMaintLease(spark, sf, breaker)
+    assert(!lease.exists(), "owner release must clear the lease")
+    Caches.releaseAll()
+  }
+
   test("commit refuses retryably while a checkpoint publish is pending; succeeds after") {
     StoreTxn.reset(spark, sf)
     StoreTxn.ensureBases(spark, sf)
