@@ -392,6 +392,175 @@ object Clustering {
       .orderBy(col("overlap5"))
   }
 
+  /** The shared overlap@5 tail of every recall audit: per-query
+    * intersection of the exact and approximate 5-NN id sets, zero-filled
+    * through the left join (a candidate-starved query counts as overlap
+    * 0 — silent drops would overstate recall), grouped to the
+    * histogram. */
+  private def overlapHistogram(test: DataFrame, exact5: DataFrame,
+      ann5: DataFrame): DataFrame = {
+    val inter = exact5.select(col("q_id"), col("t_id"))
+      .join(ann5.select(col("q_id"), col("t_id")), Seq("q_id", "t_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("o"))
+    test.select(col("q_id")).join(inter, Seq("q_id"), "left")
+      .selectExpr("coalesce(o, 0L) AS overlap5")
+      .groupBy(col("overlap5")).agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("overlap5"))
+  }
+
+  // ---- q220/q221: the PQ + IVF-PQ oracled recall audits ----
+
+  /** 4 subspaces × 16 dims over the 64-dim grid. The production tier
+    * (AnnPq) ships 16×16 with gaussian-seeded ML k-means; the AUDIT twin
+    * trades subspace count for an oracle — each codebook is the q207
+    * engineered-deterministic integer Lloyd's on a grid slice, so the
+    * whole encode→ADC→overlap chain replays bit-for-bit in DuckDB. Fewer
+    * subspaces = coarser codes = honestly LOWER recall; the contract is
+    * the measurement, exactly q215/q219's stance toward their production
+    * siblings. */
+  private[graft] val pqM = 4
+  private val subW = dim / pqM
+
+  /** Per-subspace deterministic codebooks: the q207 integer Lloyd's run
+    * on each `subW`-dim slice of the frame (k codes per subspace, the
+    * first-k-ids init). Driver-side output is pqM × k × subW longs —
+    * codebook GEOMETRY, the same bounded class as the coarse
+    * centroids. */
+  private def pqBooks(s: SparkSession,
+      se: DataFrame): Seq[Seq[(Long, Seq[Long])]] =
+    (0 until pqM).map { sub =>
+      lloyds(s, se.selectExpr("vec_id",
+        s"slice(e, ${sub * subW + 1}, $subW) AS e"))._1
+    }
+
+  /** PQ encode-then-reconstruct as ONE map-side SQL fragment: per
+    * subspace, the nearest sub-centroid (integer L2 on the native
+    * kernel, ties by code id — array_min over (dist, code) structs) is
+    * looked up from the LITERAL codebook map and the pqM winners
+    * concatenate back to dim length. Literals are how broadcast
+    * geometry reaches a map-side encoder; at scale the codes (pqM small
+    * ints/row) are what an index would persist, and the reconstruction
+    * ‖q − recon(x)‖² = Σ_m ‖q_m − c_m‖² is EXACTLY the classic ADC
+    * estimate — one shared kernel instead of a per-engine LUT. */
+  private def pqReconSql(books: Seq[Seq[(Long, Seq[Long])]],
+      vecCol: String): String = {
+    val parts = books.zipWithIndex.map { case (cents, sub) =>
+      val sl = s"slice($vecCol, ${sub * subW + 1}, $subW)"
+      def arr(ce: Seq[Long]) = ce.map(v => s"${v}L").mkString("array(", ", ", ")")
+      val structs = cents.map { case (cid, ce) =>
+        s"named_struct('d', l2sq_long($sl, ${arr(ce)}), 'c', ${cid}L)"
+      }.mkString(", ")
+      val mapping = cents.map { case (cid, ce) =>
+        s"${cid}L, ${arr(ce)}"
+      }.mkString(", ")
+      s"element_at(map($mapping), array_min(array($structs)).c)"
+    }
+    parts.mkString("concat(", ", ", ")")
+  }
+
+  /** ORACLED PQ RECALL AUDIT (q220) — q215's overlap@5 device pointed at
+    * PRODUCT QUANTIZATION (Jégou et al., TPAMI 2011): no candidate
+    * pruning at all (AnnPq's compressed scan touches every row — the
+    * scale claim is bytes-per-row), so the approximation under audit is
+    * pure QUANTIZATION distortion: the approximate 5-NN ranks every
+    * training row by distance-to-reconstruction. Codebooks, encode,
+    * ADC-via-reconstruction, and the histogram all replay bit-for-bit
+    * in DuckDB — the PQ tier's recall NUMBER is hash-checked the way
+    * q215/q219 check the hyperplane and IVF tiers'. Scale: codebook fits
+    * are pqM slice-width Lloyd's (geometry-bounded); the encode is one
+    * map-side pass; the two sweeps are the q209 shape, constant-bounded
+    * by the evalN broadcast. */
+  def pqRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val se = Caches.persist(semGrid(s, dir))
+    val books = pqBooks(s, se)
+    graft.functions.L2SqLong.register(s)
+    val train = se.where("vec_id % 10 < 8")
+      .select(col("vec_id").as("t_id"), col("e").as("te"))
+    val trainR = Caches.persist(train.selectExpr("t_id", "te",
+      s"${pqReconSql(books, "te")} AS re"))
+    val test = Caches.persist(se.where("vec_id % 10 >= 8")
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(evalN)
+      .select(col("vec_id").as("q_id"), col("e").as("qe")))
+    val exact5 = graft.plans.TopKPerKey.topK(
+      trainR.crossJoin(broadcast(test))
+        .withColumn("negd", -l2sq(s, "te", "qe").cast("double"))
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    val ann5 = graft.plans.TopKPerKey.topK(
+      trainR.crossJoin(broadcast(test))
+        .withColumn("negd", -l2sq(s, "re", "qe").cast("double"))
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    overlapHistogram(test, exact5, ann5)
+  }
+
+  /** The residual shift: grid coordinates live in [0, 2e6] (semGrid's
+    * unit scale + shift), coarse centroids too, so residuals span
+    * ±2e6; +2e6 keeps the residual Lloyd's integer means non-negative —
+    * the same Spark-div == DuckDB-// device as semGrid's own shift.
+    * Distances are shift-invariant, and the reconstruction subtracts it
+    * back before the coarse centroid is re-added. */
+  private val resShift = 2000000L
+
+  /** ORACLED IVF-PQ RECALL AUDIT (q221) — the COMPOSED twin (FAISS
+    * IVFADC, Jégou et al. §IV, mirroring [[AnnIvfPq]]): the coarse
+    * quantizer prunes WHICH rows are scored (q219's deterministic
+    * inverted lists, nprobe = 2) and residual PQ codes decide HOW each
+    * survivor is scored — codes quantize the residual e − c(list)
+    * (shifted non-negative), and the candidate distance is
+    * ‖q − (c_list + recon(residual))‖², the reconstruction form of the
+    * IVFADC estimate. Both approximation layers — list pruning AND
+    * quantization distortion — price into one hash-checked overlap
+    * histogram; with this, all four ANN families (hyperplane LSH, IVF,
+    * PQ, IVF-PQ) carry an oracled recall audit beside their recall-gated
+    * production tiers. */
+  def ivfPqRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val se = Caches.persist(semGrid(s, dir))
+    val (cents, _) = lloyds(s, se)
+    val cdf = broadcast(cents.toDF("cid", "ce"))
+    graft.functions.L2SqLong.register(s)
+    val train = se.where("vec_id % 10 < 8")
+      .select(col("vec_id").as("t_id"), col("e").as("te"))
+    // inverted lists + shifted residuals, one pass (te kept for the
+    // exact side, ce for the reconstruction)
+    val lists = Caches.persist(train.crossJoin(cdf)
+      .withColumn("dc", l2sq(s, "te", "ce"))
+      .groupBy(col("t_id")).agg(min(struct(col("dc"), col("cid"))).as("m"))
+      .select(col("t_id"), col("m.cid").as("cid"))
+      .join(train, "t_id").join(cdf, "cid")
+      .selectExpr("t_id", "cid", "te", "ce",
+        s"zip_with(te, ce, (x, c) -> x - c + ${resShift}L) AS rs"))
+    // residual codebooks: the per-subspace Lloyd's over the TRAIN
+    // residuals (first-k-train-ids init — ids 0..3 are all % 10 < 8)
+    val rbooks = pqBooks(s, lists.selectExpr("t_id AS vec_id", "rs AS e"))
+    val trainR = Caches.persist(lists.selectExpr("t_id", "cid", "te",
+      s"zip_with(ce, ${pqReconSql(rbooks, "rs")}, (c, r) -> c + r - ${resShift}L) AS rt"))
+    val test = Caches.persist(se.where("vec_id % 10 >= 8")
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(evalN)
+      .select(col("vec_id").as("q_id"), col("e").as("qe")))
+    // probe set: q219's — the nprobe nearest lists per query
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dc"), col("cid"))
+    val probes = test.crossJoin(cdf)
+      .withColumn("dc", l2sq(s, "qe", "ce"))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= ivfNprobe)
+      .select(col("q_id"), col("cid"), col("qe"))
+    val exact5 = graft.plans.TopKPerKey.topK(
+      train.crossJoin(broadcast(test))
+        .withColumn("negd", -l2sq(s, "te", "qe").cast("double"))
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    val ann5 = graft.plans.TopKPerKey.topK(
+      trainR.join(broadcast(probes), Seq("cid"))
+        .withColumn("negd", -l2sq(s, "rt", "qe").cast("double"))
+        .select(col("q_id"), col("t_id"), col("negd")),
+      "q_id", "negd", "t_id", 5, "negd", 4)
+    overlapHistogram(test, exact5, ann5)
+  }
+
   /** Exact eps-neighborhood edge set {(u,v) : u ≠ v, ‖u−v‖² ≤ eps} via
     * GRID-BLOCKED candidate generation — a shuffled EQUI-JOIN on cell
     * keys, never a corpus broadcast or cartesian:
@@ -676,23 +845,89 @@ object Clustering {
     "q215_ann_recall" -> ((s, dir) => annRecallAudit(s, dir)),
     "q217_sem_dedup" -> ((s, dir) => semDedup(s, dir)),
     "q218_proto_prune" -> ((s, dir) => prototypePrune(s, dir)),
-    "q219_ivf_recall" -> ((s, dir) => ivfRecallAudit(s, dir))
+    "q219_ivf_recall" -> ((s, dir) => ivfRecallAudit(s, dir)),
+    "q220_pq_recall" -> ((s, dir) => pqRecallAudit(s, dir)),
+    "q221_ivfpq_recall" -> ((s, dir) => ivfPqRecallAudit(s, dir))
   )
+
+  /** The q220/q221 oracle building blocks — per-subspace codebook
+    * chains, the (sub, cid, e) codebook union, and the slice→assign→
+    * flatten reconstruction, all name-prefixed so two instances (q220's
+    * corpus books, q221's residual books) coexist in one WITH block. */
+  private def pqSubChainsSql(seTbl: String, pfx: String): String =
+    (0 until pqM).map { sub =>
+      val off = sub * subW + 1
+      val hi = sub * subW + subW
+      val st = s"s$pfx$sub"
+      val chain = (1 to rounds).map(i =>
+        roundSqlG(i, if (i == 1) s"c0_$pfx$sub" else s"c${i - 1}_$pfx$sub",
+          s"_$pfx$sub", subW, st)).mkString(",\n")
+      s"""$st AS (SELECT vec_id, e[$off:$hi] AS e FROM $seTbl),
+         |c0_$pfx$sub AS (SELECT vec_id AS cid, e FROM $st WHERE vec_id < $k),
+         |$chain""".stripMargin
+    }.mkString(",\n")
+
+  private def pqCbSql(pfx: String): String =
+    s"cb_$pfx AS (" + (0 until pqM).map(sub =>
+      s"SELECT $sub AS sub, cid, e FROM c${rounds}_$pfx$sub")
+      .mkString("\n  UNION ALL ") + ")"
+
+  /** Encode `srcTbl` (t_id, a) against `cb_$pfx` and reconstruct:
+    * first-min sub-centroid per subspace (ties by code id — the same
+    * (d, cid) rank the Spark array_min computes), winners flattened in
+    * subspace order back to dim length as `rc_$pfx`(t_id, a). */
+  private def pqEncodeSql(pfx: String, srcTbl: String): String = {
+    val sliceUnion = (0 until pqM).map { sub =>
+      val off = sub * subW + 1
+      val hi = sub * subW + subW
+      s"SELECT t_id, $sub AS sub, a[$off:$hi] AS sv FROM $srcTbl"
+    }.mkString("\n  UNION ALL ")
+    s"""tsl_$pfx AS ($sliceUnion),
+       |tcd_$pfx AS (SELECT t.t_id, t.sub, cb_$pfx.cid,
+       |    list_sum(list_transform(generate_series(1, $subW),
+       |      j -> (t.sv[j] - cb_$pfx.e[j]) * (t.sv[j] - cb_$pfx.e[j]))) AS d
+       |  FROM tsl_$pfx t JOIN cb_$pfx USING (sub)),
+       |tc_$pfx AS (SELECT t_id, sub, cid FROM (SELECT t_id, sub, cid,
+       |    row_number() OVER (PARTITION BY t_id, sub ORDER BY d, cid) AS rn
+       |  FROM tcd_$pfx) WHERE rn = 1),
+       |rc_$pfx AS (SELECT tc_$pfx.t_id,
+       |    flatten(list(cb_$pfx.e ORDER BY tc_$pfx.sub)) AS a
+       |  FROM tc_$pfx JOIN cb_$pfx ON cb_$pfx.sub = tc_$pfx.sub
+       |    AND cb_$pfx.cid = tc_$pfx.cid
+       |  GROUP BY tc_$pfx.t_id)""".stripMargin
+  }
+
+  private def overlapTailSql: String =
+    s"""ov AS (SELECT ex5.q_id, count(*) AS o
+       |  FROM ex5 JOIN an5 USING (q_id, t_id) GROUP BY ex5.q_id)
+       |SELECT coalesce(ov.o, 0)::BIGINT AS overlap5,
+       |  count(*)::BIGINT AS n_queries
+       |FROM ev LEFT JOIN ov ON ov.q_id = ev.q_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // generated per-round CTE chain (q176's oracle device)
   private[queries] def roundSql(i: Int, prevC: String): String =
-    s"""d$i AS (SELECT s.vec_id, c.cid,
-       |    list_sum(list_transform(generate_series(1, $dim),
+    roundSqlG(i, prevC, "", dim, "se")
+
+  /** The generalized round generator: table names take suffix `sfx`
+    * (so several independent chains — e.g. q220's per-subspace
+    * codebook fits — coexist in one WITH block), the corpus table and
+    * dimensionality are parameters. `roundSql` (the q207/q217/q218/q219
+    * chains) is the identity instantiation, byte-identical output. */
+  private[queries] def roundSqlG(i: Int, prevC: String, sfx: String,
+      d: Int, seTbl: String): String =
+    s"""d$i$sfx AS (SELECT s.vec_id, c.cid,
+       |    list_sum(list_transform(generate_series(1, $d),
        |      j -> (s.e[j] - c.e[j]) * (s.e[j] - c.e[j]))) AS dist
-       |  FROM se s CROSS JOIN $prevC c),
-       |a$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+       |  FROM $seTbl s CROSS JOIN $prevC c),
+       |a$i$sfx AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM d$i) WHERE rn = 1),
-       |m$i AS (SELECT a$i.cid, g.j, sum(se.e[g.j]) AS sv, count(*) AS n
-       |  FROM a$i JOIN se USING (vec_id), generate_series(1, $dim) AS g(j)
-       |  GROUP BY a$i.cid, g.j),
-       |c$i AS (SELECT cid, list(sv // n ORDER BY j) AS e
-       |  FROM m$i GROUP BY cid)""".stripMargin
+       |  FROM d$i$sfx) WHERE rn = 1),
+       |m$i$sfx AS (SELECT a$i$sfx.cid, g.j, sum($seTbl.e[g.j]) AS sv, count(*) AS n
+       |  FROM a$i$sfx JOIN $seTbl USING (vec_id), generate_series(1, $d) AS g(j)
+       |  GROUP BY a$i$sfx.cid, g.j),
+       |c$i$sfx AS (SELECT cid, list(sv // n ORDER BY j) AS e
+       |  FROM m$i$sfx GROUP BY cid)""".stripMargin
 
   // one perceptron round as CTE layers: misclassified under w_{r-1},
   // per-position gradient sums (zero-filled via the series left join),
@@ -806,6 +1041,90 @@ object Clustering {
          |   WHERE vec_id NOT IN (SELECT u FROM core)
          |     AND vec_id NOT IN (SELECT u FROM border))::BIGINT
          |ORDER BY cluster_id""".stripMargin,
+    // q220: per-subspace codebook chains on the corpus grid, encode via
+    // the (d, cid)-ranked nearest sub-centroid, reconstruction-form ADC
+    // against the exact sweep — the SAME quantization the Spark side
+    // computes, so the PQ recall number is hash-checked
+    "q220_pq_recall" ->
+      s"""WITH se AS ($semGridSql),
+         |${pqSubChainsSql("se", "p")},
+         |${pqCbSql("p")},
+         |tr AS (SELECT vec_id AS t_id, e AS a FROM se WHERE vec_id % 10 < 8),
+         |${pqEncodeSql("p", "tr")},
+         |ev AS (SELECT vec_id AS q_id, e AS bb FROM se WHERE vec_id % 10 >= 8
+         |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $evalN),
+         |dx AS (SELECT q_id, t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - bb[i]) * (a[i] - bb[i]))) AS dist
+         |  FROM tr CROSS JOIN ev),
+         |ex5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM dx) WHERE rn <= 5),
+         |da AS (SELECT q_id, t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - bb[i]) * (a[i] - bb[i]))) AS dist
+         |  FROM rc_p CROSS JOIN ev),
+         |an5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM da) WHERE rn <= 5),
+         |$overlapTailSql""".stripMargin,
+    // q221: coarse chain → inverted lists + shifted residuals →
+    // residual codebook chains → reconstruction rt = c_list + recon −
+    // shift → candidates from the probed lists only, ranked by distance
+    // to rt — the IVFADC estimate in reconstruction form, both
+    // approximation layers replayed
+    "q221_ivfpq_recall" ->
+      s"""WITH se AS ($semGridSql),
+         |c0 AS (SELECT vec_id AS cid, e FROM se WHERE vec_id < $k),
+         |$kmeansChain,
+         |tr AS (SELECT vec_id AS t_id, e AS a FROM se WHERE vec_id % 10 < 8),
+         |tld AS (SELECT tr.t_id, c$rounds.cid,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      j -> (tr.a[j] - c$rounds.e[j]) * (tr.a[j] - c$rounds.e[j]))) AS dc
+         |  FROM tr CROSS JOIN c$rounds),
+         |tl AS (SELECT t_id, cid FROM (SELECT t_id, cid,
+         |    row_number() OVER (PARTITION BY t_id ORDER BY dc, cid) AS rn
+         |  FROM tld) WHERE rn = 1),
+         |rs AS (SELECT tr.t_id, tl.cid,
+         |    list_transform(generate_series(1, $dim),
+         |      j -> tr.a[j] - c$rounds.e[j] + $resShift) AS e
+         |  FROM tr JOIN tl USING (t_id)
+         |  JOIN c$rounds ON c$rounds.cid = tl.cid),
+         |rsv AS (SELECT t_id AS vec_id, e FROM rs),
+         |${pqSubChainsSql("rsv", "r")},
+         |${pqCbSql("r")},
+         |rsa AS (SELECT t_id, e AS a FROM rs),
+         |${pqEncodeSql("r", "rsa")},
+         |rt AS (SELECT rs.t_id, rs.cid,
+         |    list_transform(generate_series(1, $dim),
+         |      j -> c$rounds.e[j] + rc_r.a[j] - $resShift) AS a
+         |  FROM rs JOIN rc_r USING (t_id)
+         |  JOIN c$rounds ON c$rounds.cid = rs.cid),
+         |ev AS (SELECT vec_id AS q_id, e AS bb FROM se WHERE vec_id % 10 >= 8
+         |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $evalN),
+         |qpd AS (SELECT ev.q_id, c$rounds.cid,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      j -> (ev.bb[j] - c$rounds.e[j]) * (ev.bb[j] - c$rounds.e[j]))) AS dc
+         |  FROM ev CROSS JOIN c$rounds),
+         |qp AS (SELECT q_id, cid FROM (SELECT q_id, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dc, cid) AS rn
+         |  FROM qpd) WHERE rn <= $ivfNprobe),
+         |dx AS (SELECT q_id, t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (a[i] - bb[i]) * (a[i] - bb[i]))) AS dist
+         |  FROM tr CROSS JOIN ev),
+         |ex5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM dx) WHERE rn <= 5),
+         |da AS (SELECT ev.q_id, rt.t_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (rt.a[i] - ev.bb[i]) * (rt.a[i] - ev.bb[i]))) AS dist
+         |  FROM rt JOIN qp ON qp.cid = rt.cid
+         |  JOIN ev ON ev.q_id = qp.q_id),
+         |an5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY dist, t_id) AS rn FROM da) WHERE rn <= 5),
+         |$overlapTailSql""".stripMargin,
     // q215's overlap device over the IVF tier: the q207 chain provides
     // the coarse quantizer, tl assigns training rows to their nearest
     // list, qp picks each query's nprobe nearest lists, and the

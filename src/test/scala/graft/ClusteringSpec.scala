@@ -204,6 +204,29 @@ class ClusteringSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("pq + ivfpq recall audits: full eval coverage, quantization finds true neighbors") {
+    val evalSize = Caches.scoped(
+      graft.queries.Tables.t(spark, sf, "embeddings")
+        .where("vec_id % 10 >= 8").limit(Clustering.evalN).count())
+    for ((name, df) <- Seq(
+        "pq" -> Clustering.pqRecallAudit(spark, sf),
+        "ivfpq" -> Clustering.ivfPqRecallAudit(spark, sf))) {
+      val rows = Caches.scoped(df.collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1))))
+      assert(rows.nonEmpty, s"empty $name recall histogram")
+      assert(rows.forall { case (o, _) => o >= 0 && o <= 5 },
+        s"$name overlap outside 0..5: $rows")
+      assert(rows.map(_._2).sum == math.min(evalSize, Clustering.evalN),
+        s"$name histogram dropped queries: ${rows.map(_._2).sum} of $evalSize")
+      // 4 subspaces × 4 codes is a coarse quantizer by design (the
+      // oracle trade) — but the audit is meaningless if reconstruction
+      // ranking never surfaces a single true neighbor
+      val hits = rows.collect { case (o, n) if o > 0 => o * n }.sum
+      assert(hits > 0, s"$name quantized ranking found zero true neighbors: $rows")
+      Caches.releaseAll()
+    }
+  }
+
   test("dbscan neighbor pass plans as an equi-join: no cartesian, no corpus broadcast-NL") {
     val nb = Clustering.epsNeighbors(
       Clustering.dbscanSlice(spark, sf), Clustering.dbscanEps)
