@@ -175,10 +175,37 @@ object StoreTxn {
     try body finally frozenLog.set(prev)
   }
 
+  /** FAIL-FAST companion to the ThreadLocal freeze (r19 ADVICE): the
+    * freeze's correctness rests on every commit-log resolution inside
+    * stageFrozen happening eagerly on the staging thread. A future
+    * helper that defers resolution to another thread (a lazy val forced
+    * elsewhere, a background planning thread) would silently bypass the
+    * freeze and reintroduce the torn-checkpoint bug — so while a stage
+    * is active, a resolution that does NOT see the frozen override
+    * throws instead of reading the live log. Same-JVM concurrent
+    * READERS during this window hit the same loud refusal; the stage
+    * lasts seconds and the message says to retry — refuse-loudly over
+    * silently-torn, the module's standing policy. */
+  private val activeStage =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def beginStageGuard(dir: String): Unit =
+    activeStage.put(root(dir), Thread.currentThread().getId)
+
+  private[graft] def endStageGuard(dir: String): Unit =
+    activeStage.remove(root(dir))
+
   private[graft] def committedTxnDirs(
       s: SparkSession, dir: String): Seq[(Long, String)] = {
     val frozen = frozenLog.get().get(root(dir))
     if (frozen.isDefined) return frozen.get
+    if (activeStage.containsKey(root(dir)))
+      throw new IllegalStateException(
+        s"commit log at ${root(dir)} resolved OUTSIDE the frozen-log " +
+          "scope while a checkpoint stage is active — a stage helper " +
+          "escaped its staging thread (would re-introduce the torn " +
+          "checkpoint), or a concurrent same-JVM reader raced the " +
+          "stage; retry after the checkpoint completes")
     val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // FileNotFound is benign ONLY for the directory listing itself (the
@@ -1589,7 +1616,9 @@ object StoreTxn {
     val frozen = committedTxnDirs(s, dir)
     writeFolded(s, dir, frozen)
     midStage()
-    withFrozenLog(dir, frozen) { stageFrozen(s, dir, staging) }
+    beginStageGuard(dir)
+    try withFrozenLog(dir, frozen) { stageFrozen(s, dir, staging) }
+    finally endStageGuard(dir)
     val m = marker(dir)
     m.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(m)
   }

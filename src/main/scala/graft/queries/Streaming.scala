@@ -156,6 +156,19 @@ object Streaming {
         java.nio.charset.StandardCharsets.UTF_8) == stamp)
       return out
     val ev = Tables.t(s, dir, "events")
+    // SENTINEL DOMAIN GUARD (r19 ADVICE): the q104 outer join excludes
+    // the sentinel rows by `click_id >= 0` and relies on user_id = -1
+    // never matching — sound only while real data never enters the
+    // negative-id range. A corpus that does would have genuine
+    // unmatched clicks silently dropped, so staging refuses loudly
+    // instead. One aggregate per (corpus, stamp) — the staging this
+    // guards is itself stamped-once.
+    val negatives = ev.where(col("event_id") < 0 || col("user_id") < 0).count()
+    require(negatives == 0L,
+      s"events table at $dir carries $negatives rows with negative " +
+        "event_id/user_id — the staged-feed sentinels (event_id/user_id " +
+        "= -1) would collide with real data; regenerate the corpus or " +
+        "move the sentinel domain")
     ev.where(col("event_type") === eventType)
       .repartitionByRange(feedRanges, col("ts")).write.mode("overwrite").parquet(out)
     val fs = new java.io.File(out)

@@ -952,6 +952,27 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("frozen-log stage guard: live-log resolution during an active stage fails fast") {
+    StoreTxn.reset(spark, sf)
+    StoreTxn.ensureBases(spark, sf)
+    StoreTxn.absorbBoth(spark, sf, DedupIndex.batch1Docs(spark, sf),
+      statsDelta("doc_id % 10 >= 7 AND doc_id % 10 < 9"))
+    // while a stage is active, a commit-log read WITHOUT the frozen
+    // override (a helper that escaped the staging thread, or a
+    // concurrent same-JVM reader) must refuse loudly — the r19 ADVICE
+    // hardening: silently reading the live log mid-stage is exactly the
+    // torn-checkpoint bug the freeze closed
+    StoreTxn.beginStageGuard(sf)
+    try intercept[IllegalStateException](StoreTxn.committedTxnDirs(spark, sf))
+    finally StoreTxn.endStageGuard(sf)
+    // guard down: the same read resolves normally
+    assert(StoreTxn.committedTxnDirs(spark, sf).map(_._1) == Seq(0L))
+    // and a REAL checkpoint (guard active for its whole stage) completes
+    StoreTxn.checkpoint(spark, sf)
+    StoreTxn.reset(spark, sf) // heal the folded base for later lifecycles
+    Caches.releaseAll()
+  }
+
   test("commit refuses retryably while a checkpoint publish is pending; succeeds after") {
     StoreTxn.reset(spark, sf)
     StoreTxn.ensureBases(spark, sf)
