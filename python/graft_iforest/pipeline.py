@@ -67,7 +67,8 @@ __all__ = [
     "audit_expectations", "audit_k_anonymity", "audit_fk",
     # verified-ML family + cluster-profile store
     "ml_kmeans", "ml_perceptron", "ml_knn_classify", "ml_dbscan",
-    "ml_knn_ann", "ml_ann_recall", "ml_ivf_recall", "ml_sem_dedup",
+    "ml_knn_ann", "ml_ann_recall", "ml_ivf_recall", "ml_pq_recall",
+    "ml_ivfpq_recall", "ml_sem_dedup",
     "ml_proto_prune",
     "build_cluster_store_if_stale", "absorb_cluster_delta",
     "cluster_profile", "cluster_drift", "compact_cluster_store",
@@ -948,6 +949,20 @@ def ml_ivf_recall(spark, data_dir):
     """q219's oracled IVF recall audit: overlap@5 histogram between the
     exact 5-NN and the nprobe=2 inverted-list candidates."""
     jdf = _bridge(spark).mlIvfRecall(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_pq_recall(spark, data_dir):
+    """q220's oracled PQ recall audit: overlap@5 histogram between the
+    exact 5-NN and the reconstruction-ADC ranking (hash-checked)."""
+    jdf = _bridge(spark).mlPqRecall(spark._jsparkSession, data_dir)
+    return DataFrame(jdf, spark)
+
+
+def ml_ivfpq_recall(spark, data_dir):
+    """q221's oracled IVF-PQ recall audit: overlap@5 under list pruning
+    plus residual-code quantization (the IVFADC composition)."""
+    jdf = _bridge(spark).mlIvfPqRecall(spark._jsparkSession, data_dir)
     return DataFrame(jdf, spark)
 
 

@@ -546,6 +546,17 @@ def main():
     assert sum(r["n_queries"] for r in
                gp.ml_ivf_recall(spark, sf_dir).collect()) == min(200, held), \
         "ivf recall histogram does not cover the eval set"
+    pq = sorted(map(str, gp.ml_pq_recall(spark, sf_dir).collect()))
+    assert pq == sorted(map(str, gp.run_query(
+        spark, "q220_pq_recall", sf_dir).collect())), \
+        "ml_pq_recall diverged from the oracled q220 entry"
+    ivfpq = sorted(map(str, gp.ml_ivfpq_recall(spark, sf_dir).collect()))
+    assert ivfpq == sorted(map(str, gp.run_query(
+        spark, "q221_ivfpq_recall", sf_dir).collect())), \
+        "ml_ivfpq_recall diverged from the oracled q221 entry"
+    assert sum(r["n_queries"] for r in
+               gp.ml_ivfpq_recall(spark, sf_dir).collect()) == min(200, held), \
+        "ivf-pq recall histogram does not cover the eval set"
     gp.release_caches(spark)
 
     # q217/q218 parity: the SemDeDup and prototype-pruning wrappers

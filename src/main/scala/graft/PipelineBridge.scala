@@ -700,6 +700,19 @@ object PipelineBridge {
   def mlIvfRecall(s: SparkSession, dir: String): DataFrame =
     queries.Clustering.ivfRecallAudit(s, dir)
 
+  /** q220's oracled PQ recall audit: overlap@5 histogram between the
+    * exact 5-NN and the distance-to-reconstruction ranking over
+    * deterministic per-subspace codebooks — the hash-checked recall
+    * measurement of the product-quantization family. */
+  def mlPqRecall(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.pqRecallAudit(s, dir)
+
+  /** q221's oracled IVF-PQ recall audit: overlap@5 under BOTH
+    * approximation layers — nprobe=2 list pruning plus residual-code
+    * quantization (the IVFADC composition). */
+  def mlIvfPqRecall(s: SparkSession, dir: String): DataFrame =
+    queries.Clustering.ivfPqRecallAudit(s, dir)
+
   /** q217's SemDeDup pass: deterministic k-means blocking, then
     * within-cluster near-dup drops (smaller-id keeper rule); per-cluster
     * (n_members, n_dropped, kept_id_sum). */
