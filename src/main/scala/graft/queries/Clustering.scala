@@ -317,13 +317,7 @@ object Clustering {
         .withColumn("negd", negd)
         .select(col("q_id"), col("t_id"), col("negd")),
       "q_id", "negd", "t_id", 5, "negd", 4)
-    val inter = exact5.select(col("q_id"), col("t_id"))
-      .join(ann5.select(col("q_id"), col("t_id")), Seq("q_id", "t_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("o"))
-    test.select(col("q_id")).join(inter, Seq("q_id"), "left")
-      .selectExpr("coalesce(o, 0L) AS overlap5")
-      .groupBy(col("overlap5")).agg(count(lit(1)).as("n_queries"))
-      .orderBy(col("overlap5"))
+    overlapHistogram(test, exact5, ann5)
   }
 
   private[graft] val ivfNprobe = 2
@@ -383,13 +377,7 @@ object Clustering {
         .withColumn("negd", -d("te", "qe").cast("double"))
         .select(col("q_id"), col("t_id"), col("negd")),
       "q_id", "negd", "t_id", 5, "negd", 4)
-    val inter = exact5.select(col("q_id"), col("t_id"))
-      .join(ann5.select(col("q_id"), col("t_id")), Seq("q_id", "t_id"))
-      .groupBy(col("q_id")).agg(count(lit(1)).as("o"))
-    test.select(col("q_id")).join(inter, Seq("q_id"), "left")
-      .selectExpr("coalesce(o, 0L) AS overlap5")
-      .groupBy(col("overlap5")).agg(count(lit(1)).as("n_queries"))
-      .orderBy(col("overlap5"))
+    overlapHistogram(test, exact5, ann5)
   }
 
   /** The shared overlap@5 tail of every recall audit: per-query
@@ -1167,12 +1155,7 @@ object Clustering {
          |an5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY dist, t_id) AS rn FROM da) WHERE rn <= 5),
-         |ov AS (SELECT ex5.q_id, count(*) AS o
-         |  FROM ex5 JOIN an5 USING (q_id, t_id) GROUP BY ex5.q_id)
-         |SELECT coalesce(ov.o, 0)::BIGINT AS overlap5,
-         |  count(*)::BIGINT AS n_queries
-         |FROM ev LEFT JOIN ov ON ov.q_id = ev.q_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |$overlapTailSql""".stripMargin,
     // the two k5 chains side by side — exact (CROSS JOIN) and
     // bucket-pruned (b-equi-join) — intersected per query; the left
     // join keeps bucket-starved queries at overlap 0
@@ -1208,12 +1191,7 @@ object Clustering {
          |an5 AS (SELECT q_id, t_id FROM (SELECT q_id, t_id,
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY dist, t_id) AS rn FROM da) WHERE rn <= 5),
-         |ov AS (SELECT ex5.q_id, count(*) AS o
-         |  FROM ex5 JOIN an5 USING (q_id, t_id) GROUP BY ex5.q_id)
-         |SELECT coalesce(ov.o, 0)::BIGINT AS overlap5,
-         |  count(*)::BIGINT AS n_queries
-         |FROM ev LEFT JOIN ov ON ov.q_id = ev.q_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+         |$overlapTailSql""".stripMargin,
     // q209's chain with q54's fixed-hyperplane bucket in the se CTE and
     // the candidate join restricted to same-bucket pairs — the oracle
     // computes the SAME approximation, so the approximate path is as

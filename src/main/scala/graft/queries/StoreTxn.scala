@@ -62,6 +62,9 @@ import org.apache.spark.sql.functions._
  */
 object StoreTxn {
 
+  @transient private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The base stores' variant — see DedupIndex.root's note on variant
     * isolation. The `tx` bases stay PRISTINE forever (all mutation is
     * transaction layers), so buildIfStale skips the rebuild every lap. */
@@ -204,8 +207,10 @@ object StoreTxn {
         s"commit log at ${root(dir)} resolved OUTSIDE the frozen-log " +
           "scope while a checkpoint stage is active — a stage helper " +
           "escaped its staging thread (would re-introduce the torn " +
-          "checkpoint), or a concurrent same-JVM reader raced the " +
-          "stage; retry after the checkpoint completes")
+          "checkpoint), or a concurrent same-JVM reader/writer raced " +
+          "the stage; retry after the checkpoint completes (the refusal " +
+          "is scoped to this JVM — cross-process writers are unaffected " +
+          "and arbitrated by the frozen fold set)")
     val p = new org.apache.hadoop.fs.Path(s"${root(dir)}/commits")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     // FileNotFound is benign ONLY for the directory listing itself (the
@@ -391,11 +396,20 @@ object StoreTxn {
 
   /** Acquire the lease or refuse loudly. Returns the holder token the
     * matching [[releaseMaintLease]] must present. A held lease older
-    * than `ttlMs` is BROKEN via rename-then-claim: the rename is the
-    * atomic arbiter among racing breakers (exactly one rename of the
-    * expired file succeeds — a delete-then-claim breaker pair could
-    * otherwise interleave into two holders), after which everyone races
-    * the ordinary claim and exactly one wins. */
+    * than `ttlMs` is BROKEN via rename-then-verify-then-claim:
+    *   - the rename is the atomic arbiter among racing breakers (exactly
+    *     one rename of the expired file succeeds — a delete-then-claim
+    *     breaker pair could otherwise interleave into two holders);
+    *   - the tomb's CONTENT is then verified against the nonce whose
+    *     expiry was observed. A breaker that stalled between its expiry
+    *     stat and its rename could otherwise rename away a FRESH lease a
+    *     faster breaker just claimed (the two-holder steal); on mismatch
+    *     the rename is undone and the acquire refuses as busy. The undo
+    *     itself can lose a race to a third acquirer claiming into the
+    *     emptied path — that residual needs a third driver inside a
+    *     microsecond window on top of the stalled breaker, and its
+    *     outcome is one unprotected victim, not a torn store; the tomb
+    *     is left for inspection rather than deleted. */
   private[graft] def acquireMaintLease(s: SparkSession, dir: String,
       ttlMs: Long = defaultMaintLeaseTtlMs): String = {
     val m = leasePath(dir)
@@ -403,15 +417,33 @@ object StoreTxn {
     fs.mkdirs(m.getParent)
     val token = newNonce()
     if (atomicClaim(fs, m, token)) return token
-    val expired =
-      try System.currentTimeMillis() - fs.getFileStatus(m).getModificationTime > ttlMs
-      catch { case _: java.io.FileNotFoundException => true } // released between claim and stat
-    if (expired) {
-      val tomb = new org.apache.hadoop.fs.Path(
-        m.getParent, s".maint_lease.expired.$token")
-      try { if (fs.rename(m, tomb)) fs.delete(tomb, false) }
-      catch { case _: java.io.IOException => () } // lost the break race: claim below decides
-      if (atomicClaim(fs, m, token)) return token
+    // re-stat immediately before the break decision: narrows the stale-
+    // observation window to the stat→rename gap the verify below covers
+    val expiredNonce =
+      try {
+        val st = fs.getFileStatus(m)
+        if (System.currentTimeMillis() - st.getModificationTime > ttlMs)
+          Some(readNonce(fs, m))
+        else None
+      } catch {
+        case _: java.io.FileNotFoundException => Some("") // released between claim and stat
+        case _: java.io.IOException => None
+      }
+    expiredNonce match {
+      case Some(expNonce) =>
+        val tomb = new org.apache.hadoop.fs.Path(
+          m.getParent, s".maint_lease.expired.$token")
+        try {
+          if (fs.rename(m, tomb)) {
+            if (expNonce.isEmpty || readNonce(fs, tomb) == expNonce)
+              fs.delete(tomb, false) // broke the lease we observed expire
+            else if (!fs.rename(tomb, m)) // renamed a FRESH lease: undo
+              logger.warn(s"maint-lease break undo lost a race at $m; " +
+                s"stolen lease left at $tomb")
+          }
+        } catch { case _: java.io.IOException => () } // claim below decides
+        if (atomicClaim(fs, m, token)) return token
+      case None => ()
     }
     throw new IllegalStateException(
       s"maintenance lease at $m is held by another driver — checkpoint " +
@@ -419,16 +451,27 @@ object StoreTxn {
         s"(a crashed holder's lease expires after $ttlMs ms)")
   }
 
-  /** Release ONLY our own lease: after a TTL break the path belongs to
-    * the breaker, and deleting it here would hand a third driver a free
-    * claim while the breaker still runs. A vanished lease (reset, or a
-    * breaker's rename) releases as a no-op. */
+  /** Release ONLY our own lease, atomically: the lease is renamed to a
+    * release tomb FIRST (atomic — nobody can claim between a content
+    * check and a delete, because the removal IS the check's subject),
+    * then the tomb's content decides: ours → delete; someone else's (a
+    * TTL breaker replaced us while we overran) → restore the rename and
+    * leave their lease standing. A vanished lease (reset, or a breaker
+    * mid-rename) releases as a no-op. */
   private[graft] def releaseMaintLease(s: SparkSession, dir: String,
       token: String): Unit = {
     val m = leasePath(dir)
     val fs = m.getFileSystem(s.sparkContext.hadoopConfiguration)
-    try { if (readNonce(fs, m) == token) fs.delete(m, false) }
-    catch {
+    val tomb = new org.apache.hadoop.fs.Path(
+      m.getParent, s".maint_lease.release.$token")
+    try {
+      if (fs.rename(m, tomb)) {
+        if (readNonce(fs, tomb) == token) fs.delete(tomb, false)
+        else if (!fs.rename(tomb, m))
+          logger.warn(s"maint-lease release undo lost a race at $m; " +
+            s"displaced lease left at $tomb")
+      }
+    } catch {
       case _: java.io.FileNotFoundException => ()
       case _: java.io.IOException => ()
     }
@@ -1793,16 +1836,20 @@ object StoreTxn {
     *      copies or deletes.
     *
     * CONCURRENCY CONTRACT: checkpoint is safe against concurrent
-    * WRITERS (the frozen fold set keeps a mid-stage commit out of the
-    * publish's delete list, and [[commit]] refuses while the marker is
-    * up), and MAINTENANCE-vs-MAINTENANCE is serialized by the
-    * [[acquireMaintLease]] guard — two drivers running checkpoint (or
-    * checkpoint racing vacuum) would otherwise share one `staging_ckpt/`
-    * and interleave staged writes; the loser now refuses loudly and
-    * retries after the holder completes. A holder that CRASHES leaves a
-    * lease that expires after the TTL, and the marker bracket below
-    * already makes the re-run (by whoever next takes the lease) a pure
-    * redo. */
+    * CROSS-PROCESS writers (the frozen fold set keeps a mid-stage
+    * commit out of the publish's delete list, and [[commit]] refuses
+    * while the marker is up); a SAME-JVM reader or writer that resolves
+    * the commit log during the seconds-long stage window gets a loud
+    * retryable refusal instead (the stage guard on [[committedTxnDirs]]
+    * — the price of failing fast on a stage helper escaping its frozen
+    * scope, which would silently tear the fold). MAINTENANCE-vs-
+    * MAINTENANCE is serialized by the [[acquireMaintLease]] guard — two
+    * drivers running checkpoint (or checkpoint racing vacuum) would
+    * otherwise share one `staging_ckpt/` and interleave staged writes;
+    * the loser refuses loudly and retries after the holder completes. A
+    * holder that CRASHES leaves a lease that expires after the TTL, and
+    * the marker bracket below already makes the re-run (by whoever next
+    * takes the lease) a pure redo. */
   def checkpoint(s: SparkSession, dir: String): Unit =
     checkpoint(s, dir, defaultMaintLeaseTtlMs)
 
@@ -1960,7 +2007,18 @@ object StoreTxn {
     vacuum(s, dir, retentionMs, defaultMaintLeaseTtlMs)
 
   private[graft] def vacuum(s: SparkSession, dir: String, retentionMs: Long,
-      leaseTtlMs: Long): Seq[Long] = withMaintLease(s, dir, leaseTtlMs) {
+      leaseTtlMs: Long): Seq[Long] = {
+    // no-op BEFORE the lease: acquiring would mkdirs the store root, so
+    // a vacuum against a path that never existed (typo, decommissioned
+    // store) must keep returning empty without creating anything
+    val pre = new org.apache.hadoop.fs.Path(root(dir))
+    if (!pre.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pre))
+      return Seq.empty
+    withMaintLease(s, dir, leaseTtlMs) { vacuumLocked(s, dir, retentionMs) }
+  }
+
+  private def vacuumLocked(s: SparkSession, dir: String,
+      retentionMs: Long): Seq[Long] = {
     requireNoCheckpoint(s, dir)
     val p = new org.apache.hadoop.fs.Path(root(dir))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -160,6 +160,12 @@ object Streaming {
     * is folded into the staging stamp below. */
   private val feedRanges = 2
 
+  /** Stamps whose events table already passed the sentinel-domain
+    * check — keyed on (dir, content stamp) so a regenerated corpus
+    * re-checks. Bounded: one short string per corpus state seen. */
+  private val sentinelDomainChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def stagedEventsDir(s: SparkSession, dir: String, eventType: String): String = {
     val h = Tables.dirHash(dir)
     val out = s"${sys.props("java.io.tmpdir")}/graft_staged_${eventType}_$h"
@@ -182,14 +188,17 @@ object Streaming {
     // never matching — sound only while real data never enters the
     // negative-id range. A corpus that does would have genuine
     // unmatched clicks silently dropped, so staging refuses loudly
-    // instead. One aggregate per (corpus, stamp) — the staging this
-    // guards is itself stamped-once.
-    val negatives = ev.where(col("event_id") < 0 || col("user_id") < 0).count()
-    require(negatives == 0L,
-      s"events table at $dir carries $negatives rows with negative " +
-        "event_id/user_id — the staged-feed sentinels (event_id/user_id " +
-        "= -1) would collide with real data; regenerate the corpus or " +
-        "move the sentinel domain")
+    // instead. The property is per-TABLE, not per-topic, so the check
+    // memoizes on the source stamp: one aggregate per (corpus, content)
+    // per JVM, not one per staged topic.
+    if (sentinelDomainChecked.add(s"$dir;${sourceStamp(s, dir, "events")}")) {
+      val negatives = ev.where(col("event_id") < 0 || col("user_id") < 0).count()
+      require(negatives == 0L,
+        s"events table at $dir carries $negatives rows with negative " +
+          "event_id/user_id — the staged-feed sentinels (event_id/user_id " +
+          "= -1) would collide with real data; regenerate the corpus or " +
+          "move the sentinel domain")
+    }
     ev.where(col("event_type") === eventType)
       .repartitionByRange(feedRanges, col("ts")).write.mode("overwrite").parquet(out)
     val fs = new java.io.File(out)

@@ -75,6 +75,12 @@ object IForestDiag {
       val wallSec = (System.nanoTime() - t0) / 1e9
       graft.queries.Caches.releaseAll()
       val (gcc1, gct1) = gc()
+      // the listener bus is ASYNC: drain before reading, or a lap's last
+      // stage events land in the next lap's buffer (quiesce = the count
+      // is stable across two 150 ms polls; the public API has no
+      // waitUntilEmpty)
+      var last = -1
+      while (stages.size != last) { last = stages.size; Thread.sleep(150) }
       import scala.jdk.CollectionConverters._
       val recs = stages.asScala.toSeq
       val stageSumSec = recs.map(_.wallMs).sum / 1e3

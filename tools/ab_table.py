@@ -20,7 +20,9 @@ def main(argv):
         return 2
     ref = [load(argv[1]), load(argv[2])]
     cur = [load(argv[3]), load(argv[4])]
-    names = sorted(cur[0]["queries"])
+    # union across BOTH cur runs: a query that errored out of one run's
+    # artifact must still appear in the table, not silently vanish
+    names = sorted(set().union(*(j.get("queries", {}) for j in cur)))
     print(f"{'query':34} {'ref_s':>8} {'cur_s':>8} {'ratio':>7}"
           "   (min of two interleaved per-binary medians)")
     rt = ct = 0.0
