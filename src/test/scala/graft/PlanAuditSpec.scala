@@ -1004,6 +1004,28 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(!p.contains("ScalaUDF"), s"audit regressed to a ScalaUDF:\n$p")
   }
 
+  test("q220/q221 recall audits: expression-only encode, equi-join candidates") {
+    // q220: the PQ encode/reconstruct is literal-codebook expressions on
+    // the native kernel — no ScalaUDF, no cartesian. The exact and
+    // quantized sweeps are crossJoin(broadcast(test)) by DESIGN (the
+    // broadcast side is the constant evalN=200 eval set — the audit's
+    // inherent cost), so BroadcastNestedLoopJoin is expected and only
+    // CartesianProduct/ScalaUDF would be regressions.
+    val p220 = plan("q220_pq_recall")
+    assert(!p220.contains("ScalaUDF"), s"q220 regressed to a ScalaUDF:\n$p220")
+    assert(!p220.contains("CartesianProduct"), s"q220 planned a cartesian:\n$p220")
+    assert(p220.contains("l2sq_long"),
+      s"q220's distances left the native kernel:\n$p220")
+    // q221: the PRUNED candidate path must stay a broadcast HASH join on
+    // the probed list id — the IVF pruning is the point; losing the
+    // equi-join would silently re-admit the whole corpus per query
+    val p221 = plan("q221_ivfpq_recall")
+    assert(!p221.contains("ScalaUDF"), s"q221 regressed to a ScalaUDF:\n$p221")
+    assert(!p221.contains("CartesianProduct"), s"q221 planned a cartesian:\n$p221")
+    assert(p221.contains("BroadcastHashJoin"),
+      s"q221's probed-list candidate join lost its cid equi-join:\n$p221")
+  }
+
   test("whole-stage codegen covers the scan-filter-project hot path") {
     // codegen spans only exist on the finalized (executed) adaptive plan,
     // and only an action on THIS QueryExecution finalizes it (df.write

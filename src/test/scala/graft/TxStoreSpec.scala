@@ -952,6 +952,15 @@ class TxStoreSpec extends AnyFunSuite {
     Caches.releaseAll()
   }
 
+  test("vacuum on a store that never existed is a no-op that creates nothing") {
+    // the lease acquire mkdirs the store root, so the no-op check must
+    // run BEFORE it — a typo'd path must not sprout an empty store
+    val ghost = s"/tmp/graft_ghost_${java.util.UUID.randomUUID().toString.take(8)}"
+    assert(StoreTxn.vacuum(spark, ghost).isEmpty)
+    assert(!new java.io.File(StoreTxn.root(ghost)).exists(),
+      "vacuum created the store root for a nonexistent store")
+  }
+
   test("frozen-log stage guard: live-log resolution during an active stage fails fast") {
     StoreTxn.reset(spark, sf)
     StoreTxn.ensureBases(spark, sf)
