@@ -409,17 +409,51 @@ object Clustering {
   private[graft] val pqM = 4
   private val subW = dim / pqM
 
-  /** Per-subspace deterministic codebooks: the q207 integer Lloyd's run
-    * on each `subW`-dim slice of the frame (k codes per subspace, the
-    * first-k-ids init). Driver-side output is pqM × k × subW longs —
-    * codebook GEOMETRY, the same bounded class as the coarse
-    * centroids. */
+  /** Per-subspace deterministic codebooks: the q207 integer Lloyd's on
+    * each `subW`-dim slice (k codes per subspace, first-k-ids init),
+    * fit for ALL subspaces JOINTLY — the corpus explodes once to
+    * (vec_id, sub, slice) and each round is ONE assignment aggregation
+    * + ONE update aggregation keyed by (sub, ...), instead of pqM
+    * sequential chains each paying its own round of driver-synchronous
+    * jobs (4 chains × 3 jobs → 3 jobs total; at cluster scale, one
+    * barrier per round instead of pqM). The per-subspace arithmetic is
+    * UNCHANGED — same argmin ties (min over (dist, cid) structs), same
+    * non-negative integer-division means — so the DuckDB oracles' four
+    * independent chains still replay it exactly. Driver-side output is
+    * pqM × k × subW longs — codebook geometry. */
   private def pqBooks(s: SparkSession,
-      se: DataFrame): Seq[Seq[(Long, Seq[Long])]] =
-    (0 until pqM).map { sub =>
-      lloyds(s, se.selectExpr("vec_id",
-        s"slice(e, ${sub * subW + 1}, $subW) AS e"))._1
+      se: DataFrame): Seq[Seq[(Long, Seq[Long])]] = {
+    import s.implicits._
+    val sliceStructs = (0 until pqM).map(sub =>
+      s"struct($sub AS sub, slice(e, ${sub * subW + 1}, $subW) AS sv)")
+      .mkString(", ")
+    val slices = Caches.persist(se.selectExpr("vec_id",
+        s"explode(array($sliceStructs)) AS s")
+      .selectExpr("vec_id", "s.sub AS sub", "s.sv AS e"))
+    // seed: the first k ids' slices, per subspace
+    var cents: Seq[((Int, Long), Seq[Long])] = slices.where(s"vec_id < $k")
+      .collect().map(r => ((r.getInt(1), r.getLong(0)), r.getSeq[Long](2))).toSeq
+    for (_ <- 1 to rounds) {
+      val cdf = broadcast(cents.map { case ((sub, cid), ce) => (sub, cid, ce) }
+        .toDF("sub", "cid", "ce"))
+      val assign = slices.join(cdf, "sub")
+        .withColumn("dc", l2sq(s, "e", "ce"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dc"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cid").as("cid"))
+      val next = assign.join(slices, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cid"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(expr("sum(v) div count(1)").as("cv"))
+      cents = next.collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          (key, rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
+        }.toSeq
     }
+    (0 until pqM).map(sub => cents.collect { case ((s2, cid), ce) if s2 == sub =>
+      (cid, ce) }.sortBy(_._1))
+  }
 
   /** PQ encode-then-reconstruct as ONE map-side SQL fragment: per
     * subspace, the nearest sub-centroid (integer L2 on the native
