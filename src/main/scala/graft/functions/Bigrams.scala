@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native char-bigram kernels for the q159/q179 bigram language-model gate,
+ * replacing the two interpreted higher-order-function hot paths over the
+ * normalized `[a-z ]`-alphabet text (the HOF forms are CodegenFallback:
+ * one lambda dispatch + a 2-char substring allocation PER CHARACTER of
+ * the corpus):
+ *
+ *  - [[CharBigrams]] — `char_bigrams(nt)`: the Generator counterpart of
+ *    `explode(transform(sequence(1, length(nt) - 1), i ->
+ *    substring(nt, i, 2)))` (the training pass). Identical output rows:
+ *    one 2-char shingle per adjacent character pair, in order, nothing
+ *    for NULL; callers pre-filter `length(nt) >= 2` (plantedNorm's WHERE)
+ *    exactly as they did for the HOF form, whose sequence() would
+ *    misbehave below that anyway.
+ *
+ *  - [[BigramScore]] — `bigram_score(nt, counts)`: the scoring fold
+ *    `aggregate(sequence(1, length(nt) - 1), 0L, (acc, i) ->
+ *    acc + element_at(m, substring(nt, i, 2)))` with the ≤729-entry count
+ *    map flattened to a 729-slot long array (index 27*i(c1) + i(c2),
+ *    where i maps a..z → 0..25 and ' ' → 26; -1 marks an absent key).
+ *    One tight byte loop inside whole-stage codegen. Loud-on-missing is
+ *    preserved: a character outside the alphabet, or a bigram absent
+ *    from the model (-1 cell), throws like ANSI `element_at` on a
+ *    missing map key — impossible by construction on the real path (the
+ *    model trains on the identical frame) and a silent 0 would mask a
+ *    model/corpus mismatch.
+ *
+ * Both kernels read UTF8String BYTES: the normalized text is pure ASCII
+ * `[a-z ]` by construction (plantedNorm's regexp_replace), so byte i IS
+ * character i. CharBigrams keeps a character-exact fallback for any
+ * non-ASCII byte so its contract matches substring() on every input;
+ * BigramScore throws there (such a character has no model key).
+ */
+case class CharBigrams(child: Expression)
+  extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def elementSchema: StructType =
+    StructType(StructField("bg", StringType, nullable = false) :: Nil)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_bigrams needs string, got ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val s = t.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      var ascii = true
+      var i = 0
+      while (ascii && i < bytes.length) {
+        if (bytes(i) < 0) ascii = false
+        i += 1
+      }
+      if (ascii) {
+        if (bytes.length < 2) Nil
+        else (0 until bytes.length - 1).iterator.map { j =>
+          InternalRow(UTF8String.fromBytes(bytes, j, 2))
+        }
+      } else {
+        // character-exact path (multi-byte code points): mirrors
+        // substring(nt, i, 2) — never taken on the [a-z ] corpus
+        val str = s.toString
+        val cps = str.codePointCount(0, str.length)
+        if (cps < 2) Nil
+        else (0 until cps - 1).iterator.map { j =>
+          val a = str.offsetByCodePoints(0, j)
+          val b = str.offsetByCodePoints(0, j + 2)
+          InternalRow(UTF8String.fromString(str.substring(a, b)))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): CharBigrams = copy(child = c(0))
+}
+
+object CharBigrams {
+  /** Register `char_bigrams` for SQL/expr use in the given session. */
+  def register(spark: SparkSession): Unit =
+    Registration.ensure(spark, "char_bigrams")(
+      exprs => CharBigrams(exprs.head))
+}
+
+case class BigramScore(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bigram_score needs (string, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(text: Any, counts: Any): Any = {
+    val bytes = text.asInstanceOf[UTF8String].getBytes
+    val arr = counts.asInstanceOf[ArrayData]
+    var acc = 0L
+    var prev = -1
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val idx =
+        if (b >= 'a' && b <= 'z') b - 'a'
+        else if (b == ' ') 26
+        else throw new NoSuchElementException(
+          s"bigram_score: character ${b.toInt} outside the [a-z ] model alphabet")
+      if (prev >= 0) {
+        val c = arr.getLong(prev * 27 + idx)
+        if (c < 0) throw new NoSuchElementException(
+          s"bigram_score: bigram at position ${i - 1} is absent from the model")
+        acc += c
+      }
+      prev = idx
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, a) => {
+      val bytes = ctx.freshName("bytes")
+      val acc = ctx.freshName("acc")
+      val prev = ctx.freshName("prev")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val idx = ctx.freshName("idx")
+      val c = ctx.freshName("c")
+      s"""
+         |byte[] $bytes = $t.getBytes();
+         |long $acc = 0L;
+         |int $prev = -1;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  byte $b = $bytes[$i];
+         |  int $idx;
+         |  if ($b >= 97 && $b <= 122) { $idx = $b - 97; }
+         |  else if ($b == 32) { $idx = 26; }
+         |  else { throw new java.util.NoSuchElementException(
+         |    "bigram_score: character outside the [a-z ] model alphabet"); }
+         |  if ($prev >= 0) {
+         |    long $c = $a.getLong($prev * 27 + $idx);
+         |    if ($c < 0) { throw new java.util.NoSuchElementException(
+         |      "bigram_score: bigram absent from the model"); }
+         |    $acc += $c;
+         |  }
+         |  $prev = $idx;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BigramScore = copy(left = l, right = r)
+}
+
+object BigramScore {
+  /** Register `bigram_score` for SQL/expr use in the given session. */
+  def register(spark: SparkSession): Unit =
+    Registration.ensure(spark, "bigram_score")(
+      exprs => BigramScore(exprs(0), exprs(1)))
+
+  /** Flatten the trained bigram-count map onto the 729-slot array the
+    * expression indexes (27*i(c1) + i(c2)); -1 marks an absent key so the
+    * kernel can stay as loud as ANSI element_at on a missing bigram. */
+  def countsArray(model: Map[String, Long]): Array[Long] = {
+    def i(ch: Char): Int =
+      if (ch >= 'a' && ch <= 'z') ch - 'a'
+      else if (ch == ' ') 26
+      else throw new IllegalArgumentException(
+        s"model key character '$ch' outside the [a-z ] alphabet")
+    val arr = Array.fill(729)(-1L)
+    model.foreach { case (bg, c) =>
+      require(bg.length == 2, s"model key '$bg' is not a bigram")
+      arr(i(bg(0)) * 27 + i(bg(1))) = c
+    }
+    arr
+  }
+}

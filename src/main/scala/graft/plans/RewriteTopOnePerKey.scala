@@ -126,5 +126,11 @@ object GraftExtensions {
       DotLong(exprs(0), exprs(1))),
     "dot_double" -> ((exprs: Seq[Expression]) =>
       DotDouble(exprs(0), exprs(1))),
+    "char_bigrams" -> ((exprs: Seq[Expression]) =>
+      CharBigrams(exprs.head)),
+    "shingles3" -> ((exprs: Seq[Expression]) =>
+      Shingles3(exprs.head)),
+    "bigram_score" -> ((exprs: Seq[Expression]) =>
+      BigramScore(exprs(0), exprs(1))),
   )
 }

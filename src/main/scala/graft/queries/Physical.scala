@@ -25,6 +25,24 @@ object Physical {
   private def outRoot(dir: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_physical_${Integer.toHexString(dir.hashCode)}"
 
+  /** SQL for the 32-bit Morton code of two 16-bit coordinates — bit i of
+    * `x` lands at position 2i, bit i of `y` at 2i+1, identically to the
+    * aggregate(sequence(0,15), ...) fold it replaced (ZOrderSpec pins the
+    * equality), but as branchless magic-number spreading: each step
+    * halves the gap between occupied bit groups (8→4→2→1), four
+    * shift/or/mask layers take a 16-bit value to its 32-bit every-other-
+    * bit spread. Pure built-in long arithmetic — whole-stage codegen,
+    * no lambda dispatch, no per-row sequence array. */
+  private[graft] def mortonZ(x: String, y: String): String = {
+    def spread(c: String): String = {
+      val s8 = s"(($c | shiftleft($c, 8)) & 16711935L)"        // 0x00FF00FF
+      val s4 = s"(($s8 | shiftleft($s8, 4)) & 252645135L)"     // 0x0F0F0F0F
+      val s2 = s"(($s4 | shiftleft($s4, 2)) & 858993459L)"     // 0x33333333
+      s"(($s2 | shiftleft($s2, 1)) & 1431655765L)"             // 0x55555555
+    }
+    s"(${spread(x)} + shiftleft(${spread(y)}, 1))"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Hive-style partitioned write + partition-pruned read-back aggregate.
@@ -114,8 +132,16 @@ object Physical {
     // (here l_partkey × l_suppkey, masked to 16 bits) into a Morton code
     // and range-partitioning on THAT bounds both — a predicate on either
     // dimension prunes most files at the scan, which is the entire value
-    // of the layout at 100 TB. The z-value is a pure in-row codegen'd
-    // HOF fold (no UDF); the write is repartitionByRange + sorted within
+    // of the layout at 100 TB. The z-value is branchless magic-number bit
+    // spreading (the classic Morton-interleave recipe): 4 shift/mask
+    // steps spread each 16-bit coordinate onto the even bit positions,
+    // then z = zx + 2*zy — all built-in long arithmetic inside
+    // whole-stage codegen. The previous aggregate(sequence(0,15), ...)
+    // HOF computed the same interleave, but higher-order functions are
+    // CodegenFallback — 16 interpreted lambda dispatches per row plus a
+    // materialized sequence array (ZOrderSpec pins bit-for-bit equality
+    // of the two forms over the 16-bit corners + random pairs). The
+    // write is repartitionByRange + sorted within
     // partitions, i.e. the exact recipe a real table-layout job runs.
     // The read-back aggregate proves the round-trip lossless AND
     // exhibits the locality: per z-bucket, BOTH dimensions' spans are
@@ -123,13 +149,10 @@ object Physical {
     // source — identical integers or the layout lied).
     "q108_zorder_layout" -> ((s, dir) => {
       val out = s"${outRoot(dir)}/lineitem_zorder"
-      val zExpr = "aggregate(sequence(0, 15), 0L, (acc, i) -> acc" +
-        " + shiftleft(shiftright(px, i) & 1, 2*i)" +
-        " + shiftleft(shiftright(sy, i) & 1, 2*i+1))"
       s.read.parquet(s"$dir/lineitem.parquet")
         .selectExpr("l_partkey & 65535L AS px", "l_suppkey & 65535L AS sy",
           "cast(l_quantity AS bigint) AS qty")
-        .selectExpr("px", "sy", "qty", s"$zExpr AS z")
+        .selectExpr("px", "sy", "qty", s"${mortonZ("px", "sy")} AS z")
         .repartitionByRange(col("z"))
         .sortWithinPartitions(col("z"))
         .write.mode("overwrite").parquet(out)

@@ -71,30 +71,44 @@ object QualityModel {
 
   /** Train the bigram count table — ≤ 729 rows by construction, the
     * bounded-collect class. Built over the PLANTED corpus: contamination
-    * arrives inside the data, the model never sees a clean copy. */
-  private def bigramModel(s: SparkSession, dir: String): Map[String, Long] =
-    plantedNorm(s, dir)
-      .selectExpr(
-        "explode(transform(sequence(1, length(nt) - 1), i -> substring(nt, i, 2))) AS bg")
+    * arrives inside the data, the model never sees a clean copy. The
+    * bigram rows come from the native [[graft.functions.CharBigrams]]
+    * generator — identical rows to the explode(transform(sequence...))
+    * HOF it replaced (BigramKernelSpec pins the equality), without the
+    * per-character lambda dispatch + substring allocation. */
+  private def bigramModel(s: SparkSession, norm: DataFrame): Map[String, Long] = {
+    graft.functions.CharBigrams.register(s)
+    norm
+      .selectExpr("char_bigrams(nt)")
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** q159: train on the corpus, score every doc by average bigram count
-    * (fixed-point e6), flag docs under half the global mean. element_at
-    * is loud under ANSI on a missing key — impossible here by
-    * construction (the model is trained over the identical frame), and
-    * a silent 0 would mask a model/corpus mismatch. */
-  private def bigramGate(s: SparkSession, dir: String): DataFrame =
-    bigramGate(s, dir, bigramModel(s, dir))
+    * (fixed-point e6), flag docs under half the global mean. The
+    * normalized corpus is persisted ONCE and shared by the train and
+    * score passes — they are the same projection, and re-running the
+    * regex normalization per pass was the query's single largest cost.
+    * Scoring is the native [[graft.functions.BigramScore]] kernel (one
+    * codegen'd byte loop; the aggregate(sequence...) HOF form it
+    * replaced paid an interpreted lambda + substring + map probe per
+    * character), as loud as ANSI element_at on a missing bigram —
+    * impossible here by construction (the model is trained over the
+    * identical frame), and a silent 0 would mask a model/corpus
+    * mismatch. */
+  private def bigramGate(s: SparkSession, dir: String): DataFrame = {
+    val norm = Caches.persist(plantedNorm(s, dir))
+    bigramGate(s, norm, bigramModel(s, norm))
+  }
 
-  private def bigramGate(s: SparkSession, dir: String,
+  private def bigramGate(s: SparkSession, norm: DataFrame,
       model: Map[String, Long]): DataFrame = {
-    val m = typedlit(model)
-    val scored = Caches.persist(plantedNorm(s, dir)
+    graft.functions.BigramScore.register(s)
+    val m = typedlit(graft.functions.BigramScore.countsArray(model))
+    val scored = Caches.persist(norm
       .withColumn("m", m)
       .selectExpr("doc_id",
-        "aggregate(sequence(1, length(nt) - 1), 0L," +
-          " (acc, i) -> acc + element_at(m, substring(nt, i, 2))) AS raw",
+        "bigram_score(nt, m) AS raw",
         "cast(length(nt) - 1 AS bigint) AS n_pos")
       .selectExpr("doc_id", "(raw * 1000000L) div n_pos AS score_e6"))
     val g = scored.agg(expr("sum(score_e6) div count(*) AS mean_e6"))
@@ -122,10 +136,11 @@ object QualityModel {
   private def lmDelta(s: SparkSession, dir: String): DataFrame =
     plantedNorm(s, dir).where("doc_id % 10 >= 7")
 
-  private def lmPartials(df: DataFrame): DataFrame =
-    df.selectExpr(
-        "explode(transform(sequence(1, length(nt) - 1), i -> substring(nt, i, 2))) AS bg")
+  private def lmPartials(df: DataFrame): DataFrame = {
+    graft.functions.CharBigrams.register(df.sparkSession)
+    df.selectExpr("char_bigrams(nt)")
       .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+  }
 
   private def fingerprintOf(df: DataFrame): String = {
     val r = df
@@ -218,7 +233,7 @@ object QualityModel {
     // reproduce q159's from-scratch gate exactly (oracle verbatim)
     "q179_lm_store" -> ((s, dir) => {
       buildLmIfStale(s, dir); absorbLm(s, dir)
-      bigramGate(s, dir, storedLmModel(s, dir))
+      bigramGate(s, plantedNorm(s, dir), storedLmModel(s, dir))
     }),
     "q160_diversity_sample" -> ((s, dir) => diversitySample(s, dir))
   )

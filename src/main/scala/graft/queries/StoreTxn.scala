@@ -426,7 +426,14 @@ object StoreTxn {
           Some(readNonce(fs, m))
         else None
       } catch {
-        case _: java.io.FileNotFoundException => Some("") // released between claim and stat
+        // Released between claim and stat: there is nothing to break and
+        // no observed-expired nonce to verify a break against — breaking
+        // here could rename away a FRESH lease another driver claimed in
+        // the gap (the two-holder steal). Just retry the claim on the
+        // now-possibly-free path; if someone else won it, refuse as busy.
+        case _: java.io.FileNotFoundException =>
+          if (atomicClaim(fs, m, token)) return token
+          None
         case _: java.io.IOException => None
       }
     expiredNonce match {
@@ -435,7 +442,7 @@ object StoreTxn {
           m.getParent, s".maint_lease.expired.$token")
         try {
           if (fs.rename(m, tomb)) {
-            if (expNonce.isEmpty || readNonce(fs, tomb) == expNonce)
+            if (readNonce(fs, tomb) == expNonce)
               fs.delete(tomb, false) // broke the lease we observed expire
             else if (!fs.rename(tomb, m)) // renamed a FRESH lease: undo
               logger.warn(s"maint-lease break undo lost a race at $m; " +

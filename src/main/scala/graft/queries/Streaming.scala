@@ -191,13 +191,19 @@ object Streaming {
     // instead. The property is per-TABLE, not per-topic, so the check
     // memoizes on the source stamp: one aggregate per (corpus, content)
     // per JVM, not one per staged topic.
-    if (sentinelDomainChecked.add(s"$dir;${sourceStamp(s, dir, "events")}")) {
+    val sentinelKey = s"$dir;${sourceStamp(s, dir, "events")}"
+    if (!sentinelDomainChecked.contains(sentinelKey)) {
       val negatives = ev.where(col("event_id") < 0 || col("user_id") < 0).count()
       require(negatives == 0L,
         s"events table at $dir carries $negatives rows with negative " +
           "event_id/user_id — the staged-feed sentinels (event_id/user_id " +
           "= -1) would collide with real data; regenerate the corpus or " +
           "move the sentinel domain")
+      // Memoize only AFTER the require passes: adding the key first would
+      // leave a FAILED check memoized, so a same-JVM retry against the
+      // same colliding corpus would silently skip the guard and stage the
+      // feed — the silent unmatched-click drop the guard exists to refuse.
+      sentinelDomainChecked.add(sentinelKey)
     }
     ev.where(col("event_type") === eventType)
       .repartitionByRange(feedRanges, col("ts")).write.mode("overwrite").parquet(out)

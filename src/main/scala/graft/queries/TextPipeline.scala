@@ -34,8 +34,15 @@ object TextPipeline {
     * projection matters: with `split(text)` inlined here, every
     * `element_at` inside the per-shingle lambda re-runs the split — 3 x
     * |shingles| regex splits per document, measured 4.5 s for 5k docs at
-    * sf0.1 vs ~0.3 s with the array materialized once per row. */
-  private val shingles =
+    * sf0.1 vs ~0.3 s with the array materialized once per row.
+    *
+    * r21: the projection is the native [[graft.functions.Shingles3]]
+    * kernel. This HOF form remains the DEFINING semantics (it is what
+    * the oracles replay, and ShinglesKernelSpec pins the two equal,
+    * nulls/duplicates/short-docs included); the kernel removes the
+    * per-shingle interpreted lambda + concat tree + array_distinct
+    * second pass that every dedup/similarity query was paying. */
+  private[graft] val shinglesHof =
     """CASE WHEN size(tk) >= 3 THEN
       |  array_distinct(transform(sequence(1, size(tk) - 2),
       |    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
@@ -73,11 +80,13 @@ object TextPipeline {
   /** The same distinct-shingle projection over an arbitrary documents
     * slice (doc_id, text, ...) — shared with the incremental-dedup index,
     * which fingerprints corpus and delta sides separately. */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.Shingles3.register(docs.sparkSession)
     docs
       .selectExpr("doc_id", s"$toks AS tk")
       .where("size(tk) >= 3")
-      .selectExpr("doc_id", s"$shingles AS sh")
+      .selectExpr("doc_id", "shingles3(tk) AS sh")
+  }
 
   /** Per-bit majority vote over md5-derived token hashes, computed by the
     * native codegen'd graft.functions.SimHash (the HOF form is interpreted

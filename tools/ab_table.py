@@ -20,9 +20,11 @@ def main(argv):
         return 2
     ref = [load(argv[1]), load(argv[2])]
     cur = [load(argv[3]), load(argv[4])]
-    # union across BOTH cur runs: a query that errored out of one run's
-    # artifact must still appear in the table, not silently vanish
-    names = sorted(set().union(*(j.get("queries", {}) for j in cur)))
+    # union across ALL FOUR artifacts: a query that errored out of both
+    # cur runs (i.e. one the change may have BROKEN) must still appear in
+    # the table body as a ref-only row, not vanish with only the errors
+    # footer hinting at it — mirroring the existing ref-absent handling
+    names = sorted(set().union(*(j.get("queries", {}) for j in ref + cur)))
     print(f"{'query':34} {'ref_s':>8} {'cur_s':>8} {'ratio':>7}"
           "   (min of two interleaved per-binary medians)")
     rt = ct = 0.0
@@ -30,15 +32,16 @@ def main(argv):
     for n in names:
         cvals = [j["queries"][n] for j in cur if n in j.get("queries", {})]
         rvals = [j["queries"][n] for j in ref if n in j.get("queries", {})]
-        c = min(cvals)
-        if rvals:
-            r = min(rvals)
+        if cvals and rvals:
+            r, c = min(rvals), min(cvals)
             rt += r
             ct += c
             comparable += 1
             print(f"{n:34} {r:8.3f} {c:8.3f} {c / r:7.3f}")
+        elif cvals:
+            print(f"{n:34} {'n/a':>8} {min(cvals):8.3f} {'n/a':>7}")
         else:
-            print(f"{n:34} {'n/a':>8} {c:8.3f} {'n/a':>7}")
+            print(f"{n:34} {min(rvals):8.3f} {'n/a':>8} {'n/a':>7}")
     if comparable:
         print(f"{'TOTAL (comparable)':34} {rt:8.3f} {ct:8.3f} {ct / rt:7.3f}")
     for j, tag in [(ref[0], "ref1"), (ref[1], "ref2"),
