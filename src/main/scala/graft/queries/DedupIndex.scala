@@ -97,13 +97,19 @@ object DedupIndex {
     * membership change moves it; doc-id-preserving regenerations (the
     * driver rewrites testdata between rounds) are exactly what it
     * catches. */
-  private def corpusFingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusDocs(s, dir)
-      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def corpusFingerprint(s: SparkSession, dir: String): String =
+    // Memoized behind the data dir's file-stat stamp like every other
+    // store's staleness probe (r21: this was the one un-memoized
+    // fingerprint — ensureBases made every transactional query pay this
+    // corpus scan once per lap; a regenerated corpus still re-fingerprints
+    // because the stamp changes with the source file stats).
+    Tables.memoFingerprint(s, dir, "dedup.base") {
+      val r = corpusDocs(s, dir)
+        .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   /** Fingerprint the corpus slice into the persisted index; returns the
     * index path. The meta record (corpus fingerprint + pristine flag) is
@@ -123,13 +129,22 @@ object DedupIndex {
     * the derivation cannot silently diverge the lifecycles. */
   private[queries] def writeDerived(s: SparkSession, docs: DataFrame,
       base: String, mode: String): Unit = {
-    docs.selectExpr("md5(text) AS fp", "doc_id")
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
-      .write.mode(mode).parquet(s"$base/exact")
     val sh = Caches.persist(TextPipeline.shinglesOf(docs))
-    sh.write.mode(mode).parquet(s"$base/shingles")
-    TextPipeline.minhashBands(sh).write.mode(mode).parquet(s"$base/bands")
+    // The exact table and the shingle/band pair are independent outputs
+    // of the same input frame: overlap them (guide §2.6) instead of
+    // paying three write jobs' scheduling latency back to back. The
+    // bands write stays AFTER the shingles write only because both read
+    // the shared `sh` cache — the first action fills it, the second
+    // reuses it.
+    Jobs.par(
+      () => docs.selectExpr("md5(text) AS fp", "doc_id")
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+        .write.mode(mode).parquet(s"$base/exact"),
+      () => {
+        sh.write.mode(mode).parquet(s"$base/shingles")
+        TextPipeline.minhashBands(sh).write.mode(mode).parquet(s"$base/bands")
+      })
   }
 
   private def writeMeta(s: SparkSession, path: String, fp: String,
@@ -295,15 +310,15 @@ object DedupIndex {
     val staging = s"$path/staging_compact"
     val tables = Seq("exact", "shingles", "bands")
     val meta = s.read.parquet(s"$path/meta").head()
-    tables.foreach { t =>
+    // each table's stage (and later its rewrite) is independent of the
+    // other tables': overlap the write jobs — guide §2.6
+    Jobs.par(tables.map(t => () =>
       s.read.parquet(s"$path/$t").coalesce(4)
-        .write.mode("overwrite").parquet(s"$staging/$t")
-    }
+        .write.mode("overwrite").parquet(s"$staging/$t")): _*)
     writeMeta(s, path, "compacting", pristine = false)
-    tables.foreach { t =>
+    Jobs.par(tables.map(t => () =>
       s.read.parquet(s"$staging/$t")
-        .write.mode("overwrite").parquet(s"$path/$t")
-    }
+        .write.mode("overwrite").parquet(s"$path/$t")): _*)
     writeMeta(s, path, meta.getString(0), meta.getBoolean(1))
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

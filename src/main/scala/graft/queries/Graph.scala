@@ -60,24 +60,45 @@ object Graph {
 
   /** The fixed-point iteration over arbitrary bounded (node) /
     * (src, dst, wfrac) frames — `nNodes` must equal the node count (the
-    * caller's one bounded-dimension driver action). */
+    * caller's one bounded-dimension driver action).
+    *
+    * r21: the loop runs DRIVER-SIDE over the collected aggregates. Both
+    * inputs are bounded dimensions by the caller's contract (≤ |nation|
+    * nodes, ≤ |nation|² edge fractions — the same model-sized-state
+    * class as the k-means centroid loop), so the corpus-scale work
+    * remains exactly the distributed join chain + aggregation that
+    * PRODUCES the edge table; the five rank rounds over ≤625 longs were
+    * paying ~3 scheduled stages each (contribution exchange + two
+    * broadcast builds) to move kilobytes. The arithmetic is the same
+    * integer fixed-point sequence, term for term (per-edge div BEFORE
+    * the sum; long sums are order-independent), so the oracle and
+    * IncrementalOpsSpec's closed-form expectations hold unchanged. */
   def pagerankOf(nodes: DataFrame, edgeFracs: DataFrame, nNodes: Long,
       iters: Int = iterations): DataFrame = {
     val base = S / nNodes
     val tp = 15L * base / 100L
-    val ef = Caches.persist(edgeFracs)
-    var pr = nodes.select(col("node"), lit(base).as("pr"))
+    // node keys arrive as int (nation keys) or long (test fixtures):
+    // widen to long for the loop, cast the output column back below so
+    // the result schema is exactly the distributed form's
+    val nodeType = nodes.schema("node").dataType
+    def asL(v: Any): Long = v.asInstanceOf[Number].longValue
+    val nodeIds = nodes.select(col("node")).collect().map(r => asL(r.get(0)))
+    val edges = edgeFracs.select(col("src"), col("dst"), col("wfrac"))
+      .collect().map(r => (asL(r.get(0)), asL(r.get(1)), asL(r.get(2))))
+    var pr = nodeIds.map(_ -> base).toMap
     for (_ <- 1 to iters) {
-      val contrib = ef
-        .join(broadcast(pr.select(col("node").as("p_node"), col("pr"))),
-          col("src") === col("p_node"))
-        .selectExpr("dst", "(pr * wfrac) div 1000000L AS c")
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      pr = nodes.select(col("node"))
-        .join(broadcast(contrib), col("node") === col("dst"), "left")
-        .selectExpr("node", s"${tp}L + (85L * coalesce(contrib, 0L)) div 100L AS pr")
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+      edges.foreach { case (src, dst, w) =>
+        pr.get(src).foreach { p =>
+          contrib.update(dst, contrib.getOrElse(dst, 0L) + (p * w) / 1000000L)
+        }
+      }
+      pr = nodeIds.map(n =>
+        n -> (tp + (85L * contrib.getOrElse(n, 0L)) / 100L)).toMap
     }
-    pr
+    import nodes.sparkSession.implicits._
+    nodeIds.toSeq.map(n => (n, pr(n))).toDF("node", "pr")
+      .withColumn("node", col("node").cast(nodeType))
   }
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
@@ -239,11 +260,15 @@ object Graph {
           .select(col("node").as("voter"), col("label"))),
           col("src") === col("voter"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("dst"))
-        .orderBy(col("cnt").desc, col("label"))
-      val best = votes.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("dst").as("node"), col("label").as("new_label"))
+      // argmax by (cnt desc, label asc) as ONE hash aggregate:
+      // min_by over the (-cnt, label) struct picks the same winner the
+      // row_number window did (ordering unique per dst — one (dst,label)
+      // row per count), without the window's extra exchange + sort per
+      // round (the TopOnePerKey device, r21)
+      val best = votes.groupBy(col("dst"))
+        .agg(min_by(col("label"),
+          struct((col("cnt") * -1).as("nc"), col("label"))).as("new_label"))
+        .select(col("dst").as("node"), col("new_label"))
       lab = Caches.persist(lab.join(best, Seq("node"), "left")
         .select(col("node"), col("is_seed"),
           when(col("is_seed"), col("label"))

@@ -126,10 +126,13 @@ object SearchStore {
 
   def build(s: SparkSession, dir: String, variant: String = ""): String = {
     val path = root(dir, variant)
-    postings(corpusDocs(s, dir))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    statPartial(corpusDocs(s, dir))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // postings and the stat row are independent outputs — overlap the
+    // write jobs (guide §2.6); meta below still lands strictly last
+    Jobs.par(
+      () => postings(corpusDocs(s, dir))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings"),
+      () => statPartial(corpusDocs(s, dir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats"))
     // overwrite semantics must cover the delete layer too: a tombstone
     // set surviving a rebuild would exclude docs whose negative stat
     // partials the fresh stats table no longer carries
@@ -174,12 +177,12 @@ object SearchStore {
   }
 
   private def appendFrame(s: SparkSession, batch: DataFrame,
-      path: String): Unit = {
-    postings(batch)
-      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
-    statPartial(batch)
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
-  }
+      path: String): Unit =
+    Jobs.par(
+      () => postings(batch)
+        .write.mode("append").partitionBy("tb").parquet(s"$path/postings"),
+      () => statPartial(batch)
+        .coalesce(1).write.mode("append").parquet(s"$path/stats"))
 
   /** The frame-explicit absorb — an arbitrary doc batch whose content
     * the store cannot fingerprint-verify; the batch row goes OPAQUE
@@ -226,16 +229,18 @@ object SearchStore {
     // task, so each tb= dir folds to a single file (without it, each read
     // task re-writes a sliver into every bucket and the file count never
     // drops — the whole point of the verb). Parallelism = #buckets.
-    s.read.parquet(s"$path/postings").repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$staging/postings")
-    s.read.parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+    Jobs.par(
+      () => s.read.parquet(s"$path/postings").repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$staging/postings"),
+      () => s.read.parquet(s"$path/stats")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats"))
     writeMeta(s, path, Seq("base" -> "compacting"))
-    s.read.parquet(s"$staging/postings").repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    s.read.parquet(s"$staging/stats")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Jobs.par(
+      () => s.read.parquet(s"$staging/postings").repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings"),
+      () => s.read.parquet(s"$staging/stats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats"))
     writeMeta(s, path, (saved - "compacted").toSeq :+
       ("compacted" -> foldStamp(saved)))
     val fs = new org.apache.hadoop.fs.Path(staging)
@@ -582,17 +587,19 @@ object SearchStore {
     // the deleted row SURVIVES the purge: membership still diverges
     // from corpus ∪ delta, so the store must keep reading stale
     val saved = metaRows(s, path)
-    live(s, dir, s.read.parquet(s"$path/postings"), variant)
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$staging/postings")
-    s.read.parquet(s"$path/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats")
+    Jobs.par(
+      () => live(s, dir, s.read.parquet(s"$path/postings"), variant)
+        .repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$staging/postings"),
+      () => s.read.parquet(s"$path/stats")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats"))
     writeMeta(s, path, Seq("base" -> "purging"))
-    s.read.parquet(s"$staging/postings").repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings")
-    s.read.parquet(s"$staging/stats")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Jobs.par(
+      () => s.read.parquet(s"$staging/postings").repartition(col("tb"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings"),
+      () => s.read.parquet(s"$staging/stats")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats"))
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
