@@ -109,9 +109,14 @@ object Audit {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     for (p <- Seq(ckpt, accepted, quarantine))
       fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
-      .repartitionByRange(4, col("doc_id"))
-      .write.mode("overwrite").parquet(feed)
+    // deterministic per-corpus feed — staged once per corpus content
+    // (Tables.stagedOnce, the q40 staged-events device); batch order is
+    // irrelevant here (row-local verdicts), so no mtime choreography
+    Tables.stagedOnce(s, dir, feed, "dq_feed;ranges=4") { () =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(feed)
+    }
     // failed-check tag: first failing assertion in contract order (a
     // row-local expression, so the oracle replays it cross-engine)
     val verdictExpr =

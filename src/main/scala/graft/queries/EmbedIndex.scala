@@ -255,19 +255,25 @@ object EmbedIndex {
     val fs = feedPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    batch1Vecs(s, dir).withColumn("epoch", lit(1))
-      .coalesce(1).write.mode("overwrite").parquet(feed)
-    val base = System.currentTimeMillis() - 3600000L
-    val aParts = fs.listStatus(feedPath)
-      .filter(_.getPath.getName.startsWith("part-"))
-    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
-    batch2Vecs(s, dir).withColumn("epoch", lit(2))
-      .coalesce(1).write.mode("append").parquet(feed)
-    val aNames = aParts.map(_.getPath.getName).toSet
-    fs.listStatus(feedPath)
-      .filter(st => st.getPath.getName.startsWith("part-") &&
-        !aNames(st.getPath.getName))
-      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    // deterministic per-corpus feed — staged once per corpus content
+    // (Tables.stagedOnce, the q40 staged-events device): re-writing the
+    // identical two tick files every lap paid two write jobs for bytes
+    // that cannot differ
+    Tables.stagedOnce(s, dir, feed, "embed_gate;ticks=2") { () =>
+      batch1Vecs(s, dir).withColumn("epoch", lit(1))
+        .coalesce(1).write.mode("overwrite").parquet(feed)
+      val base = System.currentTimeMillis() - 3600000L
+      val aParts = fs.listStatus(feedPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+      batch2Vecs(s, dir).withColumn("epoch", lit(2))
+        .coalesce(1).write.mode("append").parquet(feed)
+      val aNames = aParts.map(_.getPath.getName).toSet
+      fs.listStatus(feedPath)
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !aNames(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    }
 
     val schema = s.read.parquet(feed).schema
     val stream = s.readStream.schema(schema)

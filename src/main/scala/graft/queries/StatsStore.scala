@@ -423,14 +423,18 @@ object StatsStore {
           s" AS bigint) % $lcBuckets AS bucket")
       .distinct()
 
-  private def lcFingerprint(s: SparkSession, dir: String): String = {
-    val r = corpusEvents(s, dir)
-      .selectExpr("cast(conv(substring(md5(concat_ws('|', event_type, " +
-        "cast(user_id AS string))), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
-  }
+  private def lcFingerprint(s: SparkSession, dir: String): String =
+    // memoized behind the source file-stat stamp like the other store
+    // probes (r21) — the steady-state lap pays a metadata stat, not a
+    // corpus scan; any events-table change busts the stamp
+    Tables.memoFingerprint(s, dir, "stats.lc") {
+      val r = corpusEvents(s, dir)
+        .selectExpr("cast(conv(substring(md5(concat_ws('|', event_type, " +
+          "cast(user_id AS string))), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
+    }
 
   def buildLc(s: SparkSession, dir: String): String = {
     val path = root(dir, "lc")

@@ -1325,22 +1325,26 @@ object StoreTxn {
     val fs = new org.apache.hadoop.fs.Path(feed)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    val orders = Tables.t(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    orders.where("o_orderkey % 10 IN (7, 8)")
-      .coalesce(1).write.mode("overwrite").parquet(feed)
-    val base = System.currentTimeMillis() - 3600000L
-    val feedPath = new org.apache.hadoop.fs.Path(feed)
-    val aParts = fs.listStatus(feedPath)
-      .filter(_.getPath.getName.startsWith("part-"))
-    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
-    orders.where("o_orderkey % 10 = 9")
-      .coalesce(1).write.mode("append").parquet(feed)
-    val aNames = aParts.map(_.getPath.getName).toSet
-    fs.listStatus(feedPath)
-      .filter(st => st.getPath.getName.startsWith("part-") &&
-        !aNames(st.getPath.getName))
-      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    // deterministic per-corpus feed — staged once per corpus content
+    // (Tables.stagedOnce, the q40 staged-events device)
+    Tables.stagedOnce(s, dir, feed, "table_feed;ticks=2") { () =>
+      val orders = Tables.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.where("o_orderkey % 10 IN (7, 8)")
+        .coalesce(1).write.mode("overwrite").parquet(feed)
+      val base = System.currentTimeMillis() - 3600000L
+      val feedPath = new org.apache.hadoop.fs.Path(feed)
+      val aParts = fs.listStatus(feedPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+      orders.where("o_orderkey % 10 = 9")
+        .coalesce(1).write.mode("append").parquet(feed)
+      val aNames = aParts.map(_.getPath.getName).toSet
+      fs.listStatus(feedPath)
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !aNames(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    }
     val stream = s.readStream.schema(s.read.parquet(feed).schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
     // explicit function value — the inline lambda is ambiguous between
@@ -2122,24 +2126,28 @@ object StoreTxn {
     val fs = new org.apache.hadoop.fs.Path(feed)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    // feed rows carry the PLANTED dedup text plus the raw stats columns
-    val meta = Tables.t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-    def staged(batch: DataFrame): DataFrame = batch.join(meta, Seq("doc_id"))
-    staged(DedupIndex.batch1Docs(s, dir))
-      .coalesce(1).write.mode("overwrite").parquet(feed)
-    val base = System.currentTimeMillis() - 3600000L
-    val feedPath = new org.apache.hadoop.fs.Path(feed)
-    val aParts = fs.listStatus(feedPath)
-      .filter(_.getPath.getName.startsWith("part-"))
-    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
-    staged(DedupIndex.batch2Docs(s, dir))
-      .coalesce(1).write.mode("append").parquet(feed)
-    val aNames = aParts.map(_.getPath.getName).toSet
-    fs.listStatus(feedPath)
-      .filter(st => st.getPath.getName.startsWith("part-") &&
-        !aNames(st.getPath.getName))
-      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    // feed rows carry the PLANTED dedup text plus the raw stats columns.
+    // Deterministic per-corpus — staged once per corpus content
+    // (Tables.stagedOnce, the q40 staged-events device).
+    Tables.stagedOnce(s, dir, feed, "txn_feed;ticks=2") { () =>
+      val meta = Tables.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      def staged(batch: DataFrame): DataFrame = batch.join(meta, Seq("doc_id"))
+      staged(DedupIndex.batch1Docs(s, dir))
+        .coalesce(1).write.mode("overwrite").parquet(feed)
+      val base = System.currentTimeMillis() - 3600000L
+      val feedPath = new org.apache.hadoop.fs.Path(feed)
+      val aParts = fs.listStatus(feedPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+      staged(DedupIndex.batch2Docs(s, dir))
+        .coalesce(1).write.mode("append").parquet(feed)
+      val aNames = aParts.map(_.getPath.getName).toSet
+      fs.listStatus(feedPath)
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !aNames(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    }
 
     val schema = s.read.parquet(feed).schema
     val stream = s.readStream.schema(schema)
@@ -2218,19 +2226,23 @@ object StoreTxn {
     val feedPath = new org.apache.hadoop.fs.Path(feed)
     val fs = feedPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    EmbedIndex.batch1Vecs(s, dir).withColumn("epoch", lit(1))
-      .coalesce(1).write.mode("overwrite").parquet(feed)
-    val base = System.currentTimeMillis() - 3600000L
-    val aParts = fs.listStatus(feedPath)
-      .filter(_.getPath.getName.startsWith("part-"))
-    aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
-    EmbedIndex.batch2Vecs(s, dir).withColumn("epoch", lit(2))
-      .coalesce(1).write.mode("append").parquet(feed)
-    val aNames = aParts.map(_.getPath.getName).toSet
-    fs.listStatus(feedPath)
-      .filter(st => st.getPath.getName.startsWith("part-") &&
-        !aNames(st.getPath.getName))
-      .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    // deterministic per-corpus feed — staged once per corpus content
+    // (Tables.stagedOnce, the q40 staged-events device)
+    Tables.stagedOnce(s, dir, feed, "ingest_feed;ticks=2") { () =>
+      EmbedIndex.batch1Vecs(s, dir).withColumn("epoch", lit(1))
+        .coalesce(1).write.mode("overwrite").parquet(feed)
+      val base = System.currentTimeMillis() - 3600000L
+      val aParts = fs.listStatus(feedPath)
+        .filter(_.getPath.getName.startsWith("part-"))
+      aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+      EmbedIndex.batch2Vecs(s, dir).withColumn("epoch", lit(2))
+        .coalesce(1).write.mode("append").parquet(feed)
+      val aNames = aParts.map(_.getPath.getName).toSet
+      fs.listStatus(feedPath)
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !aNames(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+    }
 
     val schema = s.read.parquet(feed).schema
     val stream = s.readStream.schema(schema)
@@ -2464,22 +2476,26 @@ object StoreTxn {
       val fs = new org.apache.hadoop.fs.Path(feed)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
-      val orders = Tables.t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      orders.where("o_orderkey % 10 IN (7, 8)")
-        .coalesce(1).write.mode("overwrite").parquet(feed)
-      val base = System.currentTimeMillis() - 3600000L
-      val feedPath = new org.apache.hadoop.fs.Path(feed)
-      val aParts = fs.listStatus(feedPath)
-        .filter(_.getPath.getName.startsWith("part-"))
-      aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
-      orders.where("o_orderkey % 10 = 9")
-        .coalesce(1).write.mode("append").parquet(feed)
-      val aNames = aParts.map(_.getPath.getName).toSet
-      fs.listStatus(feedPath)
-        .filter(st => st.getPath.getName.startsWith("part-") &&
-          !aNames(st.getPath.getName))
-        .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+      // deterministic per-corpus feed — staged once per corpus content
+      // (Tables.stagedOnce, the q40 staged-events device)
+      Tables.stagedOnce(s, dir, feed, "mv_feed;ticks=2") { () =>
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        orders.where("o_orderkey % 10 IN (7, 8)")
+          .coalesce(1).write.mode("overwrite").parquet(feed)
+        val base = System.currentTimeMillis() - 3600000L
+        val feedPath = new org.apache.hadoop.fs.Path(feed)
+        val aParts = fs.listStatus(feedPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+        aParts.foreach(st => fs.setTimes(st.getPath, base, -1))
+        orders.where("o_orderkey % 10 = 9")
+          .coalesce(1).write.mode("append").parquet(feed)
+        val aNames = aParts.map(_.getPath.getName).toSet
+        fs.listStatus(feedPath)
+          .filter(st => st.getPath.getName.startsWith("part-") &&
+            !aNames(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + 60000L, -1))
+      }
       val stream = s.readStream.schema(s.read.parquet(feed).schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
       val commitBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =

@@ -97,4 +97,26 @@ object Tables {
   /** The same fixup for a streaming DataFrame (schema known up front). */
   def streamTsFixup(df: DataFrame): DataFrame =
     tsFixup(df.schema).map(df.select(_: _*)).getOrElse(df)
+
+  /** Stage a DETERMINISTIC per-corpus streaming feed once per corpus
+    * content — the q40 staged-events `_staged_meta` device generalized
+    * (r21): several streaming lifecycles re-wrote identical mtime-ordered
+    * feed files every lap (two to three write jobs per lap for bytes
+    * that cannot differ). `stage` must write the feed files AND set
+    * their relative mtimes; the meta stamp (source-dir stat sweep +
+    * caller tag) is written LAST so a crashed staging re-stages, and any
+    * corpus change moves the stamp and re-stages. The underscore-
+    * prefixed meta file is invisible to the file stream source. */
+  private[queries] def stagedOnce(s: SparkSession, srcDir: String,
+      feed: String, tag: String)(stage: () => Unit): Unit = {
+    val stamp = s"${dirStamp(s, srcDir)};$tag"
+    val meta = new java.io.File(feed, "_staged_meta")
+    if (meta.isFile && new String(
+        java.nio.file.Files.readAllBytes(meta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == stamp)
+      return
+    stage()
+    java.nio.file.Files.write(meta.toPath,
+      stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

@@ -141,12 +141,15 @@ object TextDiag {
   private def cdcFps(input: DataFrame): DataFrame =
     cdcChunksOf(input).selectExpr("md5(chunk) AS fp").distinct()
 
-  private def cdcStoreFingerprint(s: SparkSession, dir: String): String = {
-    val r = cdcCorpus(s, dir)
-      .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
-      .head()
-    s"${r.getLong(0)}:${r.getLong(1)}"
+  private def cdcStoreFingerprint(s: SparkSession, dir: String): String =
+    // memoized behind the source file-stat stamp like the other store
+    // probes (r21) — steady-state laps pay a metadata stat, not a scan
+    Tables.memoFingerprint(s, dir, "cdc.base") {
+      val r = cdcCorpus(s, dir)
+        .selectExpr("cast(conv(substring(md5(text), 1, 8), 16, 10) AS bigint) AS h")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .head()
+      s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
   def buildCdcStore(s: SparkSession, dir: String): Unit = {
