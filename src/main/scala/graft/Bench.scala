@@ -137,6 +137,18 @@ object Bench {
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception =>
       System.err.println(s"BENCH: could not write $outFile: $e") }
+    // The full line above is ~8 KB for 222 queries; the driver keeps only a
+    // 2,000-char tail of the sbt output, so the full JSON gets decapitated
+    // and the round-over-round comparison comes back empty (r20/r21 both had
+    // `parsed: null`). Emit a compact, COMPLETE summary as the LAST stdout
+    // line so the tail always contains one parseable JSON object; per-query
+    // detail stays in the full line and the committed BENCH_LOCAL artifact.
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_errors":${errors.size},""" +
+      s""""repeats":$repeats,"methodology":"interleaved",""" +
+      s""""statistic":"median_of_repeats","cpus":"$cpus",""" +
+      s""""sf":"$sfDir","detail":"$outFile"}"""
+    println(summary)
     if (errors.nonEmpty) {
       System.err.println(s"BENCH FAILURES: ${errors.keys.mkString(", ")}")
     }

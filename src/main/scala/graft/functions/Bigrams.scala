@@ -115,6 +115,11 @@ case class BigramScore(left: Expression, right: Expression)
   override protected def nullSafeEval(text: Any, counts: Any): Any = {
     val bytes = text.asInstanceOf[UTF8String].getBytes
     val arr = counts.asInstanceOf[ArrayData]
+    // the function is SQL-registered, so an arbitrary caller can hand it a
+    // mis-sized array — fail cleanly instead of reading out of bounds on
+    // UnsafeArrayData (ADVICE r21)
+    if (arr.numElements() != 729) throw new IllegalArgumentException(
+      s"bigram_score: counts array has ${arr.numElements()} slots, needs 729")
     var acc = 0L
     var prev = -1
     var i = 0
@@ -148,6 +153,9 @@ case class BigramScore(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       s"""
          |byte[] $bytes = $t.getBytes();
+         |if ($a.numElements() != 729) { throw new IllegalArgumentException(
+         |  "bigram_score: counts array has " + $a.numElements() +
+         |  " slots, needs 729"); }
          |long $acc = 0L;
          |int $prev = -1;
          |for (int $i = 0; $i < $bytes.length; $i++) {

@@ -132,5 +132,9 @@ object GraftExtensions {
       Shingles3(exprs.head)),
     "bigram_score" -> ((exprs: Seq[Expression]) =>
       BigramScore(exprs(0), exprs(1))),
+    "intersect_count" -> ((exprs: Seq[Expression]) =>
+      IntersectCount(exprs(0), exprs(1))),
+    "union_count" -> ((exprs: Seq[Expression]) =>
+      UnionCount(exprs(0), exprs(1))),
   )
 }

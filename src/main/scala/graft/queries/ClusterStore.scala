@@ -159,7 +159,7 @@ object ClusterStore {
       .select(col("cid"), col("n"), col("batch"))
       .coalesce(1).write.mode("overwrite").parquet(staging)
     writeMeta(s, path, Seq("base" -> "compacting"))
-    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    StoreMeta.swapIn(s, staging, s"$path/partials")
     writeMeta(s, path, saved)
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -494,7 +494,11 @@ object Clustering {
     * by the evalN broadcast. */
   def pqRecallAudit(s: SparkSession, dir: String): DataFrame = {
     val se = Caches.persist(semGrid(s, dir))
-    val books = pqBooks(s, se)
+    // the deterministic codebook fit persists once per corpus content
+    // (AuditGeom — the q58 persisted-store device); a warm audit lap
+    // answers from the stored geometry instead of re-running the fit's
+    // driver-synchronous Lloyd's rounds over unchanged bytes
+    val books = AuditGeom.pqGeom(s, dir)(pqBooks(s, se))
     graft.functions.L2SqLong.register(s)
     val train = se.where("vec_id % 10 < 8")
       .select(col("vec_id").as("t_id"), col("e").as("te"))
@@ -540,23 +544,30 @@ object Clustering {
   def ivfPqRecallAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val se = Caches.persist(semGrid(s, dir))
-    val (cents, _) = lloyds(s, se)
-    val cdf = broadcast(cents.toDF("cid", "ce"))
     graft.functions.L2SqLong.register(s)
     val train = se.where("vec_id % 10 < 8")
       .select(col("vec_id").as("t_id"), col("e").as("te"))
     // inverted lists + shifted residuals, one pass (te kept for the
-    // exact side, ce for the reconstruction)
-    val lists = Caches.persist(train.crossJoin(cdf)
+    // exact side, ce for the reconstruction); built against an explicit
+    // centroid table so the fit closure and the read path share the plan
+    def listsOf(cdf: DataFrame): DataFrame = Caches.persist(train.crossJoin(cdf)
       .withColumn("dc", l2sq(s, "te", "ce"))
       .groupBy(col("t_id")).agg(min(struct(col("dc"), col("cid"))).as("m"))
       .select(col("t_id"), col("m.cid").as("cid"))
       .join(train, "t_id").join(cdf, "cid")
       .selectExpr("t_id", "cid", "te", "ce",
         s"zip_with(te, ce, (x, c) -> x - c + ${resShift}L) AS rs"))
-    // residual codebooks: the per-subspace Lloyd's over the TRAIN
-    // residuals (first-k-train-ids init — ids 0..3 are all % 10 < 8)
-    val rbooks = pqBooks(s, lists.selectExpr("t_id AS vec_id", "rs AS e"))
+    // coarse centroids + residual codebooks persist once per corpus
+    // content (AuditGeom): a warm lap loads the deterministic geometry
+    // instead of re-running lloyds + the per-subspace residual Lloyd's
+    // (first-k-train-ids init — ids 0..3 are all % 10 < 8)
+    val (cents, rbooks) = AuditGeom.ivfPqGeom(s, dir) {
+      val (c, _) = lloyds(s, se)
+      val fitLists = listsOf(broadcast(c.toDF("cid", "ce")))
+      (c, pqBooks(s, fitLists.selectExpr("t_id AS vec_id", "rs AS e")))
+    }
+    val cdf = broadcast(cents.toDF("cid", "ce"))
+    val lists = listsOf(cdf)
     val trainR = Caches.persist(lists.selectExpr("t_id", "cid", "te",
       s"zip_with(ce, ${pqReconSql(rbooks, "rs")}, (c, r) -> c + r - ${resShift}L) AS rt"))
     val test = Caches.persist(se.where("vec_id % 10 >= 8")

@@ -155,8 +155,7 @@ object DecontamIndex {
     s.read.parquet(s"$path/fps").coalesce(4)
       .write.mode("overwrite").parquet(s"$staging/fps")
     writeMeta(s, path, "compacting")
-    s.read.parquet(s"$staging/fps")
-      .write.mode("overwrite").parquet(s"$path/fps")
+    StoreMeta.swapIn(s, s"$staging/fps", s"$path/fps")
     writeMeta(s, path, meta.getString(0))
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

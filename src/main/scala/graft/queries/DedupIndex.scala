@@ -316,9 +316,8 @@ object DedupIndex {
       s.read.parquet(s"$path/$t").coalesce(4)
         .write.mode("overwrite").parquet(s"$staging/$t")): _*)
     writeMeta(s, path, "compacting", pristine = false)
-    Jobs.par(tables.map(t => () =>
-      s.read.parquet(s"$staging/$t")
-        .write.mode("overwrite").parquet(s"$path/$t")): _*)
+    // metadata swap, not a second rewrite of the staged bytes (§6)
+    tables.foreach(t => StoreMeta.swapIn(s, s"$staging/$t", s"$path/$t"))
     writeMeta(s, path, meta.getString(0), meta.getBoolean(1))
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -357,6 +356,7 @@ object DedupIndex {
         "cast(null AS bigint) AS c_id")
 
     graft.functions.MinhashSignature.register(s)
+    graft.functions.SetCounts.register(s)
     val sigs = TextPipeline.shinglesOf(delta)
       .selectExpr("doc_id", "sh", "minhash_sig(sh) AS ms")
     val bandArr = (0 until 4).map(b =>
@@ -370,8 +370,10 @@ object DedupIndex {
       .join(s.read.parquet(s"$path/shingles")
           .select(col("doc_id").as("c_id2"), col("sh").as("csh")),
         col("c_id") === col("c_id2"))
-      .where(expr("round(cast(size(array_intersect(sh, csh)) AS double)" +
-        " / size(array_union(sh, csh)), 4) >= 0.5"))
+      // count-only set kernels — same rounded jaccard as the builtin
+      // size(array_intersect)/size(array_union) form (SetCounts)
+      .where(expr("round(cast(intersect_count(sh, csh) AS double)" +
+        " / union_count(sh, csh), 4) >= 0.5"))
       .selectExpr("doc_id", "'near' AS kind",
         "cast(null AS bigint) AS keeper", "c_id")
 

@@ -239,45 +239,82 @@ object Graph {
   /** [[labelProp]] over an EXPLICIT backbone edge frame — the direct
     * path passes the full-table cut; [[GraphStore]]'s q152 passes the
     * cut of its merged incremental edges (identical by the additive-
-    * weight argument, so q132's oracle applies verbatim there). */
+    * weight argument, so q132's oracle applies verbatim there).
+    *
+    * r22: the propagation rounds run DRIVER-SIDE over the collected
+    * backbone (q106's model-sized-driver-state device). The iteration
+    * state is bounded BY CONTRACT, not by data: the backbone is the
+    * top-[[backboneM]] (10k) edge cut at every corpus size, so the
+    * loop state is ≤ 2·M directed edges + ≤ 2·M (node, brand) rows —
+    * a few hundred KB, the same class as q106's ≤|nation|² edge
+    * fractions and the k-means k×dim centroids. The r21 min_by form
+    * still paid ~3 scheduled aggregation stages + a broadcast build
+    * per round (≈2.1 s of the 5.2 s grid median — q128 shares the
+    * backbone cut and runs 3.1 s) to move kilobytes. The corpus-scale
+    * work — the backbone cut itself and the node⋈part brand join —
+    * stays distributed; only their contract-bounded OUTPUTS are
+    * collected. Semantics are replicated term for term (synchronous
+    * rounds, seeds clamped, unlabeled neighbors don't vote, argmax by
+    * (cnt desc, label asc) under Spark's binary UTF8 string order —
+    * [[graft.GraphLabelPropSpec]] pins this form row-identical to the
+    * distributed min_by form on the real corpus and on tie-heavy
+    * fixtures; the DuckDB oracle is unchanged). */
   private[queries] def labelPropOver(s: SparkSession, dir: String,
       backbone: DataFrame): DataFrame = {
     val edges = Caches.persist(backbone)
     // undirected: each edge carries votes both ways
-    val dirEdges = Caches.persist(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(edges.select(col("b").as("src"), col("a").as("dst"))))
+    val dirEdges = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
     val nodes = dirEdges.select(col("src").as("node")).distinct()
     val brands = Tables.t(s, dir, "part")
       .select(col("p_partkey").as("node"), col("p_brand"))
-    var lab = nodes.join(broadcast(brands), Seq("node"))
-      .select(col("node"),
-        (col("node") % 5 === 0).as("is_seed"),
-        when(col("node") % 5 === 0, col("p_brand")).as("label"))
+    // the two bounded collects: ≤ 2·backboneM directed edges, and the
+    // DISTRIBUTED node⋈brands join's ≤ 2·backboneM-row output (the part
+    // table itself is corpus-scale and never collected)
+    def asL(v: Any): Long = v.asInstanceOf[Number].longValue
+    val dEdges = dirEdges.collect().map(r => (asL(r.get(0)), asL(r.get(1))))
+    val lab0 = nodes.join(brands, Seq("node"))
+      .select(col("node"), col("p_brand")).collect()
+      .map(r => (asL(r.get(0)), r.getString(1)))
+    // Spark's string comparisons are binary over UTF-8 bytes; UTF8String
+    // implements exactly that order, so label ties break identically
+    def lt(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    val isSeed = lab0.map { case (n, _) => n -> (n % 5 == 0) }.toMap
+    var lab: Map[Long, String] = lab0.map { case (n, brand) =>
+      n -> (if (n % 5 == 0) brand else null)
+    }.toMap
     for (_ <- 1 to lpIters) {
-      val votes = dirEdges
-        .join(broadcast(lab.where(col("label").isNotNull)
-          .select(col("node").as("voter"), col("label"))),
-          col("src") === col("voter"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      // argmax by (cnt desc, label asc) as ONE hash aggregate:
-      // min_by over the (-cnt, label) struct picks the same winner the
-      // row_number window did (ordering unique per dst — one (dst,label)
-      // row per count), without the window's extra exchange + sort per
-      // round (the TopOnePerKey device, r21)
-      val best = votes.groupBy(col("dst"))
-        .agg(min_by(col("label"),
-          struct((col("cnt") * -1).as("nc"), col("label"))).as("new_label"))
-        .select(col("dst").as("node"), col("new_label"))
-      lab = Caches.persist(lab.join(best, Seq("node"), "left")
-        .select(col("node"), col("is_seed"),
-          when(col("is_seed"), col("label"))
-            .otherwise(coalesce(col("new_label"), col("label"))).as("label")))
+      // synchronous round: votes read the PREVIOUS round's labels
+      val votes = scala.collection.mutable.HashMap.empty[(Long, String), Long]
+      dEdges.foreach { case (src, dst) =>
+        lab.get(src) match {
+          case Some(l) if l != null =>
+            votes.update((dst, l), votes.getOrElse((dst, l), 0L) + 1L)
+          case _ => ()
+        }
+      }
+      val best = scala.collection.mutable.HashMap.empty[Long, (Long, String)]
+      votes.foreach { case ((dst, l), c) =>
+        best.get(dst) match {
+          case Some((bc, bl)) if c < bc || (c == bc && !lt(l, bl)) => ()
+          case _ => best.update(dst, (c, l))
+        }
+      }
+      lab = lab.map { case (n, l) =>
+        if (isSeed(n)) (n, l)
+        else (n, best.get(n).map(_._2).getOrElse(l))
+      }
     }
-    lab.groupBy(coalesce(col("label"), lit("unlabeled")).as("label"))
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seeds"))
-      .orderBy(col("label"))
+    val hist = lab.toSeq
+      .groupBy { case (_, l) => if (l == null) "unlabeled" else l }
+      .map { case (label, ns) =>
+        (label, ns.size.toLong,
+          ns.count { case (n, _) => isSeed(n) }.toLong)
+      }.toSeq
+    import s.implicits._
+    hist.toDF("label", "n_nodes", "n_seeds").orderBy(col("label"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -177,7 +177,7 @@ object GraphStore {
     mergedEdges(s, dir)
       .coalesce(4).write.mode("overwrite").parquet(staging)
     writeMeta(s, path, Seq("base" -> "compacting"))
-    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/edges")
+    StoreMeta.swapIn(s, staging, s"$path/edges")
     writeMeta(s, path, (saved - "compacted").toSeq :+
       ("compacted" -> foldStamp(saved)))
     val fs = new org.apache.hadoop.fs.Path(staging)

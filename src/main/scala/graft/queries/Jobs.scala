@@ -29,14 +29,36 @@ private[queries] object Jobs {
         })
       }
       var firstFailure: Throwable = null
+      var interrupted: InterruptedException = null
       futs.foreach { f =>
-        try f.get()
+        try {
+          // An interrupt of the CALLER must not leave worker thunks
+          // running against the verb's staging dir: cancel everything
+          // still pending and re-assert the interrupt after the drain
+          // (the finally's shutdownNow + await bounds the in-flight one).
+          if (interrupted != null) f.cancel(true)
+          else f.get()
+        }
         catch {
           case e: java.util.concurrent.ExecutionException =>
             if (firstFailure == null) firstFailure = e.getCause
+          case e: InterruptedException =>
+            interrupted = e
+            f.cancel(true)
         }
       }
+      if (interrupted != null) throw interrupted
       if (firstFailure != null) throw firstFailure
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdownNow()
+      // Bounded drain: give cancelled thunks a moment to unwind so no
+      // write job outlives the verb; don't block forever on one that
+      // ignores interruption (nonce-isolated staging + commit-marker-last
+      // keeps a straggler harmless). A caller interrupt during the drain
+      // re-asserts the thread's interrupt status instead of escaping the
+      // finally (which would mask the try block's exception).
+      try pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
   }
 }

@@ -236,11 +236,8 @@ object SearchStore {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats"))
     writeMeta(s, path, Seq("base" -> "compacting"))
-    Jobs.par(
-      () => s.read.parquet(s"$staging/postings").repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings"),
-      () => s.read.parquet(s"$staging/stats")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats"))
+    StoreMeta.swapIn(s, s"$staging/postings", s"$path/postings")
+    StoreMeta.swapIn(s, s"$staging/stats", s"$path/stats")
     writeMeta(s, path, (saved - "compacted").toSeq :+
       ("compacted" -> foldStamp(saved)))
     val fs = new org.apache.hadoop.fs.Path(staging)
@@ -545,11 +542,14 @@ object SearchStore {
       variant: String = ""): Unit = {
     val path = root(dir, variant)
     val victims = Tables.t(s, dir, "documents").where(pred)
-    victims.select(col("doc_id"))
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-    statPartial(victims)
-      .selectExpr("-n_docs AS n_docs", "-sum_dl AS sum_dl")
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    // tombstone ids and the negative stat partial are independent
+    // outputs of the same victim scan — overlap them (guide §2.6)
+    Jobs.par(
+      () => victims.select(col("doc_id"))
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones"),
+      () => statPartial(victims)
+        .selectExpr("-n_docs AS n_docs", "-sum_dl AS sum_dl")
+        .coalesce(1).write.mode("append").parquet(s"$path/stats"))
     writeMeta(s, path,
       (metaRows(s, path) - "deleted").toSeq :+ ("deleted" -> "true"))
   }
@@ -595,11 +595,8 @@ object SearchStore {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$staging/stats"))
     writeMeta(s, path, Seq("base" -> "purging"))
-    Jobs.par(
-      () => s.read.parquet(s"$staging/postings").repartition(col("tb"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$path/postings"),
-      () => s.read.parquet(s"$staging/stats")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats"))
+    StoreMeta.swapIn(s, s"$staging/postings", s"$path/postings")
+    StoreMeta.swapIn(s, s"$staging/stats", s"$path/stats")
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)

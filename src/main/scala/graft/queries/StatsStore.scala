@@ -128,7 +128,7 @@ object StatsStore {
         max(col("mx")).as("mx"))
       .coalesce(1).write.mode("overwrite").parquet(staging)
     writeMeta(s, path, "compacting")
-    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    StoreMeta.swapIn(s, staging, s"$path/partials")
     writeMeta(s, path, meta)
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -256,7 +256,7 @@ object StatsStore {
     s.read.parquet(s"$path/partials").where(col("batch") >= keepFrom)
       .coalesce(1).write.mode("overwrite").parquet(staging)
     writeMeta(s, path, "expiring")
-    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    StoreMeta.swapIn(s, staging, s"$path/partials")
     writeMeta(s, path, meta)
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

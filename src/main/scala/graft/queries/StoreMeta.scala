@@ -14,6 +14,25 @@ import org.apache.spark.sql.SparkSession
   * configurable one — harder to audit, same line count. */
 private[queries] object StoreMeta {
 
+  /** Swap a fully-staged table dir into its live location as a METADATA
+    * move (delete + rename) instead of a second read-rewrite Spark job
+    * over the same bytes (r22, guide §6 — move bytes once). The staged
+    * dir was already written complete; renaming preserves its files
+    * (and any range-disjointness their writer arranged) exactly. Crash
+    * story is unchanged: callers flip the meta torn BEFORE the swap, so
+    * a failure between the delete and the rename reads as torn and the
+    * next lifecycle heals by rebuild. On object stores a dir rename
+    * degrades to a server-side copy — still strictly cheaper than
+    * re-reading and re-writing the bytes through Spark tasks. */
+  def swapIn(s: SparkSession, staging: String, live: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(staging)
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(live)
+    fs.delete(dst, true)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"swap rename $src -> $dst failed")
+  }
+
   def write(s: SparkSession, path: String,
       rows: Seq[(String, String)]): Unit = {
     import s.implicits._

@@ -110,13 +110,25 @@ object Tables {
   private[queries] def stagedOnce(s: SparkSession, srcDir: String,
       feed: String, tag: String)(stage: () => Unit): Unit = {
     val stamp = s"${dirStamp(s, srcDir)};$tag"
-    val meta = new java.io.File(feed, "_staged_meta")
-    if (meta.isFile && new String(
-        java.nio.file.Files.readAllBytes(meta.toPath),
-        java.nio.charset.StandardCharsets.UTF_8) == stamp)
-      return
+    // The stamp goes through the Hadoop FileSystem like every other
+    // staging path (ADVICE r21): a scheme-qualified feed dir would make
+    // java.io probes silently false — the memo would never hit and the
+    // write would throw — while the Hadoop API follows the feed wherever
+    // the staging itself can write.
+    val meta = new org.apache.hadoop.fs.Path(feed, "_staged_meta")
+    val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hit = fs.exists(meta) && {
+      val in = fs.open(meta)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+        new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8) == stamp
+      } finally in.close()
+    }
+    if (hit) return
     stage()
-    java.nio.file.Files.write(meta.toPath,
-      stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = fs.create(meta, true)
+    try out.write(stamp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

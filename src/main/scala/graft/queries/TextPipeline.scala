@@ -1169,12 +1169,15 @@ object TextPipeline {
       val pairs = ranked.join(shifted, Seq("rn"))
         .select(col("doc_id").as("a_id"), col("b_id"))
       val docs = Caches.persist(docShingles(s, dir))
+      graft.functions.SetCounts.register(s)
       pairs
         .join(docs.as("da"), col("a_id") === col("da.doc_id"))
         .join(docs.as("db"), col("b_id") === col("db.doc_id"))
         .select(col("a_id"), col("b_id"),
-          round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
-            " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+          // count-only set kernels: same quotient as size(array_intersect)/
+          // size(array_union) without materializing either array per pair
+          round(expr("cast(intersect_count(da.sh, db.sh) AS double)" +
+            " / union_count(da.sh, db.sh)"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -1401,13 +1404,18 @@ object TextPipeline {
     * set joined back to both sides' shingle arrays, rounded to 4 places
     * BEFORE thresholding so both engines cut on the same digits. */
   private[queries] def jaccardOf(cand: DataFrame, left: DataFrame, right: DataFrame,
-      leftId: String, rightId: String): DataFrame =
+      leftId: String, rightId: String): DataFrame = {
+    // count-only set kernels (graft.functions.SetCounts): bit-identical
+    // quotient to size(array_intersect)/size(array_union), no per-pair
+    // intersection/union array materialized just to read its length
+    graft.functions.SetCounts.register(cand.sparkSession)
     cand
       .join(left.as("da"), col(leftId) === col("da.doc_id"))
       .join(right.as("db"), col(rightId) === col("db.doc_id"))
       .select(col(leftId), col(rightId),
-        round(expr("cast(size(array_intersect(da.sh, db.sh)) AS double)" +
-          " / size(array_union(da.sh, db.sh))"), 4).as("jaccard"))
+        round(expr("cast(intersect_count(da.sh, db.sh) AS double)" +
+          " / union_count(da.sh, db.sh)"), 4).as("jaccard"))
+  }
 
   /** Directional shingle-containment pairs over a (doc_id, sh) table —
     * the q102 core, parameterized so specs can drive handcrafted corpora.
@@ -1482,11 +1490,15 @@ object TextPipeline {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .select(col("a"), col("b"))
+    graft.functions.SetCounts.register(shDocs.sparkSession)
     cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sa")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sb")), "b")
       .selectExpr("a", "b",
-        "round(cast(size(array_intersect(sa, sb)) AS double)" +
+        // intersect_count: the count-only kernel (no intersection array
+        // materialized per pair); same distinct/null semantics as the
+        // builtin, so the rounded quotient is bit-identical
+        "round(cast(intersect_count(sa, sb) AS double)" +
           " / cast(size(sa) AS double), 4) AS containment")
       .where(col("containment") >= threshold)
   }

@@ -95,7 +95,7 @@ object VocabStore {
     import s.implicits._
     Seq("compacting").toDF("fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    s.read.parquet(staging).write.mode("overwrite").parquet(s"$path/partials")
+    StoreMeta.swapIn(s, staging, s"$path/partials")
     Seq(meta).toDF("fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val fs = new org.apache.hadoop.fs.Path(staging)

@@ -187,13 +187,12 @@ object ZoneMapStore {
       .sortWithinPartitions(col("o_orderkey"))
       .write.mode("overwrite").parquet(staging)
     writeMeta(s, path, "reclustering")
-    // re-range on the swap too: a plain rewrite packs staged files into
-    // tasks by SIZE, so one output file could span two non-adjacent
-    // ranges and break the disjointness the verb exists to restore
-    s.read.parquet(staging)
-      .repartitionByRange(16, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.mode("overwrite").parquet(s"$path/layout")
+    // swap is a RENAME: the staged files (one disjoint range each, from
+    // the repartitionByRange write above) move as-is, so the
+    // disjointness the verb exists to restore is preserved exactly —
+    // the old rewrite-swap had to re-range because a task-packed rewrite
+    // could span two non-adjacent ranges in one output file
+    StoreMeta.swapIn(s, staging, s"$path/layout")
     zonesOf(s.read.parquet(s"$path/layout"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/zones")
     writeMeta(s, path, meta)
