@@ -636,7 +636,10 @@ object SearchStore {
       delete(s, dir, "doc_id % 7 = 3", "del")
       val before = bm25Live(s, dir, "del").collect().toSeq
       purge(s, dir, "del")
-      val after = bm25Live(s, dir, "del")
+      // persisted: the SAME frame feeds the reader-equivalence require and
+      // the terminal sink — without it the post-purge read runs twice
+      // (guide §1.2: don't recompute what one lap already computed)
+      val after = Caches.persist(bm25Live(s, dir, "del"))
       require(after.collect().toSeq == before,
         "purge changed the live ranking — tombstones and rewrite diverge")
       after

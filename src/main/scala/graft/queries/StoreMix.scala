@@ -55,9 +55,14 @@ object StoreMix {
       keepers: DataFrame, stats: DataFrame): DataFrame = {
     graft.functions.BpeEncode.register(s)
     val docs = Tables.t(s, dir, "documents")
+    // respread (the planned-scan-tasks guard): the repetition+quality
+    // gate kernels are the pipeline's per-row CPU and ran as ONE task on
+    // the one-row-group testdata scan (JobProfile r22: a 784 ms
+    // single-task job inside q158's lap); guard-false at cluster scale
     val kept = TextPipeline.withRepetitionChars(
-        docs.select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), col("text")),
+        graft.SparkEntry.respread(
+          docs.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))),
         withQuality = true)
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(broadcast(stats), Seq("lang", "source"))

@@ -1227,10 +1227,13 @@ object StoreTxn {
     * files (lower ftxn) lose the keys, the new files (ftxn == dtxn)
     * keep them. */
   def stageTableUpsert(s: SparkSession, dir: String, pred: String,
-      tranche: DataFrame, id: Long, nonce: String = ""): Unit = {
-    stageTableDelete(s, dir, pred, id, nonce)
-    stageTableAppend(s, dir, tranche, id, nonce)
-  }
+      tranche: DataFrame, id: Long, nonce: String = ""): Unit =
+    // the delete vector and the replacing tranche's files+manifest are
+    // independent outputs of one transaction — overlap them (guide §2.6);
+    // the commit row still lands strictly after both
+    Jobs.par(
+      () => stageTableDelete(s, dir, pred, id, nonce),
+      () => stageTableAppend(s, dir, tranche, id, nonce))
 
   def absorbTableUpsert(s: SparkSession, dir: String, pred: String,
       tranche: DataFrame): Long = {
@@ -2534,7 +2537,10 @@ object StoreTxn {
       require(tableDeletesTx(s, dir).nonEmpty,
         "upsert left no live delete vector — the optimize has nothing to prove")
       optimizeTable(s, dir)
-      val after = tableRangeAggregateTx(s, dir)
+      // persisted: the same frame feeds three consumers (content require,
+      // plan audit, terminal sink) — without it the post-optimize read
+      // runs twice end-to-end (guide §1.2)
+      val after = Caches.persist(tableRangeAggregateTx(s, dir))
       require(after.collect().toSeq == before,
         "optimize changed the table content")
       // the scrub plans the delete vector as two BROADCAST joins

@@ -38,7 +38,18 @@ object Streaming {
     * partitions vs a stable 3.2 s on 8 — the r4/r5 "streaming variance"
     * was exactly this. On a real cluster, size `graft.streaming
     * .statePartitions` to state volume (results are partition-invariant).
-    */
+    *
+    * r22 sweep (Q104Tune + 12-query pack A/B, alternating order so JIT
+    * doesn't bias a config): a GLOBAL cut below 8 does not pay — at 2
+    * the pack ran 1.044x (q55's per-batch dedup compute serializes), at
+    * 4 it was 0.979x with q55 still +16%. What DOES pay is the
+    * stream-stream JOIN's own count (`defaultParts` below): a join
+    * commits FOUR state-store instances per partition per batch (two
+    * keyToNumValues + two keyWithIndexToValue) where an aggregation
+    * commits one, so its fixed commit I/O is 4x an aggregation's at
+    * equal partitions — q104 measured 0.88x at 4 partitions in the
+    * mixed pack while every aggregation query kept 8. Production
+    * streams size via the conf either way. */
   /** State-store provider for the streaming pack. RocksDB is the default:
     * the HDFS-backed provider keeps every partition's state map ON HEAP, so
     * at 100 TB stream-stream join state outgrows executor memory; RocksDB
@@ -67,7 +78,7 @@ object Streaming {
     * are checkpoint-format-internal, bit-invariant (and every grid query
     * uses a fresh checkpoint, so the format toggle can never mix). */
   private[queries] def runToCompletion(s: SparkSession, agg: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete", defaultParts: Int = 8): DataFrame = {
     val table = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val key = "spark.sql.shuffle.partitions"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -77,7 +88,7 @@ object Streaming {
     val prevProvider = s.conf.getOption(providerKey)
     val prevClog = s.conf.getOption(clogKey)
     val stateParts = s.conf.getOption("graft.streaming.statePartitions")
-      .getOrElse(math.min(8, prev.toInt).toString)
+      .getOrElse(math.min(defaultParts, prev.toInt).toString)
     s.conf.set(key, stateParts)
     s.conf.set(providerKey, providerClass(s))
     if (providerClass(s).contains("RocksDB"))
@@ -338,7 +349,11 @@ object Streaming {
       val joined = clicks.join(purchases,
         expr("c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTES"),
         "left_outer")
-      runToCompletion(s, joined, "stream_outer_join", mode = "append")
+      runToCompletion(s, joined, "stream_outer_join", mode = "append",
+        // the outer join commits 4 state-store instances per partition
+        // per batch — 4 partitions halves its fixed commit floor without
+        // touching the aggregation queries (see runToCompletion's note)
+        defaultParts = 4)
         .where(col("click_id") >= 0) // drop the left sentinel's own row
         // unmatched clicks carry a NULL purchase — sentinel it to −1:
         // null-free outputs are the oracle-compare contract (a null long

@@ -1441,7 +1441,16 @@ object TextPipeline {
     * tokens. */
   def sparseCosineOf(shDocs: DataFrame, nDocs: DataFrame, dfMin: Long = 2,
       dfMax: Long = 20, threshold: Double = 0.5, minShared: Long = 3): DataFrame = {
-    val sh = Caches.persist(shDocs)
+    // respread (the planned-scan-tasks guard): the one-row-group testdata
+    // scan gives the persisted shingle frame ONE partition, and the
+    // candidate self-join + pair-verify stages — this operator's CPU —
+    // inherit that single-task parallelism from the cache (JobProfile
+    // r22: a 2.1 s one-task job in a 3.9 s q102 lap). Guard-false at
+    // cluster scale, so no shuffle is paid there. Applied HERE and not
+    // in docShingles: the light shingle consumers (q63/q80) measured
+    // the shuffle as pure overhead (+0.3-0.45 s) with nothing
+    // downstream to parallelize.
+    val sh = Caches.persist(graft.SparkEntry.respread(shDocs))
     val ex = Caches.persist(
       sh.select(col("doc_id"), explode(col("sh")).as("shingle")))
     val dfT = Caches.persist(ex.groupBy(col("shingle")).agg(count(lit(1)).as("df")))
@@ -1472,7 +1481,8 @@ object TextPipeline {
 
   def containmentOf(shDocs: DataFrame, dfMin: Long = 2, dfMax: Long = 20,
       threshold: Double = 0.8, minShared: Long = 3): DataFrame = {
-    val sh = Caches.persist(shDocs)
+    // respread: same rationale (and measurement) as sparseCosineOf
+    val sh = Caches.persist(graft.SparkEntry.respread(shDocs))
     val ex = Caches.persist(
       sh.select(col("doc_id"), explode(col("sh")).as("shingle")))
     val rare = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -1507,7 +1517,10 @@ object TextPipeline {
     // persisted: referenced by both self-join sides and both jaccard
     // sides; size is bounded (one shingle array per doc). Released by
     // the consumer via Caches.releaseAll after the terminal action.
-    val docs = Caches.persist(docShingles(s, dir))
+    // respread: the band self-join and jaccard verify read this cache —
+    // without it they inherit the scan's one partition (see
+    // sparseCosineOf; q66/q69 measured 0.91x/0.95x with it).
+    val docs = Caches.persist(graft.SparkEntry.respread(docShingles(s, dir)))
     val bandsP = Caches.persist(minhashBands(docs)) // both sides of the candidate self-join
     val cand = bandsP.withColumnRenamed("doc_id", "a_id")
       .join(bandsP.withColumnRenamed("doc_id", "b_id"), Seq("b", "k0", "k1", "k2"))
@@ -1627,10 +1640,13 @@ object TextPipeline {
       .select("doc_id")
     // both gates compute IN-ROW on the dedup survivors — one scan, no
     // gate joins; the semi-join against the keeper set is the only
-    // exchange stage 1+2 pay
+    // exchange stage 1+2 pay. respread: the gate kernels are this scan's
+    // per-row CPU and ran single-task on the one-row-group testdata
+    // (see StoreMix.mixFrom's measurement); guard-false at cluster scale
     val kept = withRepetitionChars(
-        docs.select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), col("text")),
+        graft.SparkEntry.respread(
+          docs.select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"), col("text"))),
         withQuality = true)
       .join(keepers, Seq("doc_id"), "left_semi")
       .where(s"quality_e4 >= $minQualityE4 AND NOT ${repetitivePredAt(repThreshold)}")

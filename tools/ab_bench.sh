@@ -34,7 +34,12 @@ sbt -batch compile > /dev/null
 echo "== compiling $REF =="
 (cd "$WT" && sbt -batch compile > /dev/null)
 
-JAVA_OPTS="--add-exports=java.base/sun.nio.ch=ALL-UNNAMED -Dderby.system.home=/tmp/ab_derby"
+# mirror build.sbt's jdk17AddOpens: without java.base/java.nio etc. the
+# Kryo-broadcasting ANN queries (q49/q130/q137) fail on a bare JVM
+JAVA_OPTS="-Dderby.system.home=/tmp/ab_derby"
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net          java.nio java.util java.util.concurrent java.util.concurrent.atomic          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  JAVA_OPTS="$JAVA_OPTS --add-opens=java.base/$p=ALL-UNNAMED"
+done
 run() { # $1 = classes dir, $2 = artifact path
   rm -f "$2"
   SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
